@@ -1,0 +1,292 @@
+package graft.operators
+
+import graft.Tables
+import graft.model.{FK, RelGraph}
+import graft.spec._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Referentially-consistent subset extraction — the heart of the reference
+  * (`/root/reference/dbcut/query.py:146-239,352-445`), re-expressed as
+  * distributed semi-join closure instead of ORM eager-loading.
+  *
+  * Semantics (deliberately cleaner than the reference's generator walk, and
+  * documented as the engine contract):
+  *
+  *  1. Root rows: `where` (dotted refs joined), default-PK `order-by`,
+  *     `offset`, `limit`.
+  *  2. Traversal tree: BFS over the FK graph from the root. A table's edges
+  *     are expanded the first time it is reached. A many-to-one ("join") edge
+  *     at distance d from the root is followed iff d < joinDepth; a
+  *     one-to-many ("backref") edge iff d < backrefDepth and the child table
+  *     has not been reached yet. An FK edge is never traversed twice (in
+  *     particular never backwards along the edge it was reached by) — this
+  *     mirrors `already_seen_relationships` + `already_browse_models` in
+  *     `query.py:352-445`.
+  *  3. Row collection runs level-by-level with snapshot semantics: every edge
+  *     at distance d pulls from the selections as they stood at the end of
+  *     level d-1, making the result independent of edge enumeration order.
+  *     Join edge T→P adds `P ⋉ fkKeys(sel(T))`; backref edge T→C adds
+  *     `C ⋉ pkKeys(sel(T))` capped at `backrefLimit` rows per parent in
+  *     child-PK order (the reference's per-parent backref window,
+  *     `query.py:458-476`).
+  *  4. Parent re-closure: after the walk, one child-before-parent pass over
+  *     all join edges between included tables re-pulls parents, so *every*
+  *     selected row's FK targets are present whenever the parent table is in
+  *     the tree. The reference only eager-loads along first-discovered tree
+  *     paths and can leave dangling FKs (it reinjects with FK checks
+  *     disabled, `cli/operations.py:84-139`); graft guarantees integrity.
+  *
+  * Scale posture: key sets are bounded by construction (root `limit` ×
+  * `backrefLimit` fan-out), so every closure step is a semi-join against a
+  * small key set — AQE turns those into broadcast joins at runtime. Each
+  * level's selections are persisted to stop lineage growth; nothing is ever
+  * collected to the driver.
+  */
+object Subset {
+
+  /** One selected edge of the traversal tree. */
+  final case class TreeEdge(from: String, to: String, fk: FK, backref: Boolean, level: Int)
+
+  /** Driver-side plan: which tables/edges participate, before any data moves. */
+  final case class ExtractionPlan(root: String, edges: Seq[TreeEdge], graph: RelGraph) {
+    def tables: Seq[String] = (root +: edges.map(_.to)).distinct
+
+    /** ASCII relation tree, the analogue of dbcut's rendered tree. */
+    def renderTree: String = {
+      val children = edges.groupBy(_.from)
+      val sb = new StringBuilder
+      def walk(t: String, prefix: String, arrived: Option[TreeEdge]): Unit = {
+        val label = arrived match {
+          case Some(e) if e.backref => s"$t  (backref via ${e.fk.childCols.mkString(",")})"
+          case Some(e)              => s"$t  (join via ${e.fk.childCols.mkString(",")})"
+          case None                 => t
+        }
+        sb.append(prefix).append(label).append('\n')
+        val kids = children.getOrElse(t, Nil).filter(e => arrived.forall(_.fk != e.fk))
+        kids.zipWithIndex.foreach { case (e, i) =>
+          val last = i == kids.size - 1
+          val pad = prefix.replace("├── ", "│   ").replace("└── ", "    ")
+          walk(e.to, pad + (if (last) "└── " else "├── "), Some(e))
+        }
+      }
+      walk(root, "", None)
+      sb.toString
+    }
+  }
+
+  final case class Extraction(spec: QuerySpec, plan: ExtractionPlan, tables: Map[String, DataFrame])
+
+  /** Phase 1 — walk the FK graph on the driver (metadata only) and decide the
+    * tree: which edges are followed, at which level.
+    */
+  def plan(spec: QuerySpec, graph0: RelGraph): ExtractionPlan = {
+    val graph = if (spec.exclude.nonEmpty) graph0.excluding(spec.exclude.toSet) else graph0
+    val unlimited = spec.include.nonEmpty
+    val joinDepth = if (unlimited) Int.MaxValue else spec.joinDepth
+    val backrefDepth = if (unlimited) Int.MaxValue else spec.backrefDepth
+
+    val reached = scala.collection.mutable.Set(spec.from)
+    val expanded = scala.collection.mutable.Set.empty[String]
+    val traversed = scala.collection.mutable.Set.empty[(String, FK)] // (childTable, fk)
+    val edges = scala.collection.mutable.ArrayBuffer.empty[TreeEdge]
+    var level = 0
+    var frontier = Seq(spec.from)
+    while (frontier.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (t <- frontier if !expanded(t)) {
+        expanded += t
+        if (level < joinDepth)
+          for (fk <- graph.joinEdges(t) if !traversed((t, fk))) {
+            traversed += ((t, fk))
+            edges += TreeEdge(t, fk.parent, fk, backref = false, level)
+            if (!reached(fk.parent)) { reached += fk.parent; next += fk.parent }
+            else if (!expanded(fk.parent)) next += fk.parent
+          }
+        if (level < backrefDepth)
+          for ((child, fk) <- graph.backrefEdges(t) if !reached(child) && !traversed((child, fk))) {
+            traversed += ((child, fk))
+            edges += TreeEdge(t, child, fk, backref = true, level)
+            reached += child; next += child
+          }
+      }
+      frontier = next.distinct.toSeq
+      level += 1
+    }
+
+    var plan0 = ExtractionPlan(spec.from, edges.toSeq, graph)
+    if (spec.include.nonEmpty) plan0 = pruneToInclude(plan0, spec.include.toSet)
+    plan0
+  }
+
+  /** dbcut `include`: keep only edges on a direct path from the root to one of
+    * the named tables (`query.py:188-214` builds only those relation paths).
+    */
+  private def pruneToInclude(p: ExtractionPlan, include: Set[String]): ExtractionPlan = {
+    val byFrom = p.edges.groupBy(_.from)
+    val keep = scala.collection.mutable.Set.empty[TreeEdge]
+    def walk(t: String, pathEdges: List[TreeEdge], seen: Set[String]): Unit = {
+      if (include(t)) keep ++= pathEdges
+      for (e <- byFrom.getOrElse(t, Nil) if !seen(e.to)) walk(e.to, e :: pathEdges, seen + e.to)
+    }
+    walk(p.root, Nil, Set(p.root))
+    p.copy(edges = p.edges.filter(keep))
+  }
+
+  /** Root query: `where` with dotted-relation joins, deterministic ordering
+    * (user keys then PK tiebreak), `offset`, `limit`. Global order+limit plans
+    * as TakeOrderedAndProject — no full sort materialization at scale.
+    */
+  def applyRootQuery(spark: SparkSession, sfDir: String, spec: QuerySpec, graph: RelGraph): DataFrame = {
+    val root = Tables.load(spark, sfDir, spec.from).alias(spec.from)
+    val rootCols = Tables.load(spark, sfDir, spec.from).columns
+
+    val filtered = spec.where match {
+      case None => root
+      case Some(cond) =>
+        val dotted = FilterCompiler.dottedTables(cond) - spec.from
+        // inner-join each referenced relation along its FK path (many-to-one
+        // joins preserve multiplicity: each row has at most one parent)
+        val joined = dotted.toSeq.sorted.foldLeft(root) { (df, other) =>
+          joinPath(spec.from, other, graph) match {
+            case Some(path) =>
+              path.foldLeft(df) { case (acc, (childTbl, fk)) =>
+                val parent = Tables.load(spark, sfDir, fk.parent).alias(fk.parent)
+                val on = fk.childCols.zip(fk.parentCols).map { case (c, p) =>
+                  col(s"$childTbl.$c") === col(s"${fk.parent}.$p")
+                }.reduce(_ && _)
+                acc.join(parent, on, "inner")
+              }
+            case None => sys.error(s"no FK path from ${spec.from} to $other")
+          }
+        }
+        val resolve: String => Column = f =>
+          if (f.contains(".")) col(f) else col(s"${spec.from}.$f")
+        joined.filter(FilterCompiler.compile(cond, resolve))
+          .select(rootCols.map(c => col(s"${spec.from}.$c")): _*)
+    }
+
+    val pk = graph.tables.get(spec.from).map(_.pk)
+      .getOrElse(RelGraph.synthesizePk(rootCols))
+    val userKeys = spec.orderBy.map(k => if (k.desc) col(k.field).desc else col(k.field).asc)
+    val orderCols = userKeys ++ pk.filterNot(p => spec.orderBy.exists(_.field == p)).map(col(_).asc)
+    val ordered = filtered.orderBy(orderCols: _*)
+    val offset = spec.offset.fold(ordered)(o => ordered.offset(o.toInt))
+    spec.limit.fold(offset)(l => offset.limit(l.toInt))
+  }
+
+  /** Many-to-one FK path root→target as (childTable, fk) hops, if one exists. */
+  private def joinPath(from: String, target: String, graph: RelGraph): Option[List[(String, FK)]] = {
+    def bfs(frontier: List[(String, List[(String, FK)])], seen: Set[String]): Option[List[(String, FK)]] =
+      frontier match {
+        case Nil => None
+        case (t, path) :: rest =>
+          if (t == target) Some(path.reverse)
+          else {
+            val nexts = graph.joinEdges(t).filterNot(fk => seen(fk.parent))
+              .map(fk => (fk.parent, (t, fk) :: path))
+            bfs(rest ++ nexts, seen ++ nexts.map(_._1))
+          }
+      }
+    bfs(List((from, Nil)), Set(from))
+  }
+
+  /** Phases 2+3 — run the closure and return per-table selected rows. */
+  def extract(spark: SparkSession, sfDir: String, spec: QuerySpec,
+              graph: RelGraph = RelGraph.tpch): Extraction = {
+    val p = plan(spec, graph)
+    val load: String => DataFrame = name => Tables.load(spark, sfDir, name)
+    val sel = scala.collection.mutable.Map[String, DataFrame](
+      spec.from -> applyRootQuery(spark, sfDir, spec, p.graph).persist())
+
+    def pkCols(t: String): Seq[String] =
+      p.graph.tables.get(t).map(_.pk).getOrElse(RelGraph.synthesizePk(load(t).columns))
+
+    def unionInto(t: String, add: DataFrame): Unit = {
+      val merged = sel.get(t) match {
+        case Some(cur) => cur.unionByName(add).dropDuplicates(pkCols(t))
+        case None => add
+      }
+      sel(t) = merged
+    }
+
+    // Phase 2: level-by-level with snapshot semantics.
+    val byLevel = p.edges.groupBy(_.level).toSeq.sortBy(_._1)
+    for ((_, levelEdges) <- byLevel) {
+      val snapshot = sel.toMap // selections as of end of previous level
+      for (e <- levelEdges.sortBy(te => (te.from, te.to))) {
+        val src = snapshot.getOrElse(e.from,
+          sys.error(s"edge source ${e.from} not yet selected"))
+        if (!e.backref) {
+          // join edge: parent ⋉ child-FK keys
+          val keys = src.select(e.fk.childCols.map(col): _*)
+            .na.drop().distinct()
+          val parent = load(e.to)
+          val on = e.fk.childCols.zip(e.fk.parentCols).map { case (c, pc) =>
+            keys(c) === parent(pc)
+          }.reduce(_ && _)
+          unionInto(e.to, parent.join(broadcast(keys), on, "left_semi"))
+        } else {
+          // backref edge: children of selected parents, capped per parent
+          val keys = src.select(e.fk.parentCols.map(col): _*).distinct()
+          val child = load(e.to)
+          val on = e.fk.childCols.zip(e.fk.parentCols).map { case (c, pc) =>
+            child(c) === keys(pc)
+          }.reduce(_ && _)
+          val pulled = child.join(broadcast(keys), on, "left_semi")
+          val capped = spec.backrefLimit match {
+            case Some(lim) =>
+              val w = Window.partitionBy(e.fk.childCols.map(col): _*)
+                .orderBy(pkCols(e.to).map(col(_).asc): _*)
+              pulled.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") <= lim).drop("__rn")
+            case None => pulled
+          }
+          unionInto(e.to, capped)
+        }
+      }
+      // persist the level's results; they seed the next level's snapshot
+      for (e <- levelEdges) sel(e.to) = sel(e.to).persist()
+    }
+
+    // Phase 3: parent re-closure (child-before-parent), guarantees RI for
+    // every included parent table.
+    val included = p.tables.toSet
+    for (t <- p.graph.reverseTopological if included(t)) {
+      for (fk <- p.graph.joinEdges(t) if included(fk.parent) && sel.contains(t)) {
+        val keys = sel(t).select(fk.childCols.map(col): _*).na.drop().distinct()
+        val parent = load(fk.parent)
+        val on = fk.childCols.zip(fk.parentCols).map { case (c, pc) =>
+          keys(c) === parent(pc)
+        }.reduce(_ && _)
+        unionInto(fk.parent, parent.join(broadcast(keys), on, "left_semi"))
+      }
+    }
+
+    Extraction(spec, p, sel.toMap.map { case (k, v) => k -> v.persist() })
+  }
+
+  /** Oracle-friendly one-DataFrame digest of a whole extraction: per table,
+    * row count and a PK checksum. Deterministic and cheap to compare.
+    */
+  def summary(e: Extraction): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+    val dfs = e.tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      val pk = e.plan.graph.tables.get(name).map(_.pk).getOrElse(Seq(df.columns.head))
+      // integral key parts only: double→long casts round differently across
+      // engines, so non-integral PK components stay out of the checksum
+      val integral = pk.filter { c =>
+        df.schema(c).dataType match {
+          case LongType | IntegerType | ShortType => true
+          case _ => false
+        }
+      }
+      val keySum = integral.map(c => col(c).cast("long")).reduce(_ + _)
+      df.agg(count(lit(1)).as("n_rows"),
+             coalesce(sum(keySum), lit(0L)).as("key_sum"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("key_sum"))
+    }
+    dfs.reduce(_ unionByName _).orderBy("tbl")
+  }
+}
