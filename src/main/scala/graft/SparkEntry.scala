@@ -7,7 +7,9 @@ object SparkEntry {
 
   /** All oracle-checked query packs, one per SURVEY §2 group. */
   def packs: Seq[Q] =
-    operators.SpecQueries.pack
+    operators.SpecQueries.pack ++ operators.Relational.pack ++
+      operators.TextAnalysis.pack ++ operators.Dedup.pack ++
+      operators.Similarity.pack
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Table catalog over a scale-factor directory of parquet files.
   *
@@ -22,7 +23,15 @@ object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
+      // to a timestamp type. Read nanos as LONG (public legacy conf), then
+      // rebuild a microsecond TimestampType column — exact here, the data
+      // carries µs precision (ns residue verified zero).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path(sfDir, name))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(path(sfDir, name))
 
   /** Register every table as a temp view so `spark.sql` works against the dir. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

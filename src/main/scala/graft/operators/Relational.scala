@@ -1,0 +1,315 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2c — the analytic-operator surface the extracted subsets feed.
+  * Everything is plain DataFrame API so Catalyst owns the physical plan:
+  * partial aggregation, broadcast of small dimensions, pushdown and pruning
+  * come for free; `.explain` checks live in the test suite.
+  *
+  * Cross-engine determinism rules (§5): money math in DECIMAL (doubles only
+  * for min/max/compare), every result totally ordered, computed columns
+  * aliased identically to the DuckDB oracle, integer "micro" fixed-point
+  * division (`div` / `//`) instead of decimal division for averages.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** decimal(18,2) view of a money/quantity double column. */
+  private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+
+  val pack: Seq[Q] = Seq(
+
+    // 19. group-by aggregation (the TPC-H Q1 shape)
+    Q("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).cast("decimal(18,2)").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("decimal(18,2)").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1) - col("l_discount")).cast("decimal(4,2)"))
+            .cast("decimal(18,4)").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")),
+
+    // 19b. stats: min/max/count-distinct/fixed-point avg
+    Q("q_agg_stats",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 1000000 AS BIGINT) // COUNT(*) AS BIGINT) AS avg_qty_micro
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct($"l_suppkey").as("n_supp"),
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"),
+          (sum(dec("l_quantity")) * 1000000).cast("long").as("__sumq"))
+        .withColumn("avg_qty_micro", expr("__sumq div n")).drop("__sumq")
+        .orderBy($"l_returnflag")),
+
+    // 20. many-to-one join, small dim broadcast
+    Q("q_join_mt1",
+      """SELECT p_brand,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)(
+      (s, dir) => t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(dec("l_extendedprice") * (lit(1) - col("l_discount")).cast("decimal(4,2)"))
+            .cast("decimal(18,4)").as("revenue"))
+        .orderBy($"p_brand")),
+
+    // 20b. 3-way fact ⋈ dim ⋈ dim
+    Q("q_join_3way",
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)(
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(dec("l_extendedprice")).cast("decimal(18,2)").as("total_price"))
+        .orderBy($"c_mktsegment")),
+
+    // 21. semi / anti join
+    Q("q_semi_join",
+      """SELECT * FROM customer WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 40000)
+        |ORDER BY c_custkey""".stripMargin)(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter($"o_totalprice" > 40000),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .orderBy($"c_custkey")),
+
+    Q("q_anti_join",
+      """SELECT * FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin)(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .orderBy($"c_custkey")),
+
+    // 22. distinct / union / except
+    Q("q_distinct",
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin)(
+      (s, dir) => t(s, dir, "customer")
+        .select($"c_nationkey", $"c_mktsegment").distinct()
+        .orderBy($"c_nationkey", $"c_mktsegment")),
+
+    Q("q_union",
+      """SELECT c_nationkey AS nkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nkey""".stripMargin)(
+      (s, dir) => t(s, dir, "customer").select($"c_nationkey".as("nkey"))
+        .union(t(s, dir, "supplier").select($"s_nationkey".as("nkey")))
+        .distinct().orderBy($"nkey")),
+
+    Q("q_except",
+      """SELECT c_nationkey AS nkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nkey""".stripMargin)(
+      (s, dir) => t(s, dir, "customer").select($"c_nationkey".as("nkey"))
+        .except(t(s, dir, "supplier").select($"s_nationkey".as("nkey")))
+        .orderBy($"nkey")),
+
+    // 23. window functions: rank + running aggregate + lag
+    Q("q_window_rank",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, rnk FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders) WHERE rnk <= 10
+        |ORDER BY o_orderstatus, rnk, o_orderkey""".stripMargin)(
+      (s, dir) => {
+        val w = Window.partitionBy($"o_orderstatus")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+            rank().over(w).cast("long").as("rnk"))
+          .filter($"rnk" <= 10)
+          .orderBy($"o_orderstatus", $"rnk", $"o_orderkey")
+      }),
+
+    Q("q_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total,
+        |  CAST(lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS prev_orderkey
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)(
+      (s, dir) => {
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+        t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey",
+            sum(dec("o_totalprice"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("decimal(18,2)").as("running_total"),
+            lag($"o_orderkey", 1).over(w).as("prev_orderkey"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      }),
+
+    // 24. top-k per group, no global sort
+    Q("q_topk_per_group",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)(
+      (s, dir) => {
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+            row_number().over(w).as("rn"))
+          .filter($"rn" <= 3).drop("rn")
+          .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+      }),
+
+    // 25. CASE / conditional buckets
+    Q("q_case_bucket",
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 200000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)(
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("bucket",
+          when($"o_totalprice" < 50000, "small")
+            .when($"o_totalprice" < 200000, "medium")
+            .otherwise("large"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("decimal(18,2)").as("total"))
+        .orderBy($"bucket")),
+
+    // 26. date/time functions
+    Q("q_date_agg",
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast("decimal(18,2)").as("total"))
+        .orderBy($"yr", $"mo")),
+
+    // 27. string functions
+    Q("q_string_ops",
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  substr(p_name, 1, 5) AS name_prefix,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS name_snake
+        |FROM part ORDER BY p_partkey""".stripMargin)(
+      (s, dir) => t(s, dir, "part")
+        .select($"p_partkey",
+          upper($"p_name").as("name_upper"),
+          substring($"p_name", 1, 5).as("name_prefix"),
+          length($"p_name").as("name_len"),
+          concat($"p_brand", lit("/"), $"p_type").as("brand_type"),
+          regexp_replace($"p_name", " ", "_").as("name_snake"))
+        .orderBy($"p_partkey")),
+
+    // 28. pivot ≡ conditional aggregation
+    Q("q_pivot_events",
+      """SELECT user_id,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)(
+      (s, dir) => t(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"user_id")),
+
+    // 29. tumbling-window event aggregation (batch twin of the streaming op)
+    Q("q_events_window",
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY minute, event_type""".stripMargin)(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("minute", $"ts"), "yyyy-MM-dd HH:mm").as("minute"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("value")).cast("decimal(18,2)").as("total_value"))
+        .orderBy($"minute", $"event_type")),
+
+    // 30. gap-based sessionization (30-min inactivity)
+    Q("q_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |      OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin)(
+      (s, dir) => {
+        val w = Window.partitionBy($"user_id").orderBy($"ts")
+        // ts is TimestampNTZ (ns parquet); cast→timestamp is instant-preserving
+        // under the fixed UTC session timezone, then unix_micros is exact.
+        val us = unix_micros($"ts".cast("timestamp"))
+        t(s, dir, "events")
+          .select($"user_id", $"ts", us.as("us"))
+          .withColumn("prev_us", lag($"us", 1).over(w))
+          .withColumn("new_sess",
+            when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1)
+              .otherwise(0))
+          .groupBy($"user_id")
+          .agg(sum($"new_sess").cast("long").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy($"user_id")
+      }),
+
+    // §2e.49 inspect: per-table row counts (dbcut `inspect`/count_all)
+    Q("q_inspect_counts",
+      Tables.all.map(n => s"SELECT '$n' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM $n")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl"))(
+      (s, dir) => Tables.all.sorted.map { n =>
+        t(s, dir, n).agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("tbl"), $"n_rows")
+      }.reduce(_ unionByName _).orderBy($"tbl"))
+  )
+
+  // $"col" sugar without a SparkSession-bound implicits import
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2d items 35-37 — similarity search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * Scale design: the query set is tiny and broadcast; the corpus is scanned
+  * once. Dot products are fixed-order left folds over zipped arrays
+  * (`aggregate`/`zip_with` — codegen'd, no UDF), each float promoted to
+  * double *before* the multiply so both engines run the identical IEEE op
+  * sequence. Top-k per query is a bounded window, never a global sort of
+  * the corpus.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Fixed-order dot product of two float arrays as double (SQL expr). */
+  private def dotExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+
+  /** Same fold in DuckDB (list_reduce folds left-to-right). */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |(acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+
+  private def norm(v: String): String = s"sqrt(${dotExpr(v, v)})"
+  private def duckNorm(v: String): String = s"sqrt(${duckDot(v, v)})"
+
+  val NumQueries = 5
+  val TopK = 10
+
+  val pack: Seq[Q] = Seq(
+
+    // 36. brute-force cosine top-k: broadcast tiny query set × corpus scan,
+    // one fused dot product per (query, corpus) pair, windowed top-k.
+    Q("q_knn_brute",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, c_id,
+         |    ${duckDot("qe", "ce")} / (${duckNorm("qe")} * ${duckNorm("ce")}) AS cosine
+         |  FROM q, c WHERE q_id <> c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, c_id, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= $TopK
+         |ORDER BY q_id, rn""".stripMargin)(
+      (s, dir) => {
+        val q = emb(s, dir).filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val c = emb(s, dir)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+          .withColumn("cosine",
+            expr(dotExpr("qe", "ce")) / (expr(norm("qe")) * expr(norm("ce"))))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= TopK)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
+    // 35. embedding cosine near-dup (rows-only oracle: float cosine vs a
+    // threshold is not robust to cross-engine ULP differences at the
+    // boundary, so the driver checks row production, not hashes).
+    // Bucketing: sign of the dot product against deterministic pseudo-random
+    // hyperplanes (md5-derived ±1 components) — candidate pairs share a
+    // bucket; exact cosine confirms.
+    Q.rowsOnly("q_embed_neardup")(
+      (s, dir) => {
+        // τ=0.30 / 4 planes: the synthetic embeddings are near-uniform (max
+        // pairwise cosine ≈0.48), so a production-style 0.95 would be empty
+        val planes = 4
+        // hyperplane j component i = +1 if bit of md5("j:i") else -1
+        def signCol(v: String, j: Int): Column = {
+          val comps = (0 until 64).map { i =>
+            val bit = Integer.parseInt(
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+                .substring(0, 1), 16) % 2
+            val sign = if (bit == 1) 1.0 else -1.0
+            expr(s"CAST($v[$i] AS DOUBLE) * $sign")
+          }
+          when(comps.reduce(_ + _) >= 0, lit(1)).otherwise(lit(0))
+        }
+        val bucketed = emb(s, dir).select(
+          col("vec_id"), col("embedding"),
+          concat((0 until planes).map(j => signCol("embedding", j).cast("string")): _*)
+            .as("bucket"))
+        val a = bucketed.alias("a"); val b = bucketed.alias("b")
+        a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cosine",
+            expr(dotExpr("a.embedding", "b.embedding")) /
+              (expr(norm("a.embedding")) * expr(norm("b.embedding"))))
+          .filter(col("cosine") >= 0.30)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+          .orderBy("vec_a", "vec_b")
+      }),
+
+    // 37. LSH-bucketed ANN (rows-only): same sign-random-projection buckets;
+    // search each query only within its bucket — the scale path where
+    // brute force would be corpus × queries.
+    Q.rowsOnly("q_knn_lsh")(
+      (s, dir) => {
+        val planes = 4
+        def signBit(v: String, j: Int): Column = {
+          val comps = (0 until 64).map { i =>
+            val bit = Integer.parseInt(
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+                .substring(0, 1), 16) % 2
+            val sign = if (bit == 1) 1.0 else -1.0
+            expr(s"CAST($v[$i] AS DOUBLE) * $sign")
+          }
+          when(comps.reduce(_ + _) >= 0, lit(1)).otherwise(lit(0))
+        }
+        val bucketed = emb(s, dir).select(
+          col("vec_id"), col("embedding"),
+          concat((0 until planes).map(j => signBit("embedding", j).cast("string")): _*)
+            .as("bucket"))
+        val q = bucketed.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+        val c = bucketed
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("bucket"))
+        val scored = c.join(broadcast(q), Seq("bucket"))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cosine",
+            expr(dotExpr("qe", "ce")) / (expr(norm("qe")) * expr(norm("ce"))))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= TopK)
+          .select("q_id", "c_id", "rn", "cosine")
+          .orderBy("q_id", "rn")
+      })
+  )
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2d items 38-41 — text-analysis operators for an LLM training-data
+  * pipeline, over the `documents` table. Everything is built from codegen'd
+  * `functions._` expressions (no UDFs): each operator is a narrow map over
+  * the corpus — embarrassingly parallel, no shuffle, scales linearly.
+  *
+  * Cross-engine text rules: normalization = lower + trim + collapse
+  * whitespace (identical regex semantics in Spark and DuckDB), ratios as
+  * integer micro fixed-point (no float division), md5 as the shared hash
+  * primitive.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** lower/trim/single-space normalization, shared by all operators. */
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+  val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Per-language stopword lexicons for the n-gram/stopword language-ID
+    * heuristic (tiny, broadcast as literals into codegen).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "bu4"))
+
+  private val langs = stopwords.keys.toSeq.sorted
+
+  val pack: Seq[Q] = Seq(
+
+    // 38. language ID: per-language stopword hit count, arg-max with a fixed
+    // priority tie-break (alphabetical), expressed identically in both engines.
+    Q("q_lang_id", {
+      val scoreCols = langs.map { l =>
+        val set = stopwords(l).map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(string_split($normSql, ' '), t -> t IN ($set))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val pred = langs.dropRight(1).reverse.foldLeft(s"'${langs.last}'") { (rest, l) =>
+        val geAll = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN $geAll THEN '$l' ELSE $rest END"
+      }
+      s"""SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, $pred AS pred
+         |FROM (SELECT doc_id, lang, $scoreCols FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        val toks = split(normText(col("text")), " ")
+        val scored = docs(s, dir).select(
+          col("doc_id") +: col("lang") +: langs.map { l =>
+            val set = stopwords(l).map(lit(_))
+            size(filter(toks, t => t.isInCollection(stopwords(l))))
+              .cast("long").as(s"s_$l")
+          }: _*)
+        val pred = langs.dropRight(1).reverse.foldLeft(lit(langs.last)) { (rest, l) =>
+          val geAll = langs.filterNot(_ == l)
+            .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+          when(geAll, lit(l)).otherwise(rest)
+        }
+        scored.withColumn("pred", pred).orderBy("doc_id")
+      }),
+
+    // 39. quality scoring: length/punctuation/stopword/word-length features
+    Q("q_quality_score",
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_words,
+         |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(length(replace($normSql, ' ', '')) * 1000000 // len(string_split($normSql, ' ')) AS BIGINT) AS avg_wlen_micro,
+         |  CAST(len(list_filter(string_split($normSql, ' '), t -> t IN ('the','a','and','of','to','is','in','that'))) * 1000000
+         |    // len(string_split($normSql, ' ')) AS BIGINT) AS stop_ratio_micro,
+         |  CASE WHEN length(text) >= 100 AND len(string_split($normSql, ' ')) >= 20 THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, dir) => {
+        val norm = normText(col("text"))
+        val toks = split(norm, " ")
+        val nWords = size(toks).cast("long")
+        val en = TextAnalysis.stopwords("en")
+        docs(s, dir).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          nWords.as("n_words"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", "")))
+            .cast("long").as("n_punct"),
+          expr(s"CAST(length(replace(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ', '')) * 1000000L div size(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) AS LONG)")
+            .as("avg_wlen_micro"),
+          (size(filter(toks, t => t.isInCollection(en))).cast("long") * 1000000L)
+            .as("__stophits"),
+          when(length(col("text")) >= 100 && nWords >= 20, "keep").otherwise("drop")
+            .as("verdict"))
+          .withColumn("stop_ratio_micro", expr("__stophits div n_words"))
+          .drop("__stophits")
+          .select("doc_id", "n_chars", "n_words", "n_punct", "avg_wlen_micro",
+            "stop_ratio_micro", "verdict")
+          .orderBy("doc_id")
+      }),
+
+    // 40. token counting: whitespace tokens + a BPE-ish regex token class
+    Q("q_token_count",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        size(split(normText(col("text")), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // 41. document fingerprint: md5 over the sorted distinct token set (a
+    // shingle-free content fingerprint; binary-collation sort both engines)
+    Q("q_fingerprint",
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(string_split($normSql, ' '))), ' ')) AS fp,
+         |  substr(md5(array_to_string(list_sort(list_distinct(string_split($normSql, ' '))), ' ')), 1, 8) AS fp8
+         |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, dir) => {
+        val fp = md5(concat_ws(" ",
+          array_sort(array_distinct(split(normText(col("text")), " ")))).cast("binary"))
+        docs(s, dir).select(
+          col("doc_id"), fp.as("fp"), substring(fp, 1, 8).as("fp8"))
+          .orderBy("doc_id")
+      })
+  )
+}
