@@ -87,22 +87,23 @@ object Dedup {
       }),
 
     // 33. SimHash (16-bit): distinct tokens vote ±1 per bit of md5(token);
-    // docs sharing a simhash bucket are near-dup candidates.
+    // docs sharing a simhash bucket are near-dup candidates. The token hash
+    // is parsed into one 16-bit int per row up front (digit 0 = low nibble),
+    // so the 16 vote aggregates are pure integer shift/mask — tiny codegen,
+    // no per-bit string parsing.
     Q("q_dedup_simhash", {
-      // bit j of hex digit d (0-based digit index into md5 hex)
-      def duckBit(d: Int, j: Int) =
-        s"((strpos('0123456789abcdef', substr(h, ${d + 1}, 1)) - 1) // ${1 << j}) % 2"
-      val sums = (0 until 16).map { b =>
-        val d = b / 4; val j = b % 4
-        s"SUM(2 * (${duckBit(d, j)}) - 1) AS s$b"
-      }.mkString(",\n  ")
+      val duckV = (0 until 4).map { d =>
+        s"(strpos('0123456789abcdef', substr(md5(token), ${d + 1}, 1)) - 1) * ${1 << (4 * d)}"
+      }.mkString(" + ")
+      val sums = (0 until 16)
+        .map(b => s"SUM(2 * ((v >> $b) & 1) - 1) AS s$b").mkString(",\n  ")
       val assemble = (0 until 16)
         .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
         .mkString(" + ")
       s"""WITH tok AS (
          |  SELECT DISTINCT doc_id, t AS token
          |  FROM (SELECT doc_id, UNNEST(string_split($normSql, ' ')) AS t FROM documents)),
-         |hashed AS (SELECT doc_id, md5(token) AS h FROM tok),
+         |hashed AS (SELECT doc_id, CAST($duckV AS INTEGER) AS v FROM tok),
          |votes AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
          |sigs AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)
          |SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS keeper
@@ -113,14 +114,12 @@ object Dedup {
         val tok = docs(s, dir)
           .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
           .distinct()
-        val hashed = tok.select(col("doc_id"), md5s(col("token")).as("h"))
-        val hexVal: Int => Column = d =>
-          expr(s"instr('0123456789abcdef', substr(h, ${d + 1}, 1)) - 1")
-        val voteAggs = (0 until 16).map { b =>
-          val d = b / 4; val j = b % 4
-          sum(lit(2) * ((hexVal(d).cast("long") / (1 << j)).cast("long") % 2) - 1)
-            .as(s"s$b")
-        }
+        val sparkV = (0 until 4).map { d =>
+          s"(instr('0123456789abcdef', substr(md5(cast(token as binary)), ${d + 1}, 1)) - 1) * ${1 << (4 * d)}"
+        }.mkString(" + ")
+        val hashed = tok.select(col("doc_id"), expr(s"CAST($sparkV AS INT)").as("v"))
+        val voteAggs = (0 until 16).map(b =>
+          sum(expr(s"2 * (shiftright(v, $b) & 1) - 1")).as(s"s$b"))
         val votes = hashed.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
         val simhash = (0 until 16)
           .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))

@@ -17,13 +17,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.register(s)
     Tables.load(s, dir, "embeddings")
+  }
 
-  /** Fixed-order dot product of two float arrays as double (SQL expr). */
-  private def dotExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+  /** Fixed-order dot product via the codegen'd native expression
+    * ([[graft.functions.VecDot]]) — identical fold semantics to the SQL/
+    * DuckDB formulation, but a primitive loop inside whole-stage codegen.
+    */
+  private def dotExpr(a: String, b: String): String = s"vec_dot($a, $b)"
 
   /** Same fold in DuckDB (list_reduce folds left-to-right). */
   private def duckDot(a: String, b: String): String =
@@ -35,6 +38,18 @@ object Similarity {
 
   val NumQueries = 5
   val TopK = 10
+
+  /** Deterministic pseudo-random ±1 hyperplane components: component i of
+    * plane j follows the first md5 hex digit of "j:i" — no RNG, identical
+    * across runs and engines.
+    */
+  def planeSigns(j: Int): Seq[Double] = (0 until 64).map { i =>
+    val bit = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 1), 16) % 2
+    if (bit == 1) 1.0 else -1.0
+  }
 
   val pack: Seq[Q] = Seq(
 
@@ -76,30 +91,30 @@ object Similarity {
     // bucket; exact cosine confirms.
     Q.rowsOnly("q_embed_neardup")(
       (s, dir) => {
-        // τ=0.30 / 4 planes: the synthetic embeddings are near-uniform (max
-        // pairwise cosine ≈0.48), so a production-style 0.95 would be empty
-        val planes = 4
-        // hyperplane j component i = +1 if bit of md5("j:i") else -1
-        def signCol(v: String, j: Int): Column = {
-          val comps = (0 until 64).map { i =>
-            val bit = Integer.parseInt(
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
-                .substring(0, 1), 16) % 2
-            val sign = if (bit == 1) 1.0 else -1.0
-            expr(s"CAST($v[$i] AS DOUBLE) * $sign")
-          }
-          when(comps.reduce(_ + _) >= 0, lit(1)).otherwise(lit(0))
+        // τ=0.30: the synthetic embeddings are near-uniform (max pairwise
+        // cosine ≈0.48), so a production-style 0.95 would be empty.
+        // Plane count scales with corpus size targeting ~256-vector buckets:
+        // within-bucket pair generation stays ~n·256 instead of n²/2^planes
+        // exploding as the corpus grows.
+        val n = emb(s, dir).count()
+        val planes = math.min(12,
+          math.max(4, (math.log((n / 256.0).max(1.0)) / math.log(2)).ceil.toInt))
+        // normalize ONCE per vector; pair cosine is then a single dot fold
+        val unitized = emb(s, dir).select(col("vec_id"),
+          expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
+            .as("unit"))
+        // hyperplane j as a ±1 literal array; bucket bit = sign of one fold
+        val bucketBits = (0 until planes).map { j =>
+          // "D" suffix: bare 1.0 literals parse as DECIMAL(2,1) in Spark SQL
+          val planeArr = s"array(${Similarity.planeSigns(j).map(v => s"${v}D").mkString(",")})"
+          val dot = s"vec_dot(unit, $planeArr)"
+          when(expr(dot) >= 0, lit("1")).otherwise(lit("0"))
         }
-        val bucketed = emb(s, dir).select(
-          col("vec_id"), col("embedding"),
-          concat((0 until planes).map(j => signCol("embedding", j).cast("string")): _*)
-            .as("bucket"))
+        val bucketed = unitized
+          .select(col("vec_id"), col("unit"), concat(bucketBits: _*).as("bucket"))
         val a = bucketed.alias("a"); val b = bucketed.alias("b")
         a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cosine",
-            expr(dotExpr("a.embedding", "b.embedding")) /
-              (expr(norm("a.embedding")) * expr(norm("b.embedding"))))
+          .withColumn("cosine", expr(dotExpr("a.unit", "b.unit")))
           .filter(col("cosine") >= 0.30)
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
           .orderBy("vec_a", "vec_b")
@@ -111,29 +126,23 @@ object Similarity {
     Q.rowsOnly("q_knn_lsh")(
       (s, dir) => {
         val planes = 4
-        def signBit(v: String, j: Int): Column = {
-          val comps = (0 until 64).map { i =>
-            val bit = Integer.parseInt(
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
-                .substring(0, 1), 16) % 2
-            val sign = if (bit == 1) 1.0 else -1.0
-            expr(s"CAST($v[$i] AS DOUBLE) * $sign")
-          }
-          when(comps.reduce(_ + _) >= 0, lit(1)).otherwise(lit(0))
+        val unitized = emb(s, dir).select(col("vec_id"),
+          expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
+            .as("unit"))
+        val bucketBits = (0 until planes).map { j =>
+          val planeArr = s"array(${Similarity.planeSigns(j).map(v => s"${v}D").mkString(",")})"
+          val dot = s"vec_dot(unit, $planeArr)"
+          when(expr(dot) >= 0, lit("1")).otherwise(lit("0"))
         }
-        val bucketed = emb(s, dir).select(
-          col("vec_id"), col("embedding"),
-          concat((0 until planes).map(j => signBit("embedding", j).cast("string")): _*)
-            .as("bucket"))
+        val bucketed = unitized
+          .select(col("vec_id"), col("unit"), concat(bucketBits: _*).as("bucket"))
         val q = bucketed.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+          .select(col("vec_id").as("q_id"), col("unit").as("qe"), col("bucket"))
         val c = bucketed
-          .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("bucket"))
+          .select(col("vec_id").as("c_id"), col("unit").as("ce"), col("bucket"))
         val scored = c.join(broadcast(q), Seq("bucket"))
           .filter(col("q_id") =!= col("c_id"))
-          .withColumn("cosine",
-            expr(dotExpr("qe", "ce")) / (expr(norm("qe")) * expr(norm("ce"))))
+          .withColumn("cosine", expr(dotExpr("qe", "ce")))
         val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
         scored.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= TopK)

@@ -198,7 +198,17 @@ object Subset {
     val p = plan(spec, graph)
     val load: String => DataFrame = name => Tables.load(spark, sfDir, name)
     val sel = scala.collection.mutable.Map[String, DataFrame](
-      spec.from -> applyRootQuery(spark, sfDir, spec, p.graph).persist())
+      spec.from -> applyRootQuery(spark, sfDir, spec, p.graph).localCheckpoint())
+    // selection versions: lets the re-closure pass skip join edges that
+    // phase 2 already evaluated against the final child selection
+    val version = scala.collection.mutable.Map(spec.from -> 1).withDefaultValue(0)
+    val joinEdgeSeenAt = scala.collection.mutable.Map.empty[(String, FK), Int]
+    val ckptVersion = scala.collection.mutable.Map(spec.from -> 1).withDefaultValue(-1)
+    def checkpoint(t: String): Unit =
+      if (ckptVersion(t) != version(t)) {
+        sel(t) = sel(t).localCheckpoint()
+        ckptVersion(t) = version(t)
+      }
 
     def pkCols(t: String): Seq[String] =
       p.graph.tables.get(t).map(_.pk).getOrElse(RelGraph.synthesizePk(load(t).columns))
@@ -209,13 +219,16 @@ object Subset {
         case None => add
       }
       sel(t) = merged
+      version(t) = version(t) + 1
     }
 
     // Phase 2: level-by-level with snapshot semantics.
     val byLevel = p.edges.groupBy(_.level).toSeq.sortBy(_._1)
     for ((_, levelEdges) <- byLevel) {
       val snapshot = sel.toMap // selections as of end of previous level
+      val snapVersion = version.toMap.withDefaultValue(0)
       for (e <- levelEdges.sortBy(te => (te.from, te.to))) {
+        if (!e.backref) joinEdgeSeenAt((e.from, e.fk)) = snapVersion(e.from)
         val src = snapshot.getOrElse(e.from,
           sys.error(s"edge source ${e.from} not yet selected"))
         if (!e.backref) {
@@ -246,15 +259,19 @@ object Subset {
           unionInto(e.to, capped)
         }
       }
-      // persist the level's results; they seed the next level's snapshot
-      for (e <- levelEdges) sel(e.to) = sel(e.to).persist()
+      // checkpoint the level's results: selections are tiny by construction
+      // and every downstream plan (next level, re-closure, summary) restarts
+      // from materialized blocks instead of growing one deep AQE lineage
+      levelEdges.map(_.to).distinct.foreach(checkpoint)
     }
 
     // Phase 3: parent re-closure (child-before-parent), guarantees RI for
-    // every included parent table.
+    // every included parent table. Edges whose phase-2 pull already saw the
+    // child's final selection are provably complete — skip them.
     val included = p.tables.toSet
     for (t <- p.graph.reverseTopological if included(t)) {
-      for (fk <- p.graph.joinEdges(t) if included(fk.parent) && sel.contains(t)) {
+      for (fk <- p.graph.joinEdges(t) if included(fk.parent) && sel.contains(t)
+           if !joinEdgeSeenAt.get((t, fk)).contains(version(t))) {
         val keys = sel(t).select(fk.childCols.map(col): _*).na.drop().distinct()
         val parent = load(fk.parent)
         val on = fk.childCols.zip(fk.parentCols).map { case (c, pc) =>
@@ -264,7 +281,8 @@ object Subset {
       }
     }
 
-    Extraction(spec, p, sel.toMap.map { case (k, v) => k -> v.persist() })
+    sel.keys.foreach(checkpoint) // re-materialize only what phase 3 changed
+    Extraction(spec, p, sel.toMap)
   }
 
   /** Oracle-friendly one-DataFrame digest of a whole extraction: per table,
