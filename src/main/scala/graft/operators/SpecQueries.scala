@@ -92,6 +92,29 @@ object SpecQueries {
         |limit: null
         |""".stripMargin)),
 
+    // two-hop dotted reference: lineitem → supplier → nation (the filter
+    // compiler BFSes the FK path and joins each hop)
+    Q("q_filter_dotted2",
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, l.l_extendedprice, l.l_quantity
+        | FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |   JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | WHERE n.n_name LIKE 'NATION_1%' AND l.l_quantity >= 45
+        | ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice""".stripMargin)(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        Subset.applyRootQuery(s, dir, SpecJson.parse("""
+          |from: lineitem
+          |where:
+          |  $and:
+          |    - nation.n_name: {$like: 'NATION_1%'}
+          |    - l_quantity: {$gte: 45}
+          |order-by: [l_orderkey, l_linenumber]
+          |limit: null
+          |""".stripMargin), RelGraph.tpch)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_extendedprice"), col("l_quantity"))
+      }),
+
     Q("q_order_limit",
       s"SELECT $ordersCols FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15")(
       rootQ("""
