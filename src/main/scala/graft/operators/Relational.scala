@@ -189,6 +189,21 @@ object Relational {
           .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
       }),
 
+    // 24b. the same top-k through the custom TopKPerGroup operator
+    // (partial per-partition heaps → one exchange → final merge; see
+    // graft.plans.TopKPerGroup) — oracle-checked against the window answer
+    Q("q_topk_custom",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)(
+      (s, dir) => graft.plans.TopK.perGroup(
+        t(s, dir, "orders").select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+        Seq($"o_custkey"),
+        Seq($"o_totalprice".desc, $"o_orderkey".asc), 3)
+        .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")),
+
     // 25. CASE / conditional buckets
     Q("q_case_bucket",
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
