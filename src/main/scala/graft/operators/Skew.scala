@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-safe aggregation patterns (SURVEY §4: "skewed keys → salting").
+  *
+  * A plain `groupBy(k).agg(countDistinct(c))` on a skewed key routes every
+  * row of a hot key through one reducer. Salting splits each hot key across
+  * `buckets` sub-keys for the expensive first stage and recombines in a
+  * cheap second stage. For count-distinct the salt must be derived from the
+  * distinct column itself (`crc32(c) % buckets`) so the per-salt distinct
+  * sets partition the value space and their counts are additive.
+  */
+object Skew {
+
+  /** Two-stage skew-safe distinct count: stage 1 groups on
+    * (keys..., crc32(distinct)%buckets) — hot keys fan out over `buckets`
+    * reducers; stage 2 sums the partial distinct counts per key.
+    */
+  def saltedDistinctCount(df: DataFrame, keys: Seq[Column], distinct: Column,
+                          buckets: Int, resultName: String): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(crc32(distinct.cast("string")), lit(buckets)))
+    val stage1 = salted
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(countDistinct(distinct).as("__partial"))
+    stage1
+      .groupBy(keys: _*)
+      .agg(sum("__partial").cast("long").as(resultName))
+  }
+
+  /** Two-stage skew-safe sum: stage 1 pre-aggregates per input partition
+    * (any salt works for decomposable aggregates — partition id costs no
+    * shuffle), stage 2 combines. Spark's partial aggregation already does
+    * this for plain sums; the explicit form is the template for aggregates
+    * AQE can't split.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[Column], value: Column,
+                resultName: String): DataFrame = {
+    val stage1 = df.withColumn("__salt", spark_partition_id())
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(sum(value).as("__partial"))
+    stage1.groupBy(keys: _*).agg(sum("__partial").as(resultName))
+  }
+
+  val pack: Seq[Q] = Seq(
+    Q("q_agg_salted",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val orders = saltedDistinctCount(li, Seq(col("l_returnflag")),
+          col("l_orderkey"), 16, "n_orders")
+        val parts = saltedDistinctCount(li, Seq(col("l_returnflag")),
+          col("l_partkey"), 16, "n_parts")
+        orders.join(parts, "l_returnflag").orderBy("l_returnflag")
+      })
+  )
+}
