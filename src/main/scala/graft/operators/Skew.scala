@@ -21,6 +21,15 @@ object Skew {
     */
   def saltedDistinctCount(df: DataFrame, keys: Seq[Column], distinct: Column,
                           buckets: Int, resultName: String): DataFrame = {
+    require(!df.columns.contains("__salt") && !df.columns.contains("__partial"),
+      "input already has a __salt/__partial column")
+    // NOTE: the salt is crc32 of the STRING form, so the distinct column must
+    // have one canonical string per equal value. Float/double break this
+    // (countDistinct normalizes -0.0 to 0.0; their strings differ) — forbid.
+    val dt = df.select(distinct).schema.head.dataType
+    require(dt != org.apache.spark.sql.types.DoubleType &&
+            dt != org.apache.spark.sql.types.FloatType,
+      s"salted distinct count is unsafe for floating-point columns ($dt)")
     val salted = df.withColumn("__salt", pmod(crc32(distinct.cast("string")), lit(buckets)))
     val stage1 = salted
       .groupBy(keys :+ col("__salt"): _*)
@@ -38,6 +47,8 @@ object Skew {
     */
   def saltedSum(df: DataFrame, keys: Seq[Column], value: Column,
                 resultName: String): DataFrame = {
+    require(!df.columns.contains("__salt") && !df.columns.contains("__partial"),
+      "input already has a __salt/__partial column")
     val stage1 = df.withColumn("__salt", spark_partition_id())
       .groupBy(keys :+ col("__salt"): _*)
       .agg(sum(value).as("__partial"))
@@ -53,10 +64,14 @@ object Skew {
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
         val orders = saltedDistinctCount(li, Seq(col("l_returnflag")),
-          col("l_orderkey"), 16, "n_orders")
+          col("l_orderkey"), 16, "n_orders").alias("o")
         val parts = saltedDistinctCount(li, Seq(col("l_returnflag")),
-          col("l_partkey"), 16, "n_parts")
-        orders.join(parts, "l_returnflag").orderBy("l_returnflag")
+          col("l_partkey"), 16, "n_parts").alias("p")
+        // null-safe join: a NULL group key must survive like it would in
+        // the oracle's GROUP BY
+        orders.join(parts, col("o.l_returnflag") <=> col("p.l_returnflag"))
+          .select(col("o.l_returnflag"), col("o.n_orders"), col("p.n_parts"))
+          .orderBy("l_returnflag")
       })
   )
 }

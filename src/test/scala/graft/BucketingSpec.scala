@@ -15,8 +15,10 @@ class BucketingSpec extends AnyFunSuite {
   test("bucketed tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    var whPath: Option[java.nio.file.Path] = None
     try {
-      val wh = Files.createTempDirectory("bucketwh").toString
+      val wh = Files.createTempDirectory("bucketwh")
+      whPath = Some(wh)
       val orders = Tables.load(spark, TestSpark.sf, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val lineitem = Tables.load(spark, TestSpark.sf, "lineitem")
@@ -40,6 +42,12 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // DROP TABLE leaves external (path-backed) data behind — delete it
+      whPath.foreach { root =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
     }
   }
 }
