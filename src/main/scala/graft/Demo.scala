@@ -75,7 +75,30 @@ object Demo {
     println(s"[demo] streaming windows: $n aggregated rows; first: " +
       top.map(_.toString).mkString(" | "))
 
+    // 5. multi-query job config (dbcut's query list + only-tables/last-only)
+    val job = sources.Job.parseConfig(
+      """
+        |queries:
+        |  - from: customer
+        |    where:
+        |      c_mktsegment: MACHINERY
+        |    limit: 3
+        |    join_depth: 1
+        |    backref_depth: 0
+        |  - from: supplier
+        |    limit: 2
+        |    join_depth: 2
+        |    backref_depth: 0
+        |""".stripMargin)
+    val merged = sources.Job.run(spark, sfDir, job)
+    println("[demo] job merge: " + merged.toSeq.sortBy(_._1)
+      .map { case (n, df) => s"$n=${df.count()}" }.mkString(", "))
+    println("[demo] normalized spec echo:\n" + spec2yaml(spec))
+
     println("[demo] OK")
     spark.stop()
   }
+
+  private def spec2yaml(s: graft.spec.QuerySpec): String =
+    graft.spec.SpecJson.toYaml(s)
 }

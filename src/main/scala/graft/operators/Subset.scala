@@ -76,7 +76,9 @@ object Subset {
     }
   }
 
-  final case class Extraction(spec: QuerySpec, plan: ExtractionPlan, tables: Map[String, DataFrame])
+  final case class Extraction(spec: QuerySpec, plan: ExtractionPlan,
+      tables: Map[String, DataFrame],
+      phaseMillis: Map[String, Long] = Map.empty)
 
   /** Phase 1 — walk the FK graph on the driver (metadata only) and decide the
     * tree: which edges are followed, at which level.
@@ -195,10 +197,18 @@ object Subset {
   /** Phases 2+3 — run the closure and return per-table selected rows. */
   def extract(spark: SparkSession, sfDir: String, spec: QuerySpec,
               graph: RelGraph = RelGraph.tpch): Extraction = {
-    val p = plan(spec, graph)
+    // phase profiler (dbcut --profiler analogue): localCheckpoint is eager,
+    // so per-phase wall times reflect real compute, not just plan building
+    val phase = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      phase(name) = (System.nanoTime() - t0) / 1000000; r
+    }
+    val p = timed("plan")(plan(spec, graph))
     val load: String => DataFrame = name => Tables.load(spark, sfDir, name)
     val sel = scala.collection.mutable.Map[String, DataFrame](
-      spec.from -> applyRootQuery(spark, sfDir, spec, p.graph).localCheckpoint())
+      spec.from -> timed("root")(
+        applyRootQuery(spark, sfDir, spec, p.graph).localCheckpoint()))
     // selection versions: lets the re-closure pass skip join edges that
     // phase 2 already evaluated against the final child selection
     val version = scala.collection.mutable.Map(spec.from -> 1).withDefaultValue(0)
@@ -213,6 +223,15 @@ object Subset {
     def pkCols(t: String): Seq[String] =
       p.graph.tables.get(t).map(_.pk).getOrElse(RelGraph.synthesizePk(load(t).columns))
 
+    // Broadcast the key side only when the spec bounds it (root limit makes
+    // every downstream key set small by construction). An unlimited
+    // extraction can carry arbitrarily large key sets — leave the join
+    // strategy to AQE, which broadcasts at runtime if the set turns out
+    // small and falls back to a shuffled hash join if not.
+    val boundedKeys = spec.limit.isDefined
+    def keySide(keys: DataFrame): DataFrame =
+      if (boundedKeys) broadcast(keys) else keys
+
     def unionInto(t: String, add: DataFrame): Unit = {
       val merged = sel.get(t) match {
         case Some(cur) => cur.unionByName(add).dropDuplicates(pkCols(t))
@@ -224,7 +243,7 @@ object Subset {
 
     // Phase 2: level-by-level with snapshot semantics.
     val byLevel = p.edges.groupBy(_.level).toSeq.sortBy(_._1)
-    for ((_, levelEdges) <- byLevel) {
+    for ((lvl, levelEdges) <- byLevel) timed(s"level_$lvl") {
       val snapshot = sel.toMap // selections as of end of previous level
       val snapVersion = version.toMap.withDefaultValue(0)
       for (e <- levelEdges.sortBy(te => (te.from, te.to))) {
@@ -239,7 +258,7 @@ object Subset {
           val on = e.fk.childCols.zip(e.fk.parentCols).map { case (c, pc) =>
             keys(c) === parent(pc)
           }.reduce(_ && _)
-          unionInto(e.to, parent.join(broadcast(keys), on, "left_semi"))
+          unionInto(e.to, parent.join(keySide(keys), on, "left_semi"))
         } else {
           // backref edge: children of selected parents, capped per parent
           val keys = src.select(e.fk.parentCols.map(col): _*).distinct()
@@ -247,7 +266,7 @@ object Subset {
           val on = e.fk.childCols.zip(e.fk.parentCols).map { case (c, pc) =>
             child(c) === keys(pc)
           }.reduce(_ && _)
-          val pulled = child.join(broadcast(keys), on, "left_semi")
+          val pulled = child.join(keySide(keys), on, "left_semi")
           val capped = spec.backrefLimit match {
             case Some(lim) =>
               val w = Window.partitionBy(e.fk.childCols.map(col): _*)
@@ -269,7 +288,7 @@ object Subset {
     // every included parent table. Edges whose phase-2 pull already saw the
     // child's final selection are provably complete — skip them.
     val included = p.tables.toSet
-    for (t <- p.graph.reverseTopological if included(t)) {
+    timed("reclosure") { for (t <- p.graph.reverseTopological if included(t)) {
       for (fk <- p.graph.joinEdges(t) if included(fk.parent) && sel.contains(t)
            if !joinEdgeSeenAt.get((t, fk)).contains(version(t))) {
         val keys = sel(t).select(fk.childCols.map(col): _*).na.drop().distinct()
@@ -277,12 +296,12 @@ object Subset {
         val on = fk.childCols.zip(fk.parentCols).map { case (c, pc) =>
           keys(c) === parent(pc)
         }.reduce(_ && _)
-        unionInto(fk.parent, parent.join(broadcast(keys), on, "left_semi"))
+        unionInto(fk.parent, parent.join(keySide(keys), on, "left_semi"))
       }
-    }
+    } }
 
-    sel.keys.foreach(checkpoint) // re-materialize only what phase 3 changed
-    Extraction(spec, p, sel.toMap)
+    timed("finalize")(sel.keys.foreach(checkpoint))
+    Extraction(spec, p, sel.toMap, phase.toMap)
   }
 
   /** Oracle-friendly one-DataFrame digest of a whole extraction: per table,

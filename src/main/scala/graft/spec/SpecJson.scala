@@ -28,6 +28,72 @@ object SpecJson {
 
   def parse(text: String): QuerySpec = fromNode(yaml.readTree(text))
 
+  def parseFile(path: String): QuerySpec =
+    parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"))
+
+  /** Normalized YAML echo of a spec — the analogue of dbcut printing the
+    * normalized query dict back to the user. `parse(toYaml(s)) == s`.
+    */
+  def toYaml(spec: QuerySpec): String = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    def valueNode(root: ObjectNode, v: Any): com.fasterxml.jackson.databind.JsonNode = v match {
+      case null => yaml.getNodeFactory.nullNode()
+      case x: Long => yaml.getNodeFactory.numberNode(x)
+      case x: Int => yaml.getNodeFactory.numberNode(x.toLong)
+      case x: Double => yaml.getNodeFactory.numberNode(x)
+      case x: Boolean => yaml.getNodeFactory.booleanNode(x)
+      case xs: Seq[_] =>
+        val a = yaml.createArrayNode()
+        xs.foreach(e => a.add(valueNode(root, e)))
+        a
+      case other => yaml.getNodeFactory.textNode(String.valueOf(other))
+    }
+    def condNode(c: Cond): com.fasterxml.jackson.databind.JsonNode = c match {
+      case And(cs) =>
+        val o = yaml.createObjectNode(); val a = o.putArray("$and")
+        cs.foreach(x => a.add(condNode(x))); o
+      case Or(cs) =>
+        val o = yaml.createObjectNode(); val a = o.putArray("$or")
+        cs.foreach(x => a.add(condNode(x))); o
+      case Not(c0) =>
+        val o = yaml.createObjectNode(); o.set[ObjectNode]("$not", condNode(c0)); o
+      case Pred(f, op, v) =>
+        val o = yaml.createObjectNode()
+        val inner = o.putObject(f)
+        inner.set[ObjectNode](s"$$$op", valueNode(o, v))
+        o
+    }
+    val root = yaml.createObjectNode()
+    root.put("from", spec.from)
+    spec.where.foreach(c => root.set[ObjectNode]("where", condNode(c)))
+    if (spec.orderBy.nonEmpty) {
+      val a = root.putArray("order-by")
+      spec.orderBy.foreach(k => a.add((if (k.desc) "-" else "") + k.field))
+    }
+    spec.offset.foreach(root.put("offset", _))
+    spec.limit match {
+      case Some(l) => root.put("limit", l)
+      case None => root.putNull("limit")
+    }
+    spec.backrefLimit match {
+      case Some(l) => root.put("backref_limit", l)
+      case None => root.putNull("backref_limit")
+    }
+    // include lifts depths to unlimited; echo them as null like the reference
+    if (spec.include.isEmpty) {
+      root.put("join_depth", spec.joinDepth)
+      root.put("backref_depth", spec.backrefDepth)
+    }
+    if (spec.exclude.nonEmpty) {
+      val a = root.putArray("exclude"); spec.exclude.foreach(a.add)
+    }
+    if (spec.include.nonEmpty) {
+      val a = root.putArray("include"); spec.include.foreach(a.add)
+    }
+    yaml.writeValueAsString(root)
+  }
+
   private def scalarValue(n: JsonNode): Any =
     if (n.isIntegralNumber) n.asLong()
     else if (n.isNumber) n.asDouble()
