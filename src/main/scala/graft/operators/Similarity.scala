@@ -120,6 +120,47 @@ object Similarity {
           .orderBy("vec_a", "vec_b")
       }),
 
+    // 37b. IVF-bucketed ANN (rows-only): training-free inverted-file index —
+    // the first K corpus vectors serve as deterministic centroids, every
+    // vector joins the list of its nearest centroid, and each query probes
+    // only its nprobe closest lists. Collecting K tiny centroid vectors to
+    // the driver is index *metadata* (like any broadcast build side), not a
+    // data collect; assignment and search stay fully distributed on vec_dot.
+    Q.rowsOnly("q_knn_ivf")(
+      (s, dir) => {
+        val kCentroids = 16
+        val nprobe = 4
+        val unitized = emb(s, dir).select(col("vec_id"),
+          expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
+            .as("unit"))
+        val cents = unitized.filter(col("vec_id") < kCentroids)
+          .orderBy("vec_id").collect()
+          .map(_.getSeq[Double](1))
+        def centArr(i: Int): String =
+          s"array(${cents(i).map(v => s"${v}D").mkString(",")})"
+        val dots = (0 until cents.length)
+          .map(i => s"vec_dot(unit, ${centArr(i)})").mkString("array(", ", ", ")")
+        val assigned = unitized
+          .withColumn("__dots", expr(dots))
+          .withColumn("cell", expr("array_position(__dots, array_max(__dots))"))
+        val lists = assigned.select(col("vec_id").as("c_id"), col("unit").as("ce"), col("cell"))
+        // query probe cells: the nprobe highest-dot centroids
+        val probes = assigned.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("unit").as("qe"),
+            explode(expr(
+              s"slice(reverse(array_sort(transform(__dots, (d, i) -> named_struct('d', d, 'c', i + 1)))), 1, $nprobe)"))
+              .as("probe"))
+          .select(col("q_id"), col("qe"), col("probe.c").as("cell"))
+        val scored = lists.join(broadcast(probes), Seq("cell"))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cosine", expr(dotExpr("qe", "ce")))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= TopK)
+          .select("q_id", "c_id", "rn", "cosine")
+          .orderBy("q_id", "rn")
+      }),
+
     // 37. LSH-bucketed ANN (rows-only): same sign-random-projection buckets;
     // search each query only within its bucket — the scale path where
     // brute force would be corpus × queries.

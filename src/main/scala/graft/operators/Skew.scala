@@ -56,6 +56,17 @@ object Skew {
   }
 
   val pack: Seq[Q] = Seq(
+    // HLL-sketch distinct estimation next to its exact answer — the scale
+    // path when exact distinct is too expensive. Rows-only: sketch estimates
+    // are engine-specific by nature; SkewSpec bounds the relative error.
+    Q.rowsOnly("q_approx_distinct")(
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy("l_returnflag")),
+
     Q("q_agg_salted",
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,

@@ -45,8 +45,11 @@ object Events {
       .dropDuplicates("event_id")
 
   /** Gap-based sessionization (30-minute inactivity) via
-    * mapGroupsWithState — emits the current session per user on every
-    * update; idle users time out and drop their state.
+    * flatMapGroupsWithState — each batch emits EVERY session closed within
+    * it plus a snapshot of the still-open session (mapGroupsWithState's
+    * one-row-per-key contract silently drops sessions that both open and
+    * close inside one batch). Distinct session_start_us per user therefore
+    * equals the batch sessionizer's count.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
                  evictIdleState: Boolean = false): Dataset[SessionUpdate] = {
@@ -55,18 +58,24 @@ object Events {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
 
     def update(userId: Long, batch: Iterator[Event],
-               state: GroupState[SessionState]): SessionUpdate = {
+               state: GroupState[SessionState]): Iterator[SessionUpdate] = {
       val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0))
+      var st = state.getOption.orNull
+      val out = scala.collection.mutable.ListBuffer.empty[SessionUpdate]
       for (e <- sorted) {
         val us = e.ts.getTime * 1000L
-        st =
-          if (st.n == 0 || us - st.lastUs > gapUs) SessionState(us, us, 1)
-          else st.copy(lastUs = us, n = st.n + 1)
+        if (st == null) st = SessionState(us, us, 1)
+        else if (us - st.lastUs > gapUs) {
+          out += SessionUpdate(userId, st.startUs, st.lastUs, st.n) // closed
+          st = SessionState(us, us, 1)
+        } else st = st.copy(lastUs = us, n = st.n + 1)
       }
-      state.update(st)
+      if (st != null) {
+        state.update(st)
+        out += SessionUpdate(userId, st.startUs, st.lastUs, st.n) // open snapshot
+      }
       if (evictIdleState) state.setTimeoutDuration(s"$gapMinutes minutes")
-      SessionUpdate(userId, st.startUs, st.lastUs, st.n)
+      out.iterator
     }
 
     // evictIdleState=true bounds state for production streams but makes the
@@ -77,7 +86,7 @@ object Events {
       else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState(timeout)(
+      .flatMapGroupsWithState(OutputMode.Update(), timeout)(
         (k: Long, it: Iterator[Event], st: GroupState[SessionState]) => update(k, it, st))
   }
 }

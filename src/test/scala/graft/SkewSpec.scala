@@ -19,6 +19,18 @@ class SkewSpec extends AnyFunSuite {
       plain.map(r => (r.getString(0), r.getDecimal(1))))
   }
 
+  test("approx distinct sketch lands within its error bound") {
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("saltedDistinctCount rejects float columns and name collisions") {
     val li = Tables.load(spark, TestSpark.sf, "lineitem")
     intercept[IllegalArgumentException] {
