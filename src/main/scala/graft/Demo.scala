@@ -93,12 +93,10 @@ object Demo {
     val merged = sources.Job.run(spark, sfDir, job)
     println("[demo] job merge: " + merged.toSeq.sortBy(_._1)
       .map { case (n, df) => s"$n=${df.count()}" }.mkString(", "))
-    println("[demo] normalized spec echo:\n" + spec2yaml(spec))
+    println("[demo] normalized spec echo:\n" + graft.spec.SpecJson.toYaml(spec))
 
     println("[demo] OK")
     spark.stop()
   }
 
-  private def spec2yaml(s: graft.spec.QuerySpec): String =
-    graft.spec.SpecJson.toYaml(s)
 }

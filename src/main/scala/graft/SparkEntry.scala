@@ -9,7 +9,8 @@ object SparkEntry {
   def packs: Seq[Q] =
     operators.SpecQueries.pack ++ operators.Relational.pack ++
       operators.TextAnalysis.pack ++ operators.Dedup.pack ++
-      operators.Similarity.pack ++ operators.Skew.pack
+      operators.Similarity.pack ++ operators.Skew.pack ++
+      operators.Multimodal.pack
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

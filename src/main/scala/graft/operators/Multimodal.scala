@@ -65,6 +65,14 @@ object Multimodal {
         lit(null).cast("integer").as("height"),
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
+  /** Rows-only query entry: the full binary → batched-decode → features
+    * pipeline over the synthetic media table (checksum column is
+    * deterministic; the feature floats stay engine-local).
+    */
+  val pack: Seq[graft.Q] = Seq(
+    graft.Q.rowsOnly("q_multimodal_features")((s, dir) =>
+      extractFeatures(syntheticMedia(s, dir)).orderBy("media_id")))
+
   /** The decode stage: batched mapPartitions over (media_id, payload).
     * Batching amortizes per-call codec setup exactly like a Pandas-UDF
     * batch would; `batchSize` bounds peak memory per task.

@@ -223,12 +223,13 @@ object Subset {
     def pkCols(t: String): Seq[String] =
       p.graph.tables.get(t).map(_.pk).getOrElse(RelGraph.synthesizePk(load(t).columns))
 
-    // Broadcast the key side only when the spec bounds it (root limit makes
-    // every downstream key set small by construction). An unlimited
-    // extraction can carry arbitrarily large key sets — leave the join
-    // strategy to AQE, which broadcasts at runtime if the set turns out
-    // small and falls back to a shuffled hash join if not.
-    val boundedKeys = spec.limit.isDefined
+    // Broadcast the key side only when the spec truly bounds it: a root
+    // limit AND bounded backref fan-out (no backrefs, or a per-parent cap).
+    // Otherwise key sets can grow without bound — leave the join strategy
+    // to AQE, which broadcasts at runtime if the set turns out small and
+    // falls back to a shuffled hash join if not.
+    val boundedKeys = spec.limit.isDefined &&
+      (spec.backrefDepth == 0 || spec.backrefLimit.isDefined)
     def keySide(keys: DataFrame): DataFrame =
       if (boundedKeys) broadcast(keys) else keys
 
@@ -298,9 +299,11 @@ object Subset {
         }.reduce(_ && _)
         unionInto(fk.parent, parent.join(keySide(keys), on, "left_semi"))
       }
+      // materialize inside this phase: unionInto only builds lazy plans, so
+      // checkpointing here keeps the profiler honest about where time went
+      sel.keys.foreach(checkpoint)
     } }
 
-    timed("finalize")(sel.keys.foreach(checkpoint))
     Extraction(spec, p, sel.toMap, phase.toMap)
   }
 

@@ -36,8 +36,8 @@ object SpecJson {
     * normalized query dict back to the user. `parse(toYaml(s)) == s`.
     */
   def toYaml(spec: QuerySpec): String = {
-    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
-    def valueNode(root: ObjectNode, v: Any): com.fasterxml.jackson.databind.JsonNode = v match {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    def valueNode(v: Any): com.fasterxml.jackson.databind.JsonNode = v match {
       case null => yaml.getNodeFactory.nullNode()
       case x: Long => yaml.getNodeFactory.numberNode(x)
       case x: Int => yaml.getNodeFactory.numberNode(x.toLong)
@@ -45,7 +45,7 @@ object SpecJson {
       case x: Boolean => yaml.getNodeFactory.booleanNode(x)
       case xs: Seq[_] =>
         val a = yaml.createArrayNode()
-        xs.foreach(e => a.add(valueNode(root, e)))
+        xs.foreach(e => a.add(valueNode(e)))
         a
       case other => yaml.getNodeFactory.textNode(String.valueOf(other))
     }
@@ -61,7 +61,7 @@ object SpecJson {
       case Pred(f, op, v) =>
         val o = yaml.createObjectNode()
         val inner = o.putObject(f)
-        inner.set[ObjectNode](s"$$$op", valueNode(o, v))
+        inner.set[ObjectNode](s"$$$op", valueNode(v))
         o
     }
     val root = yaml.createObjectNode()

@@ -59,6 +59,15 @@ object Events {
 
     def update(userId: Long, batch: Iterator[Event],
                state: GroupState[SessionState]): Iterator[SessionUpdate] = {
+      if (state.hasTimedOut) {
+        // idle key: emit the session as closed and DROP the state — this is
+        // the bounded-state guarantee evictIdleState promises
+        val st = state.getOption.orNull
+        state.remove()
+        return if (st != null)
+          Iterator(SessionUpdate(userId, st.startUs, st.lastUs, st.n))
+        else Iterator.empty
+      }
       val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var st = state.getOption.orNull
       val out = scala.collection.mutable.ListBuffer.empty[SessionUpdate]

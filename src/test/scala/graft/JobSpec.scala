@@ -60,7 +60,7 @@ class JobSpec extends AnyFunSuite {
 
     val e = graft.operators.Subset.extract(spark, TestSpark.sf,
       SpecJson.parse("from: nation\nlimit: 3\njoin_depth: 1\nbackref_depth: 0\n"))
-    assert(e.phaseMillis.keySet.intersect(Set("plan", "root", "finalize")).size == 3)
+    assert(e.phaseMillis.keySet.intersect(Set("plan", "root", "reclosure")).size == 3)
     assert(e.phaseMillis.values.forall(_ >= 0))
   }
 }
