@@ -66,12 +66,19 @@ object Multimodal {
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
   /** Rows-only query entry: the full binary → batched-decode → features
-    * pipeline over the synthetic media table (checksum column is
-    * deterministic; the feature floats stay engine-local).
+    * pipeline over the synthetic media table. The raw feature vector is
+    * summarized to scalars (dim + rounded L1 mass) because the driver's
+    * comparison sorts result rows through pandas, which cannot order
+    * array-typed cells — every driver-visible column must be scalar.
     */
   val pack: Seq[graft.Q] = Seq(
     graft.Q.rowsOnly("q_multimodal_features")((s, dir) =>
-      extractFeatures(syntheticMedia(s, dir)).orderBy("media_id")))
+      extractFeatures(syntheticMedia(s, dir))
+        .select(col("media_id"), col("n_bytes"), col("checksum"),
+          size(col("feature")).as("feature_dim"),
+          round(aggregate(col("feature"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("feature_l1"))
+        .orderBy("media_id")))
 
   /** The decode stage: batched mapPartitions over (media_id, payload).
     * Batching amortizes per-call codec setup exactly like a Pandas-UDF

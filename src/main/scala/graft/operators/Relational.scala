@@ -14,6 +14,15 @@ import org.apache.spark.sql.expressions.Window
   * for min/max/compare), every result totally ordered, computed columns
   * aliased identically to the DuckDB oracle, integer "micro" fixed-point
   * division (`div` / `//`) instead of decimal division for averages.
+  *
+  * Money OUTPUT columns are BIGINT micro-units (×1e6), never DECIMAL: the
+  * driver reads Spark parquet through pandas (DECIMAL → `Decimal('24851.00')`)
+  * but DuckDB results through `.df()` (DECIMAL → float64 `24851.0`), so any
+  * decimal value with a trailing zero hash-mismatches. Integer micros
+  * stringify identically everywhere and stay exact (2-decimal money ×1e6 is
+  * integral). The ×1e6 happens per row BEFORE the sum — summing BIGINTs —
+  * because DuckDB caps decimals at 38 digits and `SUM(decimal)*1000000`
+  * overflows that width.
   */
 object Relational {
 
@@ -23,24 +32,37 @@ object Relational {
   /** decimal(18,2) view of a money/quantity double column. */
   private def dec(c: String): Column = col(c).cast("decimal(18,2)")
 
+  /** Exact BIGINT micro-units (×1e6) of a 2-decimal money value. */
+  private def micros(c: Column): Column =
+    (c.cast("decimal(18,2)") * 1000000).cast("long")
+
+  /** Exact BIGINT micro-units of a decimal expression that already carries
+    * its final scale (≤6), e.g. a price×(1-discount) product at scale 4. */
+  private def microsExpr(c: Column): Column = (c * 1000000).cast("long")
+
+  /** Oracle-SQL fragment: per-row BIGINT micros of a 2-decimal money col. */
+  private def sqlMicros(x: String): String =
+    s"CAST(CAST($x AS DECIMAL(18,2)) * 1000000 AS BIGINT)"
+
   val pack: Seq[Q] = Seq(
 
     // 19. group-by aggregation (the TPC-H Q1 shape)
     Q("q1_agg",
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS sum_disc_price,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(${sqlMicros("l_quantity")}) AS BIGINT) AS sum_qty_micros,
+        |  CAST(SUM(${sqlMicros("l_extendedprice")}) AS BIGINT) AS sum_base_price_micros,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_disc_price_micros,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)(
       (s, dir) => t(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum(dec("l_quantity")).cast("decimal(18,2)").as("sum_qty"),
-          sum(dec("l_extendedprice")).cast("decimal(18,2)").as("sum_base_price"),
-          sum(dec("l_extendedprice") * (lit(1) - col("l_discount")).cast("decimal(4,2)"))
-            .cast("decimal(18,4)").as("sum_disc_price"),
+          sum(micros($"l_quantity")).as("sum_qty_micros"),
+          sum(micros($"l_extendedprice")).as("sum_base_price_micros"),
+          sum(microsExpr(dec("l_extendedprice") *
+            (lit(1) - col("l_discount")).cast("decimal(4,2)")))
+            .as("sum_disc_price_micros"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")),
 
@@ -68,7 +90,7 @@ object Relational {
     Q("q_join_mt1",
       """SELECT p_brand,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * 1000000 AS BIGINT)) AS BIGINT) AS revenue_micros
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)(
       (s, dir) => t(s, dir, "lineitem")
@@ -76,15 +98,16 @@ object Relational {
         .groupBy($"p_brand")
         .agg(
           count(lit(1)).as("n_items"),
-          sum(dec("l_extendedprice") * (lit(1) - col("l_discount")).cast("decimal(4,2)"))
-            .cast("decimal(18,4)").as("revenue"))
+          sum(microsExpr(dec("l_extendedprice") *
+            (lit(1) - col("l_discount")).cast("decimal(4,2)")))
+            .as("revenue_micros"))
         .orderBy($"p_brand")),
 
     // 20b. 3-way fact ⋈ dim ⋈ dim
     Q("q_join_3way",
-      """SELECT c_mktsegment,
+      s"""SELECT c_mktsegment,
         |  CAST(COUNT(*) AS BIGINT) AS n_lines,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+        |  CAST(SUM(${sqlMicros("l_extendedprice")}) AS BIGINT) AS total_price_micros
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -95,7 +118,7 @@ object Relational {
         .groupBy($"c_mktsegment")
         .agg(
           count(lit(1)).as("n_lines"),
-          sum(dec("l_extendedprice")).cast("decimal(18,2)").as("total_price"))
+          sum(micros($"l_extendedprice")).as("total_price_micros"))
         .orderBy($"c_mktsegment")),
 
     // 21. semi / anti join
@@ -155,19 +178,19 @@ object Relational {
       }),
 
     Q("q_window_running",
-      """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      s"""SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(${sqlMicros("o_totalprice")}) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderkey
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total,
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total_micros,
         |  CAST(lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS prev_orderkey
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)(
       (s, dir) => {
         val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
         t(s, dir, "orders")
           .select($"o_custkey", $"o_orderkey",
-            sum(dec("o_totalprice"))
+            sum(micros($"o_totalprice"))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast("decimal(18,2)").as("running_total"),
+              .as("running_total_micros"),
             lag($"o_orderkey", 1).over(w).as("prev_orderkey"))
           .orderBy($"o_custkey", $"o_orderkey")
       }),
@@ -210,7 +233,7 @@ object Relational {
         |            WHEN o_totalprice < 200000 THEN 'medium'
         |            ELSE 'large' END AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 AS BIGINT)) AS BIGINT) AS total_micros
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)(
       (s, dir) => t(s, dir, "orders")
         .withColumn("bucket",
@@ -219,20 +242,20 @@ object Relational {
             .otherwise("large"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n"),
-          sum(dec("o_totalprice")).cast("decimal(18,2)").as("total"))
+          sum(micros($"o_totalprice")).as("total_micros"))
         .orderBy($"bucket")),
 
     // 26. date/time functions
     Q("q_date_agg",
-      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
         |       CAST(month(o_orderdate) AS INTEGER) AS mo,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(SUM(${sqlMicros("o_totalprice")}) AS BIGINT) AS total_micros
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)(
       (s, dir) => t(s, dir, "orders")
         .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec("o_totalprice")).cast("decimal(18,2)").as("total"))
+          sum(micros($"o_totalprice")).as("total_micros"))
         .orderBy($"yr", $"mo")),
 
     // 27. string functions
@@ -271,16 +294,16 @@ object Relational {
 
     // 29. tumbling-window event aggregation (batch twin of the streaming op)
     Q("q_events_window",
-      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute, event_type,
+      s"""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  CAST(SUM(${sqlMicros("value")}) AS BIGINT) AS total_value_micros
         |FROM events GROUP BY 1, 2 ORDER BY minute, event_type""".stripMargin)(
       (s, dir) => t(s, dir, "events")
         .groupBy(
           date_format(date_trunc("minute", $"ts"), "yyyy-MM-dd HH:mm").as("minute"),
           $"event_type")
         .agg(count(lit(1)).as("n"),
-          sum(dec("value")).cast("decimal(18,2)").as("total_value"))
+          sum(micros($"value")).as("total_value_micros"))
         .orderBy($"minute", $"event_type")),
 
     // 30. gap-based sessionization (30-min inactivity)
