@@ -59,13 +59,19 @@ object Skew {
     // HLL-sketch distinct estimation next to its exact answer — the scale
     // path when exact distinct is too expensive. Rows-only: sketch estimates
     // are engine-specific by nature; SkewSpec bounds the relative error.
+    // The two aggregates run as SEPARATE passes joined on the (tiny) group
+    // key: mixing a distinct and a non-distinct aggregate in one `agg`
+    // triggers Catalyst's Expand rewrite, which duplicates every input row
+    // and measured ~4× slower than the two plain passes combined.
     Q.rowsOnly("q_approx_distinct")(
-      (s, dir) => Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
-        .orderBy("l_returnflag")),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+        approx.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
+      }),
 
     Q("q_agg_salted",
       """SELECT l_returnflag,
