@@ -194,7 +194,15 @@ object Subset {
     bfs(List((from, Nil)), Set(from))
   }
 
-  /** Phases 2+3 — run the closure and return per-table selected rows. */
+  /** Phases 2+3 — run the closure and return per-table selected rows.
+    *
+    * Independent edge pulls within a BFS level (and a table's several join
+    * edges in the re-closure) materialize CONCURRENTLY: each pull is its own
+    * small Spark job, and submitting them from one thread serializes the
+    * cluster — on local[n] that is per-job overhead × #edges of wall clock,
+    * on a real cluster it is idle executors. Selections merge on the caller
+    * thread afterwards, in sorted edge order, so results stay deterministic.
+    */
   def extract(spark: SparkSession, sfDir: String, spec: QuerySpec,
               graph: RelGraph = RelGraph.tpch): Extraction = {
     // phase profiler (dbcut --profiler analogue): localCheckpoint is eager,
@@ -233,76 +241,114 @@ object Subset {
     def keySide(keys: DataFrame): DataFrame =
       if (boundedKeys) broadcast(keys) else keys
 
-    def unionInto(t: String, add: DataFrame): Unit = {
-      val merged = sel.get(t) match {
-        case Some(cur) => cur.unionByName(add).dropDuplicates(pkCols(t))
-        case None => add
+    // A pre-materialized (already-checkpointed) pull merging into a table
+    // that had no prior selection needs no further materialization — record
+    // its version as checkpointed so checkpoint() skips it.
+    def unionInto(t: String, add: DataFrame, addCheckpointed: Boolean): Unit = {
+      sel.get(t) match {
+        case Some(cur) =>
+          sel(t) = cur.unionByName(add).dropDuplicates(pkCols(t))
+          version(t) = version(t) + 1
+        case None =>
+          sel(t) = add
+          version(t) = version(t) + 1
+          if (addCheckpointed) ckptVersion(t) = version(t)
       }
-      sel(t) = merged
-      version(t) = version(t) + 1
     }
 
-    // Phase 2: level-by-level with snapshot semantics.
-    val byLevel = p.edges.groupBy(_.level).toSeq.sortBy(_._1)
-    for ((lvl, levelEdges) <- byLevel) timed(s"level_$lvl") {
-      val snapshot = sel.toMap // selections as of end of previous level
-      val snapVersion = version.toMap.withDefaultValue(0)
-      for (e <- levelEdges.sortBy(te => (te.from, te.to))) {
-        if (!e.backref) joinEdgeSeenAt((e.from, e.fk)) = snapVersion(e.from)
-        val src = snapshot.getOrElse(e.from,
-          sys.error(s"edge source ${e.from} not yet selected"))
-        if (!e.backref) {
-          // join edge: parent ⋉ child-FK keys
-          val keys = src.select(e.fk.childCols.map(col): _*)
-            .na.drop().distinct()
-          val parent = load(e.to)
-          val on = e.fk.childCols.zip(e.fk.parentCols).map { case (c, pc) =>
-            keys(c) === parent(pc)
-          }.reduce(_ && _)
-          unionInto(e.to, parent.join(keySide(keys), on, "left_semi"))
-        } else {
-          // backref edge: children of selected parents, capped per parent
-          val keys = src.select(e.fk.parentCols.map(col): _*).distinct()
-          val child = load(e.to)
-          val on = e.fk.childCols.zip(e.fk.parentCols).map { case (c, pc) =>
-            child(c) === keys(pc)
-          }.reduce(_ && _)
-          val pulled = child.join(keySide(keys), on, "left_semi")
-          val capped = spec.backrefLimit match {
-            case Some(lim) =>
-              val w = Window.partitionBy(e.fk.childCols.map(col): _*)
-                .orderBy(pkCols(e.to).map(col(_).asc): _*)
-              pulled.withColumn("__rn", row_number().over(w))
-                .filter(col("__rn") <= lim).drop("__rn")
-            case None => pulled
-          }
-          unionInto(e.to, capped)
-        }
-      }
-      // checkpoint the level's results: selections are tiny by construction
-      // and every downstream plan (next level, re-closure, summary) restarts
-      // from materialized blocks instead of growing one deep AQE lineage
-      levelEdges.map(_.to).distinct.foreach(checkpoint)
-    }
-
-    // Phase 3: parent re-closure (child-before-parent), guarantees RI for
-    // every included parent table. Edges whose phase-2 pull already saw the
-    // child's final selection are provably complete — skip them.
-    val included = p.tables.toSet
-    timed("reclosure") { for (t <- p.graph.reverseTopological if included(t)) {
-      for (fk <- p.graph.joinEdges(t) if included(fk.parent) && sel.contains(t)
-           if !joinEdgeSeenAt.get((t, fk)).contains(version(t))) {
-        val keys = sel(t).select(fk.childCols.map(col): _*).na.drop().distinct()
-        val parent = load(fk.parent)
-        val on = fk.childCols.zip(fk.parentCols).map { case (c, pc) =>
+    /** Lazy plan for one edge pull against a source-selection snapshot. */
+    def pullEdge(e: TreeEdge, src: DataFrame): DataFrame =
+      if (!e.backref) {
+        // join edge: parent ⋉ child-FK keys
+        val keys = src.select(e.fk.childCols.map(col): _*)
+          .na.drop().distinct()
+        val parent = load(e.to)
+        val on = e.fk.childCols.zip(e.fk.parentCols).map { case (c, pc) =>
           keys(c) === parent(pc)
         }.reduce(_ && _)
-        unionInto(fk.parent, parent.join(keySide(keys), on, "left_semi"))
+        parent.join(keySide(keys), on, "left_semi")
+      } else {
+        // backref edge: children of selected parents, capped per parent
+        val keys = src.select(e.fk.parentCols.map(col): _*).distinct()
+        val child = load(e.to)
+        val on = e.fk.childCols.zip(e.fk.parentCols).map { case (c, pc) =>
+          child(c) === keys(pc)
+        }.reduce(_ && _)
+        val pulled = child.join(keySide(keys), on, "left_semi")
+        spec.backrefLimit match {
+          case Some(lim) =>
+            val w = Window.partitionBy(e.fk.childCols.map(col): _*)
+              .orderBy(pkCols(e.to).map(col(_).asc): _*)
+            pulled.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") <= lim).drop("__rn")
+          case None => pulled
+        }
       }
-      // materialize inside this phase: unionInto only builds lazy plans, so
-      // checkpointing here keeps the profiler honest about where time went
-      sel.keys.foreach(checkpoint)
-    } }
+
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    /** Materialize several independent pulls as concurrent Spark jobs. */
+    def materialize[T](work: Seq[(T, DataFrame)]): Seq[(T, DataFrame)] =
+      Await.result(
+        Future.sequence(work.map { case (tag, df) =>
+          Future((tag, df.localCheckpoint()))
+        }), Duration.Inf)
+
+    try {
+      // Phase 2: level-by-level with snapshot semantics.
+      val byLevel = p.edges.groupBy(_.level).toSeq.sortBy(_._1)
+      for ((lvl, levelEdges) <- byLevel) timed(s"level_$lvl") {
+        val snapshot = sel.toMap // selections as of end of previous level
+        val snapVersion = version.toMap.withDefaultValue(0)
+        val ordered = levelEdges.sortBy(te => (te.from, te.to))
+        ordered.foreach(e =>
+          if (!e.backref) joinEdgeSeenAt((e.from, e.fk)) = snapVersion(e.from))
+        val pulls = materialize(ordered.map { e =>
+          val src = snapshot.getOrElse(e.from,
+            sys.error(s"edge source ${e.from} not yet selected"))
+          e -> pullEdge(e, src)
+        })
+        for ((e, df) <- pulls) {
+          // A backref pull that CREATES its child's selection also proves the
+          // reverse join edge complete: every pulled row's FK value is a PK
+          // of the (monotone, union-only) parent selection it was pulled by.
+          // Recording it lets the re-closure pass skip the no-op re-pull.
+          val freshBackref = e.backref && !sel.contains(e.to)
+          unionInto(e.to, df, addCheckpointed = true)
+          if (freshBackref) joinEdgeSeenAt((e.to, e.fk)) = version(e.to)
+        }
+        // materialize merged selections (no-op for single-pull new tables):
+        // selections are tiny by construction and every downstream plan
+        // (next level, re-closure, summary) restarts from materialized
+        // blocks instead of growing one deep AQE lineage
+        levelEdges.map(_.to).distinct.foreach(checkpoint)
+      }
+
+      // Phase 3: parent re-closure (child-before-parent), guarantees RI for
+      // every included parent table. Edges whose phase-2 pull already saw the
+      // child's final selection are provably complete — skip them.
+      val included = p.tables.toSet
+      timed("reclosure") { for (t <- p.graph.reverseTopological if included(t)) {
+        val fks = p.graph.joinEdges(t).filter(fk =>
+          included(fk.parent) && sel.contains(t) &&
+            !joinEdgeSeenAt.get((t, fk)).contains(version(t)))
+        val pulls = materialize(fks.map { fk =>
+          val keys = sel(t).select(fk.childCols.map(col): _*).na.drop().distinct()
+          val parent = load(fk.parent)
+          val on = fk.childCols.zip(fk.parentCols).map { case (c, pc) =>
+            keys(c) === parent(pc)
+          }.reduce(_ && _)
+          fk -> parent.join(keySide(keys), on, "left_semi")
+        })
+        pulls.foreach { case (fk, df) =>
+          unionInto(fk.parent, df, addCheckpointed = true) }
+        // materialize merged selections: unionInto only builds lazy plans, so
+        // checkpointing here keeps the profiler honest about where time went
+        sel.keys.foreach(checkpoint)
+      } }
+    } finally pool.shutdown()
 
     Extraction(spec, p, sel.toMap, phase.toMap)
   }
