@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Additional analytic operators beyond the reference's own surface
+  * (SURVEY §2c extension): as-of join, rollup subtotals, exact percentiles.
+  * Same determinism rules as Relational.scala — money in BIGINT micros,
+  * total ORDER BY on both engines, identical aliases.
+  */
+object Analytic {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact BIGINT micro-units (×1e6) of a 2-decimal money value. */
+  private def micros(c: Column): Column =
+    (c.cast("decimal(18,2)") * 1000000).cast("long")
+
+  private def sqlMicros(x: String): String =
+    s"CAST(CAST($x AS DECIMAL(18,2)) * 1000000 AS BIGINT)"
+
+  /** Microsecond-precision wall-clock string — the cross-engine-safe way to
+    * emit the ns-origin event timestamps (Q.tsToDate's rule: never emit raw
+    * timestamps from oracle-checked queries).
+    */
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  val pack: Seq[Q] = Seq(
+
+    // As-of join: each purchase matched to the latest click at-or-before it
+    // by the same user — the canonical event-attribution shape Spark has no
+    // native operator for. A range join (p.ts >= c.ts) would explode to
+    // |purchases|×|clicks| per user before filtering; instead both sides
+    // union into ONE stream tagged so clicks sort before purchases at equal
+    // ts, and a running last-click window computes every match in a single
+    // shuffle by user_id. DuckDB validates via its native ASOF JOIN.
+    Q("q_asof_join",
+      s"""SELECT p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS c_ts,
+        |  ${sqlMicros("c.value")} AS c_value_micros
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p_ts""".stripMargin)(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(0).as("tag"),
+            col("ts").as("c_ts"), col("value").as("c_value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("tag"),
+            lit(null).cast(ev.schema("ts").dataType).as("c_ts"),
+            lit(null).cast("double").as("c_value"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("tag").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("last_c_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+          .withColumn("last_c_value", last(col("c_value"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1 && col("last_c_ts").isNotNull)
+          .select(col("user_id"),
+            date_format(col("ts"), tsFmt).as("p_ts"),
+            date_format(col("last_c_ts"), tsFmt).as("c_ts"),
+            micros(col("last_c_value")).as("c_value_micros"))
+          .orderBy(col("user_id"), col("p_ts"))
+      }),
+
+    // Rollup subtotals (GROUP BY ROLLUP). Spark generates NULL group keys
+    // for subtotal rows; both sides coalesce them to a marker so the result
+    // dodges Spark-vs-DuckDB NULL-ordering defaults in the total ORDER BY.
+    Q("q_rollup",
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(${sqlMicros("o_totalprice")}) AS BIGINT) AS total_micros
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)(
+      (s, dir) => t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(micros(col("o_totalprice"))).as("total_micros"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total_micros"))
+        .orderBy(col("status"), col("priority"))),
+
+    // Exact interpolated percentiles. Integer-valued quantities make the
+    // p50 interpolation exact (halves); p90 hash-equality across engines is
+    // verified empirically at sf0.001/0.01 (both engines evaluate
+    // lower + (upper-lower)*frac on identical IEEE doubles).
+    Q("q_percentile",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+        |  CAST(max(l_quantity) AS DOUBLE) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag")))
+  )
+}

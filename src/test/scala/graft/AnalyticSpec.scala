@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("as-of join matches a brute-force max-preceding-click check") {
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    // brute force: per purchase, max click ts at-or-before it
+    val expected = purchases.join(clicks,
+        col("pu") === col("cu") && col("pts") >= col("cts"), "inner")
+      .groupBy(col("pu"), col("pts"))
+      .agg(max(col("cts")).as("want_cts"))
+      .withColumn("want", date_format(col("want_cts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .select(col("pu"), date_format(col("pts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("want_pts"), col("want"))
+    val got = SparkEntry.queries("q_asof_join")(spark, TestSpark.sf)
+    assert(got.count() == expected.count())
+    val mismatches = got.join(expected,
+        got("user_id") === expected("pu") && got("p_ts") === expected("want_pts"))
+      .filter(got("c_ts") =!= col("want")).count()
+    assert(mismatches == 0)
+  }
+
+  test("rollup grand total equals the sum of its leaves") {
+    val rows = SparkEntry.queries("q_rollup")(spark, TestSpark.sf).collect()
+    val leaves = rows.filter(r => r.getString(0) != "(all)" && r.getString(1) != "(all)")
+    val grand = rows.filter(r => r.getString(0) == "(all)" && r.getString(1) == "(all)")
+    assert(grand.length == 1)
+    assert(leaves.map(_.getLong(2)).sum == grand.head.getLong(2))
+    assert(leaves.map(_.getLong(3)).sum == grand.head.getLong(3))
+    // per-status subtotals also agree
+    val statusTotals = rows.filter(r => r.getString(0) != "(all)" && r.getString(1) == "(all)")
+    assert(statusTotals.map(_.getLong(2)).sum == grand.head.getLong(2))
+  }
+
+  test("percentiles are ordered and inside [min, max]") {
+    val rows = SparkEntry.queries("q_percentile")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, mn, mx) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= p50 && p50 <= p90 && p90 <= mx)
+    }
+  }
+}
