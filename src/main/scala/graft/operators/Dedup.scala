@@ -41,18 +41,31 @@ object Dedup {
         .filter(col("n_docs") > 1)
         .orderBy("norm_hash")),
 
-    // 32. MinHash + LSH near-dup: word 3-shingles → per-seed min of
-    // md5(seed:shingle) → band keys → candidate pairs within a band bucket.
+    // 32. MinHash + LSH near-dup: word 3-shingles → per-seed minhash → band
+    // keys → candidate pairs within a band bucket. Three deliberate cost
+    // moves, each preserving MinHash semantics and mirrored in the oracle:
+    //  - TWO md5s per shingle (plain + prefixed), each split into four
+    //    8-hex substrings — md5 bits are independent, so the 8 slices act as
+    //    8 independent 32-bit hash permutations at 1/4 the hashing cost of
+    //    md5(seed:shingle) per seed (an md5 is 32 hex chars: one digest only
+    //    carries four 8-hex slices);
+    //  - no DISTINCT before the signature aggregate: min over a multiset
+    //    equals min over its set, so the extra shuffle bought nothing and
+    //    the groupBy's map-side partial mins do all reduction locally;
+    //  - bands come from exploding a 4-element array, not a 4-way union that
+    //    would re-evaluate the whole signature subtree per branch.
     Q("q_dedup_minhash", {
-      val minhs = (0 until NumSeeds)
-        .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n  ")
+      val minhs = (0 until NumSeeds).map { i =>
+        val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+        s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
+      }.mkString(",\n  ")
       val bands = (0 until Bands)
         .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
         .mkString("\n  UNION ALL ")
       s"""WITH toks AS (
          |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
          |sh AS (
-         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
          |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
          |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
          |bands AS ($bands)
@@ -68,14 +81,17 @@ object Dedup {
           .select(col("doc_id"), explode(expr(
             "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) ELSE array() END"))
             .as("shingle"))
-          .distinct()
-        val minAggs = (0 until NumSeeds).map(i =>
-          min(md5s(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+        val minAggs = (0 until NumSeeds).map { i =>
+          val src = if (i < 4) md5s(col("shingle"))
+                    else md5s(concat(lit("x:"), col("shingle")))
+          min(substring(src, 8 * (i % 4) + 1, 8)).as(s"h$i")
+        }
         val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-        val bands = (0 until Bands).map { b =>
-          sigs.select(col("doc_id"), lit(b).as("band"),
-            md5s(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
-        }.reduce(_ unionByName _)
+        val bands = sigs.select(col("doc_id"), explode(array(
+          (0 until Bands).map(b => struct(lit(b).as("band"),
+            md5s(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))): _*))
+          .as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
         val a = bands.alias("a")
         val bb = bands.alias("b")
         a.join(bb,
