@@ -107,6 +107,19 @@ object Analytic {
           percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // Sketch percentiles — the 100 TB path. Exact percentiles buffer every
+    // value of a group on one reducer; approx_percentile keeps a fixed-size
+    // mergeable summary with map-side partial aggregation, so cost is flat
+    // in group size. Rows-only (sketch internals are engine-specific);
+    // AnalyticSpec bounds the error against the exact answer.
+    Q.rowsOnly("q_approx_percentile")(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("ap50_qty"),
+          approx_percentile(col("l_quantity"), lit(0.9), lit(10000)).as("ap90_qty"))
         .orderBy(col("l_returnflag")))
   )
 }

@@ -39,6 +39,26 @@ object Events {
       .select(col("window.start").as("minute_start"), col("event_type"),
         col("n"), col("total_value_micros"))
 
+  /** Watermarked stream-stream interval join — the streaming side of the
+    * batch `q_asof_join` attribution shape: each purchase joins every click
+    * by the same user within the preceding `windowMinutes`. The range
+    * condition plus both watermarks lets the engine bound buffered click
+    * state to interval + lateness, so state never grows with stream length.
+    * (A streaming "latest click only" needs a stateful argmax on top; the
+    * interval join is the scalable primitive both variants share.)
+    */
+  def purchaseAttribution(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks, expr(
+      s"p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL $windowMinutes MINUTES"))
+  }
+
   /** Exactly-once-per-id dedup within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

@@ -47,4 +47,18 @@ class AnalyticSpec extends AnyFunSuite {
       assert(mn <= p50 && p50 <= p90 && p90 <= mx)
     }
   }
+
+  test("approx percentile sketch lands near the exact answer") {
+    val exact = SparkEntry.queries("q_percentile")(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("q_approx_percentile")(spark, TestSpark.sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (e50, e90) = exact(r.getString(0))
+      // l_quantity is integer-valued 1..50; at accuracy 10000 the sketch
+      // should land within one unit of the exact interpolated percentile
+      assert(math.abs(r.getDouble(1) - e50) <= 1.0)
+      assert(math.abs(r.getDouble(2) - e90) <= 1.0)
+    }
+  }
 }

@@ -52,6 +52,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 10.0),    // in window of purchase @10:30
+      Event(2, ts(5), 1, "click", 20.0),    // in window too
+      Event(3, ts(2), 2, "click", 30.0),    // other user
+      Event(4, ts(30), 1, "purchase", 99.0),
+      Event(5, ts(31), 3, "purchase", 50.0)) // user 3 has no clicks
+    val q = Events.purchaseAttribution(input.toDF(), windowMinutes = 60)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT p_user, c_value FROM attr ORDER BY p_user, c_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // purchase by user 1 matches both of user 1's clicks; nothing else
+      assert(rows.toSeq == Seq((1L, 10.0), (1L, 20.0)))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer tracks gap-based sessions per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
