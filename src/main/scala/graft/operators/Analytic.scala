@@ -109,6 +109,27 @@ object Analytic {
           max(col("l_quantity")).as("max_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // RANGE-frame rolling window: the sum covers every order within the
+    // trailing 30 DAYS, not the trailing 30 ROWS — value-based frames are
+    // distinct window semantics from q_window_running's row frame. Both
+    // engines order by an integer epoch-day so the frame bounds are exact.
+    Q("q_window_range",
+      s"""SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(${sqlMicros("o_totalprice")}) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_30d_micros
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)(
+      (s, dir) => {
+        val day = datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1990-01-01")))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(day.cast("long"))
+          .rangeBetween(-30, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(micros(col("o_totalprice"))).over(w).as("rolling_30d_micros"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      }),
+
     // Sketch percentiles — the 100 TB path. Exact percentiles buffer every
     // value of a group on one reducer; approx_percentile keeps a fixed-size
     // mergeable summary with map-side partial aggregation, so cost is flat

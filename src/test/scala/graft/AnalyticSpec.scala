@@ -48,6 +48,25 @@ class AnalyticSpec extends AnyFunSuite {
     }
   }
 
+  test("range-frame rolling sum matches a brute-force 30-day filter") {
+    val got = SparkEntry.queries("q_window_range")(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1990-01-01")))
+          .cast("long").as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 1000000).cast("long").as("micros"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force over one small customer partition
+    val cust = orders.head._1
+    orders.filter(_._1 == cust).foreach { case (c, ok, day, _) =>
+      val want = orders.filter(o => o._1 == c && o._3 >= day - 30 && o._3 <= day)
+        .map(_._4).sum
+      assert(got((c, ok)) == want, s"custkey $c orderkey $ok")
+    }
+  }
+
   test("approx percentile sketch lands near the exact answer") {
     val exact = SparkEntry.queries("q_percentile")(spark, TestSpark.sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
