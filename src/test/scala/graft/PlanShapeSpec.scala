@@ -54,4 +54,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf("q_semi_join").contains("LeftSemi"))
     assert(planOf("q_anti_join").contains("LeftAnti"))
   }
+
+  test("as-of join plans as one window pass, never a range join product") {
+    val p = planOf("q_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of join degenerated into a product join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "expected the running-window implementation")
+  }
+
+  test("rollup plans a single Expand, not one aggregation per grouping set") {
+    val p = planOf("q_rollup")
+    assert(p.contains("Expand"), "rollup should plan through Expand")
+    assert(!p.contains("Union"), "rollup must not be a union of re-aggregations")
+  }
+
+  test("minhash LSH bucket join broadcasts band keys") {
+    val p = planOf("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket join degenerated into a product join:\n$p")
+  }
 }
