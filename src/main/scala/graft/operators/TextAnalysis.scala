@@ -129,6 +129,37 @@ object TextAnalysis {
         docs(s, dir).select(
           col("doc_id"), fp.as("fp"), substring(fp, 1, 8).as("fp8"))
           .orderBy("doc_id")
+      }),
+
+    // 41b. keyword extraction (TF-IDF-style top term per doc). All-integer
+    // outputs keep it exactly oracle-comparable: tf and df are counts, and
+    // the top term is picked by the deterministic (tf DESC, df ASC, term)
+    // order — highest-frequency, rarest-in-corpus, lexicographic tiebreak.
+    // Scale shape: one shuffle to (doc, term) counts, a tiny per-term df
+    // aggregate joined back (broadcast at runtime), a per-doc window.
+    Q("q_tfidf_top_term",
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(string_split($normSql, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |ranked AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+         |  FROM tf JOIN df USING (term))
+         |SELECT doc_id, term, tf, df FROM ranked WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin)(
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+        tf.join(df, "term")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "term", "tf", "df")
+          .orderBy("doc_id")
       })
   )
 }
