@@ -109,6 +109,25 @@ object Analytic {
           max(col("l_quantity")).as("max_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // CUBE — all 2^n grouping-set combinations (rollup only covers prefix
+    // sets, so cube additionally emits the priority-only subtotals).
+    Q("q_cube",
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(${sqlMicros("o_totalprice")}) AS BIGINT) AS total_micros
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)(
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(micros(col("o_totalprice"))).as("total_micros"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total_micros"))
+        .orderBy(col("status"), col("priority"))),
+
     // RANGE-frame rolling window: the sum covers every order within the
     // trailing 30 DAYS, not the trailing 30 ROWS — value-based frames are
     // distinct window semantics from q_window_running's row frame. Both
