@@ -149,6 +149,38 @@ object Analytic {
           .orderBy(col("o_custkey"), col("o_orderkey"))
       }),
 
+    // Deterministic hash sampling (~10%): keep rows whose md5(key) prefix
+    // falls under 6554/65536. Unlike rand()-based TABLESAMPLE this is
+    // reproducible across retries, partitionings, and engines — the property
+    // a 100 TB training-data pipeline needs for auditable subsets — and it
+    // is a pure map (no shuffle) that composes with pushdown.
+    Q("q_sample_hash", {
+      val duckV = (0 until 4).map { d =>
+        s"(strpos('0123456789abcdef', substr(md5(k), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
+      }.mkString(" + ")
+      s"""WITH keyed AS (
+        |  SELECT l_returnflag, ${sqlMicros("l_extendedprice")} AS micros,
+        |    concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey) AS k
+        |  FROM lineitem),
+        |sampled AS (SELECT * FROM keyed WHERE $duckV < 6554)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(micros) AS BIGINT) AS sum_micros
+        |FROM sampled GROUP BY 1 ORDER BY 1""".stripMargin
+    })(
+      (s, dir) => {
+        val sparkV = (0 until 4).map { d =>
+          s"(instr('0123456789abcdef', substr(md5(cast(k as binary)), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
+        }.mkString(" + ")
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), micros(col("l_extendedprice")).as("micros"),
+            concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey")).as("k"))
+          .filter(expr(sparkV) < 6554)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_sampled"), sum(col("micros")).as("sum_micros"))
+          .orderBy(col("l_returnflag"))
+      }),
+
     // Sketch percentiles — the 100 TB path. Exact percentiles buffer every
     // value of a group on one reducer; approx_percentile keeps a fixed-size
     // mergeable summary with map-side partial aggregation, so cost is flat
