@@ -168,9 +168,10 @@ object Analytic {
         |FROM sampled GROUP BY 1 ORDER BY 1""".stripMargin
     })(
       (s, dir) => {
-        val sparkV = (0 until 4).map { d =>
-          s"(instr('0123456789abcdef', substr(md5(cast(k as binary)), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
-        }.mkString(" + ")
+        // conv(hex, 16, 10) == the oracle's per-digit arithmetic, but with a
+        // single md5 per row (four md5 copies defeat subexpression reuse in
+        // a filter) — big-endian first-4-hex value in [0, 65536)
+        val sparkV = "CAST(conv(substr(md5(cast(k as binary)), 1, 4), 16, 10) AS INT)"
         t(s, dir, "lineitem")
           .select(col("l_returnflag"), micros(col("l_extendedprice")).as("micros"),
             concat_ws("|", col("l_orderkey"), col("l_linenumber"),
