@@ -15,16 +15,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // The ~60 dumps are independent; submitting them from a few threads
+    // keeps the scheduler fed (one thread leaves cores idle between the
+    // many small jobs). Writes go to per-query dirs, so no output races.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val work = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        Future {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+          // extraction queries checkpoint selections; drop cached blocks so
+          // earlier queries never pressure later ones
+          spark.catalog.clearCache()
+        }
       }
-      // extraction queries checkpoint selections; drop cached blocks so
-      // earlier queries never pressure later ones
-      spark.catalog.clearCache()
-    }
+      Await.result(Future.sequence(work), Duration.Inf)
+    } finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
