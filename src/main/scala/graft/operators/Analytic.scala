@@ -109,6 +109,24 @@ object Analytic {
           max(col("l_quantity")).as("max_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // Semi-structured JSON columns: extract a typed field from the events'
+    // JSON props and aggregate it — get_json_object stays inside codegen
+    // (no UDF), and integer outputs make the cross-engine compare exact.
+    Q("q_json_extract",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)(
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(k).as("sum_k"),
+            min(k).as("min_k"), max(k).as("max_k"))
+          .orderBy(col("event_type"))
+      }),
+
     // CUBE — all 2^n grouping-set combinations (rollup only covers prefix
     // sets, so cube additionally emits the priority-only subtotals).
     Q("q_cube",
