@@ -30,4 +30,17 @@ object Q {
       else acc
     }
   }
+
+  /** Exact BIGINT micro-units (×1e6) of a 2-decimal money value — the one
+    * cross-engine-safe money representation (see Relational.scala's header
+    * for why DECIMAL output hash-mismatches in the driver's compare). The
+    * ×1e6 happens per row BEFORE any sum, summing BIGINTs, because DuckDB
+    * caps decimals at 38 digits and SUM(decimal)*1e6 overflows that width.
+    */
+  def micros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c.cast("decimal(18,2)") * 1000000).cast("long")
+
+  /** Oracle-SQL fragment: per-row BIGINT micros of a 2-decimal money col. */
+  def sqlMicros(x: String): String =
+    s"CAST(CAST($x AS DECIMAL(18,2)) * 1000000 AS BIGINT)"
 }

@@ -30,13 +30,15 @@ object Verify {
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
-          // extraction queries checkpoint selections; drop cached blocks so
-          // earlier queries never pressure later ones
-          spark.catalog.clearCache()
         }
       }
       Await.result(Future.sequence(work), Duration.Inf)
     } finally pool.shutdown()
+    // manifest of every registered query: lets the comparer flag a query
+    // whose dump is MISSING (a crashed rows-only query would otherwise
+    // vanish silently — no dir, no oracle entry, no failure)
+    Files.writeString(Paths.get(s"$outDir/queries.txt"),
+      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -15,18 +15,36 @@ object Analytic {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Exact BIGINT micro-units (×1e6) of a 2-decimal money value. */
-  private def micros(c: Column): Column =
-    (c.cast("decimal(18,2)") * 1000000).cast("long")
-
-  private def sqlMicros(x: String): String =
-    s"CAST(CAST($x AS DECIMAL(18,2)) * 1000000 AS BIGINT)"
+  import graft.Q.{micros, sqlMicros}
 
   /** Microsecond-precision wall-clock string — the cross-engine-safe way to
     * emit the ns-origin event timestamps (Q.tsToDate's rule: never emit raw
     * timestamps from oracle-checked queries).
     */
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** One grouping-set subtotal query (ROLLUP or CUBE): Spark generates NULL
+    * group keys for subtotal rows; both sides coalesce them to a marker so
+    * the result dodges Spark-vs-DuckDB NULL-ordering defaults in the total
+    * ORDER BY.
+    */
+  private def subtotalQ(name: String, op: String,
+      group: DataFrame => org.apache.spark.sql.RelationalGroupedDataset): Q =
+    Q(name,
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(${sqlMicros("o_totalprice")}) AS BIGINT) AS total_micros
+        |FROM orders GROUP BY $op (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)(
+      (s, dir) => group(t(s, dir, "orders"))
+        .agg(count(lit(1)).as("n"),
+          sum(micros(col("o_totalprice"))).as("total_micros"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total_micros"))
+        .orderBy(col("status"), col("priority")))
 
   val pack: Seq[Q] = Seq(
 
@@ -69,25 +87,9 @@ object Analytic {
           .orderBy(col("user_id"), col("p_ts"))
       }),
 
-    // Rollup subtotals (GROUP BY ROLLUP). Spark generates NULL group keys
-    // for subtotal rows; both sides coalesce them to a marker so the result
-    // dodges Spark-vs-DuckDB NULL-ordering defaults in the total ORDER BY.
-    Q("q_rollup",
-      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
-        |  coalesce(o_orderpriority, '(all)') AS priority,
-        |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(${sqlMicros("o_totalprice")}) AS BIGINT) AS total_micros
-        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY status, priority""".stripMargin)(
-      (s, dir) => t(s, dir, "orders")
-        .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          sum(micros(col("o_totalprice"))).as("total_micros"))
-        .select(
-          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
-          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
-          col("n"), col("total_micros"))
-        .orderBy(col("status"), col("priority"))),
+    // Rollup subtotals (GROUP BY ROLLUP) — prefix grouping sets.
+    subtotalQ("q_rollup", "ROLLUP",
+      _.rollup(col("o_orderstatus"), col("o_orderpriority"))),
 
     // Exact interpolated percentiles. Integer-valued quantities make the
     // p50 interpolation exact (halves); p90 hash-equality across engines is
@@ -129,22 +131,8 @@ object Analytic {
 
     // CUBE — all 2^n grouping-set combinations (rollup only covers prefix
     // sets, so cube additionally emits the priority-only subtotals).
-    Q("q_cube",
-      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
-        |  coalesce(o_orderpriority, '(all)') AS priority,
-        |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(${sqlMicros("o_totalprice")}) AS BIGINT) AS total_micros
-        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY status, priority""".stripMargin)(
-      (s, dir) => t(s, dir, "orders")
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          sum(micros(col("o_totalprice"))).as("total_micros"))
-        .select(
-          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
-          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
-          col("n"), col("total_micros"))
-        .orderBy(col("status"), col("priority"))),
+    subtotalQ("q_cube", "CUBE",
+      _.cube(col("o_orderstatus"), col("o_orderpriority"))),
 
     // RANGE-frame rolling window: the sum covers every order within the
     // trailing 30 DAYS, not the trailing 30 ROWS — value-based frames are

@@ -32,17 +32,11 @@ object Relational {
   /** decimal(18,2) view of a money/quantity double column. */
   private def dec(c: String): Column = col(c).cast("decimal(18,2)")
 
-  /** Exact BIGINT micro-units (×1e6) of a 2-decimal money value. */
-  private def micros(c: Column): Column =
-    (c.cast("decimal(18,2)") * 1000000).cast("long")
+  import graft.Q.{micros, sqlMicros}
 
   /** Exact BIGINT micro-units of a decimal expression that already carries
     * its final scale (≤6), e.g. a price×(1-discount) product at scale 4. */
   private def microsExpr(c: Column): Column = (c * 1000000).cast("long")
-
-  /** Oracle-SQL fragment: per-row BIGINT micros of a 2-decimal money col. */
-  private def sqlMicros(x: String): String =
-    s"CAST(CAST($x AS DECIMAL(18,2)) * 1000000 AS BIGINT)"
 
   val pack: Seq[Q] = Seq(
 

@@ -34,8 +34,7 @@ object Events {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 minute"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum((col("value").cast("decimal(18,2)") * 1000000).cast("long"))
-          .as("total_value_micros"))
+        sum(graft.Q.micros(col("value"))).as("total_value_micros"))
       .select(col("window.start").as("minute_start"), col("event_type"),
         col("n"), col("total_value_micros"))
 

@@ -91,13 +91,24 @@ def main(sf_dir, out_dir):
             n_pass += 1
             print(f"PASS {name} ({len(got)} rows)")
     # rows-only queries (no oracle) still pass through the driver's pandas
-    # sort — make sure none of them emit array-typed cells either
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        name = d.rstrip("/").split("/")[-1]
+    # sort — make sure none of them emit array-typed cells either. The
+    # queries.txt manifest (written by Verify) catches queries whose dump is
+    # MISSING entirely: without it a crashed rows-only query simply has no
+    # directory and would vanish from the report.
+    import os
+    manifest = f"{out_dir}/queries.txt"
+    if os.path.exists(manifest):
+        names = [l.strip() for l in open(manifest) if l.strip()]
+    else:
+        names = [d.rstrip("/").split("/")[-1]
+                 for d in sorted(glob.glob(f"{out_dir}/*/"))]
+    for name in sorted(names):
         if name in oracle:
             continue
-        files = sorted(glob.glob(f"{d}/*.parquet"))
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
+            print(f"FAIL {name}: rows-only query produced no output")
+            n_fail += 1
             continue
         try:
             df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
