@@ -123,9 +123,10 @@ object Similarity {
     // 37b. IVF-bucketed ANN (rows-only): training-free inverted-file index —
     // the first K corpus vectors serve as deterministic centroids, every
     // vector joins the list of its nearest centroid, and each query probes
-    // only its nprobe closest lists. Collecting K tiny centroid vectors to
-    // the driver is index *metadata* (like any broadcast build side), not a
-    // data collect; assignment and search stay fully distributed on vec_dot.
+    // only its nprobe closest lists. Centroids are a small BROADCAST TABLE
+    // cross-joined against the corpus, never codegen literals: literal
+    // arrays cap K at what janino will compile (and pay seconds of codegen
+    // at K=16 already), while a broadcast side scales to thousands of cells.
     Q.rowsOnly("q_knn_ivf")(
       (s, dir) => {
         val kCentroids = 16
@@ -134,23 +135,24 @@ object Similarity {
           expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
             .as("unit"))
         val cents = unitized.filter(col("vec_id") < kCentroids)
-          .orderBy("vec_id").collect()
-          .map(_.getSeq[Double](1))
-        def centArr(i: Int): String =
-          s"array(${cents(i).map(v => s"${v}D").mkString(",")})"
-        val dots = (0 until cents.length)
-          .map(i => s"vec_dot(unit, ${centArr(i)})").mkString("array(", ", ", ")")
-        val assigned = unitized
-          .withColumn("__dots", expr(dots))
-          .withColumn("cell", expr("array_position(__dots, array_max(__dots))"))
-        val lists = assigned.select(col("vec_id").as("c_id"), col("unit").as("ce"), col("cell"))
-        // query probe cells: the nprobe highest-dot centroids
-        val probes = assigned.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("unit").as("qe"),
-            explode(expr(
-              s"slice(reverse(array_sort(transform(__dots, (d, i) -> named_struct('d', d, 'c', i + 1)))), 1, $nprobe)"))
-              .as("probe"))
-          .select(col("q_id"), col("qe"), col("probe.c").as("cell"))
+          .select(col("vec_id").cast("int").as("cell"), col("unit").as("cvec"))
+        val cellDots = unitized.crossJoin(broadcast(cents))
+          .withColumn("cdot", expr(dotExpr("unit", "cvec")))
+        // assignment: argmax cell per vector (struct max is lexicographic,
+        // so the highest dot wins; every row of a group carries the same
+        // unit vector, so first() is deterministic in value)
+        val assigned = cellDots.groupBy(col("vec_id"))
+          .agg(max(struct(col("cdot"), col("cell"))).as("m"),
+            first(col("unit")).as("unit"))
+        val lists = assigned.select(col("vec_id").as("c_id"),
+          col("unit").as("ce"), col("m.cell").as("cell"))
+        // query probe cells: the nprobe highest-dot centroids per query
+        val pw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cdot").desc, col("cell"))
+        val probes = cellDots.filter(col("vec_id") < NumQueries)
+          .withColumn("rn", row_number().over(pw))
+          .filter(col("rn") <= nprobe)
+          .select(col("vec_id").as("q_id"), col("unit").as("qe"), col("cell"))
         val scored = lists.join(broadcast(probes), Seq("cell"))
           .filter(col("q_id") =!= col("c_id"))
           .withColumn("cosine", expr(dotExpr("qe", "ce")))
