@@ -111,6 +111,23 @@ object Analytic {
           max(col("l_quantity")).as("max_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // Ordered string aggregation: the listagg/string_agg family. Spark's
+    // collect_set is unordered, so sort_array fixes a total order before
+    // joining — deterministic on both engines (DuckDB string_agg takes an
+    // explicit ORDER BY over the deduped set).
+    Q("q_string_agg",
+      """WITH d AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+        |SELECT o_orderpriority,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  CAST(count(*) AS BIGINT) AS n_statuses
+        |FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          size(collect_set(col("o_orderstatus"))).cast("long").as("n_statuses"))
+        .orderBy(col("o_orderpriority"))),
+
     // Semi-structured JSON columns: extract a typed field from the events'
     // JSON props and aggregate it — get_json_object stays inside codegen
     // (no UDF), and integer outputs make the cross-engine compare exact.
