@@ -111,6 +111,51 @@ object Analytic {
           max(col("l_quantity")).as("max_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // Funnel analysis: strictly-ordered stage progression per user
+    // (first signup → first later click → first later purchase). Each stage
+    // is a semi-join-shaped aggregate against the previous stage's per-user
+    // anchor timestamp; the output row carries per-stage user counts plus
+    // epoch-minute checksums of the chosen anchors so the oracle is
+    // sensitive to WHICH event each stage selected, not just how many.
+    Q("q_funnel",
+      """WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.s_ts
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+        |       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after,
+        |       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after,
+        |       CAST((SELECT SUM(epoch_us(s_ts) // 60000000) FROM s) AS BIGINT) AS s_minute_sum,
+        |       CAST((SELECT SUM(epoch_us(c_ts) // 60000000) FROM c) AS BIGINT) AS c_minute_sum,
+        |       CAST((SELECT SUM(epoch_us(p_ts) // 60000000) FROM p) AS BIGINT) AS p_minute_sum""".stripMargin)(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        // ts is TimestampNTZ; cast→timestamp is instant-preserving under the
+        // fixed UTC session timezone, then unix_micros is exact; `div` keeps
+        // the epoch-minute arithmetic integral end to end
+        def minuteOf(name: String): Column =
+          expr(s"unix_micros(CAST($name AS TIMESTAMP)) div 60000000")
+        val sStage = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+        val cStage = ev.filter(col("event_type") === "click").as("e")
+          .join(sStage.as("s"),
+            col("e.user_id") === col("s.user_id") && col("e.ts") > col("s.s_ts"))
+          .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("c_ts"))
+        val pStage = ev.filter(col("event_type") === "purchase").as("e")
+          .join(cStage.as("c"),
+            col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.c_ts"))
+          .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("p_ts"))
+        sStage.agg(count(lit(1)).as("n_signup"),
+            sum(minuteOf("s_ts")).as("s_minute_sum"))
+          .crossJoin(cStage.agg(count(lit(1)).as("n_click_after"),
+            sum(minuteOf("c_ts")).as("c_minute_sum")))
+          .crossJoin(pStage.agg(count(lit(1)).as("n_purchase_after"),
+            sum(minuteOf("p_ts")).as("p_minute_sum")))
+          .select(col("n_signup"), col("n_click_after"), col("n_purchase_after"),
+            col("s_minute_sum"), col("c_minute_sum"), col("p_minute_sum"))
+      }),
+
     // Ordered string aggregation: the listagg/string_agg family. Spark's
     // collect_set is unordered, so sort_array fixes a total order before
     // joining — deterministic on both engines (DuckDB string_agg takes an
