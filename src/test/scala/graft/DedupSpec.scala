@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bounded-blowup guarantees for the dedup pipelines: a mass-duplicate
+  * cluster must not produce quadratic MinHash pair output, and a hot gram
+  * must not produce quadratic Jaccard candidates — the two 100 TB
+  * scale-killers VERDICT r2 flagged.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhashPairs: mass-duplicate cluster is bounded, not quadratic") {
+    // 400 byte-identical copies + 30 near-identical variants + 20 unrelated.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val copies = (0L until 400L).map(i => i -> base)
+    val variants = (400L until 430L).map(i =>
+      i -> (base + s" tail${i % 3}")) // 3 variant texts, ~10 copies each
+    val unrelated = (430L until 450L).map(i =>
+      i -> s"zig${i} zag${i} zog${i} quux${i} corge${i} grault${i}")
+    val pairs = Dedup.minhashPairs(docsDf(copies ++ variants ++ unrelated))
+      .collect()
+    // exact-dedup pre-pass: the 400-copy cluster has ONE representative, so
+    // no pair can have both ends inside it (uncapped LSH would emit
+    // C(400,2) = 79800 pairs for that cluster alone)
+    val copyIds = (0L until 400L).toSet
+    assert(!pairs.exists(r => copyIds(r.getLong(0)) && copyIds(r.getLong(1))))
+    // global bound: reps ≤ 4 distinct near-identical texts + 20 unrelated;
+    // pair output must stay far below the uncapped quadratic blowup
+    assert(pairs.length <= Dedup.Bands * Dedup.BucketCap * Dedup.BucketCap / 2,
+      s"pair output ${pairs.length} exceeds the band-bucket bound")
+    assert(pairs.length < 100, s"expected a handful of pairs, got ${pairs.length}")
+    // the near-identical variants DO surface as candidates of the base rep
+    assert(pairs.nonEmpty)
+  }
+
+  test("minhashPairs: bucket cap bounds a near-identical flood deterministically") {
+    // 200 docs sharing the SAME long prefix with unique 1-word tails: not
+    // byte-identical (survive exact dedup), signatures mostly collide.
+    val prefix = ("w" + (0 until 30).map(i => s" word$i").mkString) * 1
+    val flood = (0L until 200L).map(i => i -> s"$prefix tail$i")
+    val out1 = Dedup.minhashPairs(docsDf(flood)).collect().toSet
+    val out2 = Dedup.minhashPairs(docsDf(flood)).collect().toSet
+    assert(out1 == out2, "capped pair set must be deterministic")
+    // each of the 4 bands keeps ≤ cap members per bucket → pair bound
+    val cap = Dedup.BucketCap
+    assert(out1.size <= Dedup.Bands * cap * (cap - 1) / 2,
+      s"flood produced ${out1.size} pairs, above the per-bucket cap bound")
+    // and the cap actually bit: uncapped output would be C(200,2) = 19900
+    assert(out1.size < 19900 / 2)
+  }
+
+  test("rareGramJaccard: hot gram generates zero candidates past the cap") {
+    // every doc shares the hot bigram "the cold"; only doc pairs 0/1 and
+    // 2/3 share RARE grams. Uncapped, the hot gram alone would emit
+    // C(300,2) = 44850 candidate pairs.
+    val hot = "the cold"
+    val docs = Seq(
+      0L -> s"$hot unique alpha bravo charlie delta echo foxtrot",
+      1L -> s"$hot unique alpha bravo charlie delta echo golf",
+      2L -> s"$hot rare pair two hotel india juliet kilo",
+      3L -> s"$hot rare pair two hotel india juliet lima") ++
+      (4L until 300L).map(i => i -> s"$hot filler${i}a filler${i}b filler${i}c")
+    val out = Dedup.rareGramJaccard(docsDf(docs), dfCap = 10, minJacMicro = 0L)
+      .collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (2L, 3L)),
+      s"expected only the rare-gram pairs, got ${got.size} pairs")
+  }
+
+  test("rareGramJaccard: df cap bounds per-gram postings") {
+    // after pruning, no gram may appear in more than dfCap docs — the
+    // invariant that bounds pair output per gram to C(dfCap, 2)
+    val docs = (0L until 100L).map(i => i -> s"shared gram here plus unique$i bit")
+    val d = docsDf(docs).select(col("doc_id"),
+      split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ").as("t"))
+    val ng0 = d.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"))
+      .as("gram")).distinct()
+    val rare = ng0.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 10).select("gram")
+    val maxPosting = ng0.join(rare, Seq("gram"), "left_semi")
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .agg(max("df")).collect()(0).getLong(0)
+    assert(maxPosting <= 10)
+    // and the operator output on this corpus is empty (no rare-gram overlap)
+    assert(Dedup.rareGramJaccard(docsDf(docs), dfCap = 10, minJacMicro = 0L)
+      .count() == 0)
+  }
+}

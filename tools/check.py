@@ -100,6 +100,12 @@ def main(sf_dir, out_dir):
     if os.path.exists(manifest):
         names = [l.strip() for l in open(manifest) if l.strip()]
     else:
+        # A stale Verify binary (pre-manifest) would silently reinstate the
+        # blind spot where a crashed rows-only query has no dir and vanishes.
+        # Fail loudly instead of quietly degrading the check.
+        print("FAIL <harness>: queries.txt manifest missing — stale Verify? "
+              "Falling back to dir glob CANNOT detect crashed rows-only queries")
+        n_fail += 1
         names = [d.rstrip("/").split("/")[-1]
                  for d in sorted(glob.glob(f"{out_dir}/*/"))]
     for name in sorted(names):
