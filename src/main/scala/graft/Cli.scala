@@ -1,0 +1,197 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import graft.model.RelGraph
+import graft.operators.{Inspect, Subset}
+import graft.sources.{Export, Job, QueryCache, SqlDump}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** The dbcut command-line surface re-expressed over the Spark engine: a
+  * chained multi-command driven by a YAML config file
+  * (`/root/reference/dbcut/cli/main.py:39-55` — `dbcut load inspect dumpsql`
+  * runs the commands in order against one shared context; global options
+  * `--no-cache`, `--force-refresh`, `--last-only`, `--only`, `--quiet`,
+  * `-y` from `cli/context.py:30-49` and `commands/cmd_load.py`).
+  *
+  * Config file (the dbcut.yml analogue — source/destination URIs become
+  * directories of parquet tables):
+  * {{{
+  * databases:
+  *   source_dir: /data/sf0.01        # the catalog to extract FROM
+  *   destination_dir: /tmp/dest      # where load/dump commands write
+  * cache: /tmp/graft-cache           # optional; absent ⇒ no caching
+  * queries:                          # the dbcut query list
+  *   - from: customer
+  *     where: {c_mktsegment: BUILDING}
+  *     limit: 10
+  * }}}
+  *
+  * `runMain graft.Cli -c graft.yml load inspect dumpjson`
+  */
+object Cli {
+
+  val CommandNames: Seq[String] =
+    Seq("load", "flush", "clear", "inspect", "dumpsql", "dumpjson", "purgecache")
+
+  final case class Options(
+      configPath: String = "graft.yml",
+      noCache: Boolean = false,
+      forceRefresh: Boolean = false,
+      lastOnly: Boolean = false,
+      onlyTables: Seq[String] = Nil,
+      quiet: Boolean = false,
+      commands: Seq[String] = Nil)
+
+  final case class Config(
+      sourceDir: String,
+      destDir: String,
+      cacheDir: Option[String],
+      job: Job.JobConfig)
+
+  /** Chained-command argument parser: global options may appear anywhere;
+    * every bare word must be a known command and runs in the order given.
+    */
+  def parseArgs(args: Seq[String]): Options = {
+    @annotation.tailrec
+    def go(rest: List[String], acc: Options): Options = rest match {
+      case Nil => acc
+      case ("-c" | "--config") :: v :: t => go(t, acc.copy(configPath = v))
+      case "--no-cache" :: t => go(t, acc.copy(noCache = true))
+      case "--force-refresh" :: t => go(t, acc.copy(forceRefresh = true))
+      case ("-l" | "--last-only") :: t => go(t, acc.copy(lastOnly = true))
+      case "--only" :: v :: t =>
+        go(t, acc.copy(onlyTables = acc.onlyTables ++ v.split(",").toSeq))
+      case ("-q" | "--quiet") :: t => go(t, acc.copy(quiet = true))
+      case ("-y" | "--force-yes") :: t => go(t, acc) // non-interactive already
+      case cmd :: t if CommandNames.contains(cmd) =>
+        go(t, acc.copy(commands = acc.commands :+ cmd))
+      case other :: _ =>
+        throw new IllegalArgumentException(
+          s"unknown argument '$other' (commands: ${CommandNames.mkString(", ")})")
+    }
+    val opts = go(args.toList, Options())
+    require(opts.commands.nonEmpty,
+      s"no command given (commands: ${CommandNames.mkString(", ")})")
+    opts
+  }
+
+  /** Parse the YAML config: `databases.source_dir` / `destination_dir`,
+    * optional `cache`, and the query list via [[Job.parseConfig]] (which
+    * also honors in-file `only_tables` / `last_only`).
+    */
+  def parseConfig(text: String): Config = {
+    val mapper = new ObjectMapper(new YAMLFactory())
+    val root = mapper.readTree(text)
+    require(root.hasNonNull("databases"), "config needs a 'databases' section")
+    val dbs = root.get("databases")
+    require(dbs.hasNonNull("source_dir") && dbs.hasNonNull("destination_dir"),
+      "databases section needs source_dir and destination_dir")
+    Config(
+      sourceDir = dbs.get("source_dir").asText(),
+      destDir = dbs.get("destination_dir").asText(),
+      cacheDir = Option(root.get("cache")).filter(!_.isNull).map(_.asText()),
+      job = Job.parseConfig(text))
+  }
+
+  /** Run the parsed command chain. Returns the per-command log lines (also
+    * printed unless --quiet) — the test harness asserts on these.
+    */
+  def run(spark: SparkSession, opts: Options,
+          graph: RelGraph = RelGraph.tpch): Seq[String] = {
+    val cfg = parseConfig(Files.readString(Paths.get(opts.configPath)))
+    val job = cfg.job.copy(
+      onlyTables = if (opts.onlyTables.nonEmpty) opts.onlyTables else cfg.job.onlyTables,
+      lastOnly = opts.lastOnly || cfg.job.lastOnly)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def log(s: String): Unit = { out += s; if (!opts.quiet) println(s) }
+
+    // one shared extraction per run (like dbcut's per-context load): the
+    // first command that needs tables computes it, the rest reuse it
+    lazy val extracted: Map[String, DataFrame] = Job.run(
+      spark, cfg.sourceDir, job, graph,
+      cacheRoot = cfg.cacheDir.filter(_ => !opts.noCache),
+      force = opts.forceRefresh)
+    def fkOrder(tables: Map[String, DataFrame]): Seq[String] =
+      graph.topological.filter(tables.contains) ++
+        tables.keys.filterNot(graph.topological.contains).toSeq.sorted
+    def destTables(): Map[String, DataFrame] = {
+      val dir = Paths.get(cfg.destDir)
+      if (!Files.isDirectory(dir)) Map.empty
+      else Files.list(dir).iterator().asScala
+        .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("_SUCCESS")))
+        .map(p => p.getFileName.toString -> spark.read.parquet(p.toString))
+        .toMap
+    }
+
+    for (cmd <- opts.commands) cmd match {
+      case "load" =>
+        val order = fkOrder(extracted)
+        order.foreach { n =>
+          extracted(n).write.mode(SaveMode.Overwrite)
+            .parquet(s"${cfg.destDir}/$n")
+        }
+        val counts = order.map(n => s"$n=${spark.read.parquet(s"${cfg.destDir}/$n").count()}")
+        log(s"load: ${counts.mkString(", ")}")
+      case "flush" =>
+        // dbcut flush: drop + recreate the destination (cmd_flush.py)
+        val dir = Paths.get(cfg.destDir)
+        if (Files.exists(dir))
+          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        Files.createDirectories(dir)
+        log("flush: destination dropped and recreated")
+      case "clear" =>
+        // dbcut clear: delete rows, keep schema
+        val tables = destTables()
+        fkOrder(tables).reverse.foreach(n =>
+          Export.clear(tables(n), s"${cfg.destDir}/$n"))
+        log(s"clear: truncated ${tables.size} tables")
+      case "inspect" =>
+        val src = Tables.relational
+          .filter(n => Files.exists(Paths.get(Tables.path(cfg.sourceDir, n))))
+          .map(n => n -> Tables.load(spark, cfg.sourceDir, n)).toMap
+        val rows = Inspect.diff(src, destTables()).orderBy("tbl").collect()
+        log(f"${"table"}%-12s ${"src"}%10s ${"dest"}%10s ${"diff"}%10s")
+        rows.foreach(r => log(
+          f"${r.getString(0)}%-12s ${r.getLong(1)}%10d ${r.getLong(2)}%10d ${r.getLong(3)}%10d"))
+      case "dumpsql" =>
+        val order = fkOrder(extracted)
+        order.foreach { n =>
+          val pk = graph.tables.get(n).map(_.pk)
+            .getOrElse(RelGraph.synthesizePk(extracted(n).columns.toSeq))
+          SqlDump.dump(n, extracted(n), s"${cfg.destDir}/sql/$n", pk)
+        }
+        log(s"dumpsql: ${order.size} tables -> ${cfg.destDir}/sql")
+      case "dumpjson" =>
+        val order = fkOrder(extracted)
+        order.foreach(n => extracted(n).coalesce(1).write.mode(SaveMode.Overwrite)
+          .json(s"${cfg.destDir}/json/$n.json"))
+        log(s"dumpjson: ${order.size} tables -> ${cfg.destDir}/json")
+      case "purgecache" =>
+        cfg.cacheDir match {
+          case Some(c) => QueryCache.purge(c); log(s"purgecache: $c purged")
+          case None => log("purgecache: no cache configured")
+        }
+    }
+    out.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, parseArgs(args.toSeq))
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
+    }
+    finally spark.stop()
+  }
+}

@@ -45,13 +45,21 @@ object Job {
     if (cfg.lastOnly) filtered.takeRight(1) else filtered
   }
 
-  /** Run every selected query and merge the extractions per table. */
+  /** Run every selected query and merge the extractions per table. With a
+    * `cacheRoot`, each query goes through [[QueryCache]] (dbcut's per-query
+    * result cache; `force` ≡ --force-refresh) — pass None for --no-cache.
+    */
   def run(spark: SparkSession, sfDir: String, cfg: JobConfig,
-          graph: RelGraph = RelGraph.tpch): Map[String, DataFrame] = {
+          graph: RelGraph = RelGraph.tpch,
+          cacheRoot: Option[String] = None,
+          force: Boolean = false): Map[String, DataFrame] = {
     val merged = scala.collection.mutable.Map.empty[String, DataFrame]
     for (spec <- selectQueries(cfg)) {
-      val e = Subset.extract(spark, sfDir, spec, graph)
-      for ((name, df) <- e.tables) {
+      val tables = cacheRoot match {
+        case Some(c) => QueryCache.extract(spark, sfDir, spec, c, graph, force)._1
+        case None => Subset.extract(spark, sfDir, spec, graph).tables
+      }
+      for ((name, df) <- tables) {
         merged(name) = merged.get(name) match {
           case Some(cur) =>
             val pk = graph.tables.get(name).map(_.pk)

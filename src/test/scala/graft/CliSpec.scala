@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end drive of the chained CLI against real sf0.001 parquet —
+  * the dbcut session shape: load, inspect the src/dest diff, dump SQL and
+  * JSON, purge the cache, flush. Replaces the old Demo walkthrough.
+  */
+class CliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeConfig(dir: String, body: String): String = {
+    val p = Paths.get(dir, "graft.yml")
+    Files.writeString(p, body)
+    p.toString
+  }
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-cli").toString
+
+  test("chained load + inspect + dumps runs end-to-end from a config file") {
+    val work = tmp()
+    val cfgPath = writeConfig(work,
+      s"""databases:
+         |  source_dir: ${TestSpark.sf}
+         |  destination_dir: $work/dest
+         |cache: $work/cache
+         |queries:
+         |  - from: customer
+         |    where:
+         |      c_mktsegment: BUILDING
+         |    limit: 5
+         |    join_depth: 5
+         |    backref_depth: 1
+         |    backref_limit: 3
+         |    exclude: [lineitem]
+         |""".stripMargin)
+    val out = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "load", "inspect", "dumpsql", "dumpjson")))
+
+    // load wrote parquet per reached table, parents included
+    val loaded = out.find(_.startsWith("load:")).get
+    assert(loaded.contains("customer=5"))
+    assert(loaded.contains("nation=") && loaded.contains("region="))
+    assert(!loaded.contains("lineitem"), "excluded table must not load")
+    assert(Files.exists(Paths.get(s"$work/dest/customer/_SUCCESS")))
+
+    // inspect prints a src/dest/diff row per source table with dest counts
+    val inspectRows = out.filter(_.matches("^\\w+ +\\d+ +\\d+ +-?\\d+$"))
+    assert(inspectRows.exists(_.startsWith("customer")))
+    val cust = inspectRows.find(_.startsWith("customer")).get.trim.split("\\s+")
+    assert(cust(2) == "5") // dest count
+    assert(cust(1).toLong - cust(2).toLong == cust(3).toLong)
+
+    // dumps on disk: DDL+INSERT text and JSON lines
+    val sqlDir = s"$work/dest/sql/customer"
+    assert(Files.exists(Paths.get(sqlDir)))
+    val stmts = spark.read.text(sqlDir).collect().map(_.getString(0))
+    assert(stmts.exists(_.startsWith("CREATE TABLE customer")))
+    assert(stmts.count(_.startsWith("INSERT INTO customer")) == 5)
+    val js = spark.read.json(s"$work/dest/json/customer.json")
+    assert(js.count() == 5)
+
+    // the cache was populated by the load
+    assert(Files.list(Paths.get(s"$work/cache")).count() == 1)
+  }
+
+  test("cache hit on second run, purgecache empties it, flush drops dest") {
+    val work = tmp()
+    val cfgPath = writeConfig(work,
+      s"""databases:
+         |  source_dir: ${TestSpark.sf}
+         |  destination_dir: $work/dest
+         |cache: $work/cache
+         |queries:
+         |  - from: supplier
+         |    limit: 2
+         |    join_depth: 1
+         |    backref_depth: 0
+         |""".stripMargin)
+    Cli.run(spark, Cli.parseArgs(Seq("-c", cfgPath, "--quiet", "load")))
+    val key = Files.list(Paths.get(s"$work/cache")).iterator().next()
+    val countsMtime = Files.getLastModifiedTime(key.resolve("_counts"))
+    // second run must hit the cache (counts sidecar untouched)
+    Cli.run(spark, Cli.parseArgs(Seq("-c", cfgPath, "--quiet", "load")))
+    assert(Files.getLastModifiedTime(key.resolve("_counts")) == countsMtime)
+    // --force-refresh recomputes
+    Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "--force-refresh", "load")))
+    assert(Files.getLastModifiedTime(key.resolve("_counts")) != countsMtime)
+
+    val out = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "purgecache", "flush")))
+    assert(out.exists(_.startsWith("purgecache:")))
+    assert(Files.list(Paths.get(s"$work/cache")).count() == 0)
+    assert(Files.list(Paths.get(s"$work/dest")).count() == 0)
+  }
+
+  test("only/last-only select queries; clear truncates but keeps schema") {
+    val work = tmp()
+    val cfgPath = writeConfig(work,
+      s"""databases:
+         |  source_dir: ${TestSpark.sf}
+         |  destination_dir: $work/dest
+         |queries:
+         |  - from: customer
+         |    limit: 3
+         |    join_depth: 0
+         |    backref_depth: 0
+         |  - from: supplier
+         |    limit: 2
+         |    join_depth: 0
+         |    backref_depth: 0
+         |""".stripMargin)
+    // --only customer: supplier query skipped
+    val out1 = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "--only", "customer", "load")))
+    assert(out1.head == "load: customer=3")
+    // --last-only: only the supplier query runs (no cache configured)
+    val out2 = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "--last-only", "flush", "load")))
+    assert(out2.last == "load: supplier=2")
+    // clear keeps the table dir but empties it
+    val out3 = Cli.run(spark, Cli.parseArgs(Seq("-c", cfgPath, "--quiet", "clear")))
+    assert(out3.head == "clear: truncated 1 tables")
+    assert(spark.read.parquet(s"$work/dest/supplier").count() == 0)
+    assert(spark.read.parquet(s"$work/dest/supplier").columns.nonEmpty)
+  }
+
+  test("argument parser rejects unknown words and requires a command") {
+    intercept[IllegalArgumentException](Cli.parseArgs(Seq("loda")))
+    intercept[IllegalArgumentException](Cli.parseArgs(Seq("-c", "x.yml")))
+    val o = Cli.parseArgs(Seq("--only", "a,b", "--only", "c", "-y", "load", "inspect"))
+    assert(o.onlyTables == Seq("a", "b", "c"))
+    assert(o.commands == Seq("load", "inspect"))
+  }
+}
