@@ -26,10 +26,15 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ivf(q).size == Similarity.TopK, s"ivf query $q returned ${ivf(q).size}")
       assert(lsh(q).size == Similarity.TopK, s"lsh query $q returned ${lsh(q).size}")
     }
-    // pooled recall across queries: probing 4/16 IVF cells of a structure-
-    // free corpus should still recover a nontrivial share of the exact top-k
+    // pooled recall across queries: probing 4/16 k-means-trained IVF cells
+    // of a structure-free corpus recovers a solid share of the exact top-k.
+    // Measured 0.34 with 3 Lloyd rounds (the untrained first-K index was
+    // bounded at 0.15); 0.25 leaves margin for the float-sum order
+    // nondeterminism in centroid training while still pinning the
+    // training's lift over the old bound.
     val ivfRecall = brute.keys.map(q => (ivf(q) & brute(q)).size).sum.toDouble /
       (brute.size * Similarity.TopK)
-    assert(ivfRecall >= 0.15, s"ivf pooled recall $ivfRecall")
+    info(s"ivf pooled recall: $ivfRecall")
+    assert(ivfRecall >= 0.25, s"ivf pooled recall $ivfRecall")
   }
 }
