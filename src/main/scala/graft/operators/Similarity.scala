@@ -101,11 +101,15 @@ object Similarity {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType, containsNull = false)))))
     }
-    var cents: Array[Array[Double]] = unitized.orderBy("vec_id").limit(k)
+    // the corpus is re-scanned once per Lloyd round (+ the init read):
+    // materialize the normalized vectors once instead of recomputing the
+    // parquet scan + per-element divide every round
+    val cached = unitized.persist()
+    var cents: Array[Array[Double]] = cached.orderBy("vec_id").limit(k)
       .select(col("unit")).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
-      val assigned = unitized.crossJoin(broadcast(centDf(cents)))
+      val assigned = cached.crossJoin(broadcast(centDf(cents)))
         .withColumn("cdot", expr(dotExpr("unit", "cvec")))
         .groupBy(col("vec_id"))
         .agg(max(struct(col("cdot"), col("cell"))).as("m"),
@@ -126,6 +130,7 @@ object Similarity {
       }
       cents = next
     }
+    cached.unpersist(blocking = false)
     centDf(cents)
   }
 
