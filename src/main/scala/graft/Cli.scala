@@ -49,6 +49,7 @@ object Cli {
       sourceDir: String,
       destDir: String,
       cacheDir: Option[String],
+      dialect: SqlDump.Dialect,
       job: Job.JobConfig)
 
   /** Chained-command argument parser: global options may appear anywhere;
@@ -89,10 +90,18 @@ object Cli {
     val dbs = root.get("databases")
     require(dbs.hasNonNull("source_dir") && dbs.hasNonNull("destination_dir"),
       "databases section needs source_dir and destination_dir")
+    // optional destination dialect for SQL dumps (the reference derives it
+    // from the destination URI scheme; parquet dirs have none, so it's an
+    // explicit key): ansi (default) | mysql | postgresql | sqlite
+    val dialect = Option(dbs.get("sql_dialect")).filter(!_.isNull)
+      .map(_.asText()).getOrElse("ansi")
+    require(SqlDump.dialects.contains(dialect),
+      s"unknown sql_dialect '$dialect' (one of ${SqlDump.dialects.keys.toSeq.sorted.mkString(", ")})")
     Config(
       sourceDir = dbs.get("source_dir").asText(),
       destDir = dbs.get("destination_dir").asText(),
       cacheDir = Option(root.get("cache")).filter(!_.isNull).map(_.asText()),
+      dialect = SqlDump.dialects(dialect),
       job = Job.parseConfig(text))
   }
 
@@ -161,9 +170,15 @@ object Cli {
         order.foreach { n =>
           val pk = graph.tables.get(n).map(_.pk)
             .getOrElse(RelGraph.synthesizePk(extracted(n).columns.toSeq))
-          SqlDump.dump(n, extracted(n), s"${cfg.destDir}/sql/$n", pk)
+          // FK clauses only toward tables that are in the dump — a
+          // REFERENCES to an absent table would make the file unloadable
+          val fks = graph.tables.get(n).map(_.fks).getOrElse(Nil)
+            .filter(fk => extracted.contains(fk.parent))
+            .map(fk => SqlDump.FkClause(fk.childCols, fk.parent, fk.parentCols))
+          SqlDump.dump(n, extracted(n), s"${cfg.destDir}/sql/$n", pk, fks,
+            cfg.dialect)
         }
-        log(s"dumpsql: ${order.size} tables -> ${cfg.destDir}/sql")
+        log(s"dumpsql: ${order.size} tables (${cfg.dialect.name}) -> ${cfg.destDir}/sql")
       case "dumpjson" =>
         val order = fkOrder(extracted)
         order.foreach(n => extracted(n).coalesce(1).write.mode(SaveMode.Overwrite)

@@ -27,6 +27,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(stmts(1) == "INSERT INTO t (id, name, score) VALUES (2, NULL, 3.0);")
   }
 
+  test("SqlDump dialects render types, quoting, literals, and FK toggles") {
+    import spark.implicits._
+    val df = Seq((1, "x", true, 1.5)).toDF("id", "name", "ok", "score")
+    val fks = Seq(SqlDump.FkClause(Seq("name"), "parent", Seq("p_name")))
+
+    val my = SqlDump.ddl("t", df, Seq("id"), fks, SqlDump.MySql)
+    assert(my.contains("`id` INTEGER AUTO_INCREMENT NOT NULL"))
+    assert(my.contains("`name` LONGTEXT"))
+    assert(my.contains("`ok` TINYINT(1) NOT NULL"))
+    assert(my.contains("`score` DOUBLE NOT NULL"))
+    assert(my.contains("FOREIGN KEY (`name`) REFERENCES `parent` (`p_name`)"))
+
+    val pg = SqlDump.ddl("t", df, Seq("id"), fks, SqlDump.Postgres)
+    assert(pg.contains("\"id\" SERIAL NOT NULL"))
+    assert(pg.contains("\"score\" DOUBLE PRECISION NOT NULL"))
+    assert(pg.contains("FOREIGN KEY (\"name\") REFERENCES \"parent\" (\"p_name\")"))
+
+    val lite = SqlDump.ddl("t", df, Seq("id"), Nil, SqlDump.Sqlite)
+    assert(lite.contains("\"ok\" INTEGER NOT NULL")) // bool → INTEGER affinity
+    assert(lite.contains("\"score\" REAL NOT NULL"))
+
+    // boolean literal syntax differs per dialect
+    val ansiIns = SqlDump.insertStatements("t", df, SqlDump.Ansi)
+      .collect()(0).getString(0)
+    val myIns = SqlDump.insertStatements("t", df, SqlDump.MySql)
+      .collect()(0).getString(0)
+    assert(ansiIns.contains("TRUE") && myIns.contains(", 1,"))
+
+    // binary literals: X'..' (ansi/mysql) vs '\x..' (postgres)
+    val bdf = Seq(Tuple1(Array[Byte](0xde.toByte, 0xad.toByte))).toDF("b")
+    assert(SqlDump.insertStatements("t", bdf, SqlDump.Ansi)
+      .collect()(0).getString(0).contains("X'DEAD'"))
+    assert(SqlDump.insertStatements("t", bdf, SqlDump.Postgres)
+      .collect()(0).getString(0).contains("'\\xDEAD'"))
+
+    // dump file order: prologue, DDL, INSERTs, epilogue
+    val dir = Files.createTempDirectory("sqldump-my").toString + "/out"
+    SqlDump.dump("t", df, dir, Seq("id"), Nil, SqlDump.MySql)
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.head == "SET FOREIGN_KEY_CHECKS = 0;")
+    assert(lines.last == "SET FOREIGN_KEY_CHECKS = 1;")
+    assert(lines.exists(_.startsWith("CREATE TABLE `t`")))
+    assert(lines.count(_.startsWith("INSERT INTO `t`")) == 1)
+  }
+
   test("SqlDump.dump writes header then rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sqldump").toString + "/out"
