@@ -43,6 +43,7 @@ object Cli {
       lastOnly: Boolean = false,
       onlyTables: Seq[String] = Nil,
       quiet: Boolean = false,
+      profiler: Boolean = false,
       commands: Seq[String] = Nil)
 
   final case class Config(
@@ -66,6 +67,7 @@ object Cli {
       case "--only" :: v :: t =>
         go(t, acc.copy(onlyTables = acc.onlyTables ++ v.split(",").toSeq))
       case ("-q" | "--quiet") :: t => go(t, acc.copy(quiet = true))
+      case "--profiler" :: t => go(t, acc.copy(profiler = true))
       case ("-y" | "--force-yes") :: t => go(t, acc) // non-interactive already
       case cmd :: t if CommandNames.contains(cmd) =>
         go(t, acc.copy(commands = acc.commands :+ cmd))
@@ -135,7 +137,9 @@ object Cli {
         .toMap
     }
 
-    for (cmd <- opts.commands) cmd match {
+    for (cmd <- opts.commands) {
+    val t0 = System.nanoTime()
+    cmd match {
       case "load" =>
         val order = fkOrder(extracted)
         order.foreach { n =>
@@ -189,6 +193,10 @@ object Cli {
           case Some(c) => QueryCache.purge(c); log(s"purgecache: $c purged")
           case None => log("purgecache: no cache configured")
         }
+    }
+    // dbcut --profiler: per-operation wall timings (profiler_stats)
+    if (opts.profiler)
+      log(f"[profile] $cmd: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     out.toSeq
   }

@@ -36,4 +36,31 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` works against the dir. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Format-generic read — the catalog face of §2e.45. CSV reads take an
+    * explicit schema when given (the only scale-safe option: schema
+    * inference is an extra full pass over the files) and fall back to
+    * header+inference for ad-hoc use.
+    */
+  def read(spark: SparkSession, path: String, format: String = "parquet",
+           schema: Option[org.apache.spark.sql.types.StructType] = None,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    val r0 = spark.read.format(format).options(options)
+    val r = format match {
+      case "csv" => schema match {
+        case Some(s) => r0.schema(s).option("header", "true")
+        case None => r0.option("header", "true").option("inferSchema", "true")
+      }
+      case _ => schema.map(r0.schema).getOrElse(r0)
+    }
+    r.load(path)
+  }
+
+  /** Format-generic write (csv emits a header so reads round-trip). */
+  def write(df: DataFrame, path: String, format: String = "parquet",
+            mode: String = "overwrite",
+            options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format(format).mode(mode).options(options)
+    (if (format == "csv") w.option("header", "true") else w).save(path)
+  }
 }

@@ -113,10 +113,11 @@ class CliSpec extends AnyFunSuite {
          |    join_depth: 0
          |    backref_depth: 0
          |""".stripMargin)
-    // --only customer: supplier query skipped
+    // --only customer: supplier query skipped; --profiler logs timings
     val out1 = Cli.run(spark, Cli.parseArgs(
-      Seq("-c", cfgPath, "--quiet", "--only", "customer", "load")))
+      Seq("-c", cfgPath, "--quiet", "--profiler", "--only", "customer", "load")))
     assert(out1.head == "load: customer=3")
+    assert(out1.exists(_.matches("\\[profile\\] load: \\d+\\.\\d+ s")))
     // --last-only: only the supplier query runs (no cache configured)
     val out2 = Cli.run(spark, Cli.parseArgs(
       Seq("-c", cfgPath, "--quiet", "--last-only", "flush", "load")))

@@ -74,4 +74,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"bucket join degenerated into a product join:\n$p")
   }
+
+  test("minhash plan caps band buckets before pair generation") {
+    // the deterministic bucket cap must sit between the band explode and
+    // the self-join: a Window(row_number) over (band, bkey) feeding a
+    // rn <= cap filter. Without it a mass-duplicate bucket re-quadratices.
+    val p = planOf("q_dedup_minhash")
+    assert(p.contains("row_number"), s"bucket-cap window missing:\n$p")
+  }
+
+  test("rare-gram jaccard prunes hot grams with an equi semi-join") {
+    val p = planOf("q_ngram_jaccard")
+    // the df-prune must be a hash/sort-merge SEMI join on gram (scalable),
+    // never a product, and the pair join stays equi on the gram key
+    assert(p.contains("LeftSemi"), s"df-prune semi-join missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram join degenerated into a product join:\n$p")
+  }
+
+  test("inspect diff counts are partial hash aggregates over pruned scans") {
+    // every per-table count must plan as partial+final HashAggregate over
+    // the scan (map-side combine). The src/dest pairing IS a cross join —
+    // of two single-row aggregates, which is bounded by construction.
+    val p = planOf("q_inspect_diff")
+    assert(p.contains("HashAggregate"), s"counts not hash-aggregated:\n$p")
+  }
 }

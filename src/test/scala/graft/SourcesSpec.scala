@@ -82,6 +82,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(lines.count(_.startsWith("INSERT INTO t")) == 2)
   }
 
+  test("Tables catalog round-trips csv and json with schema control") {
+    val nation = Tables.load(spark, TestSpark.sf, "nation")
+    val base = Files.createTempDirectory("tables-fmt").toString
+    for (fmt <- Seq("csv", "json")) {
+      Tables.write(nation, s"$base/$fmt", fmt)
+      // explicit schema: no inference pass, exact types back
+      val back = Tables.read(spark, s"$base/$fmt", fmt, Some(nation.schema))
+      assert(back.schema == nation.schema, s"$fmt schema")
+      assert(back.count() == nation.count(), s"$fmt rows")
+      val a = nation.orderBy("n_nationkey").collect().map(_.toSeq)
+      val b = back.orderBy("n_nationkey").collect().map(_.toSeq)
+      assert(a.toSeq == b.toSeq, s"$fmt content")
+    }
+    // headerful csv also reads standalone (ad-hoc path, inference)
+    val inferred = Tables.read(spark, s"$base/csv", "csv")
+    assert(inferred.columns.toSeq == nation.columns.toSeq)
+  }
+
   test("QueryCache caches by canonical spec and purges") {
     val root = Files.createTempDirectory("qcache").toString
     val spec = SpecJson.parse("from: nation\nlimit: 5\njoin_depth: 1\nbackref_depth: 0\n")
