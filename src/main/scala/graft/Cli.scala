@@ -34,7 +34,8 @@ import scala.jdk.CollectionConverters._
 object Cli {
 
   val CommandNames: Seq[String] =
-    Seq("load", "flush", "clear", "inspect", "dumpsql", "dumpjson", "purgecache")
+    Seq("load", "flush", "clear", "inspect", "estimate", "dumpsql", "dumpjson",
+      "purgecache")
 
   final case class Options(
       configPath: String = "graft.yml",
@@ -169,6 +170,23 @@ object Cli {
         log(f"${"table"}%-12s ${"src"}%10s ${"dest"}%10s ${"diff"}%10s")
         rows.foreach(r => log(
           f"${r.getString(0)}%-12s ${r.getLong(1)}%10d ${r.getLong(2)}%10d ${r.getLong(3)}%10d"))
+      case "estimate" =>
+        // dbcut --estimate: what a load WOULD touch, without moving data —
+        // the driver-side traversal plan (relation tree) plus source row
+        // counts read from parquet footers only (the stats-table analogue
+        // of the reference's information_schema estimate)
+        for (spec <- Job.selectQueries(job)) {
+          val plan = Subset.plan(spec, graph)
+          log(s"estimate: root=${plan.root}")
+          plan.renderTree.linesIterator.foreach(l => log(s"  $l"))
+          plan.tables.sorted.foreach { n =>
+            val p = Tables.path(cfg.sourceDir, n)
+            val cnt =
+              if (Files.exists(Paths.get(p))) Tables.footerRowCount(spark, p)
+              else -1L
+            log(f"  $n%-12s <= $cnt%d source rows")
+          }
+        }
       case "dumpsql" =>
         val order = fkOrder(extracted)
         order.foreach { n =>

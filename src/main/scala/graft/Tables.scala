@@ -56,6 +56,27 @@ object Tables {
     r.load(path)
   }
 
+  /** Row count from parquet FOOTERS only — driver-side metadata reads, no
+    * Spark job, no data scan. The cheap-count primitive behind the CLI's
+    * `estimate` (dbcut `--estimate` reads information_schema stats,
+    * `database.py:323-345`) and the LSH plane-count sizing.
+    */
+  def footerRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    files.iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Format-generic write (csv emits a header so reads round-trip). */
   def write(df: DataFrame, path: String, format: String = "parquet",
             mode: String = "overwrite",

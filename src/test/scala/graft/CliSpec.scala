@@ -129,6 +129,29 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$work/dest/supplier").columns.nonEmpty)
   }
 
+  test("estimate previews the traversal and footer counts without loading") {
+    val work = tmp()
+    val cfgPath = writeConfig(work,
+      s"""databases:
+         |  source_dir: ${TestSpark.sf}
+         |  destination_dir: $work/dest
+         |queries:
+         |  - from: customer
+         |    where:
+         |      c_mktsegment: BUILDING
+         |    limit: 5
+         |    include: [region]
+         |""".stripMargin)
+    val out = Cli.run(spark, Cli.parseArgs(Seq("-c", cfgPath, "--quiet", "estimate")))
+    assert(out.head == "estimate: root=customer")
+    // the relation tree names the traversal path
+    assert(out.exists(_.contains("nation")) && out.exists(_.contains("region")))
+    // footer counts are the FULL source sizes (sf0.001: 150 customers)
+    assert(out.exists(_.matches("\\s*customer\\s+<= 150 source rows")))
+    // nothing moved: no destination directory was created
+    assert(!Files.exists(Paths.get(s"$work/dest")))
+  }
+
   test("argument parser rejects unknown words and requires a command") {
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("loda")))
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("-c", "x.yml")))
