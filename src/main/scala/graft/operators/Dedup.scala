@@ -46,12 +46,11 @@ object Dedup {
   /** md5 string for Spark Column input. */
   private def md5s(c: Column): Column = md5(c.cast("binary"))
 
-  /** MinHash+LSH candidate pairs over (doc_id, text) with exact-dedup
-    * pre-pass and deterministic per-bucket cap — the full §2d.32 pipeline,
-    * reusable outside the registered query (and unit-tested on a
-    * mass-duplicate corpus in DedupSpec).
+  /** MinHash signatures over (doc_id, text): exact-dedup pre-pass, word
+    * 3-shingles, NumSeeds min-slice columns h0..h7. The building block of
+    * [[minhashPairs]] and the estimated-Jaccard query.
     */
-  def minhashPairs(docs0: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
+  def minhashSignatures(docs0: DataFrame): DataFrame = {
     // exact-dedup pre-pass: identical normalized texts collapse to their
     // min-doc_id representative BEFORE shingling, so a 10^6-copy cluster
     // contributes one signature, not 10^12 candidate pairs
@@ -69,7 +68,19 @@ object Dedup {
                 else md5s(concat(lit("x:"), col("shingle")))
       min(substring(src, 8 * (i % 4) + 1, 8)).as(s"h$i")
     }
-    val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** MinHash+LSH candidate pairs over (doc_id, text) with exact-dedup
+    * pre-pass and deterministic per-bucket cap — the full §2d.32 pipeline,
+    * reusable outside the registered query (and unit-tested on a
+    * mass-duplicate corpus in DedupSpec).
+    */
+  def minhashPairs(docs0: DataFrame, bucketCap: Int = BucketCap): DataFrame =
+    bandPairs(minhashSignatures(docs0), bucketCap)
+
+  /** Band-bucket candidate pairs from a signature table (h0..h7). */
+  def bandPairs(sigs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
     val bands = sigs.select(col("doc_id"), explode(array(
       (0 until Bands).map(b => struct(lit(b).as("band"),
         md5s(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))): _*))
@@ -246,6 +257,61 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     })(
       (s, dir) => rareGramJaccard(docs(s, dir).filter(col("lang") === "en"))
-        .orderBy("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // 34b. MinHash-ESTIMATED Jaccard: the scale path for pairwise
+    // similarity — no gram self-join at all. Candidates come from the
+    // capped LSH bands; the similarity estimate is the fraction of
+    // matching signature slices (E[match] = true Jaccard), a constant-time
+    // integer per pair. The md5-slice signatures are bit-identical across
+    // engines, so unlike a float sketch this estimator hash-checks.
+    Q("q_jaccard_minhash_est", {
+      val minhs = (0 until NumSeeds).map { i =>
+        val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+        s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
+      }.mkString(",\n  ")
+      val bands = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
+        .mkString("\n  UNION ALL ")
+      val matches = (0 until NumSeeds)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH reps AS (
+         |  SELECT min(doc_id) AS doc_id, s
+         |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
+         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
+         |sh AS (
+         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+         |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
+         |bands0 AS ($bands),
+         |bands AS (
+         |  SELECT doc_id, band, bkey FROM bands0
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(($matches) * ${1000000 / NumSeeds} AS BIGINT) AS jac_est_micro
+         |FROM pairs
+         |JOIN sigs sa ON doc_a = sa.doc_id
+         |JOIN sigs sb ON doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })(
+      (s, dir) => {
+        // at cluster scale the signature table would be persisted once and
+        // shared by the band explode and both pair-side joins
+        val sigs = minhashSignatures(docs(s, dir))
+        val pairs = bandPairs(sigs)
+        val nMatch = (0 until NumSeeds)
+          .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        pairs
+          .join(sigs.alias("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sigs.alias("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (nMatch * lit(1000000 / NumSeeds)).cast("long").as("jac_est_micro"))
+          .orderBy("doc_a", "doc_b")
+      })
   )
 }
