@@ -299,8 +299,9 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     })(
       (s, dir) => {
-        // at cluster scale the signature table would be persisted once and
-        // shared by the band explode and both pair-side joins
+        // the signature table feeds the band explode AND both pair-side
+        // joins; its shuffle is deduplicated by ReuseExchange (verified: an
+        // explicit persist() moves nothing at sf0.1), so no caching needed
         val sigs = minhashSignatures(docs(s, dir))
         val pairs = bandPairs(sigs)
         val nMatch = (0 until NumSeeds)
