@@ -55,6 +55,29 @@ object Skew {
     stage1.groupBy(keys: _*).agg(sum("__partial").as(resultName))
   }
 
+  /** Skew-safe equi-join: the fact side's hot keys are spread over
+    * `buckets` sub-keys by a salt derived from the fact row (crc32 of a
+    * discriminator column — deterministic, no rand()), and the dimension
+    * side is replicated `buckets`× with an exploded salt array so every
+    * (key, salt) pair still meets its match. The join RESULT is identical
+    * to the unsalted join — salting only changes partitioning — which is
+    * what lets the DuckDB oracle check it with a plain JOIN.
+    *
+    * This is the manual form of AQE's skew-join splitting, for engines/
+    * paths where AQE can't see the skew (e.g. a first shuffle straight out
+    * of a scan, or a skewed key known a priori).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 discriminator: Column, buckets: Int): DataFrame = {
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "input already has a __salt column")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(crc32(discriminator.cast("string")), lit(buckets)).cast("int"))
+    val repDim = dim.withColumn("__salt",
+      explode(expr(s"sequence(0, ${buckets - 1})")))
+    saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
+  }
+
   val pack: Seq[Q] = Seq(
     // HLL-sketch distinct estimation next to its exact answer — the scale
     // path when exact distinct is too expensive. Rows-only: sketch estimates
@@ -89,6 +112,27 @@ object Skew {
         orders.join(parts, col("o.l_returnflag") <=> col("p.l_returnflag"))
           .select(col("o.l_returnflag"), col("o.n_orders"), col("p.n_parts"))
           .orderBy("l_returnflag")
+      }),
+
+    // 24k. skew-safe big⋈big join: lineitem ⋈ orders through the salted
+    // join (fact hot keys fanned over 8 sub-keys, dimension replicated 8×).
+    // The salt is partitioning-only, so the oracle is the PLAIN join — the
+    // hash check proves salting changes nothing but the shuffle layout.
+    Q("q_join_salted",
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        saltedJoin(li, ord, "l_orderkey", col("l_partkey"), buckets = 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("o_orderstatus")
       })
   )
 }
