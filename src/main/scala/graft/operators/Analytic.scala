@@ -259,6 +259,29 @@ object Analytic {
           .orderBy(col("l_returnflag"))
       }),
 
+    // Deterministic STRATIFIED sampling: exactly k documents per stratum
+    // (language), chosen by md5 order within the stratum — the balanced-
+    // per-class subset a training pipeline draws (uniform sampling starves
+    // rare strata). One shuffle by stratum, bounded output; the md5 ranking
+    // is engine-identical so the exact picked rows hash-check.
+    Q("q_sample_stratified",
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)(
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 20)
+          .orderBy(col("lang"), col("rn"))
+      }),
+
     // Sketch percentiles — the 100 TB path. Exact percentiles buffer every
     // value of a group on one reducer; approx_percentile keeps a fixed-size
     // mergeable summary with map-side partial aggregation, so cost is flat

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.model.RelGraph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +31,48 @@ object Inspect {
         (col("src_rows") - col("dest_rows")).as("diff"))
     }.reduce(_ unionByName _)
   }
+
+  /** Referential-integrity audit: for every FK edge present in `tables`,
+    * the number of child rows whose FK is non-null but matches no parent —
+    * the invariant the whole subset-extraction engine exists to preserve,
+    * checkable against any catalog (a source, or a destination after a
+    * load). One left-anti join per edge, counts unioned; each anti-join is
+    * a broadcast/shuffled hash join on the FK key, never a product.
+    */
+  def orphans(tables: Map[String, DataFrame], graph: RelGraph): DataFrame = {
+    val rows = for {
+      (name, meta) <- graph.tables.toSeq.sortBy(_._1)
+      if tables.contains(name)
+      fk <- meta.fks.sortBy(_.parent)
+      if tables.contains(fk.parent)
+    } yield {
+      val child = tables(name)
+      val parent = tables(fk.parent)
+      val cond = fk.childCols.zip(fk.parentCols)
+        .map { case (c, p) => child(c) === parent(p) }.reduce(_ && _)
+      val nonNull = fk.childCols.map(child(_).isNotNull).reduce(_ && _)
+      child.filter(nonNull).join(parent, cond, "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(s"$name->${fk.parent}").as("edge"), col("n_orphans"))
+    }
+    require(rows.nonEmpty, "no FK edges between the given tables")
+    rows.reduce(_ unionByName _)
+  }
+
+  /** Long-format column profile: per column, row/null/distinct counts —
+    * the quick data-quality read a pipeline runs before committing to a
+    * 100 TB job. All three stats per column come from ONE aggregate pass
+    * over that column (count + conditional sum + exact distinct).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"))
+    }.reduce(_ unionByName _)
 
   /** The q_subset_exclude extraction replayed as an inspect diff: source =
     * the full relational catalog, destination = the extraction result. The
@@ -74,5 +117,43 @@ object Inspect {
       val e = Subset.extract(s, dir, spec)
       val src = Tables.relational.map(n => n -> Tables.load(s, dir, n)).toMap
       diff(src, e.tables).orderBy("tbl")
-    }))
+    }),
+
+    // RI audit over the full source catalog — every FK edge, zero orphans
+    // expected on the synthetic data (the operator's sensitivity to REAL
+    // orphans is proven separately in InspectSpec on corrupted tables).
+    // The oracle is generated from the SAME RelGraph metadata, so the edge
+    // list can never drift between engines.
+    Q("q_ri_orphans", {
+      val edges = for {
+        (name, meta) <- RelGraph.tpch.tables.toSeq.sortBy(_._1)
+        if Tables.relational.contains(name)
+        fk <- meta.fks.sortBy(_.parent)
+      } yield {
+        val notNull = fk.childCols.map(c => s"c.$c IS NOT NULL").mkString(" AND ")
+        val eq = fk.childCols.zip(fk.parentCols)
+          .map { case (cc, pc) => s"p.$pc = c.$cc" }.mkString(" AND ")
+        s"""SELECT '$name->${fk.parent}' AS edge,
+           |  CAST((SELECT COUNT(*) FROM $name c WHERE $notNull
+           |        AND NOT EXISTS (SELECT 1 FROM ${fk.parent} p WHERE $eq)) AS BIGINT) AS n_orphans"""
+          .stripMargin
+      }
+      edges.mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY edge")
+    })((s, dir) => {
+      val tables = Tables.relational.map(n => n -> Tables.load(s, dir, n)).toMap
+      orphans(tables, RelGraph.tpch).orderBy("edge")
+    }),
+
+    // column profile of the documents table (row/null/distinct per column)
+    Q("q_profile", {
+      val cols = Seq("doc_id", "lang", "source", "text")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM documents""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY col_name")
+    })((s, dir) =>
+      profile(Tables.load(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "text")).orderBy("col_name")))
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.model.{FK, RelGraph, TableMeta}
+import graft.operators.Inspect
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The RI audit must detect actual orphans — the registered query sees only
+  * clean data (zero rows everywhere), so sensitivity is proven here on a
+  * deliberately corrupted catalog.
+  */
+class InspectSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val graph = RelGraph(Map(
+    "p" -> TableMeta("p", Seq("pid")),
+    "c" -> TableMeta("c", Seq("cid"), Seq(FK(Seq("pref"), "p", Seq("pid"))))))
+
+  test("orphans counts non-null FK values without a parent, per edge") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pid")
+    // 10 -> ok, 20 -> ok, 99/98 -> orphans, null -> NOT an orphan
+    val child = Seq(
+      (10L, Some(1L)), (20L, Some(2L)), (30L, Some(99L)), (40L, Some(98L)),
+      (50L, None: Option[Long]))
+      .toDF("cid", "pref")
+    val out = Inspect.orphans(Map("p" -> parent, "c" -> child), graph).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "c->p")
+    assert(out(0).getLong(1) == 2L)
+  }
+
+  test("orphans on the clean relational catalog is all zeros") {
+    val tables = Tables.relational
+      .map(n => n -> Tables.load(spark, TestSpark.sf, n)).toMap
+    val rows = Inspect.orphans(tables, RelGraph.tpch).collect()
+    assert(rows.length == 7) // the 7 FK edges of the star schema
+    assert(rows.forall(_.getLong(1) == 0L),
+      rows.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+  }
+
+  test("profile reports rows, nulls, and distincts per column") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1)), ("a", None), ("b", Some(2)))
+      .toDF("k", "v")
+    val rows = Inspect.profile(df, Seq("k", "v"))
+      .orderBy("col_name").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq(("k", 3L, 0L, 2L), ("v", 3L, 1L, 2L)))
+  }
+}
