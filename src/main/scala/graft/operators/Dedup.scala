@@ -99,6 +99,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over candidate pairs → cluster representative
+    * (min doc_id) per involved document. This is the step that turns
+    * near-dup PAIRS into a dedup VERDICT: keep each cluster's
+    * representative, drop the rest.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels; rounds = component
+    * diameter. Near-dup components are small by construction (LSH bands +
+    * bucket caps bound who can pair), so few rounds; a web-scale graph
+    * with long chains would use the large-star/small-star contraction to
+    * cut rounds to O(log n). Per round: one join + aggregate, a
+    * localCheckpoint to stop lineage growth, and a single COUNT back to
+    * the driver for the fixpoint test — never the data.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")).localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src")).agg(min(col("nrep")).as("nmin"))
+        .withColumnRenamed("src", "doc_id")
+      val updated = labels.alias("l")
+        .join(nbrMin.alias("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("l.rep"), coalesce(col("n.nmin"), col("l.rep"))).as("rep"))
+        .localCheckpoint()
+      converged = updated.alias("u").join(labels.alias("l0"), "doc_id")
+        .filter(col("u.rep") =!= col("l0.rep")).isEmpty
+      labels = updated
+      iters += 1
+    }
+    require(converged, s"connected components did not converge in $maxIters rounds")
+    labels
+  }
+
   /** Rare-gram Jaccard similarity over (doc_id, text) — §2d.34 with the
     * df-cap bound (see [[DfCap]]); reusable and unit-tested on a synthetic
     * hot-gram corpus in DedupSpec.
@@ -313,6 +354,50 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"),
             (nMatch * lit(1000000 / NumSeeds)).cast("long").as("jac_est_micro"))
           .orderBy("doc_a", "doc_b")
-      })
+      }),
+
+    // 32b. near-dup CLUSTER resolution: connected components over the
+    // MinHash candidate pairs, each involved document labeled with its
+    // cluster representative (min doc_id) — the "keep one per cluster"
+    // verdict a dedup pipeline actually applies. The oracle recomputes the
+    // same components with a recursive transitive-closure CTE (tractable
+    // because LSH bands + bucket caps keep components small).
+    Q("q_dedup_clusters", {
+      val minhs = (0 until NumSeeds).map { i =>
+        val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+        s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
+      }.mkString(",\n  ")
+      val bands = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE reps AS (
+         |  SELECT min(doc_id) AS doc_id, s
+         |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
+         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
+         |sh AS (
+         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+         |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
+         |bands0 AS ($bands),
+         |bands AS (
+         |  SELECT doc_id, band, bkey FROM bands0
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT CAST(src AS BIGINT) AS doc_id,
+         |  CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_rep
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => connectedComponents(minhashPairs(docs(s, dir)))
+        .select(col("doc_id"), col("rep").as("cluster_rep"))
+        .orderBy("doc_id"))
   )
 }

@@ -76,6 +76,23 @@ class DedupSpec extends AnyFunSuite {
       s"expected only the rare-gram pairs, got ${got.size} pairs")
   }
 
+  test("connectedComponents labels chains and islands with their min doc") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), island 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // non-convergence within the round budget must fail loudly, not lie
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(
+        (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"),
+        maxIters = 2)
+    }
+  }
+
   test("rareGramJaccard: df cap bounds per-gram postings") {
     // after pruning, no gram may appear in more than dfCap docs — the
     // invariant that bounds pair output per gram to C(dfCap, 2)
