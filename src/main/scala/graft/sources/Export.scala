@@ -50,4 +50,41 @@ object Export {
     */
   def clear(df: DataFrame, destPath: String): Unit =
     df.limit(0).write.mode(SaveMode.Overwrite).parquet(destPath)
+
+  /** Small-files repair: rewrite a parquet directory into files of
+    * ~`targetBytes` each. Streaming sinks and over-partitioned jobs leave
+    * thousands of tiny files whose per-file open/footer cost dominates the
+    * next scan; at 100 TB an uncompacted table can spend longer listing
+    * than reading. Writes to a sibling temp dir, then atomically swaps, so
+    * a crash never leaves the table half-rewritten. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 256L << 20): (Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val parts = math.max(1L,
+      math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compact swap failed for $path")
+    (files.length, parts)
+  }
+
+  /** Range-partitioned, sorted parquet write: every output file covers a
+    * DISJOINT range of `sortCol`, so parquet min/max statistics let a
+    * range/point predicate skip whole files (and row groups within them) —
+    * the layout step that makes `WHERE key BETWEEN ...` scans read a
+    * sliver of a 100 TB table instead of all of it.
+    */
+  def sortedParquet(df: DataFrame, destPath: String, sortCol: String,
+                    numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(destPath)
 }

@@ -82,6 +82,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(lines.count(_.startsWith("INSERT INTO t")) == 2)
   }
 
+  test("compact rewrites a fragmented table into few files, losslessly") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+    orders.repartition(32).write.parquet(dir)
+    val before = spark.read.parquet(dir).inputFiles.length
+    assert(before >= 32)
+    val (nBefore, nAfter) = Export.compact(spark, dir)
+    assert(nBefore == before && nAfter == 1) // tiny table → one target file
+    assert(spark.read.parquet(dir).inputFiles.length == 1)
+    assert(spark.read.parquet(dir).count() == orders.count())
+    assert(!Files.exists(java.nio.file.Paths.get(dir + "__compact_tmp")))
+  }
+
+  test("sortedParquet writes disjoint key ranges per file (file-skip layout)") {
+    val dir = Files.createTempDirectory("sorted").toString + "/t"
+    Export.sortedParquet(Tables.load(spark, TestSpark.sf, "orders"),
+      dir, "o_orderkey", numFiles = 4)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val ranges = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val stats = r.getFooter.getBlocks.asScala
+            .map(_.getColumns.asScala.find(_.getPath.toDotString == "o_orderkey").get.getStatistics)
+          (stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+            stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+        } finally r.close()
+      }.sortBy(_._1)
+    assert(ranges.length == 4)
+    // disjoint: every file's max < the next file's min
+    ranges.sliding(2).foreach { case Array((_, max1), (min2, _)) =>
+      assert(max1 < min2, s"overlapping file ranges: $max1 vs $min2")
+    }
+  }
+
   test("Tables catalog round-trips csv and json with schema control") {
     val nation = Tables.load(spark, TestSpark.sf, "nation")
     val base = Files.createTempDirectory("tables-fmt").toString
