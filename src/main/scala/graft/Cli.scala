@@ -219,7 +219,25 @@ object Cli {
     out.toSeq
   }
 
+  val usage: String =
+    s"""usage: graft.Cli [-c CONFIG.yml] [options] COMMAND [COMMAND...]
+       |commands (chained left to right, sharing one extraction):
+       |  ${CommandNames.mkString(" ")}
+       |options:
+       |  -c, --config FILE   YAML config (default graft.yml)
+       |  --only T1,T2        run only queries rooted at the given tables
+       |  -l, --last-only     run only the last query
+       |  --no-cache          bypass the query-result cache
+       |  --force-refresh     recompute cached queries
+       |  -q, --quiet         suppress output
+       |  --profiler          log per-command wall timings
+       |  -y, --force-yes     non-interactive (accepted for compatibility)""".stripMargin
+
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || args.contains("-h") || args.contains("--help")) {
+      println(usage)
+      return
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -99,6 +99,27 @@ object Dedup {
       .distinct()
   }
 
+  /** 16-bit SimHash signatures over (doc_id, text): each distinct token
+    * votes ±1 per bit of md5(token); the sign vector assembles the
+    * signature. Shared by the bucket-dedup and multi-probe queries.
+    */
+  def simhashSigs(docs0: DataFrame): DataFrame = {
+    val tok = docs0
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
+      .distinct()
+    val sparkV = (0 until 4).map { d =>
+      s"(instr('0123456789abcdef', substr(md5(cast(token as binary)), ${d + 1}, 1)) - 1) * ${1 << (4 * d)}"
+    }.mkString(" + ")
+    val hashed = tok.select(col("doc_id"), expr(s"CAST($sparkV AS INT)").as("v"))
+    val voteAggs = (0 until 16).map(b =>
+      sum(expr(s"2 * (shiftright(v, $b) & 1) - 1")).as(s"s$b"))
+    val votes = hashed.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    val simhash = (0 until 16)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), simhash.cast("long").as("simhash"))
+  }
+
   /** Connected components over candidate pairs → cluster representative
     * (min doc_id) per involved document. This is the step that turns
     * near-dup PAIRS into a dedup VERDICT: keep each cluster's
@@ -250,25 +271,57 @@ object Dedup {
          |FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
          |ORDER BY simhash""".stripMargin
     })(
+      (s, dir) => simhashSigs(docs(s, dir))
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+        .filter(col("n_docs") > 1)
+        .orderBy("simhash")),
+
+    // 33b. multi-probe SimHash: near-dups at hamming distance ≤ 1, found by
+    // probing each signature AND its 16 one-bit flips against the signature
+    // index — 17 equi-join lookups per doc instead of any pairwise scan.
+    // Output is the per-document neighbor SUMMARY (count + min neighbor),
+    // n rows bounded: a 16-bit space saturates at corpus scale (727k raw
+    // pairs at sf0.1), and emitting pairs would be exactly the quadratic
+    // output shape the rest of §2d is engineered to avoid.
+    Q("q_dedup_simhash_multiprobe", {
+      val duckV = (0 until 4).map { d =>
+        s"(strpos('0123456789abcdef', substr(md5(token), ${d + 1}, 1)) - 1) * ${1 << (4 * d)}"
+      }.mkString(" + ")
+      val sums = (0 until 16)
+        .map(b => s"SUM(2 * ((v >> $b) & 1) - 1) AS s$b").mkString(",\n  ")
+      val assemble = (0 until 16)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      val probes = ("sig" +: (0 until 16).map(b => s"xor(sig, ${1 << b})")).mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, t AS token
+         |  FROM (SELECT doc_id, UNNEST(string_split($normSql, ' ')) AS t FROM documents)),
+         |hashed AS (SELECT doc_id, CAST($duckV AS INTEGER) AS v FROM tok),
+         |votes AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, CAST($assemble AS BIGINT) AS sig FROM votes),
+         |pr AS (SELECT doc_id, UNNEST([$probes]) AS probe FROM sigs),
+         |nbrs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nbr
+         |  FROM pr a JOIN sigs b ON a.probe = b.sig AND a.doc_id <> b.doc_id)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near,
+         |  CAST(MIN(nbr) AS BIGINT) AS nearest
+         |FROM nbrs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })(
       (s, dir) => {
-        val tok = docs(s, dir)
-          .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
+        val sigs = simhashSigs(docs(s, dir))
+          .withColumnRenamed("simhash", "sig")
+        val probeCols = col("sig") +:
+          (0 until 16).map(b => expr(s"sig ^ ${1 << b}").cast("long"))
+        val pr = sigs.select(col("doc_id"), explode(array(probeCols: _*)).as("probe"))
+        pr.alias("a")
+          .join(sigs.alias("b"),
+            col("a.probe") === col("b.sig") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nbr"))
           .distinct()
-        val sparkV = (0 until 4).map { d =>
-          s"(instr('0123456789abcdef', substr(md5(cast(token as binary)), ${d + 1}, 1)) - 1) * ${1 << (4 * d)}"
-        }.mkString(" + ")
-        val hashed = tok.select(col("doc_id"), expr(s"CAST($sparkV AS INT)").as("v"))
-        val voteAggs = (0 until 16).map(b =>
-          sum(expr(s"2 * (shiftright(v, $b) & 1) - 1")).as(s"s$b"))
-        val votes = hashed.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-        val simhash = (0 until 16)
-          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        votes.select(col("doc_id"), simhash.cast("long").as("simhash"))
-          .groupBy("simhash")
-          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
-          .filter(col("n_docs") > 1)
-          .orderBy("simhash")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_near"), min(col("nbr")).as("nearest"))
+          .orderBy("doc_id")
       }),
 
     // 34. rare-gram Jaccard similarity: word-2-gram sets pruned of hot grams
