@@ -143,8 +143,10 @@ object Similarity {
         val c = emb(s, dir)
           .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
         val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-          .withColumn("cosine",
-            expr(dotExpr("qe", "ce")) / (expr(norm("qe")) * expr(norm("ce"))))
+          // fused single-pass cosine (VecCosine): one array traversal for
+          // dot + both norms, bit-identical to the composed three-vec_dot
+          // form the oracle expresses — see functions/VectorOps.scala
+          .withColumn("cosine", expr("vec_cosine(qe, ce)"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
         scored.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= TopK)

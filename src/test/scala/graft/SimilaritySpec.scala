@@ -17,6 +17,19 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
+  test("fused vec_cosine is bit-identical to the composed three-dot form") {
+    graft.functions.VectorOps.register(spark)
+    val e = Tables.load(spark, TestSpark.sf, "embeddings").limit(200)
+    val a = e.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.expr("embedding").as("v"))
+    val pairs = a.alias("x").crossJoin(a.alias("y").limit(5))
+    val diff = pairs.selectExpr(
+      "vec_cosine(x.v, y.v) AS fused",
+      "vec_dot(x.v, y.v) / (sqrt(vec_dot(x.v, x.v)) * sqrt(vec_dot(y.v, y.v))) AS composed")
+      .filter("fused <> composed OR (isnan(fused) <> isnan(composed))")
+    assert(diff.count() == 0, "fused cosine diverged from the composed form")
+  }
+
   test("IVF and LSH return full top-k lists with positive brute-force recall") {
     val brute = topk("q_knn_brute")
     val ivf = topk("q_knn_ivf")
