@@ -309,8 +309,11 @@ object Dedup {
          |FROM nbrs GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })(
       (s, dir) => {
+        // the signature table is BOTH the probe source and the index side
+        // of the join; localCheckpoint materializes the token-explode +
+        // 16-vote aggregate once instead of twice
         val sigs = simhashSigs(docs(s, dir))
-          .withColumnRenamed("simhash", "sig")
+          .withColumnRenamed("simhash", "sig").localCheckpoint()
         val probeCols = col("sig") +:
           (0 until 16).map(b => expr(s"sig ^ ${1 << b}").cast("long"))
         val pr = sigs.select(col("doc_id"), explode(array(probeCols: _*)).as("probe"))
