@@ -454,6 +454,66 @@ object Dedup {
     })(
       (s, dir) => connectedComponents(minhashPairs(docs(s, dir)))
         .select(col("doc_id"), col("rep").as("cluster_rep"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // CAPSTONE — the end-to-end training-set selection a pipeline user
+    // actually runs, composing the §2d operators: keep a document iff it
+    // is (a) the target language, (b) above the quality floor (same
+    // verdict rule as q_quality_score), and (c) NOT a non-representative
+    // member of a near-dup cluster (q_dedup_clusters' drop set, applied
+    // as an anti-join). Every stage is deterministic, so the whole
+    // composition hash-checks end to end.
+    Q("q_pipeline_select", {
+      val minhs = (0 until NumSeeds).map { i =>
+        val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+        s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
+      }.mkString(",\n  ")
+      val bands = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE reps AS (
+         |  SELECT min(doc_id) AS doc_id, s
+         |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
+         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
+         |sh AS (
+         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+         |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
+         |bands0 AS ($bands),
+         |bands AS (
+         |  SELECT doc_id, band, bkey FROM bands0
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep FROM reach GROUP BY src),
+         |drops AS (SELECT doc_id FROM labels WHERE doc_id <> rep)
+         |SELECT doc_id, source,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_words
+         |FROM documents
+         |WHERE lang = 'en' AND length(text) >= 100
+         |  AND len(string_split($normSql, ' ')) >= 20
+         |  AND doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val drops = connectedComponents(minhashPairs(d))
+          .filter(col("doc_id") =!= col("rep")).select("doc_id")
+        val nWords = size(split(normText(col("text")), " ")).cast("long")
+        d.filter(col("lang") === "en" && length(col("text")) >= 100 &&
+            size(split(normText(col("text")), " ")) >= 20)
+          .join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), nWords.as("n_words"))
+          .orderBy("doc_id")
+      })
   )
 }
