@@ -99,25 +99,76 @@ object Dedup {
       .distinct()
   }
 
-  /** 16-bit SimHash signatures over (doc_id, text): each distinct token
-    * votes ±1 per bit of md5(token); the sign vector assembles the
-    * signature. Shared by the bucket-dedup and multi-probe queries.
+  val SimhashBits = 64
+
+  /** Bit value `1 << b` of the signature as a Long — bit 63 is the Long
+    * sign bit (Long.MinValue).
+    */
+  private def simhashBit(b: Int): Long =
+    if (b == 63) Long.MinValue else 1L << b
+
+  /** The same bit value as SQL text both engines parse: the bit-63 literal
+    * cannot be written directly (`-9223372036854775808` parses as unary
+    * minus of an out-of-range positive), so it is spelled `min+1 - 1`.
+    */
+  private def simhashBitSql(b: Int): String =
+    if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+
+  /** 64-bit SimHash signatures over (doc_id, text): each distinct token
+    * votes ±1 per bit of the first 64 bits of md5(token); the sign vector
+    * assembles the signature. Shared by the bucket-dedup and multi-probe
+    * queries.
+    *
+    * 64 bits is the scale-bearing width: a 2^64 signature space makes a
+    * random collision between unrelated documents vanishingly rare even at
+    * corpus scale (the 16-bit variant this replaced saturated its 65k
+    * buckets — at sf0.01 it already reported 76 collision buckets where
+    * the 64-bit signature reports exactly the 21 identical-token-set
+    * groups and nothing else). The token hash is parsed as two 32-bit
+    * words up front (conv on 8-hex slices), so the 64 vote aggregates are
+    * pure integer shift/mask — tiny codegen, no per-bit string parsing.
     */
   def simhashSigs(docs0: DataFrame): DataFrame = {
     val tok = docs0
       .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("token"))
       .distinct()
-    val sparkV = (0 until 4).map { d =>
-      s"(instr('0123456789abcdef', substr(md5(cast(token as binary)), ${d + 1}, 1)) - 1) * ${1 << (4 * d)}"
-    }.mkString(" + ")
-    val hashed = tok.select(col("doc_id"), expr(s"CAST($sparkV AS INT)").as("v"))
-    val voteAggs = (0 until 16).map(b =>
-      sum(expr(s"2 * (shiftright(v, $b) & 1) - 1")).as(s"s$b"))
+    val dig = md5s(col("token"))
+    val hashed = tok.select(col("doc_id"),
+      conv(substring(dig, 1, 8), 16, 10).cast("long").as("w0"),
+      conv(substring(dig, 9, 8), 16, 10).cast("long").as("w1"))
+    val voteAggs = (0 until SimhashBits).map { b =>
+      val w = if (b < 32) "w0" else "w1"
+      sum(expr(s"2 * CAST(shiftright($w, ${b % 32}) & 1 AS INT) - 1")).as(s"s$b")
+    }
     val votes = hashed.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-    val simhash = (0 until 16)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+    // bit 63 lands on the sign bit, so the 64-term sum stays in Long range
+    // as long as it is added last (all positive bits first: ≤ 2^63-1)
+    val simhash = (0 until SimhashBits)
+      .map(b => when(col(s"s$b") > 0, lit(simhashBit(b))).otherwise(lit(0L)))
       .reduce(_ + _)
     votes.select(col("doc_id"), simhash.cast("long").as("simhash"))
+  }
+
+  /** DuckDB mirror of [[simhashSigs]] as a WITH-clause body ending in
+    * `sigs(doc_id, sig)` — shared by both simhash oracle queries so the
+    * two can never drift.
+    */
+  private def simhashSigsSql: String = {
+    val sums = (0 until SimhashBits).map { b =>
+      val w = if (b < 32) "w0" else "w1"
+      s"SUM(2 * ((($w >> ${b % 32})) & 1) - 1) AS s$b"
+    }.mkString(",\n  ")
+    val assemble = (0 until SimhashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${simhashBitSql(b)} ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (
+       |  SELECT DISTINCT doc_id, t AS token
+       |  FROM (SELECT doc_id, UNNEST(string_split($normSql, ' ')) AS t FROM documents)),
+       |hashed AS (SELECT doc_id,
+       |  CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS w0,
+       |  CAST('0x' || substr(md5(token), 9, 8) AS BIGINT) AS w1 FROM tok),
+       |votes AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($assemble AS BIGINT) AS sig FROM votes)""".stripMargin
   }
 
   /** Connected components over candidate pairs → cluster representative
@@ -247,30 +298,16 @@ object Dedup {
     })(
       (s, dir) => minhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
 
-    // 33. SimHash (16-bit): distinct tokens vote ±1 per bit of md5(token);
-    // docs sharing a simhash bucket are near-dup candidates. The token hash
-    // is parsed into one 16-bit int per row up front (digit 0 = low nibble),
-    // so the 16 vote aggregates are pure integer shift/mask — tiny codegen,
-    // no per-bit string parsing.
-    Q("q_dedup_simhash", {
-      val duckV = (0 until 4).map { d =>
-        s"(strpos('0123456789abcdef', substr(md5(token), ${d + 1}, 1)) - 1) * ${1 << (4 * d)}"
-      }.mkString(" + ")
-      val sums = (0 until 16)
-        .map(b => s"SUM(2 * ((v >> $b) & 1) - 1) AS s$b").mkString(",\n  ")
-      val assemble = (0 until 16)
-        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT DISTINCT doc_id, t AS token
-         |  FROM (SELECT doc_id, UNNEST(string_split($normSql, ' ')) AS t FROM documents)),
-         |hashed AS (SELECT doc_id, CAST($duckV AS INTEGER) AS v FROM tok),
-         |votes AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
-         |sigs AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)
-         |SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS keeper
-         |FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
-         |ORDER BY simhash""".stripMargin
-    })(
+    // 33. SimHash (64-bit): distinct tokens vote ±1 per bit of md5(token);
+    // docs sharing a simhash bucket are near-dup candidates. At 64 bits an
+    // equal-signature collision means an (essentially) identical token
+    // set — random collisions don't happen even at corpus scale — so
+    // "same bucket ⇒ near-dup" is a real verdict, not 16-bit noise.
+    Q("q_dedup_simhash",
+      s"""WITH $simhashSigsSql
+         |SELECT sig AS simhash, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS keeper
+         |FROM sigs GROUP BY sig HAVING COUNT(*) > 1
+         |ORDER BY simhash""".stripMargin)(
       (s, dir) => simhashSigs(docs(s, dir))
         .groupBy(col("simhash"))
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
@@ -278,28 +315,18 @@ object Dedup {
         .orderBy("simhash")),
 
     // 33b. multi-probe SimHash: near-dups at hamming distance ≤ 1, found by
-    // probing each signature AND its 16 one-bit flips against the signature
-    // index — 17 equi-join lookups per doc instead of any pairwise scan.
-    // Output is the per-document neighbor SUMMARY (count + min neighbor),
-    // n rows bounded: a 16-bit space saturates at corpus scale (727k raw
-    // pairs at sf0.1), and emitting pairs would be exactly the quadratic
-    // output shape the rest of §2d is engineered to avoid.
+    // probing each signature AND its 64 one-bit flips against the signature
+    // index — 65 equi-join lookups per doc instead of any pairwise scan.
+    // In the 64-bit space a probe hit is (near-)certainly a true hamming≤1
+    // neighbor, so join fan-out is proportional to REAL near-dup density,
+    // not n²/|space| (the 16-bit variant this replaced produced 727k
+    // random-collision pairs at sf0.1). Output stays the per-document
+    // neighbor SUMMARY (count + min neighbor) — emitting raw pairs would
+    // be exactly the quadratic output shape the rest of §2d avoids.
     Q("q_dedup_simhash_multiprobe", {
-      val duckV = (0 until 4).map { d =>
-        s"(strpos('0123456789abcdef', substr(md5(token), ${d + 1}, 1)) - 1) * ${1 << (4 * d)}"
-      }.mkString(" + ")
-      val sums = (0 until 16)
-        .map(b => s"SUM(2 * ((v >> $b) & 1) - 1) AS s$b").mkString(",\n  ")
-      val assemble = (0 until 16)
-        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      val probes = ("sig" +: (0 until 16).map(b => s"xor(sig, ${1 << b})")).mkString(", ")
-      s"""WITH tok AS (
-         |  SELECT DISTINCT doc_id, t AS token
-         |  FROM (SELECT doc_id, UNNEST(string_split($normSql, ' ')) AS t FROM documents)),
-         |hashed AS (SELECT doc_id, CAST($duckV AS INTEGER) AS v FROM tok),
-         |votes AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
-         |sigs AS (SELECT doc_id, CAST($assemble AS BIGINT) AS sig FROM votes),
+      val probes = ("sig" +: (0 until SimhashBits)
+        .map(b => s"xor(sig, ${simhashBitSql(b)})")).mkString(", ")
+      s"""WITH $simhashSigsSql,
          |pr AS (SELECT doc_id, UNNEST([$probes]) AS probe FROM sigs),
          |nbrs AS (
          |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nbr
@@ -311,11 +338,11 @@ object Dedup {
       (s, dir) => {
         // the signature table is BOTH the probe source and the index side
         // of the join; localCheckpoint materializes the token-explode +
-        // 16-vote aggregate once instead of twice
+        // 64-vote aggregate once instead of twice
         val sigs = simhashSigs(docs(s, dir))
           .withColumnRenamed("simhash", "sig").localCheckpoint()
         val probeCols = col("sig") +:
-          (0 until 16).map(b => expr(s"sig ^ ${1 << b}").cast("long"))
+          (0 until SimhashBits).map(b => col("sig").bitwiseXOR(lit(simhashBit(b))))
         val pr = sigs.select(col("doc_id"), explode(array(probeCols: _*)).as("probe"))
         pr.alias("a")
           .join(sigs.alias("b"),
