@@ -24,6 +24,22 @@ object Bench {
     // warm the catalog + JVM (file listing, codegen compiler, shuffle infra)
     Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
 
+    // contention sentinel: a fixed calibration query timed right after
+    // warm-up and again after the last query. On a quiet machine the two
+    // agree; a drift > 1.5× means another heavy process (or VM throttling)
+    // skewed this run and its numbers should not be published as "the"
+    // bench — the r3 headline artifact was exactly that failure mode.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      Tables.load(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // throwaway: pays the sentinel's own codegen
+    val calFirst = calibrate()
+
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -53,7 +69,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val calLast = calibrate()
+    val drift = math.max(calFirst, calLast) / math.min(calFirst, calLast)
+    val contended = drift > 1.5
+    val cal = f""""calibration":{"first_sec":$calFirst%.3f,"last_sec":$calLast%.3f,"drift":$drift%.2f,"contended":$contended}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

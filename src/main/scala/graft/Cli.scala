@@ -82,11 +82,39 @@ object Cli {
     opts
   }
 
+  /** `${VAR}` expansion for config path values — the reference expands
+    * environment variables in its database URIs and loads a `.env` file
+    * next to the config (`/root/reference/dbcut/cli/context.py:52-60`,
+    * `utils.py` `expand_env_variables`). Lookup order: real environment
+    * first, then the `.env` overlay; an unknown variable is left verbatim
+    * (expandvars semantics), so a literal `${...}` in a path survives.
+    */
+  private val EnvVar = "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+  def expandEnv(v: String, extraEnv: Map[String, String] = Map.empty): String =
+    EnvVar.replaceAllIn(v, m => java.util.regex.Matcher.quoteReplacement(
+      sys.env.getOrElse(m.group(1),
+        extraEnv.getOrElse(m.group(1), m.matched))))
+
+  /** KEY=VALUE lines of a `.env` file sitting next to the config file
+    * (comments and blanks skipped); empty when there is none.
+    */
+  def loadDotEnv(configPath: String): Map[String, String] = {
+    val dir = Paths.get(configPath).toAbsolutePath.getParent
+    val p = if (dir == null) null else dir.resolve(".env")
+    if (p == null || !Files.isRegularFile(p)) Map.empty
+    else Files.readAllLines(p).asScala.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i).trim -> l.drop(i + 1).trim }
+      .toMap
+  }
+
   /** Parse the YAML config: `databases.source_dir` / `destination_dir`,
     * optional `cache`, and the query list via [[Job.parseConfig]] (which
-    * also honors in-file `only_tables` / `last_only`).
+    * also honors in-file `only_tables` / `last_only`). Path values may be
+    * env-templated (`source_dir: ${DATA_ROOT}/sf0.01`) — see [[expandEnv]].
     */
-  def parseConfig(text: String): Config = {
+  def parseConfig(text: String, extraEnv: Map[String, String] = Map.empty): Config = {
     val mapper = new ObjectMapper(new YAMLFactory())
     val root = mapper.readTree(text)
     require(root.hasNonNull("databases"), "config needs a 'databases' section")
@@ -101,9 +129,10 @@ object Cli {
     require(SqlDump.dialects.contains(dialect),
       s"unknown sql_dialect '$dialect' (one of ${SqlDump.dialects.keys.toSeq.sorted.mkString(", ")})")
     Config(
-      sourceDir = dbs.get("source_dir").asText(),
-      destDir = dbs.get("destination_dir").asText(),
-      cacheDir = Option(root.get("cache")).filter(!_.isNull).map(_.asText()),
+      sourceDir = expandEnv(dbs.get("source_dir").asText(), extraEnv),
+      destDir = expandEnv(dbs.get("destination_dir").asText(), extraEnv),
+      cacheDir = Option(root.get("cache")).filter(!_.isNull)
+        .map(n => expandEnv(n.asText(), extraEnv)),
       dialect = SqlDump.dialects(dialect),
       job = Job.parseConfig(text))
   }
@@ -113,7 +142,8 @@ object Cli {
     */
   def run(spark: SparkSession, opts: Options,
           graph: RelGraph = RelGraph.tpch): Seq[String] = {
-    val cfg = parseConfig(Files.readString(Paths.get(opts.configPath)))
+    val cfg = parseConfig(Files.readString(Paths.get(opts.configPath)),
+      loadDotEnv(opts.configPath))
     val job = cfg.job.copy(
       onlyTables = if (opts.onlyTables.nonEmpty) opts.onlyTables else cfg.job.onlyTables,
       lastOnly = opts.lastOnly || cfg.job.lastOnly)

@@ -68,31 +68,36 @@ object Analytic {
         |ORDER BY p.user_id, p_ts""".stripMargin)(
       (s, dir) => {
         val ev = t(s, dir, "events")
-        // clicks deduped to one row per (user_id, ts) with max(value):
-        // (user_id, ts) is unique in the test events, but if equal-ts
-        // clicks ever appear, both the running-last window below and the
-        // oracle's ASOF JOIN would otherwise each pick an ARBITRARY tie
-        // winner — the pre-aggregate pins the same winner on both engines.
+        // Tie rule WITHOUT an extra shuffle: instead of pre-aggregating
+        // clicks to one row per (user_id, ts) — which cost its own
+        // exchange before the window — the running aggregate is
+        // max(struct(c_ts, c_value)): lexicographic struct max IS
+        // "latest ts, and among equal-ts clicks the max value", i.e. the
+        // same deterministic winner the oracle's pre-aggregated ASOF JOIN
+        // picks. One shuffle total (the user_id window sort).
+        val cvType = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_ts", ev.schema("ts").dataType),
+          org.apache.spark.sql.types.StructField("c_value",
+            org.apache.spark.sql.types.DoubleType)))
         val clicks = ev.filter(col("event_type") === "click")
-          .groupBy(col("user_id"), col("ts"))
-          .agg(max(col("value")).as("value"))
           .select(col("user_id"), col("ts"), lit(0).as("tag"),
-            col("ts").as("c_ts"), col("value").as("c_value"))
+            struct(col("ts").as("c_ts"),
+              col("value").cast("double").as("c_value")).as("cv"))
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts"), lit(1).as("tag"),
-            lit(null).cast(ev.schema("ts").dataType).as("c_ts"),
-            lit(null).cast("double").as("c_value"))
+            lit(null).cast(cvType).as("cv"))
+        // tag orders equal-ts clicks BEFORE the purchase so they are
+        // inside its frame; max itself is order-insensitive
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").asc, col("tag").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         clicks.unionByName(purchases)
-          .withColumn("last_c_ts", last(col("c_ts"), ignoreNulls = true).over(w))
-          .withColumn("last_c_value", last(col("c_value"), ignoreNulls = true).over(w))
-          .filter(col("tag") === 1 && col("last_c_ts").isNotNull)
+          .withColumn("last_cv", max(col("cv")).over(w))
+          .filter(col("tag") === 1 && col("last_cv").isNotNull)
           .select(col("user_id"),
             date_format(col("ts"), tsFmt).as("p_ts"),
-            date_format(col("last_c_ts"), tsFmt).as("c_ts"),
-            micros(col("last_c_value")).as("c_value_micros"))
+            date_format(col("last_cv.c_ts"), tsFmt).as("c_ts"),
+            micros(col("last_cv.c_value")).as("c_value_micros"))
           .orderBy(col("user_id"), col("p_ts"))
       }),
 

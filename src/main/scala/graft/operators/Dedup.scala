@@ -176,40 +176,51 @@ object Dedup {
     * near-dup PAIRS into a dedup VERDICT: keep each cluster's
     * representative, drop the rest.
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * of its own label and its neighbors' labels; rounds = component
-    * diameter. Near-dup components are small by construction (LSH bands +
-    * bucket caps bound who can pair), so few rounds; a web-scale graph
-    * with long chains would use the large-star/small-star contraction to
-    * cut rounds to O(log n). Per round: one join + aggregate, a
-    * localCheckpoint to stop lineage growth, and a single COUNT back to
-    * the driver for the fixpoint test — never the data.
+    * Alternating large-star / small-star contraction (the MapReduce CC
+    * algorithm of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each round rewires edges toward per-neighborhood
+    * minima, contracting components in O(log n) rounds instead of the
+    * O(diameter) that plain min-label propagation pays — a 64-doc chained
+    * near-dup corpus converges in ~5 rounds here vs 64 there (DedupSpec
+    * pins this). Per round: two groupBy-min passes + joins, a
+    * localCheckpoint to stop lineage growth, and count-only fixpoint
+    * probes back to the driver — never the data. At convergence the edge
+    * set is a star per component pointing at its min node.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id")).localCheckpoint()
+    // canonical undirected edge set, stored as (u > v)
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
-        .groupBy(col("src")).agg(min(col("nrep")).as("nmin"))
-        .withColumnRenamed("src", "doc_id")
-      val updated = labels.alias("l")
-        .join(nbrMin.alias("n"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("l.rep"), coalesce(col("n.nmin"), col("l.rep"))).as("rep"))
+      // large-star: for every node's full neighborhood, link each LARGER
+      // neighbor to the neighborhood min (including the node itself)
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: for every node's SMALLER neighbors, link them (and the
+      // node) to the min of that set
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint()
-      converged = updated.alias("u").join(labels.alias("l0"), "doc_id")
-        .filter(col("u.rep") =!= col("l0.rep")).isEmpty
-      labels = updated
+      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
+      edges = ss
       iters += 1
     }
     require(converged, s"connected components did not converge in $maxIters rounds")
-    labels
+    // converged edges are (node, component-min) stars; add the reps' own rows
+    edges.select(col("u").as("doc_id"), col("v").as("rep"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("rep")))
+      .distinct()
   }
 
   /** Rare-gram Jaccard similarity over (doc_id, text) — §2d.34 with the
@@ -486,9 +497,12 @@ object Dedup {
     // CAPSTONE — the end-to-end training-set selection a pipeline user
     // actually runs, composing the §2d operators: keep a document iff it
     // is (a) the target language, (b) above the quality floor (same
-    // verdict rule as q_quality_score), and (c) NOT a non-representative
-    // member of a near-dup cluster (q_dedup_clusters' drop set, applied
-    // as an anti-join). Every stage is deterministic, so the whole
+    // verdict rule as q_quality_score), and (c) NOT a duplicate — neither
+    // a byte-identical copy of a smaller-doc_id document (the exact-dedup
+    // pre-pass collapses those before LSH, so they must be dropped
+    // explicitly here) nor a non-representative member of a near-dup
+    // cluster (q_dedup_clusters' drop set). Both drop sets are applied as
+    // one anti-join. Every stage is deterministic, so the whole
     // composition hash-checks end to end.
     Q("q_pipeline_select", {
       val minhs = (0 until NumSeeds).map { i =>
@@ -522,7 +536,14 @@ object Dedup {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
          |labels AS (
          |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep FROM reach GROUP BY src),
-         |drops AS (SELECT doc_id FROM labels WHERE doc_id <> rep)
+         |exact_drops AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS keeper
+         |    FROM (SELECT doc_id, $normSql AS s FROM documents))
+         |  WHERE doc_id <> keeper),
+         |drops AS (
+         |  SELECT doc_id FROM labels WHERE doc_id <> rep
+         |  UNION SELECT doc_id FROM exact_drops)
          |SELECT doc_id, source,
          |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_words
          |FROM documents
@@ -533,8 +554,19 @@ object Dedup {
     })(
       (s, dir) => {
         val d = docs(s, dir)
-        val drops = connectedComponents(minhashPairs(d))
+        val ccDrops = connectedComponents(minhashPairs(d))
           .filter(col("doc_id") =!= col("rep")).select("doc_id")
+        // byte-identical copies never reach the LSH graph (the exact-dedup
+        // pre-pass keeps only each text's min-doc_id representative), so
+        // they form their own drop set: every doc that is NOT its
+        // normalized text's keeper
+        val exactDrops = d
+          .select(col("doc_id"), normText(col("text")).as("s"))
+          .withColumn("keeper", min(col("doc_id"))
+            .over(Window.partitionBy(col("s"))))
+          .filter(col("doc_id") =!= col("keeper"))
+          .select("doc_id")
+        val drops = ccDrops.unionByName(exactDrops).distinct()
         val nWords = size(split(normText(col("text")), " ")).cast("long")
         d.filter(col("lang") === "en" && length(col("text")) >= 100 &&
             size(split(normText(col("text")), " ")) >= 20)

@@ -72,27 +72,37 @@ object Multimodal {
     * per-bucket byte histogram the stub codec's feature vector encodes
     * (bucket counts are recovered exactly from the normalized float32
     * features: count/n round-trips through float32 for any document under
-    * ~10^5 bytes). Array cells stay out of the output (the driver's pandas
-    * row-sort cannot order them) — each bucket is its own BIGINT column.
+    * ~10^5 bytes). The oracle histograms the text's actual UTF-8 BYTES
+    * (hex(encode(text)) sliced two hex digits at a time), matching the
+    * codec's byte-wise view for any content — a character-indexed oracle
+    * would silently diverge on the first non-ASCII document. Array cells
+    * stay out of the output (the driver's pandas row-sort cannot order
+    * them) — each bucket is its own BIGINT column.
     */
   val pack: Seq[graft.Q] = Seq(
     graft.Q("q_multimodal_features", {
       val sums = (0 until FakeCodec.FeatureDim).map(i =>
         s"CAST(SUM(CASE WHEN bucket = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i")
         .mkString(",\n        |    ")
-      s"""WITH m AS (SELECT doc_id AS media_id, text FROM documents),
+      val coal = (0 until FakeCodec.FeatureDim)
+        .map(i => s"COALESCE(h$i, 0) AS h$i").mkString(", ")
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id, text, strlen(text) AS nb,
+        |    hex(encode(text)) AS hx
+        |  FROM documents),
         |b AS (
-        |  SELECT media_id, ascii(substr(text, i, 1)) % ${FakeCodec.FeatureDim} AS bucket
-        |  FROM m, UNNEST(range(1, strlen(text) + 1)) AS u(i)),
+        |  SELECT media_id,
+        |    CAST('0x' || substr(hx, 2 * i + 1, 2) AS INT) % ${FakeCodec.FeatureDim} AS bucket
+        |  FROM m, UNNEST(range(0, nb)) AS u(i)),
         |hist AS (
         |  SELECT media_id,
         |    $sums
         |  FROM b GROUP BY media_id)
-        |SELECT m.media_id, CAST(strlen(m.text) AS BIGINT) AS n_bytes,
+        |SELECT m.media_id, CAST(m.nb AS BIGINT) AS n_bytes,
         |  md5(m.text) AS checksum,
         |  CAST(${FakeCodec.FeatureDim} AS BIGINT) AS feature_dim,
-        |  ${(0 until FakeCodec.FeatureDim).map(i => s"h$i").mkString(", ")}
-        |FROM m JOIN hist USING (media_id)
+        |  $coal
+        |FROM m LEFT JOIN hist USING (media_id)
         |ORDER BY media_id""".stripMargin
     })((s, dir) => {
       val feats = extractFeatures(syntheticMedia(s, dir))

@@ -73,7 +73,6 @@ object Similarity {
     */
   def kmeansCentroids(unitized: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = unitized.sparkSession
-    val dim = 64
     def centDf(c: Array[Array[Double]]): DataFrame = {
       val rows = c.zipWithIndex.map { case (v, i) =>
         org.apache.spark.sql.Row(i, v.toSeq)
@@ -94,6 +93,10 @@ object Similarity {
     var cents: Array[Array[Double]] = cached.orderBy("vec_id").limit(k)
       .select(col("unit")).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "kmeansCentroids: empty input")
+    // dimensionality comes from the data, not a constant — the doc promises
+    // generic unit vectors
+    val dim = cents(0).length
     for (_ <- 0 until iters) {
       val assigned = cached.crossJoin(broadcast(centDf(cents)))
         .withColumn("cdot", expr(dotExpr("unit", "cvec")))
@@ -118,6 +121,57 @@ object Similarity {
     }
     cached.unpersist(blocking = false)
     centDf(cents)
+  }
+
+  val IvfK = 16
+  val IvfNprobe = 4
+  val IvfIters = 3
+
+  /** Location of the persisted IVF index for a corpus: keyed by corpus
+    * path, footer row count, and build params, so a different corpus (or a
+    * re-generated one) never reads a stale index.
+    */
+  def ivfIndexDir(s: SparkSession, dir: String, k: Int, iters: Int): String = {
+    val corpus = Tables.path(dir, "embeddings")
+    val n = Tables.footerRowCount(s, corpus)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$corpus|$n|$k|$iters".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$key"
+  }
+
+  /** IVF index BUILD — the expensive phase, run once per corpus, never per
+    * query: spherical-k-means training (k corpus passes × iters), vector
+    * assignment, and the two index tables written as parquet via the
+    * Export sink:
+    *   `<root>/centroids`: (cell INT, cvec ARRAY<DOUBLE>) — k rows;
+    *   `<root>/lists`:     (c_id, ce ARRAY<DOUBLE> unit vector, cell) —
+    *                       the inverted file, one row per corpus vector.
+    * At 100 TB this is the offline indexing job; queries (q_knn_ivf) only
+    * READ the tables. Returns the index root; skips the build when the
+    * index already exists (parquet _SUCCESS marker).
+    */
+  def buildIvfIndex(s: SparkSession, dir: String, k: Int = IvfK,
+                    iters: Int = IvfIters): String = synchronized {
+    graft.functions.VectorOps.register(s)
+    val root = ivfIndexDir(s, dir, k, iters)
+    val conf = s.sessionState.newHadoopConf()
+    val done = new org.apache.hadoop.fs.Path(s"$root/lists/_SUCCESS")
+    if (done.getFileSystem(conf).exists(done)) return root
+    val unitized = emb(s, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
+        .as("unit"))
+    val cents = kmeansCentroids(unitized, k, iters)
+    val assigned = unitized.crossJoin(broadcast(cents))
+      .withColumn("cdot", expr(dotExpr("unit", "cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cdot"), col("cell"))).as("m"),
+        first(col("unit")).as("unit"))
+    val lists = assigned.select(col("vec_id").as("c_id"),
+      col("unit").as("ce"), col("m.cell").as("cell"))
+    graft.sources.Export.flush(cents, s"$root/centroids")
+    graft.sources.Export.flush(lists, s"$root/lists")
+    root
   }
 
   val pack: Seq[Q] = Seq(
@@ -192,41 +246,33 @@ object Similarity {
           .orderBy("vec_a", "vec_b")
       }),
 
-    // 37b. IVF-bucketed ANN (rows-only): inverted-file index with
-    // k-means-TRAINED centroids — deterministic init from the first K
-    // vectors, a few Lloyd rounds over the corpus ([[kmeansCentroids]]),
-    // then every vector joins the list of its nearest centroid and each
-    // query probes only its nprobe closest lists. Centroids are a small
-    // BROADCAST TABLE cross-joined against the corpus, never codegen
-    // literals: literal arrays cap K at what janino will compile (and pay
-    // seconds of codegen at K=16 already), while a broadcast side scales
-    // to thousands of cells. Training lifts pooled recall vs the old
-    // first-K-as-centroids index (bound pinned in SimilaritySpec).
+    // 37b. IVF-bucketed ANN (rows-only), build/search SPLIT: the index —
+    // k-means-trained centroids + inverted lists — is built once per
+    // corpus by [[buildIvfIndex]] and persisted as parquet tables; the
+    // query only READS it. At 100 TB nobody retrains k-means inside every
+    // search: training costs ~k·iters corpus passes, while the search is
+    // one tiny probe table (nprobe cells per query, centroids broadcast)
+    // semi-joined against the inverted lists. Centroids stay a broadcast
+    // TABLE, never codegen literals: literal arrays cap K at what janino
+    // will compile, a broadcast side scales to thousands of cells. Recall
+    // vs brute force is pinned in SimilaritySpec.
     Q.rowsOnly("q_knn_ivf")(
       (s, dir) => {
-        val kCentroids = 16
-        val nprobe = 4
-        val unitized = emb(s, dir).select(col("vec_id"),
-          expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
-            .as("unit"))
-        val cents = kmeansCentroids(unitized, kCentroids, iters = 3)
-        val cellDots = unitized.crossJoin(broadcast(cents))
-          .withColumn("cdot", expr(dotExpr("unit", "cvec")))
-        // assignment: argmax cell per vector (struct max is lexicographic,
-        // so the highest dot wins; every row of a group carries the same
-        // unit vector, so first() is deterministic in value)
-        val assigned = cellDots.groupBy(col("vec_id"))
-          .agg(max(struct(col("cdot"), col("cell"))).as("m"),
-            first(col("unit")).as("unit"))
-        val lists = assigned.select(col("vec_id").as("c_id"),
-          col("unit").as("ce"), col("m.cell").as("cell"))
-        // query probe cells: the nprobe highest-dot centroids per query
-        val pw = Window.partitionBy(col("vec_id"))
+        graft.functions.VectorOps.register(s)
+        val root = buildIvfIndex(s, dir)
+        val cents = s.read.parquet(s"$root/centroids")
+        val lists = s.read.parquet(s"$root/lists")
+        // queries come from the index itself (unit vectors already stored)
+        val qs = lists.filter(col("c_id") < NumQueries)
+          .select(col("c_id").as("q_id"), col("ce").as("qe"))
+        // probe cells: the nprobe highest-dot centroids per query
+        val pw = Window.partitionBy(col("q_id"))
           .orderBy(col("cdot").desc, col("cell"))
-        val probes = cellDots.filter(col("vec_id") < NumQueries)
+        val probes = qs.crossJoin(broadcast(cents))
+          .withColumn("cdot", expr(dotExpr("qe", "cvec")))
           .withColumn("rn", row_number().over(pw))
-          .filter(col("rn") <= nprobe)
-          .select(col("vec_id").as("q_id"), col("unit").as("qe"), col("cell"))
+          .filter(col("rn") <= IvfNprobe)
+          .select(col("q_id"), col("qe"), col("cell"))
         val scored = lists.join(broadcast(probes), Seq("cell"))
           .filter(col("q_id") =!= col("c_id"))
           .withColumn("cosine", expr(dotExpr("qe", "ce")))

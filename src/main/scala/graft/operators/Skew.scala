@@ -71,8 +71,12 @@ object Skew {
                  discriminator: Column, buckets: Int): DataFrame = {
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "input already has a __salt column")
+    // A NULL discriminator must still salt somewhere: crc32(NULL) is NULL
+    // and a NULL __salt would silently drop the row from the equi-join,
+    // breaking the "result ≡ unsalted join" guarantee. Route NULLs to
+    // bucket 0.
     val saltedFact = fact.withColumn("__salt",
-      pmod(crc32(discriminator.cast("string")), lit(buckets)).cast("int"))
+      pmod(coalesce(crc32(discriminator.cast("string")), lit(0L)), lit(buckets)).cast("int"))
     val repDim = dim.withColumn("__salt",
       explode(expr(s"sequence(0, ${buckets - 1})")))
     saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")

@@ -55,8 +55,13 @@ object Export {
     * ~`targetBytes` each. Streaming sinks and over-partitioned jobs leave
     * thousands of tiny files whose per-file open/footer cost dominates the
     * next scan; at 100 TB an uncompacted table can spend longer listing
-    * than reading. Writes to a sibling temp dir, then atomically swaps, so
-    * a crash never leaves the table half-rewritten. Returns
+    * than reading. Writes to a sibling temp dir, then publishes by moving
+    * the original aside BEFORE promoting the rewrite (rename-aside): the
+    * published path is never deleted-but-not-yet-replaced, so a crash
+    * leaves either the old or the new layout plus a recoverable
+    * `__compact_old`/`__compact_tmp` sibling — never a missing table.
+    * (Plain-filesystem renames are not a transaction; a table format with
+    * a commit log is the full answer at warehouse scale.) Returns
     * (filesBefore, filesAfter).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -69,10 +74,17 @@ object Export {
     val parts = math.max(1L,
       math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
     spark.read.parquet(path).repartition(parts)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    require(fs.rename(tmp, p), s"compact swap failed for $path")
+    fs.delete(old, true) // leftover from an earlier crashed swap
+    require(fs.rename(p, old), s"compact: could not move $path aside")
+    if (!fs.rename(tmp, p)) {
+      // promotion failed: put the original back so the table is intact
+      require(fs.rename(old, p), s"compact: swap AND rollback failed for $path")
+      throw new IllegalStateException(s"compact swap failed for $path (rolled back)")
+    }
+    fs.delete(old, true)
     (files.length, parts)
   }
 

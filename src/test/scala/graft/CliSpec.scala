@@ -152,6 +152,38 @@ class CliSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$work/dest")))
   }
 
+  test("config paths expand ${VAR} from the environment and a sibling .env") {
+    val work = tmp()
+    Files.writeString(Paths.get(work, ".env"),
+      s"""# dotenv overlay, lower precedence than the real environment
+         |GRAFT_SRC=${TestSpark.sf}
+         |GRAFT_WORK=$work
+         |""".stripMargin)
+    val cfgPath = writeConfig(work,
+      s"""databases:
+         |  source_dir: $${GRAFT_SRC}
+         |  destination_dir: $${GRAFT_WORK}/dest
+         |queries:
+         |  - from: region
+         |    limit: 1
+         |    join_depth: 0
+         |    backref_depth: 0
+         |""".stripMargin)
+    val cfg = Cli.parseConfig(
+      Files.readString(Paths.get(cfgPath)), Cli.loadDotEnv(cfgPath))
+    assert(cfg.sourceDir == TestSpark.sf)
+    assert(cfg.destDir == s"$work/dest")
+    // a real environment variable wins over the .env overlay; an unknown
+    // variable is left verbatim (expandvars semantics)
+    val realVar = sys.env.keys.find(k => k.matches("[A-Za-z_][A-Za-z0-9_]*")).get
+    assert(Cli.expandEnv(s"$${$realVar}", Map(realVar -> "overlay"))
+      == sys.env(realVar))
+    assert(Cli.expandEnv("${GRAFT_NOT_SET_ANYWHERE}/x") == "${GRAFT_NOT_SET_ANYWHERE}/x")
+    // and the expanded config drives a real load end to end
+    val out = Cli.run(spark, Cli.parseArgs(Seq("-c", cfgPath, "--quiet", "load")))
+    assert(out.head == "load: region=1")
+  }
+
   test("argument parser rejects unknown words and requires a command") {
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("loda")))
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("-c", "x.yml")))

@@ -93,6 +93,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents contracts a long chain in O(log n) rounds") {
+    import spark.implicits._
+    // a 100-node path (diameter 99): plain min-label propagation needs ~99
+    // rounds — far past this budget. Large-star/small-star roughly halves
+    // the remaining depth per round, so 12 rounds is ample for n = 100
+    // (and the bound grows only logarithmically with corpus size).
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, maxIters = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 100)
+    assert(got.forall(_._2 == 1L), "every chain node must label to the min")
+  }
+
   test("rareGramJaccard: df cap bounds per-gram postings") {
     // after pruning, no gram may appear in more than dfCap docs — the
     // invariant that bounds pair output per gram to C(dfCap, 2)

@@ -30,6 +30,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diff.count() == 0, "fused cosine diverged from the composed form")
   }
 
+  test("IVF index builds once, persists as tables, and is reused") {
+    val root = Similarity.buildIvfIndex(spark, TestSpark.sf)
+    val cents = spark.read.parquet(s"$root/centroids")
+    assert(cents.count() == Similarity.IvfK)
+    assert(cents.columns.toSet == Set("cell", "cvec"))
+    val lists = spark.read.parquet(s"$root/lists")
+    assert(lists.count() ==
+      Tables.footerRowCount(spark, Tables.path(TestSpark.sf, "embeddings")))
+    assert(lists.columns.toSet == Set("c_id", "ce", "cell"))
+    // a second build call must be a no-op read of the existing index
+    val marker = java.nio.file.Paths.get(s"$root/lists/_SUCCESS")
+    val mtime = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(Similarity.buildIvfIndex(spark, TestSpark.sf) == root)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == mtime,
+      "second build must not retrain/rewrite the index")
+  }
+
   test("IVF and LSH return full top-k lists with positive brute-force recall") {
     val brute = topk("q_knn_brute")
     val ivf = topk("q_knn_ivf")

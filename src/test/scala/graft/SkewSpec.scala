@@ -43,6 +43,17 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin keeps fact rows whose discriminator is NULL") {
+    import spark.implicits._
+    // crc32(NULL) is NULL: without the coalesce in the salt these rows got
+    // a NULL __salt and silently vanished from the inner join
+    val fact = Seq((1L, Option("x")), (1L, Option.empty[String]),
+      (2L, Option.empty[String])).toDF("k", "d")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val out = Skew.saltedJoin(fact, dim, "k", col("d"), 4)
+    assert(out.count() == 3, "NULL-discriminator rows must survive the join")
+  }
+
   test("saltedJoin returns exactly the plain join, salt-free") {
     val li = Tables.load(spark, TestSpark.sf, "lineitem")
     val ord = Tables.load(spark, TestSpark.sf, "orders")
