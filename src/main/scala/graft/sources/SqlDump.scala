@@ -20,10 +20,121 @@ import org.apache.spark.sql.types._
   */
 object SqlDump {
 
+  /** Column-level type-fidelity hints, carried as Spark `StructField`
+    * metadata. Spark's type system has no enum/unsigned/collation/length,
+    * but the reference round-trips them through SQLAlchemy reflection
+    * (`/root/reference/dbcut/database.py:166-211` automap; the dump DDL
+    * inherits them from the reflected `Column.type`). graft's analogue:
+    * a JDBC reflector (or config) attaches these hints to the schema and
+    * every [[Dialect]] renders them in its own syntax. Absent hints cost
+    * nothing — rendering falls back to the plain Spark-type mapping.
+    */
+  object TypeHints {
+    val EnumKey = "graft.sql.enum"           // string-array of allowed values
+    val UnsignedKey = "graft.sql.unsigned"   // boolean, integral columns
+    val CollationKey = "graft.sql.collation" // string, text columns
+    val LengthKey = "graft.sql.length"       // long, VARCHAR(n) for strings
+
+    /** Builder — compose then attach via `col(c).as(c, metadata)` or a
+      * `StructField.copy(metadata = ...)`.
+      */
+    final case class Hints(
+        enumValues: Seq[String] = Nil,
+        unsigned: Boolean = false,
+        collation: Option[String] = None,
+        length: Option[Long] = None) {
+      def metadata: Metadata = {
+        val b = new MetadataBuilder()
+        if (enumValues.nonEmpty) b.putStringArray(EnumKey, enumValues.toArray)
+        if (unsigned) b.putBoolean(UnsignedKey, true)
+        collation.foreach(b.putString(CollationKey, _))
+        length.foreach(b.putLong(LengthKey, _))
+        b.build()
+      }
+    }
+
+    def enumOf(f: StructField): Option[Seq[String]] =
+      if (f.metadata.contains(EnumKey)) Some(f.metadata.getStringArray(EnumKey).toSeq)
+      else None
+    def unsigned(f: StructField): Boolean =
+      f.metadata.contains(UnsignedKey) && f.metadata.getBoolean(UnsignedKey)
+    def collation(f: StructField): Option[String] =
+      if (f.metadata.contains(CollationKey)) Some(f.metadata.getString(CollationKey))
+      else None
+    def length(f: StructField): Option[Long] =
+      if (f.metadata.contains(LengthKey)) Some(f.metadata.getLong(LengthKey))
+      else None
+
+    /** Parse hints out of a raw database type name, the shape JDBC
+      * `ResultSetMetaData.getColumnTypeName` / information_schema return —
+      * e.g. `INT UNSIGNED`, `ENUM('a','b')`, `VARCHAR(25)`. This is the
+      * reflection edge: what SQLAlchemy gives the reference for free.
+      */
+    def fromTypeName(typeName: String): Hints = {
+      val t = typeName.trim
+      val upper = t.toUpperCase
+      val enumVals =
+        if (upper.startsWith("ENUM(") && t.endsWith(")"))
+          t.substring(5, t.length - 1).split(",").toSeq
+            .map(_.trim.stripPrefix("'").stripSuffix("'"))
+        else Nil
+      val len = "^(?:VARCHAR|CHAR|NVARCHAR)\\((\\d+)\\)".r
+        .findFirstMatchIn(upper).map(_.group(1).toLong)
+      Hints(
+        enumValues = enumVals,
+        unsigned = upper.contains("UNSIGNED"),
+        length = len)
+    }
+  }
+
+  /** SQL string literal for a driver-side constant (enum CHECK lists). */
+  private def sqlString(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** Target-DBMS rendering rules. `Ansi` is the portable default. */
   sealed trait Dialect {
     def name: String
     def quote(ident: String): String = "\"" + ident + "\""
+
+    /** Full rendered column type honoring [[TypeHints]]: enum, unsigned,
+      * length, collation. Dialects without a native spelling emit the
+      * portable equivalent (CHECK constraints, widened signed types).
+      */
+    def columnType(f: StructField): String = {
+      import TypeHints._
+      val q = quote(f.name)
+      val base = enumOf(f) match {
+        case Some(vals) =>
+          // portable enum: sized VARCHAR + membership CHECK
+          val width = (vals.map(_.length) :+ 1).max
+          s"VARCHAR($width) CHECK ($q IN (${vals.map(sqlString).mkString(", ")}))"
+        case None =>
+          val t = (f.dataType, length(f)) match {
+            case (StringType, Some(n)) => s"VARCHAR($n)"
+            case (dt, _) => sqlType(dt)
+          }
+          if (unsigned(f)) unsignedType(f.dataType, t, q) else t
+      }
+      collation(f) match {
+        case Some(coll) if f.dataType == StringType => s"$base COLLATE ${collationIdent(coll)}"
+        case _ => base
+      }
+    }
+
+    /** Unsigned integral: no portable unsigned types exist, so widen to the
+      * next signed type that holds the full unsigned range and pin the sign
+      * with a CHECK (the lossless direction; MySQL overrides natively).
+      */
+    protected def unsignedType(dt: DataType, rendered: String, quotedName: String): String = {
+      val widened = dt match {
+        case ByteType | ShortType => "INTEGER"
+        case IntegerType => "BIGINT"
+        case LongType => "DECIMAL(20,0)"
+        case _ => rendered
+      }
+      s"$widened CHECK ($quotedName >= 0)"
+    }
+    protected def collationIdent(coll: String): String = quote(coll)
+
     def sqlType(dt: DataType): String = dt match {
       case ByteType | ShortType => "SMALLINT"
       case IntegerType => "INTEGER"
@@ -68,6 +179,31 @@ object SqlDump {
       case other => super.sqlType(other)
     }
     override def autoIncrementSuffix: String = " AUTO_INCREMENT"
+    // MySQL spells all three hints natively: ENUM(...), <int> UNSIGNED,
+    // COLLATE utf8mb4_bin (bare identifier, not quoted)
+    override def columnType(f: StructField): String = {
+      import TypeHints._
+      val base = enumOf(f) match {
+        case Some(vals) => s"ENUM(${vals.map(sqlString).mkString(", ")})"
+        case None =>
+          val t = (f.dataType, length(f)) match {
+            case (StringType, Some(n)) => s"VARCHAR($n)"
+            case (dt, _) => sqlType(dt)
+          }
+          if (unsigned(f)) unsignedType(f.dataType, t, quote(f.name)) else t
+      }
+      collation(f) match {
+        case Some(coll) if f.dataType == StringType => s"$base COLLATE $coll"
+        case _ => base
+      }
+    }
+    override protected def unsignedType(dt: DataType, rendered: String, quotedName: String): String =
+      dt match {
+        case ByteType | ShortType => "SMALLINT UNSIGNED"
+        case IntegerType => "INT UNSIGNED"
+        case LongType => "BIGINT UNSIGNED"
+        case _ => rendered
+      }
     override def prologue(tables: Seq[String]): Seq[String] =
       Seq("SET FOREIGN_KEY_CHECKS = 0;")
     override def epilogue(tables: Seq[String]): Seq[String] =
@@ -102,6 +238,8 @@ object SqlDump {
       case BinaryType => "BLOB"
       case _ => "TEXT"
     }
+    // SQLite collations are bare keywords (BINARY / NOCASE / RTRIM)
+    override protected def collationIdent(coll: String): String = coll
     override def prologue(tables: Seq[String]): Seq[String] =
       Seq("PRAGMA foreign_keys = OFF;")
     override def epilogue(tables: Seq[String]): Seq[String] =
@@ -123,22 +261,27 @@ object SqlDump {
     * the dialect's auto-increment rendering (Postgres: SERIAL types).
     */
   def ddl(table: String, df: DataFrame, pk: Seq[String] = Nil,
-          fks: Seq[FkClause] = Nil, dialect: Dialect = Ansi): String = {
+          fks: Seq[FkClause] = Nil, dialect: Dialect = Ansi): String =
+    ddl(table, df.schema, pk, fks, dialect)
+
+  /** Schema-only DDL (no DataFrame needed — model generation uses this). */
+  def ddl(table: String, schema: StructType, pk: Seq[String],
+          fks: Seq[FkClause], dialect: Dialect): String = {
     val singleIntPk = pk match {
-      case Seq(one) => df.schema.fields.find(_.name == one).map(_.dataType) match {
+      case Seq(one) => schema.fields.find(_.name == one).map(_.dataType) match {
         case Some(IntegerType | LongType) => Some(one)
         case _ => None
       }
       case _ => None
     }
-    val cols = df.schema.fields.map { f =>
+    val cols = schema.fields.map { f =>
       val notNull = if (f.nullable) "" else " NOT NULL"
       val tpe = (dialect, singleIntPk.contains(f.name), f.dataType) match {
         // Postgres spells auto-increment as a type, not a suffix
         case (Postgres, true, IntegerType) => "SERIAL"
         case (Postgres, true, LongType) => "BIGSERIAL"
         case (d, true, t) => d.sqlType(t) + d.autoIncrementSuffix
-        case (d, false, t) => d.sqlType(t)
+        case (d, false, _) => d.columnType(f)
       }
       s"  ${dialect.quote(f.name)} $tpe$notNull"
     }

@@ -72,6 +72,57 @@ class SourcesSpec extends AnyFunSuite {
     assert(lines.count(_.startsWith("INSERT INTO `t`")) == 1)
   }
 
+  test("SqlDump type hints: enum, unsigned, collation, length per dialect") {
+    import org.apache.spark.sql.types._
+    import SqlDump.TypeHints
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("status", StringType, nullable = false,
+        metadata = TypeHints.Hints(enumValues = Seq("new", "it's done")).metadata),
+      StructField("qty", IntegerType, nullable = false,
+        metadata = TypeHints.Hints(unsigned = true).metadata),
+      StructField("name", StringType, nullable = true,
+        metadata = TypeHints.Hints(length = Some(25),
+          collation = Some("utf8mb4_bin")).metadata)))
+
+    val my = SqlDump.ddl("t", schema, Seq("id"), Nil, SqlDump.MySql)
+    assert(my.contains("`status` ENUM('new', 'it''s done') NOT NULL"))
+    assert(my.contains("`qty` INT UNSIGNED NOT NULL"))
+    assert(my.contains("`name` VARCHAR(25) COLLATE utf8mb4_bin"))
+
+    // no native enum/unsigned elsewhere: sized VARCHAR + CHECK, widened int + CHECK
+    val ansi = SqlDump.ddl("t", schema, Seq("id"), Nil, SqlDump.Ansi)
+    assert(ansi.contains("status VARCHAR(9) CHECK (status IN ('new', 'it''s done')) NOT NULL"))
+    assert(ansi.contains("qty BIGINT CHECK (qty >= 0) NOT NULL"))
+    assert(ansi.contains("name VARCHAR(25) COLLATE utf8mb4_bin"))
+
+    val pg = SqlDump.ddl("t", schema, Seq("id"), Nil, SqlDump.Postgres)
+    assert(pg.contains("\"qty\" BIGINT CHECK (\"qty\" >= 0) NOT NULL"))
+    assert(pg.contains("\"name\" VARCHAR(25) COLLATE \"utf8mb4_bin\""))
+
+    // sqlite: bare collation keyword, CHECK-style enum
+    val liteSchema = StructType(Seq(
+      StructField("s", StringType, nullable = true,
+        metadata = TypeHints.Hints(enumValues = Seq("a", "b"),
+          collation = Some("NOCASE")).metadata)))
+    val lite = SqlDump.ddl("t", liteSchema, Nil, Nil, SqlDump.Sqlite)
+    assert(lite.contains("\"s\" VARCHAR(1) CHECK (\"s\" IN ('a', 'b')) COLLATE NOCASE"))
+
+    // unsigned BIGINT needs DECIMAL(20,0) to hold the full range portably
+    val u64 = StructType(Seq(StructField("n", LongType, nullable = false,
+      metadata = TypeHints.Hints(unsigned = true).metadata)))
+    assert(SqlDump.ddl("t", u64, Nil, Nil, SqlDump.Ansi)
+      .contains("n DECIMAL(20,0) CHECK (n >= 0) NOT NULL"))
+    assert(SqlDump.ddl("t", u64, Nil, Nil, SqlDump.MySql)
+      .contains("`n` BIGINT UNSIGNED NOT NULL"))
+
+    // reflection edge: raw JDBC type names parse into hints
+    assert(TypeHints.fromTypeName("INT UNSIGNED").unsigned)
+    assert(TypeHints.fromTypeName("ENUM('a','b c')").enumValues == Seq("a", "b c"))
+    assert(TypeHints.fromTypeName("VARCHAR(25)").length.contains(25L))
+    assert(TypeHints.fromTypeName("TEXT") == TypeHints.Hints())
+  }
+
   test("SqlDump.dump writes header then rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sqldump").toString + "/out"
