@@ -66,6 +66,62 @@ object Jdbc {
   def loadOrder(graph: RelGraph, tables: Set[String]): Seq[String] =
     graph.topological.filter(tables)
 
+  /** Reflect type-fidelity hints (enum/unsigned/collation/length) from live
+    * JDBC catalog metadata — the edge where the reference gets them for free
+    * from SQLAlchemy reflection (`/root/reference/dbcut/database.py:166-211`).
+    * One driver-side catalog call, no data read. Only columns with at least
+    * one hint appear in the result.
+    */
+  def reflectHints(url: String, table: String,
+                   properties: Map[String, String] = Map.empty)
+      : Map[String, SqlDump.TypeHints.Hints] = {
+    val props = new java.util.Properties()
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val md = conn.getMetaData
+      // normalized-identifier stores (Derby/Postgres fold unquoted names)
+      val candidates = Seq(table, table.toUpperCase, table.toLowerCase).distinct
+      val out = Map.newBuilder[String, SqlDump.TypeHints.Hints]
+      candidates.iterator.map { t =>
+        val rs = md.getColumns(null, null, t, null)
+        var n = 0
+        try {
+          while (rs.next()) {
+            n += 1
+            val name = rs.getString("COLUMN_NAME").toLowerCase
+            val typeName = Option(rs.getString("TYPE_NAME")).getOrElse("")
+            val size = rs.getInt("COLUMN_SIZE")
+            val h0 = SqlDump.TypeHints.fromTypeName(typeName)
+            // VARCHAR length usually arrives via COLUMN_SIZE, not the name
+            val h =
+              if (h0.length.isEmpty && typeName.toUpperCase.startsWith("VARCHAR") && size > 0)
+                h0.copy(length = Some(size.toLong))
+              else h0
+            if (h != SqlDump.TypeHints.Hints()) out += name -> h
+          }
+        } finally rs.close()
+        n
+      }.find(_ > 0)
+      out.result()
+    } finally conn.close()
+  }
+
+  /** Attach reflected hints to a DataFrame's column metadata so downstream
+    * DDL rendering ([[SqlDump.Dialect.columnType]]) sees them.
+    */
+  def withHints(df: DataFrame,
+                hints: Map[String, SqlDump.TypeHints.Hints]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (hints.isEmpty) df
+    else df.select(df.schema.fieldNames.map { c =>
+      hints.get(c.toLowerCase) match {
+        case Some(h) => col(c).as(c, h.metadata)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
+  }
+
   /** Write one table over JDBC (append into an existing schema). Batch size
     * mirrors fetchSize on the way in.
     */

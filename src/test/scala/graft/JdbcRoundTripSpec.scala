@@ -87,6 +87,24 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(pred.count() == tables("customer").count())
   }
 
+  test("reflected type hints flow from live catalog metadata into dumped DDL") {
+    import graft.sources.SqlDump
+    val url = freshDb()
+    ddl(url)
+    val hints = Jdbc.reflectHints(url, "customer")
+    // Derby reports VARCHAR(64)/VARCHAR(16) via COLUMN_SIZE
+    assert(hints("c_name").length.contains(64L))
+    assert(hints("c_mktsegment").length.contains(16L))
+    assert(!hints.contains("c_acctbal"), "DOUBLE carries no hints")
+
+    val df = Jdbc.withHints(
+      Subset.extract(spark, TestSpark.sf, graft.spec.SpecJson.parse(
+        "from: customer\nlimit: 3")).tables("customer"), hints)
+    val out = SqlDump.ddl("customer", df, Seq("c_custkey"), Nil, SqlDump.MySql)
+    assert(out.contains("`c_name` VARCHAR(64)"))
+    assert(out.contains("`c_mktsegment` VARCHAR(16)"))
+  }
+
   test("loading a child before its parent violates the FK constraint") {
     val url = freshDb()
     ddl(url)
