@@ -35,6 +35,28 @@ object TextAnalysis {
 
   private val langs = stopwords.keys.toSeq.sorted
 
+  /** PII scrub patterns — shared by the registered query and QualitySpec.
+    * RE2-safe (no lookaround), identical semantics in Java regex and
+    * DuckDB's RE2: email, NANP-style phone, dotted-quad IP.
+    */
+  object Pii {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+    val ip = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+    /** Mask order matters: phones/IPs inside an email never fire because the
+      * email rewrite runs first on both engines.
+      */
+    def scrub(c: Column): Column =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, email, "<EMAIL>"),
+          phone, "<PHONE>"),
+        ip, "<IP>")
+    def scrubSql(x: String): String =
+      s"regexp_replace(regexp_replace(regexp_replace($x, '$email', '<EMAIL>', 'g'), " +
+        s"'$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g')"
+  }
+
   val pack: Seq[Q] = Seq(
 
     // 38. language ID: per-language stopword hit count, arg-max with a fixed
@@ -160,6 +182,115 @@ object TextAnalysis {
           .filter(col("rn") === 1)
           .select("doc_id", "term", "tf", "df")
           .orderBy("doc_id")
-      })
+      }),
+
+    // 39b. repetition signals (the Gopher-style repetition filters): type-
+    // token ratio, duplicate-bigram fraction, top-bigram fraction — the
+    // standard "is this document degenerate/boilerplate" features. Integer
+    // micro fixed-point throughout. Scale shape: bigram explode → one
+    // (doc,bigram) count shuffle → per-doc agg; word stats ride along as
+    // pure array expressions (no extra pass).
+    Q("q_repetition",
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+         |bg AS (
+         |  SELECT doc_id, l,
+         |    CASE WHEN len(l) >= 2
+         |      THEN list_transform(generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1])
+         |      ELSE CAST([] AS VARCHAR[]) END AS bgs
+         |  FROM tok),
+         |bgc AS (
+         |  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(bgs) AS bigram FROM bg) GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(max(c) AS BIGINT) AS maxc,
+         |    CAST(sum(c) AS BIGINT) AS nbg, CAST(count(*) AS BIGINT) AS ndist
+         |  FROM bgc GROUP BY 1),
+         |words AS (
+         |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(l)) AS BIGINT) AS ndw FROM bg)
+         |SELECT w.doc_id, w.n_words,
+         |  CAST(w.ndw * 1000000 // w.n_words AS BIGINT) AS ttr_micro,
+         |  CAST(coalesce(a.nbg, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(CASE WHEN coalesce(a.nbg, 0) = 0 THEN 0
+         |    ELSE (a.nbg - a.ndist) * 1000000 // a.nbg END AS BIGINT) AS dup_bigram_micro,
+         |  CAST(CASE WHEN coalesce(a.nbg, 0) = 0 THEN 0
+         |    ELSE a.maxc * 1000000 // a.nbg END AS BIGINT) AS top_bigram_micro
+         |FROM words w LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)(
+      (s, dir) => {
+        val toks = split(normText(col("text")), " ")
+        val bigrams = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val base = docs(s, dir).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          size(array_distinct(toks)).cast("long").as("ndw"),
+          bigrams.as("bgs"))
+        val agg = base.select(col("doc_id"), explode(col("bgs")).as("bigram"))
+          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            max("c").as("maxc"), sum("c").as("nbg"), count(lit(1)).as("ndist"))
+        base.drop("bgs").join(agg, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_words"),
+            expr("ndw * 1000000L div n_words").as("ttr_micro"),
+            coalesce(col("nbg"), lit(0L)).as("n_bigrams"),
+            expr("CASE WHEN coalesce(nbg, 0) = 0 THEN 0L " +
+              "ELSE (nbg - ndist) * 1000000L div nbg END").as("dup_bigram_micro"),
+            expr("CASE WHEN coalesce(nbg, 0) = 0 THEN 0L " +
+              "ELSE maxc * 1000000L div nbg END").as("top_bigram_micro"))
+          .orderBy("doc_id")
+      }),
+
+    // 38b. corpus vocabulary top-k (tf + df, deterministic rank) — the
+    // vocabulary-build primitive under tokenizer/BPE training. Distributed
+    // top-k (TakeOrderedAndProject after one agg shuffle); the rank window
+    // runs on the already-reduced k rows, never the corpus.
+    Q("q_vocab_topk",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+         |agg AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS tf,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tok GROUP BY 1),
+         |top AS (SELECT * FROM agg ORDER BY tf DESC, term LIMIT 50)
+         |SELECT term, tf, df,
+         |  CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rnk
+         |FROM top ORDER BY rnk""".stripMargin)(
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("term"))
+        val top = tok.groupBy("term")
+          .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+          .orderBy(col("tf").desc, col("term").asc).limit(50)
+        top.withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("tf").desc, col("term").asc)).cast("long"))
+          .orderBy("rnk")
+      }),
+
+    // 41c. PII scrub: email/phone/IP detection counts + the scrubbed text's
+    // md5 (rewrite semantics hash-checked cross-engine). The synthetic
+    // corpus contains no PII, so counts are zero HERE — QualitySpec drives
+    // the same patterns over crafted strings with real hits; this query
+    // pins the cross-engine regex/rewrite parity and the pipeline shape
+    // (pure codegen'd map, no shuffle).
+    Q("q_pii_scrub",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Pii.email}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '${Pii.phone}')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '${Pii.ip}')) AS BIGINT) AS n_ip,
+         |  md5(${Pii.scrubSql("text")}) AS scrubbed_md5
+         |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(Pii.email)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(Pii.phone)).cast("long").as("n_phone"),
+        regexp_count(col("text"), lit(Pii.ip)).cast("long").as("n_ip"),
+        md5(Pii.scrub(col("text")).cast("binary")).as("scrubbed_md5"))
+        .orderBy("doc_id"))
   )
 }

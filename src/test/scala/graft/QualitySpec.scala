@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-input semantics for the text-quality operators whose registered
+  * queries run over the synthetic (PII-free, word-salad) corpus: PII
+  * masking on crafted strings with actual hits, repetition signals on
+  * degenerate vs diverse documents.
+  */
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("PII scrub masks emails, phones, and IPs and leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
+      (2L, "server at 10.0.255.7 port open"),
+      (3L, "no pii here at all"),
+      (4L, "a@b.io and c_d%e@f-g.org and 192.168.1.1 and 800 555 1234")
+    ).toDF("doc_id", "text")
+    val out = df.select(
+      col("doc_id"),
+      TextAnalysis.Pii.scrub(col("text")).as("scrubbed"),
+      regexp_count(col("text"), lit(TextAnalysis.Pii.email)).as("n_email"),
+      regexp_count(col("text"), lit(TextAnalysis.Pii.phone)).as("n_phone"),
+      regexp_count(col("text"), lit(TextAnalysis.Pii.ip)).as("n_ip"))
+      .orderBy("doc_id").collect()
+
+    assert(out(0).getString(1) == "contact <EMAIL> or <PHONE> now")
+    assert(out(0).getInt(2) == 1 && out(0).getInt(3) == 1 && out(0).getInt(4) == 0)
+    assert(out(1).getString(1) == "server at <IP> port open")
+    assert(out(2).getString(1) == "no pii here at all")
+    assert(out(3).getString(1) == "<EMAIL> and <EMAIL> and <IP> and <PHONE>")
+    assert(out(3).getInt(2) == 2 && out(3).getInt(3) == 1 && out(3).getInt(4) == 1)
+  }
+
+  test("repetition signals separate degenerate from diverse documents") {
+    val dir = java.nio.file.Files.createTempDirectory("qualityspec").toString
+    import spark.implicits._
+    Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam", "en", "src0", 50L),
+      (2L, "one two three four five six seven eight nine ten", "en", "src0", 49L),
+      (3L, "word", "en", "src0", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val q = SparkEntry.queries("q_repetition")
+    val rows = q(spark, dir).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+    // degenerate: 10 words, 1 distinct; 9 bigrams all "spam spam"
+    assert(rows(1L) == ((10L, 100000L, 9L, 888888L, 1000000L)))
+    // diverse: every word and bigram unique
+    assert(rows(2L) == ((10L, 1000000L, 9L, 0L, 111111L)))
+    // single word: no bigrams, ratios degrade to 0 not a crash
+    assert(rows(3L) == ((1L, 1000000L, 0L, 0L, 0L)))
+  }
+
+  test("vocab top-k ranks by frequency with deterministic ties") {
+    val dir = java.nio.file.Files.createTempDirectory("qualityspec2").toString
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta alpha", "en", "src0", 15L),
+      (2L, "beta gamma alpha", "en", "src0", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = SparkEntry.queries("q_vocab_topk")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("alpha", 3L, 2L, 1L), ("beta", 2L, 2L, 2L), ("gamma", 1L, 1L, 3L)))
+  }
+}
