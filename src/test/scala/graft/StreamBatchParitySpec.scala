@@ -49,4 +49,59 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamed == batch, s"stream=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("streaming quality/scrub map equals the batch projection exactly") {
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .orderBy("doc_id").as[Doc].collect().toSeq
+
+    val input = MemoryStream[Doc]
+    val q = Docs.qualitySignals(input.toDF())
+      .writeStream.format("memory").queryName("parityqual")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      docs.grouped(math.max(docs.size / 4, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT * FROM parityqual ORDER BY doc_id")
+        .collect().map(_.toSeq).toSeq
+      val batch = Docs.qualitySignals(Tables.load(spark, TestSpark.sf, "documents"))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming content dedup admits each normalized text exactly once") {
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Doc]
+    val q = Docs.dedupByContent(input.toDF())
+      .writeStream.format("memory").queryName("paritydedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // same content re-sent across chunks, with case/whitespace variants
+      input.addData(Seq(
+        Doc(1, "alpha beta", "en", "s0", 10),
+        Doc(2, "gamma delta", "en", "s0", 11)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        Doc(3, "alpha beta", "en", "s0", 10),      // byte-identical copy
+        Doc(4, "  ALPHA   beta ", "en", "s0", 15), // normalizes identically
+        Doc(5, "epsilon", "en", "s0", 7)))
+      q.processAllAvailable()
+
+      val kept = spark.sql("SELECT doc_id FROM paritydedup ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(1L, 2L, 5L), s"kept=$kept")
+    } finally q.stop()
+  }
 }
