@@ -35,7 +35,7 @@ object Cli {
 
   val CommandNames: Seq[String] =
     Seq("load", "flush", "clear", "inspect", "estimate", "dumpsql", "dumpjson",
-      "purgecache")
+      "models", "purgecache")
 
   final case class Options(
       configPath: String = "graft.yml",
@@ -236,6 +236,19 @@ object Cli {
         order.foreach(n => extracted(n).coalesce(1).write.mode(SaveMode.Overwrite)
           .json(s"${cfg.destDir}/json/$n.json"))
         log(s"dumpjson: ${order.size} tables -> ${cfg.destDir}/json")
+      case "models" =>
+        // the reference materializes ORM model classes per reflected table
+        // (generated_models registry); the CLI face here emits the source +
+        // the dialect DDL script for the extracted schema
+        val order = fkOrder(extracted)
+        val catalog = order.map(n => n -> extracted(n).schema)
+        graft.sources.ModelGen.writeModule(
+          s"${cfg.destDir}/models/Models.scala", "graft.generated", catalog, graph)
+        Files.write(Paths.get(s"${cfg.destDir}/models/schema.sql"),
+          graft.sources.ModelGen.ddlScript(catalog.toMap, graph, cfg.dialect)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        log(s"models: ${order.size} case classes + DDL (${cfg.dialect.name}) " +
+          s"-> ${cfg.destDir}/models")
       case "purgecache" =>
         cfg.cacheDir match {
           case Some(c) => QueryCache.purge(c); log(s"purgecache: $c purged")

@@ -57,6 +57,29 @@ object TextAnalysis {
         s"'$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g')"
   }
 
+  /** Word n-grams from a token-array column, built by zipping n shifted
+    * slices so the transform lambda touches only its own variable —
+    * indexing the source array inside the lambda re-evaluates the whole
+    * split+regex chain per element (O(len²), see q_repetition's history).
+    * Empty array (not null/crash) below n tokens.
+    */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 2, s"n-gram n must be >= 2, got $n")
+    val slices = (1 to n).map(i => slice(toks, lit(i), size(toks) - (n - 1)))
+    when(size(toks) >= n,
+      transform(arrays_zip(slices: _*),
+        p => concat_ws(" ", (0 until n).map(i => p.getField(i.toString)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB mirror of [[wordNgrams]] over a list column expression. */
+  def wordNgramsSql(l: String, n: Int): String = {
+    val parts = (0 until n).map(k => if (k == 0) s"$l[i]" else s"$l[i + $k]")
+      .mkString(" || ' ' || ")
+    s"CASE WHEN len($l) >= $n THEN list_transform(generate_series(1, len($l) - ${n - 1}), i -> $parts) " +
+      s"ELSE CAST([] AS VARCHAR[]) END"
+  }
+
   val pack: Seq[Q] = Seq(
 
     // 38. language ID: per-language stopword hit count, arg-max with a fixed
@@ -194,10 +217,7 @@ object TextAnalysis {
       s"""WITH tok AS (
          |  SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
          |bg AS (
-         |  SELECT doc_id, l,
-         |    CASE WHEN len(l) >= 2
-         |      THEN list_transform(generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1])
-         |      ELSE CAST([] AS VARCHAR[]) END AS bgs
+         |  SELECT doc_id, l, ${wordNgramsSql("l", 2)} AS bgs
          |  FROM tok),
          |bgc AS (
          |  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c
@@ -220,15 +240,7 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin)(
       (s, dir) => {
         val toks = split(normText(col("text")), " ")
-        // bigrams via zipped slices, NOT element_at(toks, i) in the lambda:
-        // a lambda body re-evaluates captured expressions per element, which
-        // turns the split+regex into O(n_words²) work per document (measured
-        // 20 s for the corpus at sf0.1 vs 0.9 s for this shape)
-        val bigrams = when(size(toks) >= 2,
-          transform(
-            arrays_zip(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1)),
-            p => concat_ws(" ", p.getField("0"), p.getField("1"))))
-          .otherwise(array().cast("array<string>"))
+        val bigrams = wordNgrams(toks, 2)
         val base = docs(s, dir).select(
           col("doc_id"),
           size(toks).cast("long").as("n_words"),
@@ -283,6 +295,53 @@ object TextAnalysis {
     // the same patterns over crafted strings with real hits; this query
     // pins the cross-engine regex/rewrite parity and the pipeline shape
     // (pure codegen'd map, no shuffle).
+    // 41f. benchmark decontamination: flag training documents sharing any
+    // word n-gram with a held-out benchmark set (here: the src0 slice —
+    // n=3 so the tiny synthetic vocabulary actually produces overlaps; a
+    // real pipeline uses 8-13). Scale shape: the benchmark gram set is
+    // bounded (eval suites are small), so the join broadcasts at runtime;
+    // the candidate side is one linear explode + one count shuffle. Grams
+    // are per-doc distinct BEFORE the join, so count(*) = distinct shared.
+    Q("q_decontaminate", {
+      val grams = wordNgramsSql("l", 3)
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, string_split($normSql, ' ') AS l FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, list_distinct($grams) AS gs FROM tok),
+         |bench AS (
+         |  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'),
+         |cand AS (
+         |  SELECT doc_id, unnest(gs) AS gram FROM g WHERE source <> 'src0'),
+         |hits AS (
+         |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM cand c JOIN bench b USING (gram) GROUP BY 1)
+         |SELECT g.doc_id,
+         |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+         |  CASE WHEN coalesce(h.n_shared, 0) > 0 THEN 'contaminated' ELSE 'clean' END AS verdict
+         |FROM g LEFT JOIN hits h USING (doc_id)
+         |WHERE g.source <> 'src0'
+         |ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        val g = docs(s, dir).select(
+          col("doc_id"), col("source"),
+          array_distinct(wordNgrams(split(normText(col("text")), " "), 3)).as("gs"))
+        val bench = g.filter(col("source") === "src0")
+          .select(explode(col("gs")).as("gram")).distinct()
+        val cand = g.filter(col("source") =!= "src0")
+          .select(col("doc_id"), explode(col("gs")).as("gram"))
+        val hits = cand.join(bench, "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        g.filter(col("source") =!= "src0").select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            when(coalesce(col("n_shared"), lit(0L)) > 0, "contaminated")
+              .otherwise("clean").as("verdict"))
+          .orderBy("doc_id")
+      }),
+
     Q("q_pii_scrub",
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${Pii.email}')) AS BIGINT) AS n_email,

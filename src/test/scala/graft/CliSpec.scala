@@ -66,6 +66,33 @@ class CliSpec extends AnyFunSuite {
     assert(Files.list(Paths.get(s"$work/cache")).count() == 1)
   }
 
+  test("models command emits case-class source and an FK-ordered DDL script") {
+    val work = tmp()
+    val cfgPath = writeConfig(work,
+      s"""databases:
+         |  source_dir: ${TestSpark.sf}
+         |  destination_dir: $work/dest
+         |  sql_dialect: mysql
+         |queries:
+         |  - from: customer
+         |    limit: 5
+         |    join_depth: 5
+         |""".stripMargin)
+    val out = Cli.run(spark, Cli.parseArgs(Seq("-c", cfgPath, "--quiet", "models")))
+    assert(out.exists(_.startsWith("models: ")))
+
+    val src = Files.readString(Paths.get(s"$work/dest/models/Models.scala"))
+    assert(src.contains("final case class Customer("))
+    assert(src.contains("final case class Nation("))
+    assert(src.contains("\"customer\" -> (\"Customer\", Seq(\"c_custkey\"))"))
+
+    val ddl = Files.readString(Paths.get(s"$work/dest/models/schema.sql"))
+    assert(ddl.indexOf("CREATE TABLE `region`") >= 0)
+    assert(ddl.indexOf("CREATE TABLE `region`") < ddl.indexOf("CREATE TABLE `nation`"))
+    assert(ddl.indexOf("CREATE TABLE `nation`") < ddl.indexOf("CREATE TABLE `customer`"))
+    assert(ddl.contains("FOREIGN KEY (`c_nationkey`) REFERENCES `nation` (`n_nationkey`)"))
+  }
+
   test("cache hit on second run, purgecache empties it, flush drops dest") {
     val work = tmp()
     val cfgPath = writeConfig(work,
