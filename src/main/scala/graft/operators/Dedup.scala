@@ -193,6 +193,19 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // convergence probe: (row count, xor of 64-bit edge hashes) — two
+    // driver scalars off a partial-agg scan, vs the two extra shuffles an
+    // except()-based set diff pays per round. xor is order-independent and
+    // overflow-free (ANSI-safe), and the edge set is distinct so nothing
+    // self-cancels. Equal fingerprints on different edge sets would need an
+    // xxhash64 xor collision (~2⁻⁶⁴); the oracle's transitive-closure CTE
+    // would catch that universe.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(edges)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -201,9 +214,11 @@ object Dedup {
       val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val lsMin = sym.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // no distinct here: duplicate (u,m) rows don't move ssMin's min and
+      // the ss-level distinct collapses them — one less shuffle per round
       val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
       // small-star: for every node's SMALLER neighbors, link them (and the
       // node) to the min of that set
       val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
@@ -212,7 +227,9 @@ object Dedup {
         .unionByName(ssMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint()
-      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
+      val ssFp = fingerprint(ss)
+      converged = ssFp == fp
+      fp = ssFp
       edges = ss
       iters += 1
     }
