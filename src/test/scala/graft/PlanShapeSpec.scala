@@ -92,6 +92,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"gram join degenerated into a product join:\n$p")
   }
 
+  test("repetition and decontamination stay equi-join, pruned, no products") {
+    val rep = planOf("q_repetition")
+    assert(!rep.contains("CartesianProduct") && !rep.contains("BroadcastNestedLoopJoin"),
+      s"repetition join degenerated:\n$rep")
+    // only doc_id+text may be read — lang/source/n_chars must be pruned
+    assert(rep.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned to doc_id,text:\n$rep")
+
+    val dec = planOf("q_decontaminate")
+    assert(!dec.contains("CartesianProduct") && !dec.contains("BroadcastNestedLoopJoin"),
+      s"decontamination gram join degenerated:\n$dec")
+  }
+
+  test("vocab top-k plans as distributed TakeOrdered, window only on k rows") {
+    val p = planOf("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not a distributed TakeOrdered:\n$p")
+    // the rank window must sit ABOVE the limit, never under it
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      s"rank window below the top-k limit:\n$p")
+  }
+
+  test("pii scrub is a pure map: no exchange at all") {
+    val p = planOf("q_pii_scrub")
+    // one global sort for output determinism is the only allowed exchange
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"scrub map should not shuffle (found $exchanges):\n$p")
+  }
+
   test("inspect diff counts are partial hash aggregates over pruned scans") {
     // every per-table count must plan as partial+final HashAggregate over
     // the scan (map-side combine). The src/dest pairing IS a cross join —
