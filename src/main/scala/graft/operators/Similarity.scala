@@ -174,6 +174,39 @@ object Similarity {
     root
   }
 
+  /** Candidate-bucketed embedding near-dup pairs (§2d.35's core): sign-
+    * projection buckets sized from parquet footers, exact cosine confirm at
+    * τ. τ=0.30 because the synthetic embeddings are near-uniform (max
+    * pairwise cosine ≈0.48) — a production-style 0.95 would be empty. Plane
+    * count targets ~256-vector buckets so within-bucket pair generation
+    * stays ~n·256 as the corpus grows; the count comes from footers
+    * (driver-side metadata), not a corpus scan.
+    */
+  def embedNearDupPairs(s: SparkSession, dir: String,
+                        tau: Double = 0.30): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val n = footerRowCount(s, Tables.path(dir, "embeddings"))
+    val planes = math.min(12,
+      math.max(4, (math.log((n / 256.0).max(1.0)) / math.log(2)).ceil.toInt))
+    // normalize ONCE per vector; pair cosine is then a single dot fold
+    val unitized = emb(s, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
+        .as("unit"))
+    // hyperplane j as a ±1 literal array; bucket bit = sign of one fold
+    val bucketBits = (0 until planes).map { j =>
+      // "D" suffix: bare 1.0 literals parse as DECIMAL(2,1) in Spark SQL
+      val planeArr = s"array(${Similarity.planeSigns(j).map(v => s"${v}D").mkString(",")})"
+      when(expr(s"vec_dot(unit, $planeArr)") >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val bucketed = unitized
+      .select(col("vec_id"), col("unit"), concat(bucketBits: _*).as("bucket"))
+    val a = bucketed.alias("a"); val b = bucketed.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", expr(dotExpr("a.unit", "b.unit")))
+      .filter(col("cosine") >= tau)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+  }
+
   val pack: Seq[Q] = Seq(
 
     // 36. brute-force cosine top-k: broadcast tiny query set × corpus scan,
@@ -215,35 +248,21 @@ object Similarity {
     // hyperplanes (md5-derived ±1 components) — candidate pairs share a
     // bucket; exact cosine confirms.
     Q.rowsOnly("q_embed_neardup")(
+      (s, dir) => embedNearDupPairs(s, dir).orderBy("vec_a", "vec_b")),
+
+    // 35b. semantic-dedup cluster resolution: the embedding analogue of
+    // q_dedup_clusters — near-dup pairs feed the same large-star/small-star
+    // connected components; min-vec_id representative per cluster. Rows-only
+    // for the same float-threshold reason as 35 (the CC machinery itself is
+    // oracle-checked through the MinHash path).
+    Q.rowsOnly("q_embed_clusters")(
       (s, dir) => {
-        // τ=0.30: the synthetic embeddings are near-uniform (max pairwise
-        // cosine ≈0.48), so a production-style 0.95 would be empty.
-        // Plane count scales with corpus size targeting ~256-vector buckets:
-        // within-bucket pair generation stays ~n·256 instead of n²/2^planes
-        // exploding as the corpus grows. The count comes from parquet
-        // footers (driver-side metadata), not a corpus scan.
-        val n = footerRowCount(s, Tables.path(dir, "embeddings"))
-        val planes = math.min(12,
-          math.max(4, (math.log((n / 256.0).max(1.0)) / math.log(2)).ceil.toInt))
-        // normalize ONCE per vector; pair cosine is then a single dot fold
-        val unitized = emb(s, dir).select(col("vec_id"),
-          expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
-            .as("unit"))
-        // hyperplane j as a ±1 literal array; bucket bit = sign of one fold
-        val bucketBits = (0 until planes).map { j =>
-          // "D" suffix: bare 1.0 literals parse as DECIMAL(2,1) in Spark SQL
-          val planeArr = s"array(${Similarity.planeSigns(j).map(v => s"${v}D").mkString(",")})"
-          val dot = s"vec_dot(unit, $planeArr)"
-          when(expr(dot) >= 0, lit("1")).otherwise(lit("0"))
-        }
-        val bucketed = unitized
-          .select(col("vec_id"), col("unit"), concat(bucketBits: _*).as("bucket"))
-        val a = bucketed.alias("a"); val b = bucketed.alias("b")
-        a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cosine", expr(dotExpr("a.unit", "b.unit")))
-          .filter(col("cosine") >= 0.30)
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
-          .orderBy("vec_a", "vec_b")
+        val pairs = embedNearDupPairs(s, dir)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        Dedup.connectedComponents(pairs)
+          .select(col("doc_id").as("vec_id"), col("rep"),
+            (col("doc_id") === col("rep")).as("is_rep"))
+          .orderBy("vec_id")
       }),
 
     // 37b. IVF-bucketed ANN (rows-only), build/search SPLIT: the index —

@@ -67,4 +67,27 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"ivf pooled recall: $ivfRecall")
     assert(ivfRecall >= 0.25, s"ivf pooled recall $ivfRecall")
   }
+
+  test("embedding clusters cover exactly the paired vectors with min reps") {
+    val pairs = SparkEntry.queries("q_embed_neardup")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry.queries("q_embed_clusters")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+
+    // membership = every vector that appears in some near-dup pair, once
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(clusters.map(_._1).toSet == paired)
+    assert(clusters.map(_._1).distinct.length == clusters.length)
+    // representative is the min member of its cluster, and flagged as such
+    val byRep = clusters.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_._1).min == rep, s"rep $rep is not its cluster min")
+    }
+    clusters.foreach { case (v, rep, isRep) => assert(isRep == (v == rep)) }
+    // pair endpoints always land in the same cluster (single-edge closure)
+    val repOf = clusters.map(c => c._1 -> c._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(repOf(a) == repOf(b), s"pair ($a,$b) split across clusters")
+    }
+  }
 }
