@@ -80,11 +80,22 @@ object Jdbc {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val md = conn.getMetaData
+      // getColumns takes a search PATTERN: a literal '_' in the table name
+      // would act as a single-char wildcard and merge hints from similarly
+      // named tables — escape pattern metachars with the driver's escape
+      val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+      def literal(s: String): String = esc match {
+        case Some(e) =>
+          s.replace(e, e + e).replace("_", e + "_").replace("%", e + "%")
+        case None => s
+      }
+      // char-ish types report their length via COLUMN_SIZE, not TYPE_NAME
+      val charish = Seq("VARCHAR", "CHARACTER", "CHAR", "NVARCHAR", "NCHAR")
       // normalized-identifier stores (Derby/Postgres fold unquoted names)
       val candidates = Seq(table, table.toUpperCase, table.toLowerCase).distinct
       val out = Map.newBuilder[String, SqlDump.TypeHints.Hints]
       candidates.iterator.map { t =>
-        val rs = md.getColumns(null, null, t, null)
+        val rs = md.getColumns(null, null, literal(t), null)
         var n = 0
         try {
           while (rs.next()) {
@@ -93,9 +104,9 @@ object Jdbc {
             val typeName = Option(rs.getString("TYPE_NAME")).getOrElse("")
             val size = rs.getInt("COLUMN_SIZE")
             val h0 = SqlDump.TypeHints.fromTypeName(typeName)
-            // VARCHAR length usually arrives via COLUMN_SIZE, not the name
             val h =
-              if (h0.length.isEmpty && typeName.toUpperCase.startsWith("VARCHAR") && size > 0)
+              if (h0.length.isEmpty && size > 0 &&
+                charish.exists(typeName.toUpperCase.startsWith))
                 h0.copy(length = Some(size.toLong))
               else h0
             if (h != SqlDump.TypeHints.Hints()) out += name -> h

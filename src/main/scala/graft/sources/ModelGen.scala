@@ -19,15 +19,32 @@ import org.apache.spark.sql.types._
   */
 object ModelGen {
 
+  private val scalaKeywords = Set(
+    "abstract", "case", "catch", "class", "def", "do", "else", "extends",
+    "false", "final", "finally", "for", "forSome", "if", "implicit",
+    "import", "lazy", "match", "new", "null", "object", "override",
+    "package", "private", "protected", "return", "sealed", "super", "this",
+    "throw", "trait", "true", "try", "type", "val", "var", "while", "with",
+    "yield")
+
+  /** Backtick-escape anything that is not a plain Scala identifier — a
+    * column named `type` or `2fa_code` must still produce compilable source.
+    */
+  private def ident(name: String): String =
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*") && !scalaKeywords(name)) name
+    else s"`$name`"
+
   /** `lineitem` → `Lineitem`, `order_line` → `OrderLine`. */
   def className(table: String): String =
-    table.split('_').filter(_.nonEmpty).map(w => w.head.toUpper + w.tail).mkString
+    ident(table.split('_').filter(_.nonEmpty)
+      .map(w => w.head.toUpper + w.tail).mkString)
 
   /** camelCase field name for a snake_case column (`l_orderkey` → `lOrderkey`). */
   def fieldName(column: String): String = {
     val parts = column.split('_').filter(_.nonEmpty)
-    if (parts.isEmpty) column
-    else (parts.head +: parts.tail.map(w => w.head.toUpper + w.tail)).mkString
+    ident(
+      if (parts.isEmpty) column
+      else (parts.head +: parts.tail.map(w => w.head.toUpper + w.tail)).mkString)
   }
 
   /** Scala source type for a Spark SQL type. */
@@ -111,12 +128,17 @@ object ModelGen {
   def ddlScript(catalog: Map[String, StructType], graph: RelGraph,
                 dialect: SqlDump.Dialect = SqlDump.Ansi): String = {
     val present = catalog.keySet
-    val order = graph.onlyTables(present).topological
+    // tables outside the relation graph still get DDL (synthesized PK, no
+    // FKs) — module() emits their classes, so the script must match
+    val order = graph.onlyTables(present).topological ++
+      (present -- graph.tables.keySet).toSeq.sorted
     order.map { t =>
-      val meta = graph.meta(t)
-      val fks = meta.fks.filter(fk => present(fk.parent))
+      val meta = graph.tables.get(t)
+      val pk = meta.map(_.pk)
+        .getOrElse(RelGraph.synthesizePk(catalog(t).fieldNames.toSeq))
+      val fks = meta.map(_.fks).getOrElse(Nil).filter(fk => present(fk.parent))
         .map(fk => SqlDump.FkClause(fk.childCols, fk.parent, fk.parentCols))
-      SqlDump.ddl(t, catalog(t), meta.pk, fks, dialect)
+      SqlDump.ddl(t, catalog(t), pk, fks, dialect)
     }.mkString("\n\n")
   }
 

@@ -65,6 +65,29 @@ object SqlDump {
       if (f.metadata.contains(LengthKey)) Some(f.metadata.getLong(LengthKey))
       else None
 
+    /** Quoted-list parser for `ENUM('a','b c','it''s')` bodies: values may
+      * contain commas and doubled-quote escapes, so a naive split corrupts
+      * them. Text outside quotes (commas, spaces) is separator noise.
+      */
+    private[sources] def parseQuotedList(body: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var i = 0
+      var inQuote = false
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (inQuote) {
+          if (c == '\'') {
+            if (i + 1 < body.length && body.charAt(i + 1) == '\'') {
+              cur.append('\''); i += 1
+            } else { inQuote = false; out += cur.result(); cur.clear() }
+          } else cur.append(c)
+        } else if (c == '\'') inQuote = true
+        i += 1
+      }
+      out.result()
+    }
+
     /** Parse hints out of a raw database type name, the shape JDBC
       * `ResultSetMetaData.getColumnTypeName` / information_schema return —
       * e.g. `INT UNSIGNED`, `ENUM('a','b')`, `VARCHAR(25)`. This is the
@@ -75,14 +98,15 @@ object SqlDump {
       val upper = t.toUpperCase
       val enumVals =
         if (upper.startsWith("ENUM(") && t.endsWith(")"))
-          t.substring(5, t.length - 1).split(",").toSeq
-            .map(_.trim.stripPrefix("'").stripSuffix("'"))
+          parseQuotedList(t.substring(5, t.length - 1))
         else Nil
-      val len = "^(?:VARCHAR|CHAR|NVARCHAR)\\((\\d+)\\)".r
+      val len = "^(?:VARCHAR|CHARACTER VARYING|NVARCHAR|NCHAR|CHARACTER|CHAR)\\((\\d+)\\)".r
         .findFirstMatchIn(upper).map(_.group(1).toLong)
       Hints(
         enumValues = enumVals,
-        unsigned = upper.contains("UNSIGNED"),
+        // an enum is never unsigned, and its VALUES must not trip the check
+        // ("ENUM('unsigned','signed')" is a string column)
+        unsigned = enumVals.isEmpty && upper.contains("UNSIGNED"),
         length = len)
     }
   }
@@ -98,40 +122,51 @@ object SqlDump {
     /** Full rendered column type honoring [[TypeHints]]: enum, unsigned,
       * length, collation. Dialects without a native spelling emit the
       * portable equivalent (CHECK constraints, widened signed types).
+      * COLLATE is placed immediately after the data type — before any CHECK
+      * — because Postgres/ANSI column grammar requires `type [COLLATE]
+      * constraints...`; a COLLATE after a constraint is a syntax error.
       */
     def columnType(f: StructField): String = {
       import TypeHints._
       val q = quote(f.name)
-      val base = enumOf(f) match {
-        case Some(vals) =>
-          // portable enum: sized VARCHAR + membership CHECK
-          val width = (vals.map(_.length) :+ 1).max
-          s"VARCHAR($width) CHECK ($q IN (${vals.map(sqlString).mkString(", ")}))"
+      val (core, check) = enumOf(f) match {
+        case Some(vals) => enumType(vals, q)
         case None =>
           val t = (f.dataType, length(f)) match {
             case (StringType, Some(n)) => s"VARCHAR($n)"
             case (dt, _) => sqlType(dt)
           }
-          if (unsigned(f)) unsignedType(f.dataType, t, q) else t
+          if (unsigned(f)) unsignedType(f.dataType, t, q) else (t, "")
       }
-      collation(f) match {
-        case Some(coll) if f.dataType == StringType => s"$base COLLATE ${collationIdent(coll)}"
-        case _ => base
+      val collate = collation(f) match {
+        case Some(coll) if f.dataType == StringType => s" COLLATE ${collationIdent(coll)}"
+        case _ => ""
       }
+      s"$core$collate$check"
     }
 
-    /** Unsigned integral: no portable unsigned types exist, so widen to the
-      * next signed type that holds the full unsigned range and pin the sign
-      * with a CHECK (the lossless direction; MySQL overrides natively).
+    /** Enum rendering hook: (core type, trailing constraint). Portable
+      * default: sized VARCHAR + membership CHECK; MySQL overrides natively.
       */
-    protected def unsignedType(dt: DataType, rendered: String, quotedName: String): String = {
+    protected def enumType(vals: Seq[String], quotedName: String): (String, String) = {
+      val width = (vals.map(_.length) :+ 1).max
+      (s"VARCHAR($width)",
+        s" CHECK ($quotedName IN (${vals.map(sqlString).mkString(", ")}))")
+    }
+
+    /** Unsigned integral hook: no portable unsigned types exist, so widen to
+      * the next signed type that holds the full unsigned range and pin the
+      * sign with a CHECK (the lossless direction; MySQL overrides natively).
+      */
+    protected def unsignedType(dt: DataType, rendered: String,
+                               quotedName: String): (String, String) = {
       val widened = dt match {
         case ByteType | ShortType => "INTEGER"
         case IntegerType => "BIGINT"
         case LongType => "DECIMAL(20,0)"
         case _ => rendered
       }
-      s"$widened CHECK ($quotedName >= 0)"
+      (widened, s" CHECK ($quotedName >= 0)")
     }
     protected def collationIdent(coll: String): String = quote(coll)
 
@@ -181,29 +216,17 @@ object SqlDump {
     override def autoIncrementSuffix: String = " AUTO_INCREMENT"
     // MySQL spells all three hints natively: ENUM(...), <int> UNSIGNED,
     // COLLATE utf8mb4_bin (bare identifier, not quoted)
-    override def columnType(f: StructField): String = {
-      import TypeHints._
-      val base = enumOf(f) match {
-        case Some(vals) => s"ENUM(${vals.map(sqlString).mkString(", ")})"
-        case None =>
-          val t = (f.dataType, length(f)) match {
-            case (StringType, Some(n)) => s"VARCHAR($n)"
-            case (dt, _) => sqlType(dt)
-          }
-          if (unsigned(f)) unsignedType(f.dataType, t, quote(f.name)) else t
-      }
-      collation(f) match {
-        case Some(coll) if f.dataType == StringType => s"$base COLLATE $coll"
-        case _ => base
-      }
-    }
-    override protected def unsignedType(dt: DataType, rendered: String, quotedName: String): String =
-      dt match {
+    override protected def enumType(vals: Seq[String], quotedName: String): (String, String) =
+      (s"ENUM(${vals.map(sqlString).mkString(", ")})", "")
+    override protected def unsignedType(dt: DataType, rendered: String,
+                                        quotedName: String): (String, String) =
+      (dt match {
         case ByteType | ShortType => "SMALLINT UNSIGNED"
         case IntegerType => "INT UNSIGNED"
         case LongType => "BIGINT UNSIGNED"
         case _ => rendered
-      }
+      }, "")
+    override protected def collationIdent(coll: String): String = coll
     override def prologue(tables: Seq[String]): Seq[String] =
       Seq("SET FOREIGN_KEY_CHECKS = 0;")
     override def epilogue(tables: Seq[String]): Seq[String] =
@@ -277,10 +300,12 @@ object SqlDump {
     val cols = schema.fields.map { f =>
       val notNull = if (f.nullable) "" else " NOT NULL"
       val tpe = (dialect, singleIntPk.contains(f.name), f.dataType) match {
-        // Postgres spells auto-increment as a type, not a suffix
+        // Postgres spells auto-increment as a type, not a suffix (and its
+        // sequences are signed anyway, so the unsigned hint can't apply)
         case (Postgres, true, IntegerType) => "SERIAL"
         case (Postgres, true, LongType) => "BIGSERIAL"
-        case (d, true, t) => d.sqlType(t) + d.autoIncrementSuffix
+        // columnType keeps reflected hints (MySQL: INT UNSIGNED AUTO_INCREMENT)
+        case (d, true, _) => d.columnType(f) + d.autoIncrementSuffix
         case (d, false, _) => d.columnType(f)
       }
       s"  ${dialect.quote(f.name)} $tpe$notNull"

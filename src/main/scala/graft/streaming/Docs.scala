@@ -45,8 +45,12 @@ object Docs {
 
   /** Exactly-once per normalized content: first arrival wins, byte-copies
     * and whitespace/case variants are dropped. With `eventTimeCol`, the
-    * watermark bounds fingerprint state to the delay horizon (re-crawls
-    * past the horizon re-admit — the standard streaming-dedup trade).
+    * watermark bounds fingerprint state to the delay horizon via
+    * `dropDuplicatesWithinWatermark` — a plain dropDuplicates("fp") would
+    * never evict state, because eviction requires the event-time column in
+    * the key set (re-crawls past the horizon re-admit — the standard
+    * streaming-dedup trade). Without a timestamp, state is one 16-byte key
+    * per distinct document, growing with corpus vocabulary.
     */
   def dedupByContent(docs: DataFrame,
                      eventTimeCol: Option[String] = None,
@@ -54,7 +58,8 @@ object Docs {
     val fp = docs.withColumn("fp",
       md5(TextAnalysis.normText(col("text")).cast("binary")))
     eventTimeCol match {
-      case Some(ts) => fp.withWatermark(ts, delay).dropDuplicates("fp")
+      case Some(ts) =>
+        fp.withWatermark(ts, delay).dropDuplicatesWithinWatermark("fp")
       case None => fp.dropDuplicates("fp")
     }
   }

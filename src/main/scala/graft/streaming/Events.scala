@@ -58,11 +58,15 @@ object Events {
       s"p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL $windowMinutes MINUTES"))
   }
 
-  /** Exactly-once-per-id dedup within the watermark horizon. */
+  /** Exactly-once-per-id dedup within the watermark horizon. Must be the
+    * WithinWatermark variant: plain dropDuplicates("event_id") under a
+    * watermark never evicts its state (eviction requires the event-time
+    * column in the key set), so id-state would grow with stream length.
+    */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Gap-based sessionization (30-minute inactivity) via
     * flatMapGroupsWithState — each batch emits EVERY session closed within

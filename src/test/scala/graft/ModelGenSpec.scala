@@ -19,6 +19,11 @@ class ModelGenSpec extends AnyFunSuite {
     assert(ModelGen.fieldDecl(nullable).trim == "name: Option[String]")
     val notNull = StructField("id", LongType, nullable = false)
     assert(ModelGen.fieldDecl(notNull).trim == "id: Long")
+    // Scala keywords and non-identifier names must backtick-escape
+    assert(ModelGen.fieldName("type") == "`type`")
+    assert(ModelGen.fieldName("2fa_code") == "`2faCode`")
+    assert(ModelGen.className("2fa") == "`2fa`")
+    assert(ModelGen.fieldName("l_orderkey") == "lOrderkey")
   }
 
   test("case class carries PK and relationship docs from the graph") {
@@ -63,6 +68,16 @@ class ModelGenSpec extends AnyFunSuite {
     val slice = ModelGen.ddlScript(
       Map("lineitem" -> catalog("lineitem")), RelGraph.tpch)
     assert(!slice.contains("REFERENCES orders"))
+
+    // tables outside the relation graph still get DDL (synthesized PK),
+    // matching the classes module() emits for them
+    val offGraph = ModelGen.ddlScript(
+      Map("audit_log" -> StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("what", StringType, nullable = true)))),
+      RelGraph.tpch)
+    assert(offGraph.contains("CREATE TABLE audit_log "))
+    assert(offGraph.contains("PRIMARY KEY (id)"))
   }
 
   test("writeModule round-trips to disk") {

@@ -100,13 +100,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(pg.contains("\"qty\" BIGINT CHECK (\"qty\" >= 0) NOT NULL"))
     assert(pg.contains("\"name\" VARCHAR(25) COLLATE \"utf8mb4_bin\""))
 
-    // sqlite: bare collation keyword, CHECK-style enum
+    // sqlite: bare collation keyword; COLLATE binds to the TYPE, before the
+    // CHECK — postgres/ansi grammar rejects a COLLATE after a constraint
     val liteSchema = StructType(Seq(
       StructField("s", StringType, nullable = true,
         metadata = TypeHints.Hints(enumValues = Seq("a", "b"),
           collation = Some("NOCASE")).metadata)))
     val lite = SqlDump.ddl("t", liteSchema, Nil, Nil, SqlDump.Sqlite)
-    assert(lite.contains("\"s\" VARCHAR(1) CHECK (\"s\" IN ('a', 'b')) COLLATE NOCASE"))
+    assert(lite.contains("\"s\" VARCHAR(1) COLLATE NOCASE CHECK (\"s\" IN ('a', 'b'))"))
 
     // unsigned BIGINT needs DECIMAL(20,0) to hold the full range portably
     val u64 = StructType(Seq(StructField("n", LongType, nullable = false,
@@ -120,7 +121,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(TypeHints.fromTypeName("INT UNSIGNED").unsigned)
     assert(TypeHints.fromTypeName("ENUM('a','b c')").enumValues == Seq("a", "b c"))
     assert(TypeHints.fromTypeName("VARCHAR(25)").length.contains(25L))
+    assert(TypeHints.fromTypeName("CHAR(16)").length.contains(16L))
     assert(TypeHints.fromTypeName("TEXT") == TypeHints.Hints())
+    // enum values may contain commas and doubled-quote escapes; and value
+    // TEXT must not trip the unsigned detector
+    val tricky = TypeHints.fromTypeName("ENUM('a,b','it''s','UNSIGNED')")
+    assert(tricky.enumValues == Seq("a,b", "it's", "UNSIGNED"))
+    assert(!tricky.unsigned)
+
+    // unsigned hint survives onto a single-int auto-increment PK
+    val upk = StructType(Seq(StructField("id", IntegerType, nullable = false,
+      metadata = TypeHints.Hints(unsigned = true).metadata)))
+    assert(SqlDump.ddl("t", upk, Seq("id"), Nil, SqlDump.MySql)
+      .contains("`id` INT UNSIGNED AUTO_INCREMENT NOT NULL"))
   }
 
   test("SqlDump.dump writes header then rows") {
