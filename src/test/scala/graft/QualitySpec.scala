@@ -59,6 +59,25 @@ class QualitySpec extends AnyFunSuite {
     assert(rows(3L) == ((1L, 1000000L, 0L, 0L, 0L)))
   }
 
+  test("decontamination handles docs shorter than the gram width") {
+    val dir = java.nio.file.Files.createTempDirectory("qualityspec3").toString
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "src0", 22L), // benchmark doc
+      (2L, "alpha beta gamma epsilon", "en", "src1", 24L), // shares 2 trigram... 1: "alpha beta gamma"
+      (3L, "two words", "en", "src1", 9L),                // below n=3: no grams
+      (4L, "zeta eta theta iota", "en", "src1", 19L)      // disjoint
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = SparkEntry.queries("q_decontaminate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.keySet == Set(2L, 3L, 4L), "benchmark docs excluded from output")
+    assert(rows(2L) == ((1L, "contaminated")), s"got ${rows(2L)}")
+    assert(rows(3L) == ((0L, "clean")), "short doc must be clean, not crash")
+    assert(rows(4L) == ((0L, "clean")))
+  }
+
   test("vocab top-k ranks by frequency with deterministic ties") {
     val dir = java.nio.file.Files.createTempDirectory("qualityspec2").toString
     import spark.implicits._
