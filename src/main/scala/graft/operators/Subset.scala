@@ -166,11 +166,11 @@ object Subset {
         val resolve: String => Column = f =>
           if (f.contains(".")) col(f) else col(s"${spec.from}.$f")
         joined.filter(FilterCompiler.compile(cond, resolve))
-          .select(rootCols.map(c => col(s"${spec.from}.$c")): _*)
+          .select(rootCols.map(c => col(s"${spec.from}.$c")).toIndexedSeq: _*)
     }
 
     val pk = graph.tables.get(spec.from).map(_.pk)
-      .getOrElse(RelGraph.synthesizePk(rootCols))
+      .getOrElse(RelGraph.synthesizePk(rootCols.toSeq))
     val userKeys = spec.orderBy.map(k => if (k.desc) col(k.field).desc else col(k.field).asc)
     val orderCols = userKeys ++ pk.filterNot(p => spec.orderBy.exists(_.field == p)).map(col(_).asc)
     val ordered = filtered.orderBy(orderCols: _*)
@@ -229,7 +229,7 @@ object Subset {
       }
 
     def pkCols(t: String): Seq[String] =
-      p.graph.tables.get(t).map(_.pk).getOrElse(RelGraph.synthesizePk(load(t).columns))
+      p.graph.tables.get(t).map(_.pk).getOrElse(RelGraph.synthesizePk(load(t).columns.toSeq))
 
     // Broadcast the key side only when the spec truly bounds it: a root
     // limit AND bounded backref fan-out (no backrefs, or a per-parent cap).

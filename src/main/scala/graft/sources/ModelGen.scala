@@ -37,14 +37,14 @@ object ModelGen {
   /** `lineitem` → `Lineitem`, `order_line` → `OrderLine`. */
   def className(table: String): String =
     ident(table.split('_').filter(_.nonEmpty)
-      .map(w => w.head.toUpper + w.tail).mkString)
+      .map(_.capitalize).mkString)
 
   /** camelCase field name for a snake_case column (`l_orderkey` → `lOrderkey`). */
   def fieldName(column: String): String = {
     val parts = column.split('_').filter(_.nonEmpty)
     ident(
       if (parts.isEmpty) column
-      else (parts.head +: parts.tail.map(w => w.head.toUpper + w.tail)).mkString)
+      else (parts.head +: parts.tail.map(_.capitalize)).mkString)
   }
 
   /** Scala source type for a Spark SQL type. */

@@ -69,7 +69,7 @@ class SkewSpec extends AnyFunSuite {
       // would otherwise let distinct null-placements hash identically
       val cols = df.columns.sorted.map(c =>
         coalesce(col(c).cast("string"), lit("\u0000null")))
-      df.select(md5(concat_ws("", cols: _*)).as("h"))
+      df.select(md5(concat_ws("", cols.toIndexedSeq: _*)).as("h"))
         .groupBy("h").count().orderBy("h").collect()
     }
     assert(digest(salted).toSeq == digest(plain).toSeq)
