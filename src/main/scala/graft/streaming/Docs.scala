@@ -43,6 +43,29 @@ object Docs {
         .otherwise("drop").as("verdict"))
   }
 
+  /** Streaming decontamination: flag stream documents sharing any word
+    * n-gram with a STATIC benchmark gram set (one `gram` column) — a
+    * stream-static left-semi-style join, stateless on the stream side, so
+    * it composes with any downstream watermark/state. The benchmark side is
+    * small (eval suites) and broadcasts. Mirrors q_decontaminate's batch
+    * semantics: per-doc distinct grams, contaminated = any overlap.
+    */
+  def decontaminate(docs: DataFrame, benchGrams: DataFrame, n: Int = 3): DataFrame = {
+    // the benchmark gram SET rides along as a one-row static side of a
+    // broadcast cross join; per-row array_intersect keeps the stream side
+    // fully stateless (an explode+groupBy+join-back — the batch shape —
+    // would be an aggregate-then-self-join, which append mode rejects)
+    val bench = benchGrams.agg(collect_set(col("gram")).as("bench_gs"))
+    docs.withColumn("gs",
+      array_distinct(TextAnalysis.wordNgrams(
+        split(TextAnalysis.normText(col("text")), " "), n)))
+      .crossJoin(broadcast(bench))
+      .withColumn("n_shared", size(array_intersect(col("gs"), col("bench_gs"))).cast("long"))
+      .withColumn("verdict",
+        when(col("n_shared") > 0, "contaminated").otherwise("clean"))
+      .drop("gs", "bench_gs")
+  }
+
   /** Exactly-once per normalized content: first arrival wins, byte-copies
     * and whitespace/case variants are dropped. With `eventTimeCol`, the
     * watermark bounds fingerprint state to the delay horizon via

@@ -77,6 +77,41 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination equals the batch query on the real corpus") {
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val all = Tables.load(spark, TestSpark.sf, "documents")
+    val benchGrams = all.filter(col("source") === "src0")
+      .select(explode(array_distinct(TextAnalysis.wordNgrams(
+        split(TextAnalysis.normText(col("text")), " "), 3))).as("gram"))
+      .distinct()
+    val candidates = all.filter(col("source") =!= "src0")
+      .orderBy("doc_id").as[Doc].collect().toSeq
+
+    val input = MemoryStream[Doc]
+    val q = Docs.decontaminate(input.toDF(), benchGrams)
+      .select("doc_id", "n_shared", "verdict")
+      .writeStream.format("memory").queryName("paritydecon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      candidates.grouped(math.max(candidates.size / 3, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+        "SELECT doc_id, n_shared, verdict FROM paritydecon ORDER BY doc_id")
+        .collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("q_decontaminate")(spark, TestSpark.sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming content dedup admits each normalized text exactly once") {
     import graft.streaming.Docs
     import graft.streaming.Docs.Doc
