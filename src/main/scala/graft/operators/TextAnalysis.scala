@@ -72,6 +72,13 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Per-document DISTINCT word-n-gram set of a text column — the shared
+    * front half of batch and streaming decontamination (and their parity
+    * test): one definition, so a tokenizer change can't drift between them.
+    */
+  def gramSet(text: Column, n: Int): Column =
+    array_distinct(wordNgrams(split(normText(text), " "), n))
+
   /** DuckDB mirror of [[wordNgrams]] over a list column expression. */
   def wordNgramsSql(l: String, n: Int): String = {
     val parts = (0 until n).map(k => if (k == 0) s"$l[i]" else s"$l[i + $k]")
@@ -324,8 +331,7 @@ object TextAnalysis {
     })(
       (s, dir) => {
         val g = docs(s, dir).select(
-          col("doc_id"), col("source"),
-          array_distinct(wordNgrams(split(normText(col("text")), " "), 3)).as("gs"))
+          col("doc_id"), col("source"), gramSet(col("text"), 3).as("gs"))
         val bench = g.filter(col("source") === "src0")
           .select(explode(col("gs")).as("gram")).distinct()
         val cand = g.filter(col("source") =!= "src0")

@@ -44,26 +44,31 @@ object Docs {
   }
 
   /** Streaming decontamination: flag stream documents sharing any word
-    * n-gram with a STATIC benchmark gram set (one `gram` column) — a
-    * stream-static left-semi-style join, stateless on the stream side, so
-    * it composes with any downstream watermark/state. The benchmark side is
-    * small (eval suites) and broadcasts. Mirrors q_decontaminate's batch
-    * semantics: per-doc distinct grams, contaminated = any overlap.
+    * n-gram with a STATIC benchmark gram set (one `gram` column). The set
+    * is collected ONCE at operator construction into a broadcast variable
+    * (a stream-static join would re-run the benchmark lineage every
+    * micro-batch, and a giant array literal would blow up codegen) and a
+    * lookup UDF scores each document in O(|doc grams|) — the one place a
+    * UDF beats the built-ins, whose array_intersect rebuilds the probe set
+    * per row. Stream side fully stateless: composes with any downstream
+    * watermark/state; the batch explode+aggregate+join-back shape would be
+    * an aggregate-then-self-join, which append mode rejects. Mirrors
+    * q_decontaminate: per-doc distinct grams, contaminated = any overlap.
     */
   def decontaminate(docs: DataFrame, benchGrams: DataFrame, n: Int = 3): DataFrame = {
-    // the benchmark gram SET rides along as a one-row static side of a
-    // broadcast cross join; per-row array_intersect keeps the stream side
-    // fully stateless (an explode+groupBy+join-back — the batch shape —
-    // would be an aggregate-then-self-join, which append mode rejects)
-    val bench = benchGrams.agg(collect_set(col("gram")).as("bench_gs"))
-    docs.withColumn("gs",
-      array_distinct(TextAnalysis.wordNgrams(
-        split(TextAnalysis.normText(col("text")), " "), n)))
-      .crossJoin(broadcast(bench))
-      .withColumn("n_shared", size(array_intersect(col("gs"), col("bench_gs"))).cast("long"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchSet = spark.sparkContext.broadcast(
+      benchGrams.select(col("gram")).distinct().as[String].collect().toSet)
+    val nShared = udf((gs: Seq[String]) =>
+      if (gs == null) 0L else gs.count(benchSet.value.contains).toLong)
+    val out = docs.withColumn("__graft_gs",
+      TextAnalysis.gramSet(col("text"), n))
+      .withColumn("n_shared", nShared(col("__graft_gs")))
       .withColumn("verdict",
         when(col("n_shared") > 0, "contaminated").otherwise("clean"))
-      .drop("gs", "bench_gs")
+      .drop("__graft_gs")
+    out
   }
 
   /** Exactly-once per normalized content: first arrival wins, byte-copies

@@ -86,8 +86,7 @@ class StreamBatchParitySpec extends AnyFunSuite {
 
     val all = Tables.load(spark, TestSpark.sf, "documents")
     val benchGrams = all.filter(col("source") === "src0")
-      .select(explode(array_distinct(TextAnalysis.wordNgrams(
-        split(TextAnalysis.normText(col("text")), " "), 3))).as("gram"))
+      .select(explode(TextAnalysis.gramSet(col("text"), 3)).as("gram"))
       .distinct()
     val candidates = all.filter(col("source") =!= "src0")
       .orderBy("doc_id").as[Doc].collect().toSeq
