@@ -287,6 +287,41 @@ object Analytic {
           .orderBy(col("lang"), col("rn"))
       }),
 
+    // Deterministic MIXTURE sampling: per-source keep rates — the training-
+    // data mixture-weighting knob (upweight curated sources, downsample the
+    // crawl). Same md5-threshold primitive as q_sample_hash, with the
+    // threshold a CASE over the source; pure map (no shuffle before the
+    // reporting agg), reproducible across retries/partitionings/engines.
+    // Rates here: sources 0-4 keep all, 5-9 half, 10-14 quarter, rest ~10%.
+    Q("q_sample_mixture", {
+      val duckV = (0 until 4).map { d =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
+      }.mkString(" + ")
+      val thr = """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 65536
+                  |    WHEN source IN ('src5','src6','src7','src8','src9') THEN 32768
+                  |    WHEN source IN ('src10','src11','src12','src13','src14') THEN 16384
+                  |    ELSE 6554 END""".stripMargin
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE $duckV < $thr
+         |GROUP BY source ORDER BY source""".stripMargin
+    })(
+      (s, dir) => {
+        val v = expr(
+          "CAST(conv(substr(md5(cast(cast(doc_id AS string) AS binary)), 1, 4), 16, 10) AS INT)")
+        val thr = expr(
+          """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 65536
+            |    WHEN source IN ('src5','src6','src7','src8','src9') THEN 32768
+            |    WHEN source IN ('src10','src11','src12','src13','src14') THEN 16384
+            |    ELSE 6554 END""".stripMargin)
+        t(s, dir, "documents")
+          .filter(v < thr)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"))
+      }),
+
     // Sketch percentiles — the 100 TB path. Exact percentiles buffer every
     // value of a group on one reducer; approx_percentile keeps a fixed-size
     // mergeable summary with map-side partial aggregation, so cost is flat
