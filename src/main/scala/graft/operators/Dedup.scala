@@ -411,6 +411,41 @@ object Dedup {
       (s, dir) => rareGramJaccard(docs(s, dir).filter(col("lang") === "en"))
         .orderBy("doc_a", "doc_b")),
 
+    // 34c. exact substring-overlap dedup: pairs of documents sharing any
+    // LONG word n-gram (n=8 here) — the Spark-able approximation of
+    // suffix-array substring dedup ("docs that copy a long passage from
+    // each other"), a distinct pass from similarity: one shared passage
+    // flags a pair even when overall Jaccard is low. Same scale bounds as
+    // 34: per-doc distinct grams, df-cap kills boilerplate passages before
+    // the gram self-join (C(cap,2) pairs per gram max).
+    Q("q_dedup_substring", {
+      val grams = graft.operators.TextAnalysis.wordNgramsSql("t", 8)
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |ng0 AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct($grams)) AS gram FROM toks),
+         |rare AS (SELECT gram FROM ng0 GROUP BY gram HAVING COUNT(*) <= $DfCap),
+         |ng AS (SELECT ng0.* FROM ng0 JOIN rare USING (gram))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM ng a JOIN ng b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })(
+      (s, dir) => {
+        val ng0 = docs(s, dir).select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.gramSet(col("text"), 8)).as("gram"))
+        val rare = ng0.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= DfCap).select("gram")
+        val ng = ng0.join(rare, "gram")
+        val a = ng.select(col("doc_id").as("doc_a"), col("gram"))
+        val b = ng.select(col("doc_id").as("doc_b"), col("gram"))
+        a.join(b, Seq("gram"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // 34b. MinHash-ESTIMATED Jaccard: the scale path for pairwise
     // similarity — no gram self-join at all. Candidates come from the
     // capped LSH bands; the similarity estimate is the fraction of
