@@ -43,8 +43,43 @@ object Dedup {
     */
   val DfCap = 50
 
+  /** Word width of the non-overlapping chunks in chunk-level boilerplate
+    * removal (q_chunk_dedup) — the stand-in for "line" granularity in a
+    * corpus without line structure.
+    */
+  val ChunkWidth = 8
+
   /** md5 string for Spark Column input. */
   private def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  /** Chunk-level boilerplate removal over (doc_id, text) — see
+    * q_chunk_dedup's pack entry for semantics and scale shape. Returns one
+    * row per doc: chunk counts plus the md5 of the reassembled text with
+    * every corpus-duplicated chunk removed.
+    */
+  def chunkDedup(docs0: DataFrame): DataFrame = {
+    val toks = docs0.select(col("doc_id"),
+      posexplode(split(normText(col("text")), " ")).as(Seq("pos", "word")))
+    val ch = toks
+      .withColumn("cid", expr(s"CAST(pos div $ChunkWidth AS BIGINT)"))
+      .groupBy("doc_id", "cid")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("chunk"))
+    val dfc = ch.groupBy(md5(col("chunk")).as("ck"))
+      .agg(countDistinct("doc_id").as("df"))
+    ch.join(dfc, md5(col("chunk")) === col("ck"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("df") < 2, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dropped"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("df") < 2, struct(col("cid"), col("chunk"))))),
+            x => x.getField("chunk")), " ").cast("binary")).as("cleaned_md5"))
+  }
 
   /** MinHash signatures over (doc_id, text): exact-dedup pre-pass, word
     * 3-shingles, NumSeeds min-slice columns h0..h7. The building block of
@@ -445,6 +480,39 @@ object Dedup {
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
           .orderBy("doc_a", "doc_b")
       }),
+
+    // 34d. chunk-level boilerplate removal (the line-dedup stage of
+    // CCNet/RefinedWeb-style pipelines, chunked by word count because the
+    // corpus has no line structure): split each doc into consecutive
+    // 8-word chunks, count each chunk's document frequency corpus-wide,
+    // drop every chunk seen in ≥2 docs, reassemble the doc from the
+    // survivors. Scale shape: explode → one (doc,cid) shuffle to form
+    // chunks → one df agg keyed on md5(chunk) (fixed-width shuffle key,
+    // map-side combined, so a hot boilerplate chunk never skews a
+    // reducer) → join back → one doc-keyed reassembly shuffle; everything
+    // is linear in corpus tokens.
+    Q("q_chunk_dedup", {
+      val W = ChunkWidth
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+         |w AS (
+         |  SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) AS pos FROM tok),
+         |ch AS (
+         |  SELECT doc_id, CAST((pos - 1) // $W AS BIGINT) AS cid,
+         |    string_agg(word, ' ' ORDER BY pos) AS chunk
+         |  FROM w GROUP BY 1, 2),
+         |dfc AS (
+         |  SELECT md5(chunk) AS ck, count(DISTINCT doc_id) AS df
+         |  FROM ch GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN df < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  md5(coalesce(string_agg(chunk, ' ' ORDER BY cid) FILTER (WHERE df < 2), '')) AS cleaned_md5
+         |FROM ch JOIN dfc ON md5(chunk) = ck
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => chunkDedup(docs(s, dir)).orderBy("doc_id")),
 
     // 34b. MinHash-ESTIMATED Jaccard: the scale path for pairwise
     // similarity — no gram self-join at all. Candidates come from the

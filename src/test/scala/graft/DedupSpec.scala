@@ -125,4 +125,24 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.rareGramJaccard(docsDf(docs), dfCap = 10, minJacMicro = 0L)
       .count() == 0)
   }
+
+  test("chunkDedup drops corpus-shared chunks and keeps unique ones") {
+    // 8-word boilerplate chunk shared by docs 1 and 2 in chunk position 0;
+    // doc 3 is all-unique. The shared chunk must be dropped from both
+    // carriers, the unique tails kept, and doc 3 untouched.
+    val boiler = "one two three four five six seven eight"
+    val docs = Seq(
+      1L -> s"$boiler alpha beta gamma delta epsilon zeta eta theta",
+      2L -> s"$boiler iota kappa lambdaw mu nu xi omicron pi",
+      3L -> "rho sigma tau upsilon phi chi psi omega")
+    val got = Dedup.chunkDedup(docsDf(docs)).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      Seq((1L, 2L, 1L, 1L), (2L, 2L, 1L, 1L), (3L, 1L, 1L, 0L)))
+    // the cleaned text is exactly the surviving chunk
+    val md5of = (sx: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0)._5 == md5of("alpha beta gamma delta epsilon zeta eta theta"))
+    assert(got(2)._5 == md5of("rho sigma tau upsilon phi chi psi omega"))
+  }
 }
