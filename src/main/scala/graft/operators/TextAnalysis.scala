@@ -35,6 +35,19 @@ object TextAnalysis {
 
   private val langs = stopwords.keys.toSeq.sorted
 
+  /** "Pretrained" weights of the linear quality classifier
+    * (q_quality_classifier) in integer micro-logit units; `bias` multiplies
+    * the constant feature 1. Calibrated so the synthetic corpus splits
+    * roughly 50/50 keep/drop (276/500 at sf0.001). In production these rows
+    * come from a model-training job's output table, not source code.
+    */
+  val ClassifierWeights: Seq[(String, Long)] = Seq(
+    "bias" -> 1900000L,
+    "n_words" -> 20000L,
+    "ttr_micro" -> 2L,
+    "stop_micro" -> 8L,
+    "wlen_micro" -> -1L)
+
   /** PII scrub patterns — shared by the registered query and QualitySpec.
     * RE2-safe (no lookaround), identical semantics in Java regex and
     * DuckDB's RE2: email, NANP-style phone, dotted-quad IP.
@@ -152,6 +165,65 @@ object TextAnalysis {
           .drop("__stophits")
           .select("doc_id", "n_chars", "n_words", "n_punct", "avg_wlen_micro",
             "stop_ratio_micro", "verdict")
+          .orderBy("doc_id")
+      }),
+
+    // 39c. model-based quality filtering: a linear classifier whose weights
+    // are DATA, not code — the operator shape of a fasttext/logreg quality
+    // model. Per-doc integer-micro features unpivot to (doc, feature, value)
+    // rows, broadcast-join the weight table, one doc-keyed sum = the logit.
+    // Swapping the weight table retrains the filter with zero plan changes,
+    // and the same shape carries thousands of features without blowing up
+    // codegen. All-integer arithmetic (ANSI errors loudly on overflow), so
+    // the score hash-checks cross-engine.
+    Q("q_quality_classifier", {
+      val w = ClassifierWeights
+        .map { case (f, wt) => s"('$f', CAST($wt AS BIGINT))" }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, $normSql AS s, string_split($normSql, ' ') AS l FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(l) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(l)) * 1000000 // len(l) AS BIGINT) AS ttr_micro,
+         |    CAST(len(list_filter(l, x -> x IN ('the','a','and','of','to','is','in','that'))) * 1000000 // len(l) AS BIGINT) AS stop_micro,
+         |    CAST((len(s) - len(l) + 1) * 1000000 // len(l) AS BIGINT) AS wlen_micro
+         |  FROM tok),
+         |u AS (
+         |  SELECT doc_id, 'bias' AS feature, CAST(1 AS BIGINT) AS fval FROM f
+         |  UNION ALL SELECT doc_id, 'n_words', n_words FROM f
+         |  UNION ALL SELECT doc_id, 'ttr_micro', ttr_micro FROM f
+         |  UNION ALL SELECT doc_id, 'stop_micro', stop_micro FROM f
+         |  UNION ALL SELECT doc_id, 'wlen_micro', wlen_micro FROM f),
+         |w(feature, weight) AS (VALUES $w)
+         |SELECT doc_id, CAST(sum(fval * weight) AS BIGINT) AS score_micro,
+         |  CASE WHEN sum(fval * weight) >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM u JOIN w USING (feature)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        import s.implicits._
+        val en = stopwords("en")
+        val base = docs(s, dir).select(col("doc_id"),
+          normText(col("text")).as("s"), split(normText(col("text")), " ").as("l"))
+        val feats = base.select(col("doc_id"),
+          size(col("l")).cast("long").as("n_words"),
+          expr("CAST(size(array_distinct(l)) AS BIGINT) * 1000000 div size(l)").as("ttr_micro"),
+          (size(filter(col("l"), x => x.isInCollection(en))).cast("long") * 1000000L)
+            .as("__stophits"),
+          expr("CAST(length(s) - size(l) + 1 AS BIGINT) * 1000000 div size(l)").as("wlen_micro"))
+          .withColumn("stop_micro", expr("__stophits div n_words")).drop("__stophits")
+        val unpivot = feats.select(col("doc_id"), explode(map(
+          lit("bias"), lit(1L),
+          lit("n_words"), col("n_words"),
+          lit("ttr_micro"), col("ttr_micro"),
+          lit("stop_micro"), col("stop_micro"),
+          lit("wlen_micro"), col("wlen_micro"))).as(Seq("feature", "fval")))
+        val weights = ClassifierWeights.toSeq.toDF("feature", "weight")
+        unpivot.join(broadcast(weights), "feature")
+          .groupBy("doc_id")
+          .agg(sum(col("fval") * col("weight")).as("score_micro"))
+          .select(col("doc_id"), col("score_micro"),
+            when(col("score_micro") >= 0, "keep").otherwise("drop").as("verdict"))
           .orderBy("doc_id")
       }),
 

@@ -128,4 +128,20 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planOf("q_inspect_diff")
     assert(p.contains("HashAggregate"), s"counts not hash-aggregated:\n$p")
   }
+
+  test("quality classifier broadcasts the weight table, equi-join only") {
+    val p = planOf("q_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight join must broadcast (weights are tiny by contract):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"weight join degenerated:\n$p")
+  }
+
+  test("chunk dedup reads only doc_id+text and keeps equi-joins") {
+    val p = planOf("q_chunk_dedup")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned to doc_id,text:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk df join degenerated:\n$p")
+  }
 }
