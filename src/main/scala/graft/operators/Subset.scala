@@ -204,7 +204,8 @@ object Subset {
     * thread afterwards, in sorted edge order, so results stay deterministic.
     */
   def extract(spark: SparkSession, sfDir: String, spec: QuerySpec,
-              graph: RelGraph = RelGraph.tpch): Extraction = {
+              graph: RelGraph = RelGraph.tpch,
+              bloomPrune: Boolean = false): Extraction = {
     // phase profiler (dbcut --profiler analogue): localCheckpoint is eager,
     // so per-phase wall times reflect real compute, not just plan building
     val phase = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -241,6 +242,27 @@ object Subset {
     def keySide(keys: DataFrame): DataFrame =
       if (boundedKeys) broadcast(keys) else keys
 
+    // Opt-in 100 TB path: when the key set is UNBOUNDED (no broadcast, so
+    // the semi-join shuffles the whole parent) and the edge is a single
+    // integral column, prefilter the parent scan with a bloom of the keys
+    // before the shuffle — the parent-side shuffle shrinks to the true
+    // selectivity plus the fpp tax, and the exact semi-join keeps the
+    // result provably identical (SubsetSpec pins parity). Costs two extra
+    // key-side jobs per edge, so it stays off by default at test scale.
+    def parentSide(parentName: String, keys: DataFrame, fk: FK): DataFrame = {
+      val parent = load(parentName)
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val single = fk.parentCols.size == 1 &&
+        Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(parent.schema(fk.parentCols.head).dataType)
+      if (bloomPrune && !boundedKeys && single) {
+        val bf = graft.functions.Bloom.build(
+          keys, fk.childCols.head, keys.count(), 0.03)
+        parent.filter(graft.functions.Bloom.mightContain(
+          parent(fk.parentCols.head), bf))
+      } else parent
+    }
+
     // A pre-materialized (already-checkpointed) pull merging into a table
     // that had no prior selection needs no further materialization — record
     // its version as checkpointed so checkpoint() skips it.
@@ -262,7 +284,7 @@ object Subset {
         // join edge: parent ⋉ child-FK keys
         val keys = src.select(e.fk.childCols.map(col): _*)
           .na.drop().distinct()
-        val parent = load(e.to)
+        val parent = parentSide(e.to, keys, e.fk)
         val on = e.fk.childCols.zip(e.fk.parentCols).map { case (c, pc) =>
           keys(c) === parent(pc)
         }.reduce(_ && _)
@@ -336,7 +358,7 @@ object Subset {
             !joinEdgeSeenAt.get((t, fk)).contains(version(t)))
         val pulls = materialize(fks.map { fk =>
           val keys = sel(t).select(fk.childCols.map(col): _*).na.drop().distinct()
-          val parent = load(fk.parent)
+          val parent = parentSide(fk.parent, keys, fk)
           val on = fk.childCols.zip(fk.parentCols).map { case (c, pc) =>
             keys(c) === parent(pc)
           }.reduce(_ && _)
