@@ -48,6 +48,47 @@ object Analytic {
 
   val pack: Seq[Q] = Seq(
 
+    // 24o. time-bucketed range join: count the purchases corpus-wide inside
+    // [ts, ts+10min] of every error event. There is NO equi key here, so
+    // the naive join plans as a nested-loop product (|errors|×|purchases|
+    // comparisons). Bucketing by the window width turns it into an
+    // equi-join: each probe explodes to its ≤2 candidate 10-min buckets,
+    // each build row lands in exactly 1, the bucket equi-join + exact
+    // range filter produces every pair exactly once (a pair can only meet
+    // in the build row's single bucket — no dedup pass). Pair output is
+    // bounded by true matches + same-bucket near-misses, never n².
+    Q("q_range_join",
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS es FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT epoch_us(ts) AS ps FROM events WHERE event_type = 'purchase'),
+        |hits AS (
+        |  SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_purch
+        |  FROM e JOIN p ON p.ps >= e.es AND p.ps <= e.es + 600000000
+        |  GROUP BY 1)
+        |SELECT e.event_id, CAST(coalesce(h.n_purch, 0) AS BIGINT) AS n_purch
+        |FROM e LEFT JOIN hits h USING (event_id)
+        |ORDER BY event_id""".stripMargin)(
+      (s, dir) => {
+        val W = 600000000L // 10 min in epoch micros = bucket width
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val ev = t(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), us.as("es"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(us.as("ps"))
+        val eb = errors.withColumn("bucket",
+          explode(array_distinct(array(expr(s"es div $W"), expr(s"(es + $W) div $W")))))
+        val pb = purch.withColumn("bucket", expr(s"ps div $W"))
+        val hits = eb.join(pb, Seq("bucket"))
+          .filter(col("ps") >= col("es") && col("ps") <= col("es") + W)
+          .groupBy("event_id").agg(count(lit(1)).as("n_purch"))
+        errors.select("event_id")
+          .join(hits, Seq("event_id"), "left")
+          .select(col("event_id"), coalesce(col("n_purch"), lit(0L)).as("n_purch"))
+          .orderBy("event_id")
+      }),
+
     // As-of join: each purchase matched to the latest click at-or-before it
     // by the same user — the canonical event-attribution shape Spark has no
     // native operator for. A range join (p.ts >= c.ts) would explode to

@@ -129,6 +129,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"counts not hash-aggregated:\n$p")
   }
 
+  test("bucketed range join plans as an equi-join, never a loop product") {
+    val p = planOf("q_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a product:\n$p")
+  }
+
   test("quality classifier broadcasts the weight table, equi-join only") {
     val p = planOf("q_quality_classifier")
     assert(p.contains("BroadcastHashJoin"),
