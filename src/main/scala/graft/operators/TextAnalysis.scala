@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2d items 38-41 — text-analysis operators for an LLM training-data
@@ -22,6 +23,14 @@ object TextAnalysis {
   /** lower/trim/single-space normalization, shared by all operators. */
   def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
   val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Sequence-packing parameters (q_seq_pack): documents are concatenated
+    * within `doc_id mod PackShards` shards and the token stream is cut
+    * every PackSeqLen tokens. Shard count is the parallelism unit — at
+    * cluster scale it would be O(total cores), not 16.
+    */
+  val PackShards = 16
+  val PackSeqLen = 256
 
   /** Per-language stopword lexicons for the n-gram/stopword language-ID
     * heuristic (tiny, broadcast as literals into codegen).
@@ -433,6 +442,50 @@ object TextAnalysis {
         regexp_count(col("text"), lit(Pii.phone)).cast("long").as("n_phone"),
         regexp_count(col("text"), lit(Pii.ip)).cast("long").as("n_ip"),
         md5(Pii.scrub(col("text")).cast("binary")).as("scrubbed_md5"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // 41h. sequence packing: lay documents end-to-end in a deterministic
+    // per-shard order and cut the token stream every PackSeqLen tokens —
+    // the GPT-style "concat and chunk" batch-assembly step of a training
+    // pipeline. Emits, per document, its shard, token count (BPE-ish
+    // tokenizer of q_token_count), starting offset in the shard's token
+    // stream, and the first/last training sequence it lands in.
+    //
+    // Scale shape: packing is defined WITHIN a shard (doc_id mod
+    // PackShards), never across the corpus — a global token order would
+    // need a single-partition window (one reducer sees 100 TB), while
+    // per-shard packing is one shuffle by shard and each shard's cumsum
+    // runs independently; at cluster scale shards = O(cores), and real
+    // pipelines shard exactly this way (per-file / per-worker streams).
+    Q("q_seq_pack",
+      s"""WITH d AS (
+         |  SELECT doc_id, doc_id % $PackShards AS shard,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, shard, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+         |  FROM d)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_toks,
+         |  CAST(tok_start AS BIGINT) AS tok_start,
+         |  CAST(tok_start // $PackSeqLen AS BIGINT) AS pack_first,
+         |  CAST(CASE WHEN n_toks = 0 THEN tok_start
+         |            ELSE tok_start + n_toks - 1 END // $PackSeqLen AS BIGINT) AS pack_last
+         |FROM o ORDER BY doc_id""".stripMargin)(
+      (s, dir) => {
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs(s, dir).select(
+          col("doc_id"),
+          pmod(col("doc_id"), lit(PackShards)).cast("long").as("shard"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+            .cast("long").as("n_toks"))
+          .withColumn("tok_start", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+          .withColumn("pack_first", expr(s"tok_start div $PackSeqLen"))
+          .withColumn("pack_last",
+            expr(s"(CASE WHEN n_toks = 0 THEN tok_start ELSE tok_start + n_toks - 1 END) div $PackSeqLen"))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -135,6 +135,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"range join degenerated to a product:\n$p")
   }
 
+  test("sequence packing windows per shard, scan pruned to doc_id+text") {
+    val p = planOf("q_seq_pack")
+    // the cumsum window must be partitioned by shard (parallel across
+    // shards), never a global single-partition window
+    assert(p.contains("hashpartitioning(shard"),
+      s"packing cumsum not hash-partitioned by shard:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing cumsum collapsed to a single partition:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned to doc_id,text:\n$p")
+  }
+
   test("quality classifier broadcasts the weight table, equi-join only") {
     val p = planOf("q_quality_classifier")
     assert(p.contains("BroadcastHashJoin"),
