@@ -52,6 +52,34 @@ object Dedup {
   /** md5 string for Spark Column input. */
   private def md5s(c: Column): Column = md5(c.cast("binary"))
 
+  /** DuckDB CTE chain ending in `sigs_$sfx`: minhash signatures of the
+    * documents matching `where` — the SQL mirror of [[minhashSignatures]]
+    * applied to a corpus slice (the exact-dedup reps pre-pass is
+    * per-slice, exactly like the Spark side's per-input call).
+    */
+  private def sigSqlFor(sfx: String, where: String): String = {
+    val minhs = (0 until NumSeeds).map { i =>
+      val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+      s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
+    }.mkString(",\n  ")
+    s"""reps_$sfx AS (
+       |  SELECT min(doc_id) AS doc_id, s
+       |  FROM (SELECT doc_id, $normSql AS s FROM documents WHERE $where) GROUP BY s),
+       |toks_$sfx AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps_$sfx),
+       |sh_$sfx AS (
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |  FROM toks_$sfx, UNNEST(range(1, len(t) - 1)) AS u(i)),
+       |sigs_$sfx AS (SELECT doc_id, $minhs FROM sh_$sfx GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB CTE `bands0_$sfx`: uncapped band keys of `sigs_$sfx`. */
+  private def bandsSqlFor(sfx: String): String = {
+    val bands = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs_$sfx")
+      .mkString("\n  UNION ALL ")
+    s"bands0_$sfx AS ($bands)"
+  }
+
   /** Chunk-level boilerplate removal over (doc_id, text) — see
     * q_chunk_dedup's pack entry for semantics and scale shape. Returns one
     * row per doc: chunk counts plus the md5 of the reassembled text with
@@ -114,17 +142,28 @@ object Dedup {
   def minhashPairs(docs0: DataFrame, bucketCap: Int = BucketCap): DataFrame =
     bandPairs(minhashSignatures(docs0), bucketCap)
 
-  /** Band-bucket candidate pairs from a signature table (h0..h7). */
-  def bandPairs(sigs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
-    val bands = sigs.select(col("doc_id"), explode(array(
+  /** (doc_id, band, bkey) band keys of a signature table (h0..h7) — the
+    * LSH bucket membership rows, uncapped.
+    */
+  def bandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(array(
       (0 until Bands).map(b => struct(lit(b).as("band"),
         md5s(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))): _*))
       .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    // deterministic bucket cap: one shuffle by (band,bkey), bounded output
+
+  /** Band keys with the deterministic per-bucket membership cap applied:
+    * one shuffle by (band,bkey), ≤ cap doc_ids (lowest first) per bucket.
+    */
+  def cappedBandKeys(sigs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
     val bw = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
-    val capped = bands.withColumn("rn", row_number().over(bw))
+    bandKeys(sigs).withColumn("rn", row_number().over(bw))
       .filter(col("rn") <= bucketCap).drop("rn")
+  }
+
+  /** Band-bucket candidate pairs from a signature table (h0..h7). */
+  def bandPairs(sigs: DataFrame, bucketCap: Int = BucketCap): DataFrame = {
+    val capped = cappedBandKeys(sigs, bucketCap)
     val a = capped.alias("a")
     val bb = capped.alias("b")
     a.join(bb,
@@ -132,6 +171,53 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Incremental-dedup split (q_dedup_incremental): the "new batch" is
+    * doc_id % IncrMod == 0 (a fifth of the corpus); everything else is the
+    * already-ingested corpus whose signature index is persisted on disk.
+    * A new doc is a near-dup of the corpus when ≥ 2 of its 8 signature
+    * slices match an LSH candidate's (estimated Jaccard ≥ 0.25).
+    */
+  val IncrMod = 5
+  val IncrEstMicro: Long = 2L * (1000000 / NumSeeds)
+
+  /** Location of the persisted MinHash index for a corpus partition:
+    * keyed by corpus path, footer row count, and the signature/cap/split
+    * params, so a re-generated corpus never reads a stale index.
+    */
+  def minhashIndexDir(s: SparkSession, dir: String, mod: Int): String = {
+    val corpus = Tables.path(dir, "documents")
+    val n = Tables.footerRowCount(s, corpus)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$corpus|$n|$mod|$NumSeeds|$BucketCap".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_minhash_$key"
+  }
+
+  /** MinHash index BUILD — run once per ingested corpus, never per batch:
+    * signatures + capped band keys of every already-ingested document
+    * (doc_id % mod != 0), written as two parquet tables via the Export
+    * sink. At 100 TB this is the standing dedup index an ingestion
+    * pipeline maintains; each incoming batch computes signatures for ITS
+    * OWN documents only and equi-joins the index (q_dedup_incremental) —
+    * cost per batch ∝ batch size, not corpus size. Skips the build when
+    * the index already exists (parquet _SUCCESS marker).
+    */
+  def buildMinhashIndex(s: SparkSession, dir: String,
+                        mod: Int = IncrMod): String = synchronized {
+    val root = minhashIndexDir(s, dir, mod)
+    val conf = s.sessionState.newHadoopConf()
+    val done = new org.apache.hadoop.fs.Path(s"$root/bands/_SUCCESS")
+    if (done.getFileSystem(conf).exists(done)) return root
+    val old = Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+    // the sig computation feeds both writes; localCheckpoint materializes
+    // the shingle explode + 8-way min aggregate once
+    val sigs = minhashSignatures(old).localCheckpoint()
+    graft.sources.Export.flush(sigs, s"$root/sigs")
+    graft.sources.Export.flush(cappedBandKeys(sigs), s"$root/bands")
+    root
   }
 
   val SimhashBits = 64
@@ -568,6 +654,77 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"),
             (nMatch * lit(1000000 / NumSeeds)).cast("long").as("jac_est_micro"))
           .orderBy("doc_a", "doc_b")
+      }),
+
+    // 32d. INCREMENTAL near-dup detection — the ingestion-time shape of
+    // MinHash dedup: the already-ingested corpus (doc_id % IncrMod != 0)
+    // has a PERSISTED signature index (built once by buildMinhashIndex:
+    // sigs + capped band keys as parquet); an incoming batch (doc_id %
+    // IncrMod == 0) computes signatures for its own documents only and
+    // equi-joins the index's band table, so per-batch cost is ∝ batch
+    // size + index probe, never a corpus-wide recompute. A new doc is
+    // flagged when ≥ 2 of its 8 signature slices match a candidate's
+    // (estimated Jaccard ≥ 0.25). The oracle recomputes both sides
+    // inline — same split, same caps, same estimate.
+    Q("q_dedup_incremental", {
+      val matches = (0 until NumSeeds)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val isMatch = s"CASE WHEN est_micro >= $IncrEstMicro THEN 1 ELSE 0 END"
+      s"""WITH ${sigSqlFor("old", s"doc_id % $IncrMod <> 0")},
+         |${bandsSqlFor("old")},
+         |bands_old AS (
+         |  SELECT doc_id, band, bkey FROM bands0_old
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
+         |${sigSqlFor("new", s"doc_id % $IncrMod = 0")},
+         |${bandsSqlFor("new")},
+         |cands AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM bands0_new n JOIN bands_old o ON n.band = o.band AND n.bkey = o.bkey),
+         |est AS (
+         |  SELECT new_id, old_id, CAST(($matches) * ${1000000 / NumSeeds} AS BIGINT) AS est_micro
+         |  FROM cands
+         |  JOIN sigs_new sa ON new_id = sa.doc_id
+         |  JOIN sigs_old sb ON old_id = sb.doc_id)
+         |SELECT new_id AS doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cands,
+         |  CAST(SUM($isMatch) AS BIGINT) AS n_matches,
+         |  CAST(MIN(CASE WHEN est_micro >= $IncrEstMicro THEN old_id END) AS BIGINT) AS best_match,
+         |  CAST(MAX(est_micro) AS BIGINT) AS max_est_micro
+         |FROM est GROUP BY new_id
+         |HAVING SUM($isMatch) > 0
+         |ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        val root = buildMinhashIndex(s, dir)
+        val oldSigs = s.read.parquet(s"$root/sigs")
+        val oldBands = s.read.parquet(s"$root/bands")
+        // signatures of the NEW batch only — the index side never recomputes
+        val newSigs = minhashSignatures(
+          docs(s, dir).filter(pmod(col("doc_id"), lit(IncrMod)) === 0))
+          .localCheckpoint()
+        val cands = bandKeys(newSigs).alias("n")
+          .join(oldBands.alias("o"),
+            col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+          .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+          .distinct()
+        val nMatch = (0 until NumSeeds)
+          .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val isMatch = col("est_micro") >= IncrEstMicro
+        cands
+          .join(newSigs.alias("sa"), col("new_id") === col("sa.doc_id"))
+          .join(oldSigs.alias("sb"), col("old_id") === col("sb.doc_id"))
+          .select(col("new_id"), col("old_id"),
+            (nMatch * lit(1000000 / NumSeeds)).cast("long").as("est_micro"))
+          .groupBy(col("new_id").as("doc_id"))
+          .agg(
+            count(lit(1)).as("n_cands"),
+            sum(when(isMatch, 1L).otherwise(0L)).as("n_matches"),
+            min(when(isMatch, col("old_id"))).as("best_match"),
+            max(col("est_micro")).as("max_est_micro"))
+          .filter(col("n_matches") > 0)
+          .orderBy("doc_id")
       }),
 
     // 32b. near-dup CLUSTER resolution: connected components over the

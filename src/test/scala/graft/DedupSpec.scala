@@ -145,4 +145,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got(0)._5 == md5of("alpha beta gamma delta epsilon zeta eta theta"))
     assert(got(2)._5 == md5of("rho sigma tau upsilon phi chi psi omega"))
   }
+
+  test("incremental dedup flags new-batch near-dups against the persisted index") {
+    // crafted corpus on disk: OLD side (doc_id % 5 != 0) holds base texts;
+    // NEW side (doc_id % 5 == 0) holds one exact copy of old doc 1, one
+    // near-variant of old doc 2, and one unrelated doc.
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val base2 = "red orange yellow green blue indigo violet cyan magenta " +
+      "umber ochre teal maroon coral amber jade onyx pearl slate flint"
+    val rows = Seq(
+      1L -> base1, 2L -> base2,
+      3L -> "solo uno dos tres cuatro cinco seis siete ocho nueve",
+      5L -> base1,                   // exact copy of old 1 → est = 8/8
+      10L -> (base2 + " extraword"), // near-variant of old 2
+      15L -> "qux quux corge grault garply waldo fred plugh xyzzy thud")
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    import spark.implicits._
+    rows.map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // 5 matches old 1, 10 matches old 2; unrelated 15 is absent
+    assert(got == Seq((5L, 1L), (10L, 2L)), s"got $got")
+    // the index is persisted: a second build call is a no-op fast path
+    val root = Dedup.buildMinhashIndex(spark, dir)
+    val marker = new java.io.File(s"$root/bands/_SUCCESS")
+    assert(marker.exists)
+    val mtime = marker.lastModified
+    Dedup.buildMinhashIndex(spark, dir)
+    assert(marker.lastModified == mtime, "index was rebuilt, not reused")
+  }
 }
