@@ -45,6 +45,25 @@ object Export {
   def flush(df: DataFrame, destPath: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(destPath)
 
+  /** ORC export: the extraction in FK order as ORC — the other columnar
+    * format Spark ships a native vectorized reader/writer for, so a graft
+    * extraction can feed ORC-first warehouses (Hive ACID, older Trino
+    * catalogs) without a conversion job. Same scan-side behaviors as
+    * parquet: column pruning, predicate pushdown into file/stripe stats.
+    */
+  def orc(e: Extraction, destDir: String): Seq[String] = {
+    val order = e.plan.graph.topological.filter(e.tables.contains)
+    order.zipWithIndex.map { case (name, i) =>
+      val path = f"$destDir/$i%02d_$name"
+      e.tables(name).write.mode(SaveMode.Overwrite).orc(path)
+      path
+    }
+  }
+
+  /** ORC twin of [[flush]] for a single table. */
+  def orcFlush(df: DataFrame, destPath: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(destPath)
+
   /** dbcut `clear`: delete all rows but keep schema ≡ overwrite with the
     * empty slice of the same schema.
     */

@@ -4,6 +4,7 @@ import graft.model.RelGraph
 import graft.sources.{Export, Jdbc, QueryCache, SqlDump}
 import graft.spec.SpecJson
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class SourcesSpec extends AnyFunSuite {
@@ -251,5 +252,30 @@ class SourcesSpec extends AnyFunSuite {
     val cleared = dir + "/cleared"
     Export.clear(e.tables("supplier"), cleared)
     assert(spark.read.parquet(cleared).count() == 0)
+  }
+
+  test("Export round-trips ORC losslessly with pushdown on the read side") {
+    val spec = SpecJson.parse("from: supplier\nlimit: 2\njoin_depth: 5\nbackref_depth: 0\n")
+    val e = graft.operators.Subset.extract(spark, TestSpark.sf, spec)
+    val dir = Files.createTempDirectory("export_orc").toString
+    val paths = Export.orc(e, dir)
+    // same FK order as the parquet sink
+    val names = paths.map(_.split('/').last.drop(3))
+    assert(names.indexOf("region") < names.indexOf("nation"))
+    // lossless: every table reads back row-identical
+    for ((path, name) <- paths.zip(names)) {
+      val back = spark.read.orc(path)
+      val orig = e.tables(name)
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        orig.schema.map(f => (f.name, f.dataType)), s"$name schema drifted")
+      assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty,
+        s"$name rows drifted through ORC")
+    }
+    // scan-side posture: a point predicate reaches the ORC reader
+    val nation = spark.read.orc(paths(names.indexOf("nation")))
+      .filter(col("n_name") === "FRANCE")
+    val plan = nation.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("n_name"),
+      s"no pushdown into ORC scan:\n$plan")
   }
 }
