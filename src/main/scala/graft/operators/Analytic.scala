@@ -17,6 +17,9 @@ object Analytic {
 
   import graft.Q.{micros, sqlMicros}
 
+  /** Exact 2-decimal view of a stored-as-double money/quantity column. */
+  private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+
   /** Microsecond-precision wall-clock string — the cross-engine-safe way to
     * emit the ns-origin event timestamps (Q.tsToDate's rule: never emit raw
     * timestamps from oracle-checked queries).
@@ -361,6 +364,65 @@ object Analytic {
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
           .orderBy(col("source"))
+      }),
+
+    // Grouped least-squares regression of extendedprice-cents on quantity,
+    // computed FROM EXACT INTEGER SUMS: per group one pass accumulates
+    // n, Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0) (overflow-free at any
+    // corpus size, map-side partial agg — this is how you fit millions of
+    // per-group models over 100 TB in one shuffle), then slope/intercept/r²
+    // derive from the closed form. The sums are bit-identical across
+    // engines, so the final double arithmetic — same IEEE expression on
+    // identical inputs — hash-matches in milli/micro fixed-point.
+    Q("q_regression", {
+      val x = "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)"
+      val y = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      s"""WITH p AS (
+         |  SELECT l_returnflag, CAST($x AS HUGEINT) AS x, CAST($y AS HUGEINT) AS y
+         |  FROM lineitem),
+         |sums AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(*) AS HUGEINT) AS n,
+         |    SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * y) AS sxy,
+         |    SUM(x * x) AS sxx,
+         |    SUM(y * y) AS syy
+         |  FROM p GROUP BY l_returnflag)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |  CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * 1000
+         |    / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_milli,
+         |  CAST(ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) * 1000
+         |    / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS icept_milli,
+         |  CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) * 1000000
+         |    / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r2_micro
+         |FROM sums ORDER BY l_returnflag""".stripMargin
+    })(
+      (s, dir) => {
+        val xL = dec("l_quantity").cast("long").cast("decimal(38,0)")
+        val yL = (dec("l_extendedprice") * 100).cast("long").cast("decimal(38,0)")
+        val sums = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), xL.as("x"), yL.as("y"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("x")).cast("decimal(38,0)").as("sx"),
+            sum(col("y")).cast("decimal(38,0)").as("sy"),
+            sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+            sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+            sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
+        sums.select(
+          col("l_returnflag"),
+          col("n").cast("long").as("n"),
+          expr("""CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * 1000
+                 |  / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)""".stripMargin)
+            .as("slope_milli"),
+          expr("""CAST(ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) * 1000
+                 |  / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)""".stripMargin)
+            .as("icept_milli"),
+          expr("""CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) * 1000000
+                 |  / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)""".stripMargin)
+            .as("r2_micro"))
+          .orderBy(col("l_returnflag"))
       }),
 
     // Sketch percentiles — the 100 TB path. Exact percentiles buffer every
