@@ -366,6 +366,61 @@ object Analytic {
           .orderBy(col("source"))
       }),
 
+    // MIXTURE PLANNING — the sizing step that precedes mixture sampling:
+    // given target token shares per source tier (curated 50%, web 30%,
+    // mid 15%, tail 5%), find the largest total token budget B the corpus
+    // supports (the binding tier is the one whose tokens run out first:
+    // B = min over tiers of tokens/share) and each tier's keep rate.
+    // Everything is integer arithmetic on exact token sums — two tiny
+    // shuffles (tier agg, single-row min broadcast back), deterministic
+    // cross-engine. Production pipelines run exactly this computation to
+    // turn "we want this mixture" into per-tier sampling rates.
+    Q("q_mixture_plan", {
+      val tier = """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'curated'
+                   |    WHEN source IN ('src5','src6','src7','src8','src9') THEN 'web'
+                   |    WHEN source IN ('src10','src11','src12','src13','src14') THEN 'mid'
+                   |    ELSE 'tail' END""".stripMargin
+      val share = """CASE tier WHEN 'curated' THEN 500 WHEN 'web' THEN 300
+                    |    WHEN 'mid' THEN 150 ELSE 50 END""".stripMargin
+      s"""WITH d AS (
+         |  SELECT $tier AS tier,
+         |    CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS tokens, ($share) AS share_milli
+         |  FROM d GROUP BY tier),
+         |b AS (SELECT MIN(tokens * 1000 // share_milli) AS budget FROM g)
+         |SELECT tier, n_docs, tokens, CAST(share_milli AS BIGINT) AS share_milli,
+         |  LEAST(1000000, (budget * share_milli // 1000) * 1000000 // tokens) AS rate_micro,
+         |  tokens * LEAST(1000000, (budget * share_milli // 1000) * 1000000 // tokens) // 1000000 AS target_tokens
+         |FROM g, b ORDER BY tier""".stripMargin
+    })(
+      (s, dir) => {
+        val tier = expr(
+          """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'curated'
+            |    WHEN source IN ('src5','src6','src7','src8','src9') THEN 'web'
+            |    WHEN source IN ('src10','src11','src12','src13','src14') THEN 'mid'
+            |    ELSE 'tail' END""".stripMargin)
+        val toks = size(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+          .cast("long")
+        val g = t(s, dir, "documents")
+          .select(tier.as("tier"), toks.as("toks"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+          .withColumn("share_milli", expr(
+            """CASE tier WHEN 'curated' THEN 500L WHEN 'web' THEN 300L
+              |    WHEN 'mid' THEN 150L ELSE 50L END""".stripMargin))
+        val b = g.agg(min(expr("tokens * 1000 div share_milli")).as("budget"))
+        g.crossJoin(broadcast(b))
+          .withColumn("rate_micro", expr(
+            "LEAST(1000000L, (budget * share_milli div 1000) * 1000000 div tokens)"))
+          .select(col("tier"), col("n_docs"), col("tokens"), col("share_milli"),
+            col("rate_micro"),
+            expr("tokens * rate_micro div 1000000").as("target_tokens"))
+          .orderBy("tier")
+      }),
+
     // Grouped least-squares regression of extendedprice-cents on quantity,
     // computed FROM EXACT INTEGER SUMS: per group one pass accumulates
     // n, Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0) (overflow-free at any
@@ -378,15 +433,15 @@ object Analytic {
       val x = "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)"
       val y = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
       s"""WITH p AS (
-         |  SELECT l_returnflag, CAST($x AS HUGEINT) AS x, CAST($y AS HUGEINT) AS y
+         |  SELECT l_returnflag, $x AS x, $y AS y
          |  FROM lineitem),
          |sums AS (
          |  SELECT l_returnflag,
          |    CAST(COUNT(*) AS HUGEINT) AS n,
-         |    SUM(x) AS sx, SUM(y) AS sy,
-         |    SUM(x * y) AS sxy,
-         |    SUM(x * x) AS sxx,
-         |    SUM(y * y) AS syy
+         |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         |    CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         |    CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         |    CAST(SUM(y * y) AS HUGEINT) AS syy
          |  FROM p GROUP BY l_returnflag)
          |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
          |  CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * 1000
@@ -398,18 +453,23 @@ object Analytic {
          |FROM sums ORDER BY l_returnflag""".stripMargin
     })(
       (s, dir) => {
-        val xL = dec("l_quantity").cast("long").cast("decimal(38,0)")
-        val yL = (dec("l_extendedprice") * 100).cast("long").cast("decimal(38,0)")
+        // per-row arithmetic stays in 64-bit longs (x ≤ 50, y ≤ 1e7 cents →
+        // y² ≤ 1e14, no overflow); only the AGGREGATION BUFFERS are
+        // DECIMAL(38,0), where overflow would otherwise bite at corpus
+        // scale (Σy² ≈ 6e20 at sf1 alone)
+        val xL = dec("l_quantity").cast("long")
+        val yL = (dec("l_extendedprice") * 100).cast("long")
+        def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
         val sums = t(s, dir, "lineitem")
           .select(col("l_returnflag"), xL.as("x"), yL.as("y"))
           .groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).cast("decimal(38,0)").as("n"),
-            sum(col("x")).cast("decimal(38,0)").as("sx"),
-            sum(col("y")).cast("decimal(38,0)").as("sy"),
-            sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
-            sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
-            sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
+            dsum(col("x")).as("sx"),
+            dsum(col("y")).as("sy"),
+            dsum(col("x") * col("y")).as("sxy"),
+            dsum(col("x") * col("x")).as("sxx"),
+            dsum(col("y") * col("y")).as("syy"))
         sums.select(
           col("l_returnflag"),
           col("n").cast("long").as("n"),

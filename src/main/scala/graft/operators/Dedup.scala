@@ -544,7 +544,9 @@ object Dedup {
       s"""WITH toks AS (
          |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
          |ng0 AS (
-         |  SELECT DISTINCT doc_id, unnest(list_distinct($grams)) AS gram FROM toks),
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform($grams, g -> substr(md5(g), 1, 16)))) AS gram
+         |  FROM toks),
          |rare AS (SELECT gram FROM ng0 GROUP BY gram HAVING COUNT(*) <= $DfCap),
          |ng AS (SELECT ng0.* FROM ng0 JOIN rare USING (gram))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -554,8 +556,16 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     })(
       (s, dir) => {
+        // shuffle a 16-hex md5 prefix, never the ~60-char gram itself: the
+        // three gram-keyed exchanges move 4× less key data, and because
+        // BOTH engines key on the same truncated digest, outputs stay
+        // identical even in the (vanishing) event of a 64-bit collision.
+        // The distinct stays per-doc (array_distinct before the explode,
+        // narrow) rather than a corpus-wide shuffle.
         val ng0 = docs(s, dir).select(col("doc_id"),
-          explode(graft.operators.TextAnalysis.gramSet(col("text"), 8)).as("gram"))
+          explode(array_distinct(transform(
+            graft.operators.TextAnalysis.gramSet(col("text"), 8),
+            g => substring(md5(g.cast("binary")), 1, 16)))).as("gram"))
         val rare = ng0.groupBy("gram").agg(count(lit(1)).as("df"))
           .filter(col("df") <= DfCap).select("gram")
         val ng = ng0.join(rare, "gram")
@@ -725,6 +735,70 @@ object Dedup {
             max(col("est_micro")).as("max_est_micro"))
           .filter(col("n_matches") > 0)
           .orderBy("doc_id")
+      }),
+
+    // 32e. cross-source duplication matrix — "which sources copy from
+    // which": every duplication pair (near-dup LSH pairs between exact-dedup
+    // representatives, PLUS one (keeper, copy) pair per byte-identical
+    // duplicate so exact mirrors stay linear, never C(cluster,2)) is
+    // labeled with its two documents' sources and counted per unordered
+    // source pair. The pipeline view a data curator reads to find which
+    // crawl snapshots overlap and whether curated sets leak into the crawl.
+    Q("q_source_overlap", {
+      val minhs = (0 until NumSeeds).map { i =>
+        val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+        s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
+      }.mkString(",\n  ")
+      val bands = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
+        .mkString("\n  UNION ALL ")
+      s"""WITH reps AS (
+         |  SELECT min(doc_id) AS doc_id, s
+         |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
+         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
+         |sh AS (
+         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+         |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
+         |bands0 AS ($bands),
+         |bands AS (
+         |  SELECT doc_id, band, bkey FROM bands0
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
+         |near AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |exact AS (
+         |  SELECT keeper AS doc_a, doc_id AS doc_b FROM (
+         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS keeper
+         |    FROM (SELECT doc_id, $normSql AS s FROM documents))
+         |  WHERE doc_id <> keeper),
+         |pairs AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exact)
+         |SELECT LEAST(sa.source, sb.source) AS source_lo,
+         |  GREATEST(sa.source, sb.source) AS source_hi,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM pairs
+         |JOIN documents sa ON doc_a = sa.doc_id
+         |JOIN documents sb ON doc_b = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    })(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val near = minhashPairs(d)
+        val exact = d.select(col("doc_id"), normText(col("text")).as("s"))
+          .withColumn("keeper",
+            min(col("doc_id")).over(Window.partitionBy(col("s"))))
+          .filter(col("doc_id") =!= col("keeper"))
+          .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b"))
+        val pairs = near.unionByName(exact).distinct()
+        val srcs = d.select(col("doc_id"), col("source"))
+        pairs
+          .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+          .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+          .groupBy(
+            least(col("src_a"), col("src_b")).as("source_lo"),
+            greatest(col("src_a"), col("src_b")).as("source_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_lo", "source_hi")
       }),
 
     // 32b. near-dup CLUSTER resolution: connected components over the

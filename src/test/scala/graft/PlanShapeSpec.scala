@@ -147,6 +147,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"documents scan not pruned to doc_id,text:\n$p")
   }
 
+  test("source-overlap matrix joins stay equi-joins over hashed pairs") {
+    val p = planOf("q_source_overlap")
+    assert(!p.contains("CartesianProduct"),
+      s"overlap matrix degenerated to a product:\n$p")
+  }
+
+  test("mixture plan reads only text+source, broadcasts the 1-row budget") {
+    val p = planOf("q_mixture_plan")
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"),
+      s"documents scan not pruned to text,source:\n$p")
+    // the single-row budget joins back by broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"budget row not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast product:\n$p")
+  }
+
   test("quality classifier broadcasts the weight table, equi-join only") {
     val p = planOf("q_quality_classifier")
     assert(p.contains("BroadcastHashJoin"),
