@@ -366,7 +366,7 @@ object Analytic {
           .orderBy(col("source"))
       }),
 
-    // MIXTURE PLANNING — the sizing step that precedes mixture sampling:
+    // 41i. MIXTURE PLANNING — the sizing step that precedes mixture sampling:
     // given target token shares per source tier (curated 50%, web 30%,
     // mid 15%, tail 5%), find the largest total token budget B the corpus
     // supports (the binding tier is the one whose tokens run out first:
@@ -421,7 +421,7 @@ object Analytic {
           .orderBy("tier")
       }),
 
-    // Grouped least-squares regression of extendedprice-cents on quantity,
+    // 24p. Grouped least-squares regression of extendedprice-cents on quantity,
     // computed FROM EXACT INTEGER SUMS: per group one pass accumulates
     // n, Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0) (overflow-free at any
     // corpus size, map-side partial agg — this is how you fit millions of
