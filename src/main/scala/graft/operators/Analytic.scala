@@ -169,6 +169,42 @@ object Analytic {
           max(col("l_quantity")).as("max_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // 24q. Trimmed (winsor-bounded) mean — the robust aggregate a profiling
+    // pass uses when outliers poison a plain mean: per group, the exact
+    // p05/p95 bounds (same interpolated percentile both engines — its
+    // bit-equality is already proven by q_percentile) come from one
+    // aggregate over the group, then the mean of in-range values in exact
+    // integer micros. The 3-row bounds table joins back by BROADCAST; two
+    // scans total, both fully parallel — no per-group total order anywhere.
+    Q("q_trimmed_mean", {
+      val rowMicros = sqlMicros("l_extendedprice")
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |    quantile_cont(l_extendedprice, 0.05) AS p05,
+         |    quantile_cont(l_extendedprice, 0.95) AS p95
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l.l_returnflag,
+         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(CAST(SUM($rowMicros) AS BIGINT) // COUNT(*) AS BIGINT) AS trimmed_mean_micros
+         |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+         |WHERE l.l_extendedprice >= b.p05 AND l.l_extendedprice <= b.p95
+         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+    })(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val bounds = li.groupBy(col("l_returnflag")).agg(
+          percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+        li.join(broadcast(bounds), "l_returnflag")
+          .filter(col("l_extendedprice") >= col("p05") &&
+            col("l_extendedprice") <= col("p95"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(micros(col("l_extendedprice"))).as("__s"))
+          .withColumn("trimmed_mean_micros", expr("__s div n_kept")).drop("__s")
+          .orderBy(col("l_returnflag"))
+      }),
+
     // Funnel analysis: strictly-ordered stage progression per user
     // (first signup → first later click → first later purchase). Each stage
     // is a semi-join-shaped aggregate against the previous stage's per-user

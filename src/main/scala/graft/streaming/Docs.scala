@@ -71,6 +71,65 @@ object Docs {
     out
   }
 
+  /** Streaming incremental near-dup detection — the twin of
+    * q_dedup_incremental (§2d.32d) over an unbounded ingest feed: each
+    * arriving document is checked against the PERSISTED corpus MinHash
+    * index (`Dedup.buildMinhashIndex` output) and flagged when ≥ 2 of its
+    * 8 signature slices match an LSH candidate's.
+    *
+    * The whole stream side is STATELESS: the per-document signature is
+    * computed with pure array expressions (shingle transform + array_min
+    * per seed — an aggregation-free restatement of the batch groupBy.min,
+    * possible because a MinHash signature only depends on the document
+    * itself), band keys explode to 4 rows, and both lookups are
+    * stream-static equi-joins against the index parquet. No watermark, no
+    * state store; composes with downstream dedup/session state freely.
+    * Emits one row per (doc, matched corpus doc, band) candidate hit that
+    * clears the estimate threshold — band multiplicity is kept (dedup
+    * would need state); readers distinct on (doc_id, old_id) as needed.
+    * Docs under 3 words have null slices and match nothing, exactly like
+    * the batch side's empty-shingle guard.
+    */
+  def nearDupAgainstIndex(docs: DataFrame, indexRoot: String,
+                          estMicroThreshold: Long =
+                            graft.operators.Dedup.IncrEstMicro): DataFrame = {
+    val spark = docs.sparkSession
+    val numSeeds = 8
+    val oldSigs = spark.read.parquet(s"$indexRoot/sigs").select(
+      col("doc_id").as("old_id") +:
+        (0 until numSeeds).map(i => col(s"h$i").as(s"o$i")): _*)
+    val oldBands = spark.read.parquet(s"$indexRoot/bands")
+      .select(col("doc_id").as("old_id"), col("band"), col("bkey"))
+    val toks = split(TextAnalysis.normText(col("text")), " ")
+    val sigged = docs
+      .withColumn("__t", toks)
+      .withColumn("__sh", expr(
+        "CASE WHEN size(__t) >= 3 THEN transform(sequence(0, size(__t) - 3), i -> concat_ws(' ', __t[i], __t[i+1], __t[i+2])) ELSE array() END"))
+      .withColumns(
+        (0 until numSeeds).map { i =>
+          val src = if (i < 4) "x" else "concat('x:', x)"
+          s"h$i" -> expr(
+            s"array_min(transform(__sh, x -> substring(md5(cast($src AS BINARY)), ${8 * (i % 4) + 1}, 8)))")
+        }.toMap)
+      .drop("__t", "__sh")
+    val banded = sigged.withColumn("__bb", explode(array(
+      (0 until numSeeds / 2).map(b => struct(lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary"))
+          .as("bkey"))): _*)))
+      .withColumn("band", col("__bb.band"))
+      .withColumn("bkey", col("__bb.bkey"))
+      .drop("__bb")
+    val est = (0 until numSeeds)
+      .map(i => when(col(s"h$i") === col(s"o$i"), 1).otherwise(0))
+      .reduce(_ + _) * lit(1000000 / numSeeds)
+    banded
+      .join(oldBands, Seq("band", "bkey"))
+      .join(oldSigs, Seq("old_id"))
+      .withColumn("est_micro", est.cast("long"))
+      .filter(col("est_micro") >= estMicroThreshold)
+      .select(col("doc_id"), col("old_id"), col("band"), col("est_micro"))
+  }
+
   /** Exactly-once per normalized content: first arrival wins, byte-copies
     * and whitespace/case variants are dropped. With `eventTimeCol`, the
     * watermark bounds fingerprint state to the delay horizon via

@@ -138,4 +138,45 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(kept == Seq(1L, 2L, 5L), s"kept=$kept")
     } finally q.stop()
   }
+
+  test("streaming incremental near-dup equals the batch flags on the real corpus") {
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = Dedup.buildMinhashIndex(spark, TestSpark.sf)
+    val newDocs = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrMod)) === 0)
+      .orderBy("doc_id").as[Doc].collect().toSeq
+
+    val input = MemoryStream[Doc]
+    val q = Docs.nearDupAgainstIndex(input.toDF(), root)
+      .writeStream.format("memory").queryName("parityincr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      newDocs.grouped(math.max(newDocs.size / 3, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // band multiplicity collapses to distinct (doc, old) hits; every hit
+      // already clears the threshold, so the per-doc rollup must equal the
+      // batch operator's summary (minus n_cands, which counts sub-threshold
+      // candidates the stream never emits)
+      val streamed = spark.sql("SELECT doc_id, old_id, est_micro FROM parityincr")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(countDistinct(col("old_id")).as("n_matches"),
+          min(col("old_id")).as("best_match"),
+          max(col("est_micro")).as("max_est_micro"))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("q_dedup_incremental")(spark, TestSpark.sf)
+        .select(col("doc_id"), col("n_matches"), col("best_match"),
+          col("max_est_micro"))
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
