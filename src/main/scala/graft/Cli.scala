@@ -35,7 +35,7 @@ object Cli {
 
   val CommandNames: Seq[String] =
     Seq("load", "flush", "clear", "inspect", "estimate", "dumpsql", "dumpjson",
-      "models", "purgecache")
+      "dumporc", "models", "purgecache")
 
   final case class Options(
       configPath: String = "graft.yml",
@@ -236,6 +236,11 @@ object Cli {
         order.foreach(n => extracted(n).coalesce(1).write.mode(SaveMode.Overwrite)
           .json(s"${cfg.destDir}/json/$n.json"))
         log(s"dumpjson: ${order.size} tables -> ${cfg.destDir}/json")
+      case "dumporc" =>
+        val order = fkOrder(extracted)
+        order.foreach(n => extracted(n).write.mode(SaveMode.Overwrite)
+          .orc(s"${cfg.destDir}/orc/$n"))
+        log(s"dumporc: ${order.size} tables -> ${cfg.destDir}/orc")
       case "models" =>
         // the reference materializes ORM model classes per reflected table
         // (generated_models registry); the CLI face here emits the source +

@@ -115,6 +115,45 @@ object Relational {
           sum(micros($"l_extendedprice")).as("total_price_micros"))
         .orderBy($"c_mktsegment")),
 
+    // 20b. TPC-H Q5-shaped 6-way join — the classic "local supplier
+    // volume" plan: region→nation prune BROADCAST down the snowflake,
+    // supplier broadcast, and the one genuinely big join
+    // (lineitem⋈orders⋈customer) shuffled on its keys; the
+    // c_nationkey = s_nationkey residual is what keeps this a join-graph
+    // workout rather than three independent lookups. Revenue in exact
+    // integer micros (sum(extprice·(1-disc))).
+    Q("q_tpch_q5", {
+      val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * 1000000 AS BIGINT)"
+      s"""SELECT n_name, CAST(SUM($rev) AS BIGINT) AS revenue_micros
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue_micros DESC, n_name""".stripMargin
+    })(
+      (s, dir) => {
+        val rev = (dec("l_extendedprice") *
+          (lit(1) - $"l_discount".cast("decimal(4,2)")) * 1000000).cast("long")
+        val asiaNations = broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")).filter($"r_name" === "ASIA"),
+            $"n_regionkey" === $"r_regionkey"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders")
+            .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "supplier")),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(asiaNations, $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(sum(rev).as("revenue_micros"))
+          .orderBy($"revenue_micros".desc, $"n_name")
+      }),
+
     // 21. semi / anti join
     Q("q_semi_join",
       """SELECT * FROM customer WHERE c_custkey IN

@@ -37,7 +37,7 @@ class CliSpec extends AnyFunSuite {
          |    exclude: [lineitem]
          |""".stripMargin)
     val out = Cli.run(spark, Cli.parseArgs(
-      Seq("-c", cfgPath, "--quiet", "load", "inspect", "dumpsql", "dumpjson")))
+      Seq("-c", cfgPath, "--quiet", "load", "inspect", "dumpsql", "dumpjson", "dumporc")))
 
     // load wrote parquet per reached table, parents included
     val loaded = out.find(_.startsWith("load:")).get
@@ -61,6 +61,8 @@ class CliSpec extends AnyFunSuite {
     assert(stmts.count(_.startsWith("INSERT INTO customer")) == 5)
     val js = spark.read.json(s"$work/dest/json/customer.json")
     assert(js.count() == 5)
+    val orc = spark.read.orc(s"$work/dest/orc/customer")
+    assert(orc.count() == 5)
 
     // the cache was populated by the load
     assert(Files.list(Paths.get(s"$work/cache")).count() == 1)
