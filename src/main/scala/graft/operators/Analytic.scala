@@ -51,6 +51,32 @@ object Analytic {
 
   val pack: Seq[Q] = Seq(
 
+    // 24e2. explicit GROUPING SETS — the general form rollup/cube are sugar
+    // for: one pass computes per-status subtotals, per-priority subtotals,
+    // and the grand total (no (status,priority) detail rows — exactly the
+    // three sets asked for, unlike cube's 4). Same Expand-based single-scan
+    // plan as rollup/cube; subtotal NULL keys coalesced to a marker on
+    // both engines (subtotalQ's rule).
+    Q("q_grouping_sets",
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+         |  coalesce(o_orderpriority, '(all)') AS priority,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(${sqlMicros("o_totalprice")}) AS BIGINT) AS total_micros
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin)(
+      (s, dir) => t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(micros(col("o_totalprice"))).as("total_micros"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total_micros"))
+        .orderBy(col("status"), col("priority"))),
+
     // 24o. time-bucketed range join: count the purchases corpus-wide inside
     // [ts, ts+10min] of every error event. There is NO equi key here, so
     // the naive join plans as a nested-loop product (|errors|×|purchases|

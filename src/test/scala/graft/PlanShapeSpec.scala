@@ -147,6 +147,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"documents scan not pruned to doc_id,text:\n$p")
   }
 
+  test("tpch q5 broadcasts the snowflake dims, shuffles only the big join") {
+    val p = planOf("q_tpch_q5")
+    // nation/region/supplier must come in as broadcasts; the
+    // lineitem-orders-customer spine may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"snowflake dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q5 degenerated to a product:\n$p")
+    // the orderdate range reaches the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"orderdate filter not pushed to the orders scan:\n$p")
+  }
+
   test("source-overlap matrix joins stay equi-joins over hashed pairs") {
     val p = planOf("q_source_overlap")
     assert(!p.contains("CartesianProduct"),
