@@ -86,14 +86,17 @@ object Dedup {
     * every corpus-duplicated chunk removed.
     */
   def chunkDedup(docs0: DataFrame): DataFrame = {
-    val toks = docs0.select(col("doc_id"),
-      posexplode(split(normText(col("text")), " ")).as(Seq("pos", "word")))
-    val ch = toks
-      .withColumn("cid", expr(s"CAST(pos div $ChunkWidth AS BIGINT)"))
-      .groupBy("doc_id", "cid")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-          x => x.getField("word")), " ").as("chunk"))
+    // chunks come straight off the per-doc token array (one slice per
+    // chunk id, lambda-local so the split runs once) — no word-level
+    // shuffle and no collect_list re-assembly of an order the array
+    // already had. The only shuffles left are the chunk-df aggregate
+    // (fixed-width md5 key) and the per-doc rollup.
+    val ch = docs0
+      .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST((size(t) - 1) div $ChunkWidth AS INT)), i -> array_join(slice(t, i * $ChunkWidth + 1, $ChunkWidth), ' '))"))
+        .as(Seq("cid", "chunk")))
+      .withColumn("cid", col("cid").cast("long"))
     val dfc = ch.groupBy(md5(col("chunk")).as("ck"))
       .agg(countDistinct("doc_id").as("df"))
     ch.join(dfc, md5(col("chunk")) === col("ck"))
