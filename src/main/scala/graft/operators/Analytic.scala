@@ -231,6 +231,59 @@ object Analytic {
           .orderBy(col("l_returnflag"))
       }),
 
+    // 24r. Grouped 3-sigma outlier detection — the "flag events whose value
+    // deviates from their type's distribution" pass of telemetry QA, in
+    // EXACT integer algebra so it hash-checks cross-engine: the float test
+    // (v - s/n)² > 9·var, var = (n·q - s²)/n², cross-multiplies to
+    // (n·v - s)² > 9·(n·q - s²) over the group's exact moments
+    // (n, s = Σv, q = Σv² in micros) — no float mean/stddev anywhere.
+    // One linear pass builds the per-type moment table (map-side partials,
+    // rows = |event_type|), it broadcasts back onto the scan, and the
+    // outlier filter+rollup is a second fully-parallel pass — the same
+    // two-scan broadcast-back shape as q_trimmed_mean, with no per-group
+    // total order. Headroom: (n·v)² needs DECIMAL(38,0)/HUGEINT and fits
+    // up to n ≈ 1e9 rows per group at 1e9-micro values; past that, rescale
+    // the unit (Q.micros' playbook).
+    Q("q_outlier_events", {
+      val v = sqlMicros("value")
+      s"""WITH p AS (SELECT event_type, $v AS v FROM events),
+         |m AS (
+         |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         |    CAST(SUM(v) AS HUGEINT) AS s,
+         |    CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+         |  FROM p GROUP BY event_type)
+         |SELECT p.event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(CASE WHEN (m.n * p.v - m.s) * (m.n * p.v - m.s)
+         |      > 9 * (m.n * m.q - m.s * m.s) THEN 1 END) AS BIGINT) AS n_outliers,
+         |  CAST(SUM(CASE WHEN (m.n * p.v - m.s) * (m.n * p.v - m.s)
+         |      > 9 * (m.n * m.q - m.s * m.s) THEN p.v ELSE 0 END) AS BIGINT) AS outlier_sum_micros
+         |FROM p JOIN m USING (event_type)
+         |GROUP BY p.event_type ORDER BY p.event_type""".stripMargin
+    })(
+      (s, dir) => {
+        def d38(c: Column) = c.cast("decimal(38,0)")
+        val p = t(s, dir, "events")
+          .select(col("event_type"), micros(col("value")).as("v"))
+        // per-row v² would overflow a long at ~3e9 micros, so the square is
+        // taken in decimal; the aggregation buffers are DECIMAL(38,0) like
+        // q_regression's
+        val m = p.groupBy(col("event_type")).agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(d38(col("v"))).as("s"),
+          sum(d38(col("v")) * col("v")).as("q"))
+        val dev = col("n") * col("v") - col("s")
+        val isOut = dev * dev > lit(9) * (col("n") * col("q") - col("s") * col("s"))
+        p.join(broadcast(m), "event_type")
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(isOut, lit(1))).as("n_outliers"),
+            sum(when(isOut, col("v")).otherwise(lit(0L))).cast("long")
+              .as("outlier_sum_micros"))
+          .orderBy(col("event_type"))
+      }),
+
     // Funnel analysis: strictly-ordered stage progression per user
     // (first signup → first later click → first later purchase). Each stage
     // is a semi-join-shaped aggregate against the previous stage's per-user

@@ -32,6 +32,15 @@ object TextAnalysis {
   val PackShards = 16
   val PackSeqLen = 256
 
+  /** Unigram-surprisal verdict bounds (q_lm_surprisal), in milli-bits of
+    * mean per-token surprisal: below Lo the document is near-boilerplate
+    * (all ultra-common tokens), above Hi it is noise (all near-unique
+    * tokens). Calibrated on the synthetic corpus so all three verdicts are
+    * populated; production bounds come from a held-out calibration set.
+    */
+  val SurpLoMilli = 5000L
+  val SurpHiMilli = 5200L
+
   /** Per-language stopword lexicons for the n-gram/stopword language-ID
     * heuristic (tiny, broadcast as literals into codegen).
     */
@@ -485,6 +494,71 @@ object TextAnalysis {
           .withColumn("pack_first", expr(s"tok_start div $PackSeqLen"))
           .withColumn("pack_last",
             expr(s"(CASE WHEN n_toks = 0 THEN tok_start ELSE tok_start + n_toks - 1 END) div $PackSeqLen"))
+          .orderBy("doc_id")
+      }),
+
+    // 41i. Unigram-LM surprisal scoring — the CCNet-style language-model
+    // quality filter: score each document by the mean information content
+    // of its tokens under the corpus's OWN unigram model, then bucket into
+    // keep / boilerplate (too predictable) / random (too surprising).
+    // Surprisal is an EXACT integer floor-log2: bits(w) = len(bin(N)) -
+    // len(bin(count_w)) ≈ log2(N/count_w) — both engines compute the same
+    // binary-digit lengths, so no float log ever enters the score and the
+    // result hash-checks bit-for-bit.
+    //
+    // Scale shape: the token stream collapses to per-doc term frequencies
+    // FIRST (one shuffle by (doc_id, word) with map-side combine), so the
+    // vocab join's hottest key ("the") carries one row per DOCUMENT, not
+    // per occurrence — the classic explode-join skew is bounded before it
+    // exists. The vocab rollup reuses the tf exchange (same child shuffle,
+    // picked up by ReuseExchange), the corpus total N is a single-row
+    // broadcast, and the per-doc rollup is the last shuffle. At 100 TB the
+    // ~1e8-row vocab side stays a shuffle join on word.
+    Q("q_lm_surprisal",
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(string_split($normSql, ' ')) AS word
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tok WHERE word <> '' GROUP BY doc_id, word),
+         |vocab AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cw FROM tf GROUP BY word),
+         |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_total FROM vocab),
+         |sb AS (
+         |  SELECT word,
+         |    CAST(length(bin((SELECT n_total FROM tot))) - length(bin(cw)) AS BIGINT) AS bits
+         |  FROM vocab),
+         |doc AS (
+         |  SELECT tf.doc_id, CAST(SUM(tf.c) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(tf.c * sb.bits) AS BIGINT) AS surp_sum
+         |  FROM tf JOIN sb USING (word) GROUP BY tf.doc_id)
+         |SELECT doc_id, n_tokens, surp_sum,
+         |  CAST(surp_sum * 1000 // n_tokens AS BIGINT) AS mean_surprisal_milli,
+         |  CASE WHEN surp_sum * 1000 // n_tokens <= $SurpLoMilli THEN 'boilerplate'
+         |       WHEN surp_sum * 1000 // n_tokens >= $SurpHiMilli THEN 'random'
+         |       ELSE 'keep' END AS verdict
+         |FROM doc ORDER BY doc_id""".stripMargin)(
+      (s, dir) => {
+        val tf = docs(s, dir)
+          .select(col("doc_id"),
+            explode(split(normText(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        val vocab = tf.groupBy(col("word")).agg(sum(col("c")).as("cw"))
+        val tot = vocab.agg(sum(col("cw")).as("n_total"))
+        val sb = vocab.crossJoin(broadcast(tot))
+          .select(col("word"),
+            (length(bin(col("n_total"))) - length(bin(col("cw"))))
+              .cast("long").as("bits"))
+        tf.join(sb, "word")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).cast("long").as("n_tokens"),
+            sum(col("c") * col("bits")).cast("long").as("surp_sum"))
+          .withColumn("mean_surprisal_milli",
+            expr("CAST(surp_sum * 1000 div n_tokens AS BIGINT)"))
+          .withColumn("verdict",
+            when(col("mean_surprisal_milli") <= SurpLoMilli, "boilerplate")
+              .when(col("mean_surprisal_milli") >= SurpHiMilli, "random")
+              .otherwise("keep"))
           .orderBy("doc_id")
       })
   )

@@ -67,6 +67,29 @@ class AnalyticSpec extends AnyFunSuite {
     }
   }
 
+  test("3-sigma outlier detection flags the planted spike and nothing else") {
+    val dir = java.nio.file.Files.createTempDirectory("analyticspec_out").toString
+    import spark.implicits._
+    // type 'a': 99 quiet values + one 1000.0 spike (mean ≈ 19.9,
+    // σ ≈ 98.5 → the spike is ~10σ out, the quiet rows are ~0.1σ);
+    // type 'b': constant — zero variance must yield zero outliers, not a
+    // divide-by-zero or an everything-is-an-outlier verdict.
+    // ts is written as epoch-NANOS long, the on-disk shape Tables.load
+    // expects from the synthetic events table
+    val ns = 1704067200L * 1000000000L
+    val rows = (1 to 99).map(i => (i.toLong, ns, 1L, "a", 10.0, "{}")) ++
+      Seq((100L, ns, 1L, "a", 1000.0, "{}")) ++
+      (101 to 150).map(i => (i.toLong, ns, 2L, "b", 5.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = SparkEntry.queries("q_outlier_events")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("a") == ((100L, 1L, 1000000000L)), s"got ${got("a")}")
+    assert(got("b") == ((50L, 0L, 0L)), s"got ${got("b")}")
+  }
+
   test("approx percentile sketch lands near the exact answer") {
     val exact = SparkEntry.queries("q_percentile")(spark, TestSpark.sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

@@ -92,4 +92,24 @@ class QualitySpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(
       ("alpha", 3L, 2L, 1L), ("beta", 2L, 2L, 2L), ("gamma", 1L, 1L, 3L)))
   }
+
+  test("unigram surprisal separates boilerplate from unique-token noise") {
+    val dir = java.nio.file.Files.createTempDirectory("qualityspec3").toString
+    import spark.implicits._
+    // 8 docs of the same repeated word (64 tokens of "x") + 1 doc of 8
+    // words seen nowhere else. N = 72 → len(bin(72)) = 7;
+    // bits(x) = 7 - len(bin(64)) = 0, bits(u_i) = 7 - len(bin(1)) = 6.
+    val boiler = (1L to 8L).map(i => (i, "x x x x x x x x", "en", "src0", 15L))
+    val unique = Seq((9L, "u1 u2 u3 u4 u5 u6 u7 u8", "en", "src0", 23L))
+    (boiler ++ unique).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = SparkEntry.queries("q_lm_surprisal")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getString(4)))
+      .toMap
+    (1L to 8L).foreach { i =>
+      assert(rows(i) == ((8L, 0L, "boilerplate")), s"doc $i: ${rows(i)}")
+    }
+    assert(rows(9L) == ((8L, 6000L, "random")), s"doc 9: ${rows(9L)}")
+  }
 }
