@@ -192,4 +192,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"chunk df join degenerated:\n$p")
   }
+
+  test("outlier detection broadcasts the moment table, scan pruned") {
+    val p = planOf("q_outlier_events")
+    assert(p.contains("BroadcastHashJoin"),
+      s"moment table not broadcast back onto the scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"moment join degenerated:\n$p")
+    val scan = SparkEntry.queries("q_outlier_events")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("events")).getOrElse(fail("no events scan"))
+    assert(!scan.contains("props") && !scan.contains("user_id"),
+      s"events scan not pruned to event_type,value:\n$scan")
+  }
+
+  test("lm surprisal keeps equi-joins and broadcasts only the 1-row total") {
+    val p = planOf("q_lm_surprisal")
+    // the single-row corpus total rides a broadcast product (harmless by
+    // construction); the tf ⋈ vocab join must stay a real equi-join
+    assert(!p.contains("CartesianProduct"), s"driver-side product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"tf-vocab join missing:\n$p")
+    val scan = SparkEntry.queries("q_lm_surprisal")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("documents")).getOrElse(fail("no documents scan"))
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned to doc_id,text:\n$scan")
+  }
 }
