@@ -26,6 +26,30 @@ object Analytic {
     */
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** Per-type exact moment table (n, s = Σv, q = Σv²) of a
+    * (event_type, v:BIGINT micros) frame. Per-row v² would overflow a long
+    * at ~3e9 micros, so the square is taken in decimal; the aggregation
+    * buffers are DECIMAL(38,0) like q_regression's. Shared by
+    * q_outlier_events and the streaming scorer
+    * ([[graft.streaming.Events.scoreOutliers]]).
+    */
+  def eventMoments(p: DataFrame): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    p.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(d38(col("v"))).as("s"),
+      sum(d38(col("v")) * col("v")).as("q"))
+  }
+
+  /** The 3-sigma test over exact integer moments: the float
+    * (v − s/n)² > 9·(n·q − s²)/n² cross-multiplied to decimal algebra.
+    * Evaluate against columns v/n/s/q (post-join with [[eventMoments]]).
+    */
+  def outlierTest: Column = {
+    val dev = col("n") * col("v") - col("s")
+    dev * dev > lit(9) * (col("n") * col("q") - col("s") * col("s"))
+  }
+
   /** One grouping-set subtotal query (ROLLUP or CUBE): Spark generates NULL
     * group keys for subtotal rows; both sides coalesce them to a marker so
     * the result dodges Spark-vs-DuckDB NULL-ordering defaults in the total
@@ -262,19 +286,10 @@ object Analytic {
          |GROUP BY p.event_type ORDER BY p.event_type""".stripMargin
     })(
       (s, dir) => {
-        def d38(c: Column) = c.cast("decimal(38,0)")
         val p = t(s, dir, "events")
           .select(col("event_type"), micros(col("value")).as("v"))
-        // per-row v² would overflow a long at ~3e9 micros, so the square is
-        // taken in decimal; the aggregation buffers are DECIMAL(38,0) like
-        // q_regression's
-        val m = p.groupBy(col("event_type")).agg(
-          count(lit(1)).cast("decimal(38,0)").as("n"),
-          sum(d38(col("v"))).as("s"),
-          sum(d38(col("v")) * col("v")).as("q"))
-        val dev = col("n") * col("v") - col("s")
-        val isOut = dev * dev > lit(9) * (col("n") * col("q") - col("s") * col("s"))
-        p.join(broadcast(m), "event_type")
+        val isOut = outlierTest
+        p.join(broadcast(eventMoments(p)), "event_type")
           .groupBy(col("event_type"))
           .agg(
             count(lit(1)).as("n"),

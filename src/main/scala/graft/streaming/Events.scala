@@ -68,6 +68,23 @@ object Events {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static outlier scoring — the streaming half of
+    * `q_outlier_events`: the per-type moment table (n, Σv, Σv²) comes from
+    * a BATCH job over history ([[graft.operators.Analytic.eventMoments]],
+    * same exact integer algebra) and broadcast-joins onto the live stream;
+    * each event is flagged by the identical cross-multiplied test
+    * (n·v − s)² > 9·(n·q − s²), so a flagged stream row is exactly a row
+    * the batch query would count. Stateless — no watermark and no state
+    * store; the scorer is a pure map over the broadcast model, the
+    * canonical "score a stream against a trained table" shape.
+    */
+  def scoreOutliers(events: DataFrame, moments: DataFrame): DataFrame =
+    events
+      .withColumn("v", graft.Q.micros(col("value")))
+      .join(broadcast(moments), Seq("event_type"))
+      .withColumn("is_outlier", graft.operators.Analytic.outlierTest)
+      .select(col("event_id"), col("event_type"), col("v"), col("is_outlier"))
+
   /** Gap-based sessionization (30-minute inactivity) via
     * flatMapGroupsWithState — each batch emits EVERY session closed within
     * it plus a snapshot of the still-open session (mapGroupsWithState's

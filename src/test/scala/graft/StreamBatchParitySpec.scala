@@ -77,6 +77,40 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming outlier scoring equals the batch flags on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val rows = events.orderBy("event_id").as[Event].collect().toSeq
+    // the "trained" model: exact per-type moments from the batch history
+    val moments = operators.Analytic.eventMoments(
+      events.select(col("event_type"), Q.micros(col("value")).as("v")))
+
+    val input = MemoryStream[Event]
+    val q = Events.scoreOutliers(input.toDF(), moments)
+      .writeStream.format("memory").queryName("parityout")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rows.grouped(math.max(rows.size / 3, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+        """SELECT event_type, count(*) AS n,
+          |  count(CASE WHEN is_outlier THEN 1 END) AS n_out
+          |FROM parityout GROUP BY event_type""".stripMargin)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      val batch = SparkEntry.queries("q_outlier_events")(spark, TestSpark.sf)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.values.map(_._1).sum == rows.size.toLong)
+    } finally q.stop()
+  }
+
   test("streaming decontamination equals the batch query on the real corpus") {
     import graft.streaming.Docs
     import graft.streaming.Docs.Doc
