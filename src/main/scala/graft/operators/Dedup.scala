@@ -160,28 +160,49 @@ object Dedup {
     * persisted table is bit-identical to deriving them inline (the DuckDB
     * oracles still derive from scratch and keep hash-matching).
     */
-  def corpusSigs(s: SparkSession, dir: String): DataFrame = synchronized {
-    val corpus = Tables.path(dir, "documents")
-    val conf = s.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(corpus)
-    val fs = p.getFileSystem(conf)
-    val stamp = {
-      val sts =
-        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.getName)
-        else Array(fs.getFileStatus(p))
-      sts.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .mkString("|")
+  def corpusSigs(s: SparkSession, dir: String): DataFrame =
+    cachedCorpusTable(s, dir, "sigs", s"$NumSeeds|$BucketCap")(
+      minhashSignatures(Tables.load(s, dir, "documents")))
+
+  /** The SimHash twin of [[corpusSigs]]: the persisted 64-bit signature
+    * table both simhash queries probe (column renamed to `sig`, the index
+    * side's name).
+    */
+  def corpusSimhashSigs(s: SparkSession, dir: String): DataFrame =
+    cachedCorpusTable(s, dir, "simhash", s"$SimhashBits")(
+      simhashSigs(Tables.load(s, dir, "documents"))
+        .withColumnRenamed("simhash", "sig"))
+
+  /** Build-once/probe-many materialization of a deterministic corpus
+    * derivation: builds into a tmp-dir parquet table on first use, then
+    * every caller reads the table. The cache key covers the corpus path,
+    * every data file's (name, length, mtime), and `params`, so a
+    * regenerated corpus — even one with the same row count — never reads
+    * a stale table.
+    */
+  private def cachedCorpusTable(s: SparkSession, dir: String, tag: String,
+                                params: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      val corpus = Tables.path(dir, "documents")
+      val conf = s.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(corpus)
+      val fs = p.getFileSystem(conf)
+      val stamp = {
+        val sts =
+          if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.getName)
+          else Array(fs.getFileStatus(p))
+        sts.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .mkString("|")
+      }
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$corpus|$stamp|$params".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
+      val done = new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")
+      if (!done.getFileSystem(conf).exists(done))
+        graft.sources.Export.flush(build, root)
+      s.read.parquet(root)
     }
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$corpus|$stamp|$NumSeeds|$BucketCap".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_sigs_$key"
-    val done = new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")
-    if (!done.getFileSystem(conf).exists(done))
-      graft.sources.Export.flush(
-        minhashSignatures(Tables.load(s, dir, "documents")), root)
-    s.read.parquet(root)
-  }
 
   /** (doc_id, band, bkey) band keys of a signature table (h0..h7) — the
     * LSH bucket membership rows, uncapped.
@@ -498,8 +519,8 @@ object Dedup {
          |SELECT sig AS simhash, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS keeper
          |FROM sigs GROUP BY sig HAVING COUNT(*) > 1
          |ORDER BY simhash""".stripMargin)(
-      (s, dir) => simhashSigs(docs(s, dir))
-        .groupBy(col("simhash"))
+      (s, dir) => corpusSimhashSigs(s, dir)
+        .groupBy(col("sig").as("simhash"))
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
         .filter(col("n_docs") > 1)
         .orderBy("simhash")),
@@ -526,11 +547,9 @@ object Dedup {
          |FROM nbrs GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })(
       (s, dir) => {
-        // the signature table is BOTH the probe source and the index side
-        // of the join; localCheckpoint materializes the token-explode +
-        // 64-vote aggregate once instead of twice
-        val sigs = simhashSigs(docs(s, dir))
-          .withColumnRenamed("simhash", "sig").localCheckpoint()
+        // the persisted signature table is BOTH the probe source and the
+        // index side of the join — two parquet probes, no recompute
+        val sigs = corpusSimhashSigs(s, dir)
         val probeCols = col("sig") +:
           (0 until SimhashBits).map(b => col("sig").bitwiseXOR(lit(simhashBit(b))))
         val pr = sigs.select(col("doc_id"), explode(array(probeCols: _*)).as("probe"))
