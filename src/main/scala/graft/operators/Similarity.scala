@@ -174,6 +174,123 @@ object Similarity {
     root
   }
 
+  val PqM = 8        // subvectors per vector
+  val PqK = 16       // codes per subvector codebook
+  val PqIters = 2    // Lloyd rounds for codebook training
+  val PqRerank = 50  // ADC candidates kept for exact rescoring
+
+  /** Squared-L2 between two double arrays as a codegen'd higher-order
+    * expression (zip_with + aggregate — no UDF).
+    */
+  private def l2Expr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+
+  /** Product-quantization codebooks, all `m` trained JOINTLY: the corpus's
+    * unit vectors are exploded into (vec_id, sub, sv) subvector rows once,
+    * and every Lloyd round assigns all m×k cells in the same corpus pass
+    * (broadcast codebook equi-joined on sub, min-(dist, code) struct for a
+    * deterministic argmin) and recomputes means per (sub, code, dim) —
+    * m separate trainings would cost m× the passes for identical results.
+    * Only the m·k·subdim codebook (model state, ~1k doubles) reaches the
+    * driver. Empty cells keep their previous centroid.
+    */
+  def pqCodebooks(subvecs: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    val spark = subvecs.sparkSession
+    def cbDf(c: Map[(Int, Int), Seq[Double]]): DataFrame = {
+      val rows = c.toSeq.sortBy(x => (x._1._1, x._1._2)).map { case ((s0, c0), v) =>
+        org.apache.spark.sql.Row(s0, c0, v)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sub",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("code",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("cvec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+    }
+    val cached = subvecs.persist()
+    // deterministic init: subvector j of corpus vector c seeds (sub=j, code=c)
+    var cb: Map[(Int, Int), Seq[Double]] = cached.filter(col("vec_id") < k)
+      .collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Long]("vec_id").toInt) ->
+        r.getSeq[Double](r.fieldIndex("sv")))
+      .toMap
+    require(cb.nonEmpty, "pqCodebooks: empty input")
+    for (_ <- 0 until iters) {
+      val assigned = cached.join(broadcast(cbDf(cb)), "sub")
+        .withColumn("dist", expr(l2Expr("sv", "cvec")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("code"))).as("mn"),
+          first(col("sv")).as("sv"))
+      val means = assigned
+        .select(col("sub"), col("mn.code").as("code"),
+          posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("sub"), col("code"), col("i"))
+        .agg(avg(col("x")).as("mx"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rs) =>
+          key -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      cb = cb ++ means // empty cells keep their previous centroid
+    }
+    cached.unpersist(blocking = false)
+    cbDf(cb)
+  }
+
+  /** Location of the persisted PQ index — same stamp rules as
+    * [[ivfIndexDir]].
+    */
+  def pqIndexDir(s: SparkSession, dir: String): String = {
+    val corpus = Tables.path(dir, "embeddings")
+    val n = Tables.footerRowCount(s, corpus)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$corpus|$n|$PqM|$PqK|$PqIters".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_pq_$key"
+  }
+
+  /** PQ index BUILD — the 100 TB ANN *memory* path: each corpus vector is
+    * stored as m small codes instead of dim floats (here 8 codes ≈ 16×
+    * smaller than 64 float32s), so the searchable corpus fits in a
+    * fraction of the footprint and ADC search touches only code tables.
+    * Writes:
+    *   `<root>/codebook`: (sub, code, cvec ARRAY<DOUBLE>) — m·k rows;
+    *   `<root>/codes`:    (c_id, sub, code) — the encoded corpus, long
+    *                      format so ADC stays a pure equi-join (a packed
+    *                      byte-array column is the production layout; the
+    *                      join shape is identical).
+    * Run once per corpus; queries only read. Skips when already built.
+    */
+  def buildPqIndex(s: SparkSession, dir: String): String = synchronized {
+    graft.functions.VectorOps.register(s)
+    val root = pqIndexDir(s, dir)
+    val conf = s.sessionState.newHadoopConf()
+    val done = new org.apache.hadoop.fs.Path(s"$root/codes/_SUCCESS")
+    if (done.getFileSystem(conf).exists(done)) return root
+    val sub = 64 / PqM
+    val unitized = emb(s, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
+        .as("unit"))
+    val subvecs = unitized.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> slice(unit, j * $sub + 1, $sub))"))
+        .as(Seq("sub", "sv")))
+    val cb = pqCodebooks(subvecs, PqM, PqK, PqIters).persist()
+    val codes = subvecs.join(broadcast(cb), "sub")
+      .withColumn("dist", expr(l2Expr("sv", "cvec")))
+      .groupBy(col("vec_id").as("c_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code"))).as("mn"))
+      .select(col("c_id"), col("sub"), col("mn.code").as("code"))
+    graft.sources.Export.flush(cb, s"$root/codebook")
+    graft.sources.Export.flush(codes, s"$root/codes")
+    cb.unpersist(blocking = false)
+    root
+  }
+
   /** Candidate-bucketed embedding near-dup pairs (§2d.35's core): sign-
     * projection buckets sized from parquet footers, exact cosine confirm at
     * τ. τ=0.30 because the synthetic embeddings are near-uniform (max
@@ -297,6 +414,55 @@ object Similarity {
           .withColumn("cosine", expr(dotExpr("qe", "ce")))
         val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
         scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= TopK)
+          .select("q_id", "c_id", "rn", "cosine")
+          .orderBy("q_id", "rn")
+      }),
+
+    // 37c. PQ-compressed ANN (rows-only), build/search split like IVF —
+    // the 100 TB MEMORY path: the searchable corpus is (c_id, sub, code)
+    // codes (~16× smaller than raw float32 vectors), so ADC scoring never
+    // touches an embedding. Search: (1) the query's distance table — its
+    // dot contribution against every (sub, code) centroid, m·k tiny rows —
+    // broadcasts onto the code table; (2) approximate score = one
+    // equi-join + per-(q,c) sum (unit vectors make cosine ≈ Σ_j
+    // dot(q_j, centroid(code_j))); (3) the top PqRerank candidates per
+    // query get an EXACT cosine rescore against their true vectors before
+    // the final top-k — the standard ADC + rerank design. Recall vs brute
+    // force is pinned in SimilaritySpec.
+    Q.rowsOnly("q_knn_pq")(
+      (s, dir) => {
+        graft.functions.VectorOps.register(s)
+        val root = buildPqIndex(s, dir)
+        val cb = s.read.parquet(s"$root/codebook")
+        val codes = s.read.parquet(s"$root/codes")
+        val sub = 64 / PqM
+        val unitized = emb(s, dir).select(col("vec_id"),
+          expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
+            .as("unit"))
+        val qs = unitized.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("unit").as("qe"))
+        // distance table: query subvector j · centroid, for all m·k cells
+        val dt = qs.crossJoin(broadcast(cb))
+          .withColumn("part",
+            expr(s"vec_dot(slice(qe, sub * $sub + 1, $sub), cvec)"))
+          .select(col("q_id"), col("sub"), col("code"), col("part"))
+        val adcW = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").desc, col("c_id"))
+        val cands = codes.join(broadcast(dt), Seq("sub", "code"))
+          .filter(col("q_id") =!= col("c_id"))
+          .groupBy(col("q_id"), col("c_id"))
+          .agg(sum(col("part")).as("adc"))
+          .withColumn("arn", row_number().over(adcW))
+          .filter(col("arn") <= PqRerank)
+          .select(col("q_id"), col("c_id"))
+        // exact rescore of the shortlist only
+        val rescored = cands
+          .join(qs, "q_id")
+          .join(unitized.select(col("vec_id").as("c_id"), col("unit").as("ce")), "c_id")
+          .withColumn("cosine", expr("vec_cosine(qe, ce)"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+        rescored.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= TopK)
           .select("q_id", "c_id", "rn", "cosine")
           .orderBy("q_id", "rn")

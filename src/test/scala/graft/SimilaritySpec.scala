@@ -68,6 +68,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfRecall >= 0.25, s"ivf pooled recall $ivfRecall")
   }
 
+  test("PQ index builds once and ADC+rerank recovers most of the exact top-k") {
+    val root = Similarity.buildPqIndex(spark, TestSpark.sf)
+    val cb = spark.read.parquet(s"$root/codebook")
+    assert(cb.count() == Similarity.PqM.toLong * Similarity.PqK,
+      "codebook must hold m*k cells")
+    val codes = spark.read.parquet(s"$root/codes")
+    val n = Tables.load(spark, TestSpark.sf, "embeddings").count()
+    assert(codes.count() == n * Similarity.PqM, "one code per vector per subvector")
+    // codes must use the full codebook, not collapse to a few cells
+    val used = codes.select("sub", "code").distinct().count()
+    assert(used > Similarity.PqM.toLong * Similarity.PqK / 2,
+      s"only $used of ${Similarity.PqM * Similarity.PqK} cells used")
+
+    val brute = topk("q_knn_brute")
+    val pq = topk("q_knn_pq")
+    assert(brute.keySet == pq.keySet)
+    for (q <- brute.keySet)
+      assert(pq(q).size == Similarity.TopK, s"pq query $q returned ${pq(q).size}")
+    val hit = brute.keySet.toSeq
+      .map(q => (pq(q) & brute(q)).size).sum.toDouble
+    val recall = hit / (brute.size * Similarity.TopK)
+    // exact rescoring of the ADC top-50 shortlist means a recalled vector
+    // is also RANKED right; the bound pins the shortlist quality
+    assert(recall >= 0.5, s"PQ recall $recall below bound")
+  }
+
   test("embedding clusters cover exactly the paired vectors with min reps") {
     val pairs = SparkEntry.queries("q_embed_neardup")(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
