@@ -33,6 +33,22 @@ object Tables {
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(path(sfDir, name))
 
+  /** Spread a CPU-heavy per-row derivation across the session's cores when
+    * the source's file layout under-splits it. The synthetic tables are
+    * single-row-group parquet files, which Spark reads as ONE task — so
+    * every regex/array/hash lambda upstream of the first exchange runs on
+    * one core of 32. Repartitioning costs one shuffle of the (small) raw
+    * rows and unlocks full parallelism for the expensive derivation. The
+    * condition makes it a no-op at warehouse scale: real multi-file,
+    * multi-row-group layouts already split past the scheduler's slot
+    * count, and shuffling 100 TB of raw text to "spread" it would be a
+    * bug, not a fix.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Register every table as a temp view so `spark.sql` works against the dir. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))

@@ -589,7 +589,8 @@ object Dedup {
          |WHERE n_inter * 1000000 // (sa.sz + sb.sz - n_inter) >= 100000
          |ORDER BY doc_a, doc_b""".stripMargin
     })(
-      (s, dir) => rareGramJaccard(docs(s, dir).filter(col("lang") === "en"))
+      (s, dir) => rareGramJaccard(
+        Tables.spread(docs(s, dir).filter(col("lang") === "en")))
         .orderBy("doc_a", "doc_b")),
 
     // 34c. exact substring-overlap dedup: pairs of documents sharing any
@@ -622,13 +623,18 @@ object Dedup {
         // identical even in the (vanishing) event of a 64-bit collision.
         // The distinct stays per-doc (array_distinct before the explode,
         // narrow) rather than a corpus-wide shuffle.
-        val ng0 = docs(s, dir).select(col("doc_id"),
+        val ng0 = Tables.spread(docs(s, dir)).select(col("doc_id"),
           explode(array_distinct(transform(
             graft.operators.TextAnalysis.gramSet(col("text"), 8),
             g => substring(md5(g.cast("binary")), 1, 16)))).as("gram"))
         val rare = ng0.groupBy("gram").agg(count(lit(1)).as("df"))
           .filter(col("df") <= DfCap).select("gram")
-        val ng = ng0.join(rare, "gram")
+        // materialize the df-capped postings ONCE: both self-join sides
+        // read the checkpoint instead of re-running the gram explode +
+        // 25M md5s per side (the rare-filter join itself computes ng0 only
+        // once — its agg side and probe side shuffle the identical subplan
+        // by gram, which ReuseExchange deduplicates)
+        val ng = ng0.join(rare, "gram").localCheckpoint()
         val a = ng.select(col("doc_id").as("doc_a"), col("gram"))
         val b = ng.select(col("doc_id").as("doc_b"), col("gram"))
         a.join(b, Seq("gram"))
@@ -668,7 +674,7 @@ object Dedup {
          |FROM ch JOIN dfc ON md5(chunk) = ck
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })(
-      (s, dir) => chunkDedup(docs(s, dir)).orderBy("doc_id")),
+      (s, dir) => chunkDedup(Tables.spread(docs(s, dir))).orderBy("doc_id")),
 
     // 34b. MinHash-ESTIMATED Jaccard: the scale path for pairwise
     // similarity — no gram self-join at all. Candidates come from the

@@ -137,7 +137,7 @@ object TextAnalysis {
     })(
       (s, dir) => {
         val toks = split(normText(col("text")), " ")
-        val scored = docs(s, dir).select(
+        val scored = Tables.spread(docs(s, dir)).select(
           col("doc_id") +: col("lang") +: langs.map { l =>
             val set = stopwords(l).map(lit(_))
             size(filter(toks, t => t.isInCollection(stopwords(l))))
@@ -338,7 +338,7 @@ object TextAnalysis {
       (s, dir) => {
         val toks = split(normText(col("text")), " ")
         val bigrams = wordNgrams(toks, 2)
-        val base = docs(s, dir).select(
+        val base = Tables.spread(docs(s, dir)).select(
           col("doc_id"),
           size(toks).cast("long").as("n_words"),
           size(array_distinct(toks)).cast("long").as("ndw"),
@@ -375,7 +375,7 @@ object TextAnalysis {
          |  CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rnk
          |FROM top ORDER BY rnk""".stripMargin)(
       (s, dir) => {
-        val tok = docs(s, dir)
+        val tok = Tables.spread(docs(s, dir))
           .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("term"))
         val top = tok.groupBy("term")
           .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
@@ -420,7 +420,7 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin
     })(
       (s, dir) => {
-        val g = docs(s, dir).select(
+        val g = Tables.spread(docs(s, dir)).select(
           col("doc_id"), col("source"), gramSet(col("text"), 3).as("gs"))
         val bench = g.filter(col("source") === "src0")
           .select(explode(col("gs")).as("gram")).distinct()
@@ -538,7 +538,7 @@ object TextAnalysis {
          |       ELSE 'keep' END AS verdict
          |FROM doc ORDER BY doc_id""".stripMargin)(
       (s, dir) => {
-        val tf = docs(s, dir)
+        val tf = Tables.spread(docs(s, dir))
           .select(col("doc_id"),
             explode(split(normText(col("text")), " ")).as("word"))
           .filter(col("word") =!= "")
