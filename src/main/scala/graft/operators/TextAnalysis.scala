@@ -336,26 +336,40 @@ object TextAnalysis {
          |FROM words w LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin)(
       (s, dir) => {
+        // every repetition signal is a function of ONE document's arrays,
+        // so the whole query is a pure map: the per-doc top-bigram count
+        // (the one stat that looks like it needs a groupBy) is a linear
+        // fold over the SORTED bigram array — longest equal-adjacent run —
+        // which replaces the explode + two-level aggregate + join-back of
+        // the first version. No shuffle but the final sort; at 100 TB the
+        // old shape moved one row per BIGRAM through an exchange.
         val toks = split(normText(col("text")), " ")
         val bigrams = wordNgrams(toks, 2)
-        val base = Tables.spread(docs(s, dir)).select(
+        Tables.spread(docs(s, dir)).select(
           col("doc_id"),
           size(toks).cast("long").as("n_words"),
           size(array_distinct(toks)).cast("long").as("ndw"),
           bigrams.as("bgs"))
-        val agg = base.select(col("doc_id"), explode(col("bgs")).as("bigram"))
-          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(
-            max("c").as("maxc"), sum("c").as("nbg"), count(lit(1)).as("ndist"))
-        base.drop("bgs").join(agg, Seq("doc_id"), "left")
           .select(
             col("doc_id"), col("n_words"),
             expr("ndw * 1000000L div n_words").as("ttr_micro"),
-            coalesce(col("nbg"), lit(0L)).as("n_bigrams"),
-            expr("CASE WHEN coalesce(nbg, 0) = 0 THEN 0L " +
-              "ELSE (nbg - ndist) * 1000000L div nbg END").as("dup_bigram_micro"),
-            expr("CASE WHEN coalesce(nbg, 0) = 0 THEN 0L " +
-              "ELSE maxc * 1000000L div nbg END").as("top_bigram_micro"))
+            size(col("bgs")).cast("long").as("n_bigrams"),
+            size(array_distinct(col("bgs"))).cast("long").as("ndist"),
+            expr("""aggregate(array_sort(bgs),
+                   |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+                   |  (acc, x) -> named_struct(
+                   |    'prev', x,
+                   |    'run', IF(x = acc.prev, acc.run + 1L, 1L),
+                   |    'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+                   |  acc -> acc.best)""".stripMargin).as("maxc"))
+          .select(
+            col("doc_id"), col("n_words"), col("ttr_micro"),
+            col("n_bigrams"),
+            expr("CASE WHEN n_bigrams = 0 THEN 0L " +
+              "ELSE (n_bigrams - ndist) * 1000000L div n_bigrams END")
+              .as("dup_bigram_micro"),
+            expr("CASE WHEN n_bigrams = 0 THEN 0L " +
+              "ELSE maxc * 1000000L div n_bigrams END").as("top_bigram_micro"))
           .orderBy("doc_id")
       }),
 
