@@ -434,15 +434,20 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin
     })(
       (s, dir) => {
+        // materialize the gram derivation ONCE — the bench side and the
+        // candidate side both read the checkpoint instead of re-running
+        // the n-gram build per branch; the final doc list needs no grams
+        // at all, so it scans the raw table
         val g = Tables.spread(docs(s, dir)).select(
           col("doc_id"), col("source"), gramSet(col("text"), 3).as("gs"))
+          .localCheckpoint()
         val bench = g.filter(col("source") === "src0")
           .select(explode(col("gs")).as("gram")).distinct()
         val cand = g.filter(col("source") =!= "src0")
           .select(col("doc_id"), explode(col("gs")).as("gram"))
         val hits = cand.join(bench, "gram")
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-        g.filter(col("source") =!= "src0").select("doc_id")
+        docs(s, dir).filter(col("source") =!= "src0").select("doc_id")
           .join(hits, Seq("doc_id"), "left")
           .select(
             col("doc_id"),
