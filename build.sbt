@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench/Verify stdout (one JSON line). With the
+// default LoggedOutput strategy sbt prefixes every forked-stdout line with
+// "[info] " and appends its own "[success] Total time" line, which breaks
+// a plain json parse of the output. Inherit raw stdio for forked runs and
+// drop the success banner so the JSON line reaches stdout verbatim.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
