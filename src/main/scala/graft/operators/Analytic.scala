@@ -626,6 +626,41 @@ object Analytic {
         .agg(
           approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("ap50_qty"),
           approx_percentile(col("l_quantity"), lit(0.9), lit(10000)).as("ap90_qty"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // Equi-depth histogram — the optimizer-statistics operator: 8 buckets
+    // of ~equal row count over l_extendedprice, reported as per-bucket
+    // count + exact [min,max] in micros. The 7 interior boundaries come
+    // from ONE interpolated-percentile aggregate (bit-equal across engines,
+    // as in q_trimmed_mean) broadcast back onto the scan; bucket id is the
+    // count of boundaries strictly below the value (a 7-term when-sum, pure
+    // codegen map). Two fully-parallel scans, no per-bucket total order —
+    // the same broadcast-back shape that survives any corpus size.
+    Q("q_histogram", {
+      val probs = (1 to 7).map(i => i / 8.0).mkString("[", ", ", "]")
+      val bucket = (1 to 7).map(i => s"CASE WHEN l_extendedprice > bs[$i] THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT quantile_cont(l_extendedprice, $probs) AS bs FROM lineitem)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(${sqlMicros("l_extendedprice")}) AS BIGINT) AS lo_micros,
+         |  CAST(MAX(${sqlMicros("l_extendedprice")}) AS BIGINT) AS hi_micros
+         |FROM (SELECT ($bucket) AS bucket, l_extendedprice FROM lineitem, b)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
+    })(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val probs = array((1 to 7).map(i => lit(i / 8.0)): _*)
+        val bounds = li.agg(percentile(col("l_extendedprice"), probs).as("bs"))
+        val bucket = (1 to 7)
+          .map(i => when(col("l_extendedprice") > element_at(col("bs"), i), 1).otherwise(0))
+          .reduce(_ + _)
+        li.crossJoin(broadcast(bounds))
+          .select(bucket.as("bucket"), col("l_extendedprice"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(micros(col("l_extendedprice"))).as("lo_micros"),
+            max(micros(col("l_extendedprice"))).as("hi_micros"))
+          .orderBy(col("bucket"))
+      })
   )
 }
