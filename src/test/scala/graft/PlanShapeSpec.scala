@@ -219,4 +219,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"documents scan not pruned to doc_id,text:\n$scan")
   }
+
+  test("bm25 never explodes tokens and top-20 is a distributed TakeOrdered") {
+    val p = planOf("q_bm25")
+    assert(!p.contains("Generate"),
+      s"bm25 scoring path materialized per-token rows:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k not a distributed TakeOrdered:\n$p")
+    val scan = SparkEntry.queries("q_bm25")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("documents")).getOrElse(fail("no documents scan"))
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned to doc_id,text:\n$scan")
+  }
+
+  test("histogram boundaries broadcast back, no per-bucket total order") {
+    val p = planOf("q_histogram")
+    // the 1-row bounds table rides a broadcast product (by construction);
+    // the only Sort allowed is the final 8-row presentation order
+    assert(!p.contains("CartesianProduct"), s"driver-side product:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bounds join shuffled:\n$p")
+  }
 }
