@@ -241,10 +241,14 @@ object Analytic {
          |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
     })(
       (s, dir) => {
+        import s.implicits._
         val li = t(s, dir, "lineitem")
-        val bounds = li.groupBy(col("l_returnflag")).agg(
-          percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
-          percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+        // per-group exact p05/p95 via distributed bucket refinement — no
+        // single-reducer percentile buffer (see ExactQuantiles)
+        val qs = ExactQuantiles.continuous(
+          li, col("l_returnflag"), col("l_extendedprice"), Seq(0.05, 0.95))
+        val bounds = qs.toSeq.map { case (g, a) => (g, a(0), a(1)) }
+          .toDF("l_returnflag", "p05", "p95")
         li.join(broadcast(bounds), "l_returnflag")
           .filter(col("l_extendedprice") >= col("p05") &&
             col("l_extendedprice") <= col("p95"))
@@ -649,13 +653,15 @@ object Analytic {
     })(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val probs = array((1 to 7).map(i => lit(i / 8.0)): _*)
-        val bounds = li.agg(percentile(col("l_extendedprice"), probs).as("bs"))
+        // the 7 boundaries come back as driver metadata (exact distributed
+        // selection, ExactQuantiles) and inline as literals — the bucket id
+        // is a pure codegen map over the scan, no join at all
+        val bs = ExactQuantiles.continuous(
+          li, lit(""), col("l_extendedprice"), (1 to 7).map(_ / 8.0))("")
         val bucket = (1 to 7)
-          .map(i => when(col("l_extendedprice") > element_at(col("bs"), i), 1).otherwise(0))
+          .map(i => when(col("l_extendedprice") > lit(bs(i - 1)), 1).otherwise(0))
           .reduce(_ + _)
-        li.crossJoin(broadcast(bounds))
-          .select(bucket.as("bucket"), col("l_extendedprice"))
+        li.select(bucket.as("bucket"), col("l_extendedprice"))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"),
             min(micros(col("l_extendedprice"))).as("lo_micros"),

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ExactQuantiles
+
+/** Pins the distributed bucket-refinement quantiles against Spark's own
+  * exact `percentile` aggregate — including on a group large enough to
+  * force the refinement (bucket) rounds, which sf-test corpora are too
+  * small to reach (every group there resolves in the direct-collect
+  * round).
+  */
+class ExactQuantilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val probs = Seq(0.05, 0.25, 0.5, 0.9, 0.95)
+
+  private def builtin(df: org.apache.spark.sql.DataFrame, group: String,
+                      value: String): Map[String, Seq[Double]] =
+    df.groupBy(col(group).cast("string").as("g"))
+      .agg(percentile(col(value), array(probs.map(lit): _*)).as("ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+      .toMap
+
+  test("matches Spark's percentile on the real corpus (collect round only)") {
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+    val got = ExactQuantiles.continuous(
+      li, col("l_returnflag"), col("l_extendedprice"), probs)
+    val want = builtin(li, "l_returnflag", "l_extendedprice")
+    assert(got.keySet == want.keySet)
+    for (g <- want.keySet; i <- probs.indices)
+      assert(got(g)(i) == want(g)(i), s"group $g prob ${probs(i)}")
+  }
+
+  test("matches Spark's percentile when refinement rounds are forced") {
+    import spark.implicits._
+    // 40k rows per group ≫ the 8k direct-collect bound, so every order
+    // statistic takes at least one bucket round; values are 2-decimal
+    // "money" with heavy ties and a wide range, like the target columns
+    val df = spark.range(80000)
+      .select((col("id") % 2).cast("string").as("g"),
+        round((abs(hash(col("id")).cast("double")) % 1000000) / 100.0 + 0.01, 2)
+          .as("v"))
+    val got = ExactQuantiles.continuous(df, col("g"), col("v"), probs)
+    val want = builtin(df, "g", "v")
+    assert(got.keySet == want.keySet)
+    for (g <- want.keySet; i <- probs.indices)
+      assert(got(g)(i) == want(g)(i), s"group $g prob ${probs(i)}")
+  }
+
+  test("empty groups are absent and single-row groups are exact") {
+    import spark.implicits._
+    val df = Seq(("a", 42.17)).toDF("g", "v")
+    val got = ExactQuantiles.continuous(df, col("g"), col("v"), probs)
+    assert(got.keySet == Set("a"))
+    assert(got("a").forall(_ == 42.17))
+  }
+}
