@@ -348,6 +348,32 @@ object Analytic {
             col("s_minute_sum"), col("c_minute_sum"), col("p_minute_sum"))
       }),
 
+    // 30b. Cohort retention matrix — the product-analytics triangle: users
+    // grouped by first-active day, distinct actives per (cohort, day
+    // offset). Scale shape: the (user, day) distinct and the first-day
+    // aggregate both hash-partition by user_id, so the activity⋈first join
+    // reuses that partitioning (exchange reuse, no third shuffle); the
+    // final rollup aggregates ≤ |users|·|active days| rows, and no stage
+    // ever holds a per-user timeline in one place.
+    Q("q_retention",
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS d0 FROM act GROUP BY user_id)
+        |SELECT f.d0 AS cohort_day,
+        |  CAST(date_diff('day', f.d0, a.d) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM act a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, dir) => {
+        val act = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val first = act.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+        act.join(first, "user_id")
+          .groupBy(col("d0").as("cohort_day"),
+            datediff(col("d"), col("d0")).cast("long").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      }),
+
     // Ordered string aggregation: the listagg/string_agg family. Spark's
     // collect_set is unordered, so sort_array fixes a total order before
     // joining — deterministic on both engines (DuckDB string_agg takes an

@@ -43,6 +43,12 @@ object Dedup {
     */
   val DfCap = 50
 
+  /** Normalized-text prefix length for exact edit-distance verification —
+    * bounds the per-pair Levenshtein DP to EditCap² cells regardless of
+    * document length.
+    */
+  val EditCap = 500
+
   /** Word width of the non-overlapping chunks in chunk-level boilerplate
     * removal (q_chunk_dedup) — the stand-in for "line" granularity in a
     * corpus without line structure.
@@ -728,6 +734,65 @@ object Dedup {
           .join(sigs.alias("sb"), col("doc_b") === col("sb.doc_id"))
           .select(col("doc_a"), col("doc_b"),
             (nMatch * lit(1000000 / NumSeeds)).cast("long").as("jac_est_micro"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    // 34e. Edit-distance VERIFICATION of LSH candidates — the candidate-
+    // then-verify pattern in its exact form: MinHash bands nominate
+    // (cap-bounded, ≤ Bands·C(cap,2) per bucket flood), and only the
+    // nominated pairs pay the O(len²) Levenshtein DP, on normalized text
+    // capped at EditCap chars so per-pair cost is a constant ≤ EditCap²
+    // cells. Two equi-join shuffles of the bounded pair set — the full
+    // corpus never meets itself. Pairs are between exact-dedup
+    // representatives (the reps pre-pass inside the signature build);
+    // integer edit distance is engine-exact (both DPs run over codepoints
+    // and the corpus is ASCII), so the verdict hash-checks — is_dup means
+    // dist ≤ 20% of the longer capped text.
+    Q("q_dedup_edit", {
+      val minhs = (0 until NumSeeds).map { i =>
+        val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+        s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
+      }.mkString(",\n  ")
+      val bands = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
+        .mkString("\n  UNION ALL ")
+      s"""WITH reps AS (
+         |  SELECT min(doc_id) AS doc_id, s
+         |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
+         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
+         |sh AS (
+         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+         |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
+         |bands0 AS ($bands),
+         |bands AS (
+         |  SELECT doc_id, band, bkey FROM bands0
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |nt AS (SELECT doc_id, substr($normSql, 1, $EditCap) AS s FROM documents),
+         |scored AS (
+         |  SELECT p.doc_a, p.doc_b, levenshtein(x.s, y.s) AS dist,
+         |    greatest(length(x.s), length(y.s)) AS mxlen
+         |  FROM pairs p JOIN nt x ON p.doc_a = x.doc_id JOIN nt y ON p.doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS edit_dist,
+         |  CAST(CASE WHEN dist * 5 <= mxlen THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+         |FROM scored ORDER BY doc_a, doc_b""".stripMargin
+    })(
+      (s, dir) => {
+        val pairs = bandPairs(corpusSigs(s, dir))
+        val nt = docs(s, dir).select(col("doc_id"),
+          substring(normText(col("text")), 1, EditCap).as("s"))
+        pairs
+          .join(nt.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+          .join(nt.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("sa"), col("sb")).as("dist"),
+            greatest(length(col("sa")), length(col("sb"))).as("mxlen"))
+          .select(col("doc_a"), col("doc_b"),
+            col("dist").cast("long").as("edit_dist"),
+            when(col("dist") * 5 <= col("mxlen"), 1).otherwise(0).as("is_dup"))
           .orderBy("doc_a", "doc_b")
       }),
 

@@ -240,4 +240,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"driver-side product:\n$p")
     assert(!p.contains("SortMergeJoin"), s"bounds join shuffled:\n$p")
   }
+
+  test("retention scan pruned and the activity-first join is co-partitioned") {
+    val df = SparkEntry.queries("q_retention")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"non-equi join in retention:\n$p")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("events")).getOrElse(fail("no events scan"))
+    assert(scan.contains("ReadSchema: struct<ts:"),
+      s"events scan not pruned to ts,user_id:\n$scan")
+    assert(!scan.contains("props"), s"unused props column read:\n$scan")
+    // expected exchanges: (user,day) distinct, first-day agg, and the
+    // distinct-count's partial+final pair — the activity⋈first join itself
+    // must ride broadcast (tiny here) or reuse the user_id partitioning,
+    // never add a fifth shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      s"retention join re-shuffled an already-partitioned side:\n$p")
+  }
+
+  test("edit-distance verification joins candidates by key, never all pairs") {
+    val p = planOf("q_dedup_edit")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi pair join:\n$p")
+  }
 }
