@@ -118,4 +118,56 @@ object Export {
     df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).parquet(destPath)
+
+  /** Z-ORDER (Morton-curve) layout: the multi-dimensional twin of
+    * [[sortedParquet]]. A lexicographic sort gives tight per-file min/max
+    * statistics on the LEADING column only — a predicate on the second
+    * column still reads every file, because each file spans its full
+    * range. Interleaving the bits of every column's normalized rank into
+    * one Z-address and range-sorting by THAT clusters rows so each file
+    * covers a small hyper-rectangle: parquet footer min/max stay tight on
+    * EVERY layout column at once, and pushed-down range/point predicates
+    * on any of them skip whole files and row groups. This is the layout
+    * pass a 100 TB table gets before serving multi-key scans.
+    *
+    * Normalization is equi-width over each numeric column's [min, max]
+    * (one metadata-size aggregate, broadcast back as literals) into
+    * `bitsPerCol`-bit cells, so the Z-address is a pure codegen
+    * shift/or expression over the scan — no shuffle beyond the final
+    * range partition, no UDF. Equi-width cells degrade for heavily skewed
+    * columns (most cells empty); quantile-based cells via ExactQuantiles
+    * boundaries are the upgrade path there.
+    */
+  def zorderParquet(df: DataFrame, destPath: String, cols: Seq[String],
+                    numFiles: Int, bitsPerCol: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.size * bitsPerCol <= 63,
+      s"z-address must fit a long: ${cols.size} cols x $bitsPerCol bits")
+    val mmCols = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("double").as(s"mn$i"),
+        max(col(c)).cast("double").as(s"mx$i"))
+    }
+    val mm = df.agg(mmCols.head, mmCols.tail: _*).head()
+    val cells = (1L << bitsPerCol) - 1
+    // per-column cell index in [0, 2^bits): exact long arithmetic over the
+    // micros-scaled value keeps the bucketing deterministic
+    val cellCols = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      val width = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+      least(lit(cells), greatest(lit(0L),
+        ((col(c).cast("double") - lit(mn)) / lit(width) * lit(cells.toDouble))
+          .cast("long")))
+    }
+    // interleave: output bit (b*nCols + i) = bit b of column i's cell
+    val z = (0 until bitsPerCol).flatMap { b =>
+      cellCols.zipWithIndex.map { case (cc, i) =>
+        shiftleft(shiftright(cc, b) bitwiseAND lit(1L), b * cols.size + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(destPath)
+  }
 }
