@@ -24,13 +24,20 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-      // to a timestamp type. Read nanos as LONG (public legacy conf), then
-      // rebuild a microsecond TimestampType column — exact here, the data
-      // carries µs precision (ns residue verified zero).
+      // events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+      // parquet across driver data drops. Spark 4 refuses to map nanos to a
+      // timestamp type, so keep the public legacy conf that surfaces nanos
+      // as LONG and rebuild a µs TimestampType column from whichever form
+      // this directory carries (exact either way — the data is µs-grained).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(sfDir, name))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(path(sfDir, name))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos-as-long drop
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => // TIMESTAMP_NTZ drop: wall-clock == instant (UTC sessions)
+          raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      }
     } else spark.read.parquet(path(sfDir, name))
 
   /** Spread a CPU-heavy per-row derivation across the session's cores when
