@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.{MisraGriesTopK, VecCosine, VecDot}
+import graft.plans.{TopKRewrite, TopKStrategy}
+
+/** Cluster-deployable entry point for everything graft injects into a
+  * Spark session — the `spark.sql.extensions` contract:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * wires the library into EVERY session of the application with no code
+  * changes: the native similarity expressions become plain SQL functions
+  * (`vec_dot`, `vec_cosine`), the mergeable Misra-Gries heavy-hitter
+  * aggregate becomes `mg_topk(tokens, k)`, and the bounded-heap
+  * top-k-per-group physical strategy plans any [[graft.plans.TopKPerGroup]]
+  * node without the per-DataFrame `experimental.extraStrategies`
+  * registration that [[graft.plans.TopK.perGroup]] falls back to.
+  *
+  * The per-session `VectorOps.register` / `FreqSketch.register` helpers
+  * stay for notebook use; this class is the deployment path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      (exprs: Seq[Expression]) => VecCosine(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) => v.toInt
+          case other => sys.error(s"mg_topk: k must be an int literal, got $other")
+        }
+        MisraGriesTopK(exprs.head, k).toAggregateExpression()
+      }))
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => TopKRewrite)
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKPerGroup
+
+/** Drives the `spark.sql.extensions=graft.GraftExtensions` deployment path
+  * end to end: a session built ONLY from that config string (the
+  * spark-submit contract — no register() calls, no experimental-strategy
+  * mutation) must expose the SQL functions and plan the custom operator.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // `spark.sql.extensions` is a STATIC conf: spark-submit bakes it into the
+  // SparkContext's conf and every getOrCreate applies it. The shared test
+  // JVM already created its context without it, so the spec drives the same
+  // SparkSessionExtensions hook through builder.withExtensions — the code
+  // path is identical from `GraftExtensions.apply` down.
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val orig = TestSpark.spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    try f(s)
+    finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
+
+  test("the config-string class name resolves to the extensions hook") {
+    // what `--conf spark.sql.extensions=graft.GraftExtensions` instantiates
+    val cls = Class.forName("graft.GraftExtensions")
+    assert(cls.getDeclaredConstructor().newInstance()
+      .isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+
+  test("config-string session exposes vec_dot / vec_cosine in plain SQL") {
+    withExtendedSession { s =>
+      val row = s.sql(
+        """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+          |       vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c""".stripMargin)
+        .head()
+      assert(row.getDouble(0) == 32.0)
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    }
+  }
+
+  test("config-string session exposes the mg_topk aggregate in plain SQL") {
+    withExtendedSession { s =>
+      val got = s.sql(
+        """SELECT mg_topk(toks, 4) AS hh FROM VALUES
+          |  (array('a','a','b')), (array('a','c')), (array('a','b')) AS t(toks)""".stripMargin)
+        .selectExpr("explode(hh) AS e").selectExpr("e.item", "e.est")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 'a' has true count 5 of n=7 tokens; MG(k=4) must surface it and
+      // undercount by at most n/k
+      assert(got.contains("a") && got("a") >= 5 - 7 / 4)
+    }
+  }
+
+  test("injected planner strategy plans TopKPerGroup without experimental registration") {
+    withExtendedSession { s =>
+      val df = s.range(0, 100).selectExpr("id % 5 AS g", "id AS v")
+      val plan = TopKPerGroup(
+        Seq(GraftSqlBridge.expression(col("g"))),
+        Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(
+          GraftSqlBridge.expression(col("v")),
+          org.apache.spark.sql.catalyst.expressions.Descending)),
+        2, GraftSqlBridge.logicalPlan(df))
+      val out = GraftSqlBridge.ofRows(s, plan)
+      assert(s.experimental.extraStrategies.isEmpty,
+        "the extensions path must not rely on experimental strategies")
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val expect = (0L until 5L).flatMap(g => Seq((g, 90L + g), (g, 95L + g))).sorted
+      assert(rows.toSeq == expect)
+      // AQE wraps the tree; inspect the finalized plan's rendering
+      val planStr = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert("TopKPerGroup \\[".r.findAllIn(planStr).size == 2,
+        s"expected partial+final TopKPerGroup in:\n$planStr")
+    }
+  }
+
+  test("optimizer rule rewrites the row_number window idiom into bounded heaps") {
+    withExtendedSession { s =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      // unique order key (id) → fully deterministic expected rows
+      val df = s.range(0, 1000).selectExpr("id % 7 AS g", "id AS v", "id * 2 AS w")
+      val idiom = df
+        .withColumn("rn", row_number().over(W.partitionBy("g").orderBy(col("v").desc)))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+      idiom.collect() // finalize AQE
+      val planStr = idiom.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert("TopKPerGroup \\[".r.findAllIn(planStr).size == 2,
+        s"window idiom should plan as partial+final TopKPerGroup:\n$planStr")
+      assert(!planStr.contains("Window "), s"Window operator should be gone:\n$planStr")
+      val got = idiom.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val expect = (0L until 1000L).groupBy(_ % 7).toSeq.flatMap { case (g, ids) =>
+        ids.sorted(Ordering[Long].reverse).take(3).map(v => (g, v, v * 2))
+      }.sorted
+      assert(got == expect)
+    }
+  }
+
+  test("rewrite declines when the rank column is kept or the function is rank()") {
+    withExtendedSession { s =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val df = s.range(0, 100).selectExpr("id % 5 AS g", "id AS v")
+      val keepRn = df
+        .withColumn("rn", row_number().over(W.partitionBy("g").orderBy("v")))
+        .filter(col("rn") <= 2)
+      keepRn.collect()
+      val p1 = keepRn.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!p1.contains("TopKPerGroup"), s"rn kept in output — must stay a window:\n$p1")
+
+      val ranked = df
+        .withColumn("rk", rank().over(W.partitionBy("g").orderBy("v")))
+        .filter(col("rk") <= 2).drop("rk")
+      ranked.collect()
+      val p2 = ranked.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!p2.contains("TopKPerGroup"), s"rank() keeps ties — must stay a window:\n$p2")
+    }
+  }
+}
