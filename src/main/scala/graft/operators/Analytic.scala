@@ -526,6 +526,38 @@ object Analytic {
           .orderBy(col("source"))
       }),
 
+    // 41l. TRAIN/VAL/TEST SPLIT ASSIGNMENT — the last step before a corpus
+    // ships: a deterministic, content-independent 80/10/10 split keyed on
+    // md5(doc_id), so membership survives retries, repartitioning, engine
+    // swaps, and incremental corpus growth (a doc's split never changes
+    // when other docs arrive — the property random() splits lack). Pure
+    // map + one count shuffle; the per-source breakdown doubles as the
+    // stratification check (each source should split ≈80/10/10).
+    Q("q_split_assign", {
+      val duckV = (0 until 4).map { d =>
+        s"(strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
+      }.mkString(" + ")
+      s"""SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM (
+         |  SELECT source, n_chars,
+         |    CASE WHEN ($duckV) % 10 <= 7 THEN 'train'
+         |         WHEN ($duckV) % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |GROUP BY source, split ORDER BY source, split""".stripMargin
+    })(
+      (s, dir) => {
+        val v = expr(
+          "CAST(conv(substr(md5(cast(concat('split:', cast(doc_id AS string)) AS binary)), 1, 4), 16, 10) AS INT) % 10")
+        t(s, dir, "documents")
+          .withColumn("split",
+            when(v <= 7, "train").when(v === 8, "val").otherwise("test"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"), col("split"))
+      }),
+
     // 41i. MIXTURE PLANNING — the sizing step that precedes mixture sampling:
     // given target token shares per source tier (curated 50%, web 30%,
     // mid 15%, tail 5%), find the largest total token budget B the corpus

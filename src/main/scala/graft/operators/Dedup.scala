@@ -78,6 +78,47 @@ object Dedup {
        |sigs_$sfx AS (SELECT doc_id, $minhs FROM sh_$sfx GROUP BY doc_id)""".stripMargin
   }
 
+  /** DuckDB WITH-RECURSIVE CTE chain ending in `labels(doc_id, rep)`: the
+    * full LSH near-dup clustering mirror — exact-dedup reps → shingles →
+    * minhash signatures → capped band buckets → candidate pairs →
+    * undirected edges → transitive closure → min-label per component.
+    * Shared by q_dedup_clusters / q_pipeline_select / q_dedup_keep_best so
+    * the three oracles can never drift apart.
+    */
+  private def lshLabelsCtes: String = {
+    val minhs = (0 until NumSeeds).map { i =>
+      val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+      s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
+    }.mkString(",\n  ")
+    val bands = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE reps AS (
+       |  SELECT min(doc_id) AS doc_id, s
+       |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
+       |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
+       |sh AS (
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+       |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
+       |bands0 AS ($bands),
+       |bands AS (
+       |  SELECT doc_id, band, bkey FROM bands0
+       |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep FROM reach GROUP BY src)""".stripMargin
+  }
+
   /** DuckDB CTE `bands0_$sfx`: uncapped band keys of `sigs_$sfx`. */
   private def bandsSqlFor(sfx: String): String = {
     val bands = (0 until Bands)
@@ -937,43 +978,52 @@ object Dedup {
     // verdict a dedup pipeline actually applies. The oracle recomputes the
     // same components with a recursive transitive-closure CTE (tractable
     // because LSH bands + bucket caps keep components small).
-    Q("q_dedup_clusters", {
-      val minhs = (0 until NumSeeds).map { i =>
-        val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
-        s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
-      }.mkString(",\n  ")
-      val bands = (0 until Bands)
-        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
-        .mkString("\n  UNION ALL ")
-      s"""WITH RECURSIVE reps AS (
-         |  SELECT min(doc_id) AS doc_id, s
-         |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
-         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
-         |sh AS (
-         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
-         |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
-         |bands0 AS ($bands),
-         |bands AS (
-         |  SELECT doc_id, band, bkey FROM bands0
-         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT CAST(src AS BIGINT) AS doc_id,
-         |  CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_rep
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
-    })(
+    Q("q_dedup_clusters",
+      s"""$lshLabelsCtes
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(rep AS BIGINT) AS cluster_rep
+         |FROM labels ORDER BY doc_id""".stripMargin)(
       (s, dir) => connectedComponents(bandPairs(corpusSigs(s, dir)))
         .select(col("doc_id"), col("rep").as("cluster_rep"))
         .orderBy("doc_id")),
+
+    // §2d.32f — quality-aware cluster keeper selection. Min-doc_id keeper
+    // rules (q_dedup_clusters, q_pipeline_select) are arbitrary; real
+    // pipelines keep the BEST member of each near-dup cluster. Keeper =
+    // longest document (n_chars DESC, doc_id ASC on ties) per LSH cluster —
+    // swap the order key for any quality score. One equi-join of the
+    // cluster labels (already bounded by the band caps) against the doc
+    // stats, one windowed arg-max per cluster: shuffle ∝ clustered docs,
+    // never the corpus. Members are exact-dedup representatives (the
+    // byte-identical copies collapsed before LSH follow their rep's fate).
+    Q("q_dedup_keep_best",
+      s"""$lshLabelsCtes,
+         |j AS (
+         |  SELECT l.rep, l.doc_id, d.n_chars
+         |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+         |SELECT CAST(rep AS BIGINT) AS cluster_rep,
+         |  CAST(doc_id AS BIGINT) AS keeper_doc_id,
+         |  CAST(n_chars AS BIGINT) AS keeper_chars,
+         |  CAST(members AS BIGINT) AS n_members
+         |FROM (
+         |  SELECT rep, doc_id, n_chars,
+         |    COUNT(*) OVER (PARTITION BY rep) AS members,
+         |    row_number() OVER (PARTITION BY rep ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM j)
+         |WHERE rn = 1 ORDER BY cluster_rep""".stripMargin)(
+      (s, dir) => {
+        val labels = connectedComponents(bandPairs(corpusSigs(s, dir)))
+        val stats = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        val byRep = Window.partitionBy(col("rep"))
+        labels.join(stats, Seq("doc_id"))
+          .withColumn("n_members", count(lit(1)).over(byRep).cast("long"))
+          .withColumn("rn", row_number().over(
+            byRep.orderBy(col("n_chars").desc, col("doc_id").asc)))
+          .filter(col("rn") === 1)
+          .select(col("rep").as("cluster_rep"), col("doc_id").as("keeper_doc_id"),
+            col("n_chars").cast("long").as("keeper_chars"), col("n_members"))
+          .orderBy("cluster_rep")
+      }),
 
     // CAPSTONE — the end-to-end training-set selection a pipeline user
     // actually runs, composing the §2d operators: keep a document iff it
@@ -985,38 +1035,8 @@ object Dedup {
     // cluster (q_dedup_clusters' drop set). Both drop sets are applied as
     // one anti-join. Every stage is deterministic, so the whole
     // composition hash-checks end to end.
-    Q("q_pipeline_select", {
-      val minhs = (0 until NumSeeds).map { i =>
-        val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
-        s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
-      }.mkString(",\n  ")
-      val bands = (0 until Bands)
-        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
-        .mkString("\n  UNION ALL ")
-      s"""WITH RECURSIVE reps AS (
-         |  SELECT min(doc_id) AS doc_id, s
-         |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
-         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
-         |sh AS (
-         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
-         |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
-         |bands0 AS ($bands),
-         |bands AS (
-         |  SELECT doc_id, band, bkey FROM bands0
-         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |labels AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep FROM reach GROUP BY src),
+    Q("q_pipeline_select",
+      s"""$lshLabelsCtes,
          |exact_drops AS (
          |  SELECT doc_id FROM (
          |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS keeper
@@ -1031,8 +1051,7 @@ object Dedup {
          |WHERE lang = 'en' AND length(text) >= 100
          |  AND len(string_split($normSql, ' ')) >= 20
          |  AND doc_id NOT IN (SELECT doc_id FROM drops)
-         |ORDER BY doc_id""".stripMargin
-    })(
+         |ORDER BY doc_id""".stripMargin)(
       (s, dir) => {
         val d = docs(s, dir)
         val ccDrops = connectedComponents(bandPairs(corpusSigs(s, dir)))

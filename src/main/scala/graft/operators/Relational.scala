@@ -369,6 +369,41 @@ object Relational {
           .orderBy($"user_id")
       }),
 
+    // §2c.24t — UNPIVOT/melt: wide metric columns → long (key, value) rows,
+    // the inverse of q_pivot_events and the standard reshape before a
+    // generic per-metric aggregation or export. Spark's native `unpivot`
+    // is a zero-shuffle Expand (each input row emits one row per value
+    // column map-side); the only exchanges here are the two pre-aggregates.
+    Q("q_unpivot",
+      """WITH c AS (
+        |  SELECT n_name, CAST(COUNT(c_custkey) AS BIGINT) AS value
+        |  FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |s AS (
+        |  SELECT n_name, CAST(COUNT(s_suppkey) AS BIGINT) AS value
+        |  FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, 'n_customers' AS metric, value FROM c
+        |UNION ALL
+        |SELECT n_name, 'n_suppliers' AS metric, value FROM s
+        |ORDER BY n_name, metric""".stripMargin)(
+      (s, dir) => {
+        val nation = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+        val cust = t(s, dir, "customer").groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_customers"))
+        val supp = t(s, dir, "supplier").groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n_suppliers"))
+        nation
+          .join(cust, $"n_nationkey" === $"c_nationkey", "left")
+          .join(supp, $"n_nationkey" === $"s_nationkey", "left")
+          .select($"n_name",
+            coalesce($"n_customers", lit(0L)).as("n_customers"),
+            coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+          .unpivot(Array($"n_name"), Array($"n_customers", $"n_suppliers"),
+            "metric", "value")
+          .orderBy($"n_name", $"metric")
+      }),
+
     // §2e.49 inspect: per-table row counts (dbcut `inspect`/count_all)
     Q("q_inspect_counts",
       Tables.all.map(n => s"SELECT '$n' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM $n")
