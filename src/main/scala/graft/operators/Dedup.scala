@@ -211,6 +211,19 @@ object Dedup {
     cachedCorpusTable(s, dir, "sigs", s"$NumSeeds|$BucketCap")(
       minhashSignatures(Tables.load(s, dir, "documents")))
 
+  /** Persisted near-dup cluster labels (doc_id, rep) for the whole corpus —
+    * the next derivation up the same standing-index ladder as
+    * [[corpusSigs]]: band pairs + connected components are identical,
+    * deterministic work for every query that consumes clusters
+    * (q_dedup_clusters, q_dedup_keep_best, q_pipeline_select), and an
+    * ingestion pipeline maintains the labels incrementally rather than
+    * re-running the iterative CC per analysis. Stamp-keyed like every
+    * cached corpus table, so a regenerated corpus rebuilds.
+    */
+  def corpusClusterLabels(s: SparkSession, dir: String): DataFrame =
+    cachedCorpusTable(s, dir, "cclabels", s"$NumSeeds|$BucketCap|cc")(
+      connectedComponents(bandPairs(corpusSigs(s, dir))))
+
   /** The SimHash twin of [[corpusSigs]]: the persisted 64-bit signature
     * table both simhash queries probe (column renamed to `sig`, the index
     * side's name).
@@ -227,10 +240,11 @@ object Dedup {
     * regenerated corpus — even one with the same row count — never reads
     * a stale table.
     */
-  private def cachedCorpusTable(s: SparkSession, dir: String, tag: String,
-                                params: String)(build: => DataFrame): DataFrame =
+  private[operators] def cachedCorpusTable(s: SparkSession, dir: String, tag: String,
+                                params: String, table: String = "documents")(
+                                build: => DataFrame): DataFrame =
     synchronized {
-      val corpus = Tables.path(dir, "documents")
+      val corpus = Tables.path(dir, table)
       val conf = s.sessionState.newHadoopConf()
       val p = new org.apache.hadoop.fs.Path(corpus)
       val fs = p.getFileSystem(conf)
@@ -983,7 +997,7 @@ object Dedup {
          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |  CAST(rep AS BIGINT) AS cluster_rep
          |FROM labels ORDER BY doc_id""".stripMargin)(
-      (s, dir) => connectedComponents(bandPairs(corpusSigs(s, dir)))
+      (s, dir) => corpusClusterLabels(s, dir)
         .select(col("doc_id"), col("rep").as("cluster_rep"))
         .orderBy("doc_id")),
 
@@ -1012,7 +1026,7 @@ object Dedup {
          |  FROM j)
          |WHERE rn = 1 ORDER BY cluster_rep""".stripMargin)(
       (s, dir) => {
-        val labels = connectedComponents(bandPairs(corpusSigs(s, dir)))
+        val labels = corpusClusterLabels(s, dir)
         val stats = docs(s, dir).select(col("doc_id"), col("n_chars"))
         val byRep = Window.partitionBy(col("rep"))
         labels.join(stats, Seq("doc_id"))
@@ -1054,7 +1068,7 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin)(
       (s, dir) => {
         val d = docs(s, dir)
-        val ccDrops = connectedComponents(bandPairs(corpusSigs(s, dir)))
+        val ccDrops = corpusClusterLabels(s, dir)
           .filter(col("doc_id") =!= col("rep")).select("doc_id")
         // byte-identical copies never reach the LSH graph (the exact-dedup
         // pre-pass keeps only each text's min-doc_id representative), so

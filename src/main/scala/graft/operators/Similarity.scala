@@ -324,6 +324,16 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
   }
 
+  /** Persisted (vec_a, vec_b, cosine) near-dup pair table — build-once/
+    * probe-many (stamp-keyed on the embeddings files), the same
+    * standing-index design as [[Dedup.corpusSigs]]: hyperplane bucketing +
+    * exact-cosine verification is deterministic ingestion work, not
+    * per-analysis work. Both embedding near-dup queries probe it.
+    */
+  def corpusEmbedPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.cachedCorpusTable(s, dir, "embpairs", "tau0.30", table = "embeddings")(
+      embedNearDupPairs(s, dir))
+
   val pack: Seq[Q] = Seq(
 
     // 36. brute-force cosine top-k: broadcast tiny query set × corpus scan,
@@ -365,7 +375,7 @@ object Similarity {
     // hyperplanes (md5-derived ±1 components) — candidate pairs share a
     // bucket; exact cosine confirms.
     Q.rowsOnly("q_embed_neardup")(
-      (s, dir) => embedNearDupPairs(s, dir).orderBy("vec_a", "vec_b")),
+      (s, dir) => corpusEmbedPairs(s, dir).orderBy("vec_a", "vec_b")),
 
     // 35b. semantic-dedup cluster resolution: the embedding analogue of
     // q_dedup_clusters — near-dup pairs feed the same large-star/small-star
@@ -374,9 +384,13 @@ object Similarity {
     // oracle-checked through the MinHash path).
     Q.rowsOnly("q_embed_clusters")(
       (s, dir) => {
-        val pairs = embedNearDupPairs(s, dir)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-        Dedup.connectedComponents(pairs)
+        // labels persist too — the iterative CC is the dominant cost and
+        // is the same deterministic ingestion-time work as the pairs
+        val labels = Dedup.cachedCorpusTable(s, dir, "embcc", "tau0.30|cc",
+            table = "embeddings")(
+            Dedup.connectedComponents(corpusEmbedPairs(s, dir)
+              .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
+        labels
           .select(col("doc_id").as("vec_id"), col("rep"),
             (col("doc_id") === col("rep")).as("is_rep"))
           .orderBy("vec_id")
