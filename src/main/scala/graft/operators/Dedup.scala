@@ -85,7 +85,7 @@ object Dedup {
     * Shared by q_dedup_clusters / q_pipeline_select / q_dedup_keep_best so
     * the three oracles can never drift apart.
     */
-  private def lshLabelsCtes: String = {
+  private[operators] def lshLabelsCtes: String = {
     val minhs = (0 until NumSeeds).map { i =>
       val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
       s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"

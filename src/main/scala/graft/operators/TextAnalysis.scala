@@ -118,6 +118,26 @@ object TextAnalysis {
       s"ELSE CAST([] AS VARCHAR[]) END"
   }
 
+  /** Transitive contamination flags (q_decontaminate_clusters' back half,
+    * unit-tested on a crafted chain corpus in QualitySpec): `direct` docs
+    * are contaminated outright; every OTHER member of a near-dup cluster
+    * (per `labels`: doc_id → rep) containing a direct doc becomes
+    * cluster_contaminated; the rest of `cands` are clean. Two label-sized
+    * equi-joins — shuffle ∝ cluster members, never the corpus.
+    */
+  def clusterContamination(cands: DataFrame, direct: DataFrame,
+                           labels: DataFrame): DataFrame = {
+    val badReps = labels.join(direct, "doc_id").select("rep").distinct()
+    val clusterBad = labels.join(badReps, "rep").select("doc_id")
+    cands.select("doc_id")
+      .join(direct.withColumn("d", lit(1)), Seq("doc_id"), "left")
+      .join(clusterBad.withColumn("c", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("d") === 1, "contaminated")
+          .when(col("c") === 1, "cluster_contaminated")
+          .otherwise("clean").as("verdict"))
+  }
+
   val pack: Seq[Q] = Seq(
 
     // 38. language ID: per-language stopword hit count, arg-max with a fixed
@@ -454,6 +474,110 @@ object TextAnalysis {
             coalesce(col("n_shared"), lit(0L)).as("n_shared"),
             when(coalesce(col("n_shared"), lit(0L)) > 0, "contaminated")
               .otherwise("clean").as("verdict"))
+          .orderBy("doc_id")
+      }),
+
+    // 41g. TRANSITIVE (cluster-aware) DECONTAMINATION — the policy real
+    // pipelines apply (GPT-3/The Pile): when a document leaks benchmark
+    // content, its near-duplicates leak it too, so the whole near-dup
+    // cluster is dropped, not just the doc whose grams happened to match.
+    // Composes two standing indexes: the benchmark-gram hit set (same
+    // derivation as q_decontaminate, bench side broadcastable) and the
+    // persisted LSH cluster labels — then two label-sized equi-joins
+    // propagate the flag: contaminated docs → their cluster reps → every
+    // member of those clusters. Shuffle ∝ labels (cluster members), never
+    // the corpus. Byte-identical copies of a contaminated doc carry the
+    // same grams and flag directly.
+    Q("q_decontaminate_clusters", {
+      val grams = wordNgramsSql("l", 5)
+      s"""${Dedup.lshLabelsCtes},
+         |tok AS (
+         |  SELECT doc_id, source, string_split($normSql, ' ') AS l FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, list_distinct($grams) AS gs FROM tok),
+         |bench AS (
+         |  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'),
+         |cand AS (
+         |  SELECT doc_id, unnest(gs) AS gram FROM g WHERE source <> 'src0'),
+         |direct AS (
+         |  SELECT DISTINCT c.doc_id FROM cand c JOIN bench b USING (gram)),
+         |bad_reps AS (
+         |  SELECT DISTINCT l.rep FROM labels l JOIN direct d ON l.doc_id = d.doc_id),
+         |cluster_bad AS (
+         |  SELECT l.doc_id FROM labels l JOIN bad_reps r ON l.rep = r.rep)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id IN (SELECT doc_id FROM direct) THEN 'contaminated'
+         |       WHEN d.doc_id IN (SELECT doc_id FROM cluster_bad) THEN 'cluster_contaminated'
+         |       ELSE 'clean' END AS verdict
+         |FROM documents d WHERE d.source <> 'src0' ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        val g = Tables.spread(docs(s, dir)).select(
+          col("doc_id"), col("source"), gramSet(col("text"), 5).as("gs"))
+          .localCheckpoint()
+        val bench = g.filter(col("source") === "src0")
+          .select(explode(col("gs")).as("gram")).distinct()
+        val direct = g.filter(col("source") =!= "src0")
+          .select(col("doc_id"), explode(col("gs")).as("gram"))
+          .join(bench, "gram").select("doc_id").distinct()
+        clusterContamination(
+          docs(s, dir).filter(col("source") =!= "src0").select("doc_id"),
+          direct, Dedup.corpusClusterLabels(s, dir))
+          .orderBy("doc_id")
+      }),
+
+    // 39d. QUALITY-SIGNAL BLENDING — fold several raw quality signals into
+    // one comparable score without learned weights: each signal maps to
+    // its equi-width decile (bounds from ONE tiny min/max aggregate,
+    // broadcast back), the blend is the integer sum of deciles. A pure
+    // map over the corpus after a G-row agg — no global sort, no window,
+    // the 100 TB shape a rank/percent_rank blend (single-partition window)
+    // cannot deliver. Exact long arithmetic so the engines agree bit-wise.
+    Q("q_quality_blend", {
+      def bucket(v: String, mn: String, mx: String) =
+        s"LEAST(9, (($v - $mn) * 10) // ($mx - $mn + 1))"
+      s"""WITH sig AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(string_split($normSql, ' '),
+         |      t -> t IN ('the','a','and','of','to','is','in','that'))) * 1000000
+         |      // len(string_split($normSql, ' ')) AS BIGINT) AS stop_micro
+         |  FROM documents),
+         |b AS (
+         |  SELECT min(n_chars) AS mn_c, max(n_chars) AS mx_c,
+         |    min(n_words) AS mn_w, max(n_words) AS mx_w,
+         |    min(stop_micro) AS mn_s, max(stop_micro) AS mx_s
+         |  FROM sig)
+         |SELECT doc_id,
+         |  CAST(${bucket("n_chars", "mn_c", "mx_c")} AS BIGINT) AS b_chars,
+         |  CAST(${bucket("n_words", "mn_w", "mx_w")} AS BIGINT) AS b_words,
+         |  CAST(${bucket("stop_micro", "mn_s", "mx_s")} AS BIGINT) AS b_stop,
+         |  CAST(${bucket("n_chars", "mn_c", "mx_c")} + ${bucket("n_words", "mn_w", "mx_w")}
+         |    + ${bucket("stop_micro", "mn_s", "mx_s")} AS BIGINT) AS blend
+         |FROM sig, b ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        val norm = normText(col("text"))
+        val toks = split(norm, " ")
+        val en = stopwords("en")
+        val sig = docs(s, dir).select(
+          col("doc_id"), col("n_chars"),
+          size(toks).cast("long").as("n_words"),
+          (size(filter(toks, t => t.isInCollection(en))).cast("long") * 1000000L)
+            .as("stop_hits"))
+          .withColumn("stop_micro", expr("stop_hits div n_words"))
+        val b = sig.agg(
+          min("n_chars").as("mn_c"), max("n_chars").as("mx_c"),
+          min("n_words").as("mn_w"), max("n_words").as("mx_w"),
+          min("stop_micro").as("mn_s"), max("stop_micro").as("mx_s"))
+        def bucket(v: String, mn: String, mx: String) =
+          expr(s"LEAST(9L, (($v - $mn) * 10) div ($mx - $mn + 1))")
+        sig.crossJoin(broadcast(b))
+          .select(col("doc_id"),
+            bucket("n_chars", "mn_c", "mx_c").as("b_chars"),
+            bucket("n_words", "mn_w", "mx_w").as("b_words"),
+            bucket("stop_micro", "mn_s", "mx_s").as("b_stop"))
+          .withColumn("blend", expr("b_chars + b_words + b_stop"))
           .orderBy("doc_id")
       }),
 

@@ -112,4 +112,26 @@ class QualitySpec extends AnyFunSuite {
     }
     assert(rows(9L) == ((8L, 6000L, "random")), s"doc 9: ${rows(9L)}")
   }
+
+  test("cluster contamination propagates a direct hit to every cluster member") {
+    import spark.implicits._
+    // crafted chain: 10 is a direct gram hit; {10, 11, 12} form one
+    // near-dup cluster (11-12 share no benchmark gram); 13 clusters with
+    // 14 (both clean); 15 is unclustered and clean; 16 unclustered direct
+    val cands = Seq(10L, 11L, 12L, 13L, 14L, 15L, 16L).toDF("doc_id")
+    val direct = Seq(10L, 16L).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (11L, 12L), (13L, 14L))
+      .toDF("doc_a", "doc_b")
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+    val got = TextAnalysis.clusterContamination(cands, direct, labels)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      10L -> "contaminated",
+      11L -> "cluster_contaminated",
+      12L -> "cluster_contaminated",
+      13L -> "clean",
+      14L -> "clean",
+      15L -> "clean",
+      16L -> "contaminated"))
+  }
 }
