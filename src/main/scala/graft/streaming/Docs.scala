@@ -130,6 +130,70 @@ object Docs {
       .select(col("doc_id"), col("old_id"), col("band"), col("est_micro"))
   }
 
+  /** Streaming MAINTENANCE of the standing MinHash index — the missing
+    * half of the build-once/probe-many design: `buildMinhashIndex` builds
+    * the index from the corpus-so-far, this keeps it current as documents
+    * stream in. Per micro-batch (foreachBatch = batch context, so plain
+    * batch reads/writes apply):
+    *
+    *   1. the batch's signatures (8-way min over its shingles — batch-local
+    *      work, cost ∝ batch size) append to `root/sigs`;
+    *   2. band keys append to `root/bands` CAPPED against current bucket
+    *      occupancy: one aggregate over the existing bands table yields
+    *      per-bucket counts, new keys are admitted only while
+    *      count + rank ≤ cap. For a doc_id-ascending feed this reproduces
+    *      the static build's deterministic lowest-doc_id cap EXACTLY
+    *      (parity-pinned in StreamBatchParitySpec).
+    *
+    * The occupancy aggregate reads only (band, bkey) — column-pruned — and
+    * at warehouse scale would be a maintained count table instead of a
+    * re-aggregate; the admit rule is the same either way. Exactly-once:
+    * parquet appends are atomic per task file; a replayed batch would
+    * re-admit under the cap and duplicate signatures — production would
+    * key part files by batchId (idempotent overwrite) as the streaming
+    * sinks in Export do.
+    */
+  def maintainMinhashIndex(docsStream: DataFrame, root: String,
+                           cap: Int = graft.operators.Dedup.BucketCap)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    docsStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val sigs = Dedup.minhashSignatures(batch).localCheckpoint()
+          sigs.write.mode("append").parquet(s"$root/sigs")
+          val newKeys = Dedup.bandKeys(sigs)
+          val conf = s.sessionState.newHadoopConf()
+          val bandsPath = new org.apache.hadoop.fs.Path(s"$root/bands")
+          val admitted =
+            if (bandsPath.getFileSystem(conf).exists(bandsPath)) {
+              val occupancy = s.read.parquet(s"$root/bands")
+                .groupBy(col("band"), col("bkey"))
+                .agg(count(lit(1)).as("n0"))
+              val w = Window.partitionBy(col("band"), col("bkey"))
+                .orderBy(col("doc_id"))
+              newKeys
+                .join(occupancy, Seq("band", "bkey"), "left")
+                .withColumn("n0", coalesce(col("n0"), lit(0L)))
+                .withColumn("rn", row_number().over(w))
+                .filter(col("n0") + col("rn") <= cap)
+                .select("doc_id", "band", "bkey")
+            } else {
+              val w = Window.partitionBy(col("band"), col("bkey"))
+                .orderBy(col("doc_id"))
+              newKeys.withColumn("rn", row_number().over(w))
+                .filter(col("rn") <= cap)
+                .select("doc_id", "band", "bkey")
+            }
+          admitted.write.mode("append").parquet(s"$root/bands")
+        }
+      }
+      .start()
+  }
+
   /** Exactly-once per normalized content: first arrival wins, byte-copies
     * and whitespace/case variants are dropped. With `eventTimeCol`, the
     * watermark bounds fingerprint state to the delay horizon via

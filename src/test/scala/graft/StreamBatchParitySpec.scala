@@ -213,4 +213,41 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streamed index maintenance equals the static index build exactly") {
+    import graft.operators.Dedup
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // same corpus partition the static incremental index covers
+    val old = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrMod)) =!= 0)
+    val feed = old.orderBy("doc_id").as[Doc].collect().toSeq
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx").toString
+    val input = MemoryStream[Doc]
+    val q = Docs.maintainMinhashIndex(input.toDF(), root)
+    try {
+      // doc_id-ascending feed in 4 micro-batches
+      feed.grouped(math.max(feed.size / 4, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val staticRoot = Dedup.buildMinhashIndex(spark, TestSpark.sf)
+    def table(path: String, cols: String*) =
+      spark.read.parquet(path).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+
+    val sigCols = "doc_id" +: (0 until 8).map(i => s"h$i")
+    assert(table(s"$root/sigs", sigCols: _*) ==
+      table(s"$staticRoot/sigs", sigCols: _*))
+    assert(table(s"$root/bands", "doc_id", "band", "bkey") ==
+      table(s"$staticRoot/bands", "doc_id", "band", "bkey"))
+    assert(spark.read.parquet(s"$root/sigs").count() > 0)
+  }
 }
