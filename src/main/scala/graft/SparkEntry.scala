@@ -11,7 +11,7 @@ object SparkEntry {
       operators.Analytic.pack ++ operators.Inspect.pack ++
       operators.TextAnalysis.pack ++ operators.Dedup.pack ++
       operators.Similarity.pack ++ operators.Skew.pack ++
-      operators.Search.pack ++
+      operators.Search.pack ++ operators.Lakehouse.pack ++
       operators.RuntimeFilter.pack ++ operators.Multimodal.pack
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

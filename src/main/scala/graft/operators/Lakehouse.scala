@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2f — lakehouse table-maintenance operators: the mutation /
+  * versioning surface a 100 TB parquet warehouse needs around the read-only
+  * analytics. The reference applies changes through the ORM one row at a
+  * time (`/root/reference/dbcut/cli/operations.py:84-139` re-inserts an
+  * extraction into a destination); at warehouse scale the same jobs are
+  * set-oriented: a CDC batch MERGEs into the base in ONE key-shuffle, a
+  * dimension keeps history as type-2 intervals built by windows, snapshots
+  * diff row-level through one full-outer join, and aggregates maintain
+  * incrementally by merging partial states instead of rescanning the base.
+  *
+  * Everything here is a deterministic derivation over the synthetic tables
+  * (both engines derive base/changes from the same `orders` rows), so each
+  * operator hash-checks end-to-end.
+  */
+object Lakehouse {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  import graft.Q.{micros, sqlMicros}
+
+  /** MERGE a deduplicated change batch into a base table in one full-outer
+    * key shuffle — the Delta/Iceberg MERGE INTO shape, minus the file-level
+    * commit protocol:
+    *   matched  & op='D' → delete      matched  & op='U' → update
+    *   unmatched change (op≠'D')      → insert
+    *   unmatched base                 → carry through unchanged
+    * `changes` must be unique per key (CDC compaction — latest op per key —
+    * is a window row_number the caller runs first). At scale this is ONE
+    * exchange on the key for any base size; no driver round-trips, no
+    * per-row writes.
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
+                  valueCols: Seq[String]): DataFrame = {
+    val merged = base.withColumn("__in_base", lit(1))
+      .join(changes, Seq(key), "full_outer")
+    val kept = merged.filter(col("op").isNull || col("op") =!= "D")
+    val outCols = valueCols.map { c =>
+      when(col("op") === "U", col(s"new_$c")).otherwise(col(c)).as(c)
+    }
+    kept.select(
+      (col(key) +: outCols) :+
+        when(col("op").isNull, lit("base"))
+          .when(col("__in_base").isNotNull, lit("upd"))
+          .otherwise(lit("ins")).as("src"): _*)
+  }
+
+  /** Type-2 slowly-changing-dimension build from a change log: consecutive
+    * runs of the same attribute value collapse to one interval row with
+    * [valid_from, valid_to) bounds and a current flag. Two windows over ONE
+    * partitioning (the entity key) — the lag that detects transitions and
+    * the lead that closes intervals reuse the same exchange.
+    */
+  def scd2(log: DataFrame, key: String, attr: String, ordUs: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(ordUs, col("event_id"))
+    val transitions = log
+      .withColumn("__us", ordUs)
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
+    val w2 = Window.partitionBy(col(key)).orderBy(col("__us"), col("event_id"))
+    transitions
+      .withColumn("version", row_number().over(w2))
+      .withColumn("valid_to_us", lead(col("__us"), 1).over(w2))
+      .select(col(key), col("version").cast("long").as("version"), col(attr),
+        col("__us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** Row-level snapshot diff: keys added/removed between two versions plus
+    * rows whose value columns changed (with the changed column names).
+    * One full-outer join on the PK; the per-column comparison is a codegen
+    * map over the joined row — at 100 TB the cost is the one key shuffle
+    * (or zero with both snapshots bucketed on the PK).
+    */
+  def rowDiff(v1: DataFrame, v2: DataFrame, key: String,
+              valueCols: Seq[String]): DataFrame = {
+    val a = v1.select(col(key) +: (valueCols.map(c => col(c).as(s"a_$c")) :+
+      lit(1).as("__a")): _*)
+    val b = v2.select(col(key) +: (valueCols.map(c => col(c).as(s"b_$c")) :+
+      lit(1).as("__b")): _*)
+    val joined = a.join(b, Seq(key), "full_outer")
+    val aPresent = col("__a").isNotNull
+    val bPresent = col("__b").isNotNull
+    val changedCols = concat_ws(",",
+      valueCols.map(c =>
+        when(!(col(s"a_$c") <=> col(s"b_$c")), lit(c))): _*)
+    joined
+      .withColumn("change_type",
+        when(!aPresent, lit("added"))
+          .when(!bPresent, lit("removed"))
+          .when(changedCols =!= "", lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(col(key), col("change_type"),
+        when(col("change_type") === "changed", changedCols)
+          .otherwise(lit("")).as("changed_cols"))
+  }
+
+  val pack: Seq[Q] = Seq(
+
+    // §2f.53 — CDC MERGE/upsert. Base and the (already per-key-unique)
+    // change batch are deterministic slices of `orders`; the merge applies
+    // deletes, updates and inserts in one full-outer key join. Output is
+    // the merged table (key, status, price, provenance) so any row-level
+    // deviation in any branch breaks the hash.
+    Q("q_merge_upsert",
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    ${sqlMicros("o_totalprice")} AS total_micros
+         |  FROM orders WHERE o_orderkey % 7 < 5),
+         |chg AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+         |    'R' AS new_o_orderstatus,
+         |    ${sqlMicros("o_totalprice")} + 1000000 AS new_total_micros
+         |  FROM orders WHERE o_orderkey % 7 >= 3)
+         |SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+         |  CASE WHEN c.op = 'U' THEN c.new_o_orderstatus
+         |       ELSE b.o_orderstatus END AS o_orderstatus,
+         |  CASE WHEN c.op = 'U' THEN c.new_total_micros
+         |       ELSE b.total_micros END AS total_micros,
+         |  CASE WHEN c.op IS NULL THEN 'base'
+         |       WHEN b.o_orderkey IS NOT NULL THEN 'upd'
+         |       ELSE 'ins' END AS src
+         |FROM base b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey
+         |WHERE c.op IS NULL OR c.op <> 'D'
+         |ORDER BY o_orderkey""".stripMargin)((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = orders.filter(pmod(col("o_orderkey"), lit(7)) < 5)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          micros(col("o_totalprice")).as("total_micros"))
+      val changes = orders.filter(pmod(col("o_orderkey"), lit(7)) >= 3)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(11)) === 0, "D").otherwise("U").as("op"),
+          lit("R").as("new_o_orderstatus"),
+          (micros(col("o_totalprice")) + 1000000L).as("new_total_micros"))
+      mergeUpsert(base, changes, "o_orderkey",
+        Seq("o_orderstatus", "total_micros"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2f.54 — SCD type-2 history build over the events change log: each
+    // user's event_type runs become versioned [valid_from, valid_to)
+    // interval rows; the open interval is the current one. All windows ride
+    // one user_id exchange.
+    Q("q_scd2",
+      """WITH lg AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |tr AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_id, event_type, us,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |    FROM lg)
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_type,
+        |  us AS valid_from_us,
+        |  lead(us) OVER w AS valid_to_us,
+        |  lead(us) OVER w IS NULL AS is_current
+        |FROM tr
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, version""".stripMargin)((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      scd2(ev, "user_id", "event_type",
+        unix_micros(col("ts").cast("timestamp")))
+        .orderBy("user_id", "version")
+    }),
+
+    // §2f.55 — row-level snapshot diff: v1/v2 are deterministic variants of
+    // orders (v1 misses %19 keys, v2 misses %17 keys and rewrites %13 rows),
+    // so the diff must report exactly those keys as added/removed/changed
+    // with the changed column names. Null-safe compare (<=>) keeps NULL
+    // transitions honest.
+    Q("q_row_diff",
+      s"""WITH v1 AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    ${sqlMicros("o_totalprice")} AS total_micros
+         |  FROM orders WHERE o_orderkey % 19 <> 0),
+         |v2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         |    CASE WHEN o_orderkey % 13 = 0
+         |         THEN ${sqlMicros("o_totalprice")} + 1000000
+         |         ELSE ${sqlMicros("o_totalprice")} END AS total_micros
+         |  FROM orders WHERE o_orderkey % 17 <> 0)
+         |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         |  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+         |       WHEN b.o_orderkey IS NULL THEN 'removed'
+         |       WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+         |         OR a.total_micros IS DISTINCT FROM b.total_micros THEN 'changed'
+         |  END AS change_type,
+         |  CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL THEN ''
+         |       ELSE concat_ws(',',
+         |         CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+         |              THEN 'o_orderstatus' END,
+         |         CASE WHEN a.total_micros IS DISTINCT FROM b.total_micros
+         |              THEN 'total_micros' END)
+         |  END AS changed_cols
+         |FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+         |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+         |   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+         |   OR a.total_micros IS DISTINCT FROM b.total_micros
+         |ORDER BY o_orderkey""".stripMargin)((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val v1 = orders.filter(pmod(col("o_orderkey"), lit(19)) =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          micros(col("o_totalprice")).as("total_micros"))
+      val mod = pmod(col("o_orderkey"), lit(13)) === 0
+      val v2 = orders.filter(pmod(col("o_orderkey"), lit(17)) =!= 0)
+        .select(col("o_orderkey"),
+          when(mod, "X").otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(mod, micros(col("o_totalprice")) + 1000000L)
+            .otherwise(micros(col("o_totalprice"))).as("total_micros"))
+      rowDiff(v1, v2, "o_orderkey", Seq("o_orderstatus", "total_micros"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2f.56 — incremental materialized-view maintenance: the standing
+    // per-priority aggregate is NOT recomputed from the full table; the
+    // pre-cutoff partial states and the delta batch's partial states merge
+    // by the aggregate algebra (counts add, sums add, mins/maxes fold) and
+    // the average derives from the merged sums. The oracle recomputes from
+    // scratch over everything — hash equality IS the proof that the merge
+    // algebra maintains the view exactly. At 100 TB the base partials are a
+    // tiny standing table; each ingest pays only its own batch scan.
+    Q("q_mv_incremental",
+      s"""SELECT o_orderpriority,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(${sqlMicros("o_totalprice")}) AS BIGINT) AS sum_micros,
+         |  CAST(SUM(${sqlMicros("o_totalprice")}) // COUNT(*) AS BIGINT) AS avg_micros,
+         |  CAST(min(o_orderdate) AS DATE) AS first_date,
+         |  CAST(max(o_orderdate) AS DATE) AS last_date
+         |FROM orders
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)((s, dir) => {
+      val orders = t(s, dir, "orders")
+      def partial(df: DataFrame): DataFrame = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(micros(col("o_totalprice"))).as("sum_micros"),
+          min(col("o_orderdate").cast("date")).as("first_date"),
+          max(col("o_orderdate").cast("date")).as("last_date"))
+      val cutoff = lit("1998-01-01").cast("date")
+      val baseState = partial(orders.filter(col("o_orderdate").cast("date") < cutoff))
+      val deltaState = partial(orders.filter(col("o_orderdate").cast("date") >= cutoff))
+      baseState.unionByName(deltaState)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("sum_micros")).as("sum_micros"),
+          min(col("first_date")).as("first_date"),
+          max(col("last_date")).as("last_date"))
+        .select(col("o_orderpriority"), col("n_orders"), col("sum_micros"),
+          expr("sum_micros div n_orders").as("avg_micros"),
+          col("first_date"), col("last_date"))
+        .orderBy("o_orderpriority")
+    })
+  )
+}
