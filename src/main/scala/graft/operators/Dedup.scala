@@ -1087,6 +1087,62 @@ object Dedup {
           .join(drops, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("source"), nWords.as("n_words"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // §2d.32f — duplication-graph centrality: PageRank (3 rounds, damping
+    // 0.85) over the undirected LSH near-dup pair graph, ranking the
+    // "template hubs" — documents whose near-dup neighborhoods are densest
+    // (boilerplate generators, mirrored templates) and which deserve
+    // curation attention first. All arithmetic in integer micros with the
+    // SAME division order on both engines (share = rank div degree per
+    // edge, then ×85 div 100), so three iterations stay bit-identical and
+    // hash-check. Each round is one equi-join + one aggregate on the PAIR
+    // graph (already bounded by the LSH band caps — never corpus-sized);
+    // rounds are a constant, not O(diameter), because PageRank converges by
+    // damping, not propagation. The oracle reuses the shared LSH CTE chain
+    // (its recursive labels CTE goes unused — DuckDB prunes unreferenced
+    // CTEs) so pair generation can never drift between engines.
+    Q("q_graph_centrality", {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (
+           |  SELECT e.dst AS node,
+           |    CAST(150000 + (SUM(r.r // d.deg) * 85) // 100 AS BIGINT) AS r
+           |  FROM edges e
+           |  JOIN deg d ON d.src = e.src
+           |  JOIN r${i - 1} r ON r.node = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""$lshLabelsCtes,
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |$rounds
+         |SELECT node AS doc_id, r AS rank_micros FROM r3 ORDER BY doc_id""".stripMargin
+    })((s, dir) =>
+      pageRank(bandPairs(corpusSigs(s, dir)))
+        .select(col("node").as("doc_id"), col("r").as("rank_micros"))
+        .orderBy("doc_id"))
   )
+
+  /** Integer-micros PageRank over an undirected pair graph (doc_a, doc_b):
+    * ranks start at 1,000,000 and each round redistributes share = rank
+    * div degree along every edge with damping 0.85 (×85 div 100 AFTER the
+    * sum, so rounding order is deterministic cross-engine). Returns
+    * (node, r) for every node that appears in a pair.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val init = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    (1 to iters).foldLeft(init) { (r, _) =>
+      edges.join(deg, "src")
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("share"))
+        .groupBy("dst")
+        .agg(sum(col("share")).as("in_share"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("in_share * 85 div 100")).as("r"))
+    }
+  }
 }

@@ -100,6 +100,28 @@ object Skew {
         approx.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
       }),
 
+    // Mergeable-sketch rollup — the INCREMENTAL face of approx distinct:
+    // one Datasketches HLL sketch per day (at 100 TB these per-partition
+    // sketches persist as a standing table, each ingest appending its own
+    // day), then ONE tiny union-merge pass re-estimates any span without
+    // touching raw data. The whole-corpus exact count rides along so the
+    // output itself witnesses the estimate quality (SkewSpec bounds it).
+    // Rows-only: sketch estimates are engine-specific by nature.
+    Q.rowsOnly("q_hll_rollup")(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("ts").cast("timestamp").cast("date").as("day"))
+        val daily = ev.groupBy(col("day"))
+          .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+        val merged = daily.agg(
+          count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("approx_users"))
+        val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+        merged.crossJoin(exact)
+      }),
+
     Q("q_agg_salted",
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,

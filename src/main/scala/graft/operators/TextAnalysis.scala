@@ -32,6 +32,12 @@ object TextAnalysis {
   val PackShards = 16
   val PackSeqLen = 256
 
+  /** RAG chunk-window geometry (q_doc_chunks): 32-token windows every 24
+    * tokens — 8 tokens of overlap between consecutive chunks.
+    */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
   /** Unigram-surprisal verdict bounds (q_lm_surprisal), in milli-bits of
     * mean per-token surprisal: below Lo the document is near-boilerplate
     * (all ultra-common tokens), above Hi it is noise (all near-unique
@@ -703,6 +709,48 @@ object TextAnalysis {
               .when(col("mean_surprisal_milli") >= SurpHiMilli, "random")
               .otherwise("keep"))
           .orderBy("doc_id")
+      }),
+
+    // §2d.41l — RAG chunking: each document splits into overlapping
+    // token windows (size 32, stride 24 — 8 tokens of overlap so no
+    // boundary-straddling sentence is lost to retrieval). Pure map +
+    // bounded explode: a doc with n tokens emits ceil(max(n-32,0)/24)+1
+    // chunk rows and NOTHING shuffles — the chunk table partitions
+    // exactly like the corpus scan, so at 100 TB this is a linear
+    // streaming pass feeding the embedding stage. Chunk identity =
+    // md5 of the joined window (the downstream embed/dedup key).
+    Q("q_doc_chunks",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |meta AS (
+         |  SELECT doc_id, t, len(t) AS n,
+         |    CASE WHEN len(t) <= $ChunkSize THEN 0
+         |         ELSE (len(t) - $ChunkSize + $ChunkStride - 1) // $ChunkStride
+         |    END AS k
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CAST(i AS BIGINT) AS chunk_id,
+         |  CAST(i * $ChunkStride AS BIGINT) AS start_tok,
+         |  CAST(LEAST($ChunkSize, n - i * $ChunkStride) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(t[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkSize], ' ')) AS chunk_md5
+         |FROM meta, UNNEST(range(0, k + 1)) AS u(i)
+         |ORDER BY doc_id, chunk_id""".stripMargin)(
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+          .withColumn("n", size(col("t")).cast("long"))
+          .withColumn("k",
+            when(col("n") <= ChunkSize, lit(0L))
+              .otherwise(expr(s"(n - $ChunkSize + $ChunkStride - 1) div $ChunkStride")))
+        d.select(col("doc_id"), col("t"), col("n"),
+            explode(sequence(lit(0L), col("k"))).as("chunk_id"))
+          .withColumn("start_tok", col("chunk_id") * ChunkStride)
+          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+            least(lit(ChunkSize.toLong), col("n") - col("start_tok")).as("n_toks"),
+            md5(array_join(
+              slice(col("t"), col("start_tok") + 1, lit(ChunkSize)), " ")
+              .cast("binary")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
       })
   )
 }

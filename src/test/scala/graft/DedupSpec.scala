@@ -177,4 +177,19 @@ class DedupSpec extends AnyFunSuite {
     Dedup.buildMinhashIndex(spark, dir)
     assert(marker.lastModified == mtime, "index was rebuilt, not reused")
   }
+
+  test("pageRank: hand-computed one round on a star, hubs outrank leaves") {
+    import spark.implicits._
+    // star: 1-2, 1-3 (deg 1=2, 2=1, 3=1)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val r1 = Dedup.pageRank(pairs, iters = 1).as[(Long, Long)]
+      .collect().toMap
+    // r1(1) = 150000 + (1e6/1 + 1e6/1)*85/100; r1(leaf) = 150000 + (1e6 div 2)*85/100
+    assert(r1 == Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+    // after 3 rounds the hub still dominates and mass stays bounded
+    val r3 = Dedup.pageRank(pairs, iters = 3).as[(Long, Long)]
+      .collect().toMap
+    assert(r3(1L) > r3(2L) && r3(2L) == r3(3L))
+    assert(r3.values.forall(v => v > 0 && v < 3000000L))
+  }
 }

@@ -12,6 +12,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class QualitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("doc chunking: window geometry covers every token with overlap") {
+    import spark.implicits._
+    // 40 tokens -> chunks [0,32) and [24,40); 10 tokens -> one short chunk
+    val fortyToks = (1 to 40).map(i => s"w$i").mkString(" ")
+    val tenToks = (1 to 10).map(i => s"v$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunks").toString
+    Seq((1L, fortyToks, "en", "src0", fortyToks.length.toLong),
+      (2L, tenToks, "en", "src0", tenToks.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_doc_chunks")(spark, dir)
+      .select("doc_id", "chunk_id", "start_tok", "n_toks")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 32L), (1L, 1L, 24L, 16L),
+      (2L, 0L, 0L, 10L)))
+    // every token index is covered by at least one window
+    val covered = out.filter(_._1 == 1L)
+      .flatMap { case (_, _, s, n) => s until (s + n) }.toSet
+    assert(covered == (0L until 40L).toSet)
+  }
+
   test("PII scrub masks emails, phones, and IPs and leaves clean text alone") {
     import spark.implicits._
     val df = Seq(

@@ -31,6 +31,17 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("hll rollup: merged daily sketches estimate within 5% of exact") {
+    val r = SparkEntry.queries("q_hll_rollup")(spark, TestSpark.sf)
+      .collect().head
+    val days = r.getLong(0)
+    val approx = r.getLong(1).toDouble
+    val exact = r.getLong(2).toDouble
+    assert(days > 1, "rollup must merge more than one daily sketch")
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact over $days days")
+  }
+
   test("saltedDistinctCount rejects float columns and name collisions") {
     val li = Tables.load(spark, TestSpark.sf, "lineitem")
     intercept[IllegalArgumentException] {
