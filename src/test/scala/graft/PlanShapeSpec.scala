@@ -263,4 +263,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"all-pairs product:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi pair join:\n$p")
   }
+
+  test("CDC merge is one key join, no product, scan pruned to used columns") {
+    val df = SparkEntry.queries("q_merge_upsert")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"merge must be a key join:\n$p")
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .filter(_.contains("orders")).foreach { scan =>
+        assert(!scan.contains("o_orderpriority"),
+          s"unused column read by merge scan:\n$scan")
+      }
+  }
+
+  test("row diff is one full-outer key join over pruned scans") {
+    val df = SparkEntry.queries("q_row_diff")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), s"diff lost its full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff must join by key:\n$p")
+  }
+
+  test("doc chunking is a zero-shuffle map over a doc_id+text scan") {
+    val df = SparkEntry.queries("q_doc_chunks")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation ORDER BY
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      s"chunking shuffled:\n$p")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("documents")).getOrElse(fail("no documents scan"))
+    assert(!scan.contains("source"), s"unused column read:\n$scan")
+  }
 }
