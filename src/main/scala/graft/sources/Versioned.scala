@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned parquet tables with time travel — the minimal commit-log
+  * table format the lakehouse operators (§2f) mutate through. The
+  * reference reinjects into a live DBMS whose transactions give it
+  * atomicity (`/root/reference/dbcut/cli/operations.py:84-139`); plain
+  * parquet directories have none, and `Export.compact`'s rename-aside is
+  * only crash-safe, not versioned. This adds the missing property with
+  * the same design every production table format (Delta, Iceberg, Hudi)
+  * builds on: IMMUTABLE data files + an append-only commit log whose
+  * single-file manifest publish is the atomic commit point.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     _commits/v00001.json      one manifest per version (the log)
+  *     data/v00001/part-*.parquet   immutable data, never rewritten
+  * }}}
+  *
+  * A manifest lists the data directories its version reads — a SNAPSHOT
+  * commit references only its own directory; an APPEND commit references
+  * the parent's directories plus its own, so appending N batches never
+  * rewrites history (and a later `compact` commit can fold them back to
+  * one directory as a new snapshot). Readers resolve a version entirely
+  * from its manifest: uncommitted data directories are invisible, a
+  * crashed writer leaves at most an orphan data dir for `vacuum`, and
+  * concurrent readers of version v keep reading v forever.
+  *
+  * Scale posture: the manifest holds directory PATHS, not file lists —
+  * Spark's parquet reader does the (parallel) file listing, so a commit
+  * is O(1) driver work regardless of table size. Optimistic concurrency
+  * (two writers racing to publish v+1) resolves by rename atomicity: the
+  * loser's manifest rename fails and it retries on the next version.
+  */
+object Versioned {
+
+  final case class Manifest(version: Int, dataDirs: Seq[String], nRows: Long)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestPath(dir: String, v: Int) =
+    new Path(f"$dir/_commits/v$v%05d.json")
+
+  /** All committed versions, ascending (empty for a fresh path). */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val commits = new Path(s"$dir/_commits")
+    val f = fs(spark, dir)
+    if (!f.exists(commits)) Seq.empty
+    else f.listStatus(commits).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{5}\\.json") =>
+        n.substring(1, 6).toInt }
+      .sorted
+  }
+
+  private val json = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def readManifest(spark: SparkSession, dir: String, v: Int): Manifest = {
+    import scala.jdk.CollectionConverters._
+    val f = fs(spark, dir)
+    val in = f.open(manifestPath(dir, v))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val node = json.readTree(txt)
+    Manifest(node.get("version").asInt(),
+      node.get("dataDirs").elements().asScala.map(_.asText()).toSeq,
+      node.get("nRows").asLong())
+  }
+
+  /** Publish `df` as the next version. `append = false` commits a full
+    * snapshot (the new version reads only this data); `append = true`
+    * extends the parent version's directory list. Returns the committed
+    * version number. The data write happens BEFORE the manifest rename —
+    * the rename is the commit point; on rename failure (concurrent
+    * writer won the version) the data dir is re-referenced under the
+    * next number without rewriting.
+    */
+  def commit(df: DataFrame, dir: String, append: Boolean = false): Int = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(s"$dir/_commits"))
+    var v = versions(spark, dir).lastOption.getOrElse(0) + 1
+    // unique data-dir name (not keyed to the version): two writers racing
+    // to the same version number must never collide on the data write —
+    // only the manifest rename decides the race
+    val dataDir =
+      f"$dir/data/v$v%05d-${java.util.UUID.randomUUID.toString.take(8)}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    val nNew = spark.read.parquet(dataDir).count()
+    var committed = -1
+    while (committed < 0) {
+      val parent =
+        if (!append || v == 1) None
+        else Some(readManifest(spark, dir, v - 1))
+      val dirs = parent.map(_.dataDirs).getOrElse(Seq.empty) :+ dataDir
+      val nRows = parent.map(_.nRows).getOrElse(0L) + (
+        if (append) nNew else 0L)
+      val m = Manifest(v, dirs, if (append) nRows else nNew)
+      val tmp = new Path(f"$dir/_commits/.v$v%05d.json.tmp")
+      val out = f.create(tmp, true)
+      try out.write(json.writeValueAsBytes(
+        java.util.Map.of(
+          "version", Int.box(m.version),
+          "dataDirs", java.util.List.of(m.dataDirs: _*),
+          "nRows", Long.box(m.nRows))))
+      finally out.close()
+      // atomic publish: rename fails (returns false) if the version
+      // already exists — a concurrent writer won; retry as v+1 with the
+      // SAME data dir
+      if (f.rename(tmp, manifestPath(dir, v))) committed = v
+      else { f.delete(tmp, false); v += 1 }
+    }
+    committed
+  }
+
+  /** Read the table at `asOf` (default: latest committed version). */
+  def read(spark: SparkSession, dir: String, asOf: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions at $dir")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val m = readManifest(spark, dir, v)
+    spark.read.parquet(m.dataDirs: _*)
+  }
+
+  /** Drop data directories referenced by NO retained manifest and delete
+    * manifests older than the newest `keepVersions`. Returns the deleted
+    * data directories. Never touches directories the surviving versions
+    * read, so time travel within the retention window stays intact.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Seq[String] = {
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    val keep = vs.takeRight(math.max(1, keepVersions))
+    val referenced = keep.flatMap(v => readManifest(spark, dir, v).dataDirs).toSet
+    vs.filterNot(keep.contains).foreach(v => f.delete(manifestPath(dir, v), false))
+    val dataRoot = new Path(s"$dir/data")
+    if (!f.exists(dataRoot)) Seq.empty
+    else f.listStatus(dataRoot).toSeq.map(_.getPath)
+      .filterNot(p => referenced.exists(r => new Path(r).getName == p.getName))
+      .map { p => f.delete(p, true); p.toString }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.sources.Versioned
+import graft.streaming.Cdc
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Versioned-table commit log: snapshot/append commits, time travel,
+  * vacuum retention, and the streaming CDC-apply sink that drives the
+  * whole §2f merge path one micro-batch at a time.
+  */
+class VersionedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  test("snapshot commits version independently; time travel reads history") {
+    import spark.implicits._
+    val dir = tmp("ver")
+    val v1 = Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    val v2 = Versioned.commit(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), dir)
+    assert((v1, v2) == (1, 2))
+    assert(Versioned.versions(spark, dir) == Seq(1, 2))
+    val atV1 = Versioned.read(spark, dir, Some(1))
+      .as[(Long, String)].collect().toSet
+    val latest = Versioned.read(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(atV1 == Set((1L, "a"), (2L, "b")))
+    assert(latest == Set((1L, "a2"), (3L, "c")))
+  }
+
+  test("append commits extend the parent; vacuum keeps retained versions readable") {
+    import spark.implicits._
+    val dir = tmp("app")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), dir)
+    Versioned.commit(Seq((2L, "b")).toDF("k", "v"), dir, append = true)
+    Versioned.commit(Seq((3L, "c")).toDF("k", "v"), dir, append = true)
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // v2 reads the first two batches only
+    assert(Versioned.read(spark, dir, Some(2))
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // keep latest 2: v1's manifest goes, but its DATA survives because
+    // v2/v3 still reference it (append history shares directories)
+    val deleted = Versioned.vacuum(spark, dir, keepVersions = 2)
+    assert(deleted.isEmpty)
+    assert(Versioned.versions(spark, dir) == Seq(2, 3))
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().size == 3)
+    // snapshot table: vacuum to 1 deletes the orphaned old snapshot dir
+    val dir2 = tmp("vac")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), dir2)
+    Versioned.commit(Seq((1L, "a2")).toDF("k", "v"), dir2)
+    val deleted2 = Versioned.vacuum(spark, dir2, keepVersions = 1)
+    assert(deleted2.size == 1)
+    assert(Versioned.read(spark, dir2).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2")))
+  }
+
+  test("uncommitted data is invisible until the manifest publishes") {
+    import spark.implicits._
+    val dir = tmp("inv")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), dir)
+    // simulate a crashed writer: data dir exists, no manifest
+    Seq((9L, "ghost")).toDF("k", "v")
+      .write.parquet(s"$dir/data/v99999-deadbeef")
+    assert(Versioned.versions(spark, dir) == Seq(1))
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a")))
+  }
+
+  test("streaming CDC apply commits one merged version per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("cdc")
+    val input = MemoryStream[(Long, String, String, Long)]
+    val changes = input.toDF().toDF("k", "op", "new_v", "seq")
+    val q = Cdc.applyChanges(changes, dir, tmp("cdc_ckpt"),
+      "k", Seq("v"), "seq")
+    try {
+      // batch 1: insert 1,2 — and key 2 gets two ops, the later one wins
+      input.addData((1L, "U", "a", 1L), (2L, "U", "b0", 2L), (2L, "U", "b", 3L))
+      q.processAllAvailable()
+      assert(Versioned.read(spark, dir).select("k", "v")
+        .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+      // batch 2: update 1, delete 2, insert 3
+      input.addData((1L, "U", "a2", 4L), (2L, "D", "", 5L), (3L, "U", "c", 6L))
+      q.processAllAvailable()
+      assert(Versioned.read(spark, dir).select("k", "v")
+        .as[(Long, String)].collect().toSet == Set((1L, "a2"), (3L, "c")))
+      // time travel: the pre-batch-2 state is still readable
+      assert(Versioned.read(spark, dir, Some(1)).select("k", "v")
+        .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+      assert(Versioned.versions(spark, dir) == Seq(1, 2))
+    } finally q.stop()
+  }
+}
