@@ -12,6 +12,26 @@ import org.apache.spark.sql.expressions.Window
   */
 object Analytic {
 
+  /** Deterministic train/val/test split of a doc_id, shared by
+    * q_split_assign and the §2d split-leakage audit: first 4 md5 hex
+    * digits of "split:<id>" mod 10 → 80/10/10. Identical derivation on
+    * both engines.
+    */
+  private[operators] def splitColumn: Column = {
+    val v = expr(
+      "CAST(conv(substr(md5(cast(concat('split:', cast(doc_id AS string)) AS binary)), 1, 4), 16, 10) AS INT) % 10")
+    when(v <= 7, "train").when(v === 8, "val").otherwise("test")
+  }
+
+  private[operators] def splitSql: String = {
+    val duckV = (0 until 4).map { d =>
+      s"(strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
+    }.mkString(" + ")
+    s"""CASE WHEN ($duckV) % 10 <= 7 THEN 'train'
+       |     WHEN ($duckV) % 10 = 8 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -534,25 +554,17 @@ object Analytic {
     // map + one count shuffle; the per-source breakdown doubles as the
     // stratification check (each source should split ≈80/10/10).
     Q("q_split_assign", {
-      val duckV = (0 until 4).map { d =>
-        s"(strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
-      }.mkString(" + ")
       s"""SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM (
          |  SELECT source, n_chars,
-         |    CASE WHEN ($duckV) % 10 <= 7 THEN 'train'
-         |         WHEN ($duckV) % 10 = 8 THEN 'val'
-         |         ELSE 'test' END AS split
+         |    $splitSql AS split
          |  FROM documents)
          |GROUP BY source, split ORDER BY source, split""".stripMargin
     })(
       (s, dir) => {
-        val v = expr(
-          "CAST(conv(substr(md5(cast(concat('split:', cast(doc_id AS string)) AS binary)), 1, 4), 16, 10) AS INT) % 10")
         t(s, dir, "documents")
-          .withColumn("split",
-            when(v <= 7, "train").when(v === 8, "val").otherwise("test"))
+          .withColumn("split", splitColumn)
           .groupBy(col("source"), col("split"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
           .orderBy(col("source"), col("split"))

@@ -1120,7 +1120,55 @@ object Dedup {
     })((s, dir) =>
       pageRank(bandPairs(corpusSigs(s, dir)))
         .select(col("node").as("doc_id"), col("r").as("rank_micros"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // §2d.32g — split-leakage audit: the QA gate between dedup and
+    // shipping a corpus. A near-dup (or byte-identical) cluster whose
+    // members land in DIFFERENT train/val/test splits leaks evaluation
+    // content into training; this query lists every such cluster's
+    // members with their splits. Effective cluster = LSH connected
+    // component lifted over exact-copy groups (copies inherit their
+    // keeper's component — exact dups never reach the pair graph, and
+    // they are the worst leak). Every join is an equi-join on doc_id or
+    // the md5(norm) group hash; the audit costs one norm-hash shuffle +
+    // probes of the standing label index.
+    Q("q_split_leakage", {
+      s"""$lshLabelsCtes,
+         |normd AS (SELECT doc_id, md5($normSql) AS h FROM documents),
+         |keep AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS keeper
+         |  FROM normd),
+         |eff AS (
+         |  SELECT k.doc_id, COALESCE(l.rep, k.keeper) AS rep
+         |  FROM keep k LEFT JOIN labels l ON l.doc_id = k.keeper),
+         |sp AS (SELECT doc_id, ${Analytic.splitSql} AS split FROM documents),
+         |j AS (SELECT e.rep, e.doc_id, s.split FROM eff e JOIN sp s ON e.doc_id = s.doc_id),
+         |bad AS (SELECT rep FROM j GROUP BY rep HAVING COUNT(DISTINCT split) > 1)
+         |SELECT rep, doc_id, split FROM j
+         |WHERE rep IN (SELECT rep FROM bad)
+         |ORDER BY rep, doc_id""".stripMargin
+    })((s, dir) => {
+      val d = docs(s, dir)
+      val keep = d
+        .select(col("doc_id"), md5s(normText(col("text"))).as("h"))
+        .withColumn("keeper",
+          min(col("doc_id")).over(Window.partitionBy(col("h"))))
+        .select("doc_id", "keeper")
+      val labels = corpusClusterLabels(s, dir)
+        .withColumnRenamed("doc_id", "keeper")
+      val eff = keep.join(labels, Seq("keeper"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("keeper")).as("rep"))
+      val sp = d.select(col("doc_id"), Analytic.splitColumn.as("split"))
+      val j = eff.join(sp, Seq("doc_id"))
+      val bad = j.groupBy("rep")
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1)
+        .select("rep")
+      j.join(bad, Seq("rep"), "left_semi")
+        .select("rep", "doc_id", "split")
+        .orderBy("rep", "doc_id")
+    })
   )
 
   /** Integer-micros PageRank over an undirected pair graph (doc_a, doc_b):

@@ -178,6 +178,27 @@ class DedupSpec extends AnyFunSuite {
     assert(marker.lastModified == mtime, "index was rebuilt, not reused")
   }
 
+  test("split leakage flags an exact copy straddling train/test") {
+    import spark.implicits._
+    // doc 1 -> train, doc 25 -> test (md5 split hash); 25 is a byte-exact
+    // copy of 1, so the keeper lifting must pull it into 1's cluster and
+    // flag the pair. Docs 2 (train) and 3 (val) are unrelated singletons.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val rows = Seq(
+      1L -> base,
+      2L -> "uno dos tres cuatro cinco seis siete ocho nueve diez",
+      3L -> "een twee drie vier vijf zes zeven acht negen tien",
+      25L -> base)
+    val dir = java.nio.file.Files.createTempDirectory("graft_leak").toString
+    rows.map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_split_leakage")(spark, dir)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 1L, "train"), (1L, 25L, "test")), s"got $got")
+  }
+
   test("pageRank: hand-computed one round on a star, hubs outrank leaves") {
     import spark.implicits._
     // star: 1-2, 1-3 (deg 1=2, 2=1, 3=1)
