@@ -35,7 +35,7 @@ object Cli {
 
   val CommandNames: Seq[String] =
     Seq("load", "flush", "clear", "inspect", "estimate", "dumpsql", "dumpjson",
-      "dumporc", "models", "purgecache")
+      "dumporc", "models", "snapshot", "vacuum", "purgecache")
 
   final case class Options(
       configPath: String = "graft.yml",
@@ -254,6 +254,31 @@ object Cli {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         log(s"models: ${order.size} case classes + DDL (${cfg.dialect.name}) " +
           s"-> ${cfg.destDir}/models")
+      case "snapshot" =>
+        // versioned load: each extraction commits as the next version of
+        // destination_dir/versioned/<table> — repeated runs build history
+        // a reader can time-travel through (sources/Versioned.scala)
+        val order = fkOrder(extracted)
+        val vs = order.map { n =>
+          val v = graft.sources.Versioned.commit(
+            extracted(n), s"${cfg.destDir}/versioned/$n")
+          s"$n=v$v"
+        }
+        log(s"snapshot: ${vs.mkString(", ")}")
+      case "vacuum" =>
+        val root = Paths.get(s"${cfg.destDir}/versioned")
+        if (!Files.isDirectory(root)) log("vacuum: no versioned tables")
+        else {
+          val rows = Files.list(root).iterator().asScala
+            .filter(Files.isDirectory(_)).toSeq
+            .sortBy(_.getFileName.toString)
+            .map { p =>
+              val deleted = graft.sources.Versioned
+                .vacuum(spark, p.toString, keepVersions = 3)
+              s"${p.getFileName}:${deleted.size}"
+            }
+          log(s"vacuum (keep 3): ${rows.mkString(", ")} data dirs dropped")
+        }
       case "purgecache" =>
         cfg.cacheDir match {
           case Some(c) => QueryCache.purge(c); log(s"purgecache: $c purged")

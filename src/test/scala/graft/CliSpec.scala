@@ -213,6 +213,35 @@ class CliSpec extends AnyFunSuite {
     assert(out.head == "load: region=1")
   }
 
+  test("snapshot commits versions; vacuum retains only recent history") {
+    val work = tmp()
+    val cfgPath = writeConfig(work,
+      s"""databases:
+         |  source_dir: ${TestSpark.sf}
+         |  destination_dir: $work/dest
+         |queries:
+         |  - from: region
+         |""".stripMargin)
+    val args = Cli.parseArgs(Seq("-c", cfgPath, "--quiet", "snapshot"))
+    val out1 = Cli.run(spark, args)
+    assert(out1.exists(_.startsWith("snapshot: ")), s"got $out1")
+    assert(out1.head.contains("region=v1"))
+    // second run commits v2; v1 stays readable (time travel)
+    val out2 = Cli.run(spark, args)
+    assert(out2.head.contains("region=v2"))
+    val dir = s"$work/dest/versioned/region"
+    assert(graft.sources.Versioned.versions(spark, dir) == Seq(1, 2))
+    assert(graft.sources.Versioned.read(spark, dir, Some(1)).count() ==
+      graft.sources.Versioned.read(spark, dir).count())
+    // 2 more snapshots -> 4 versions; vacuum keeps the newest 3
+    Cli.run(spark, args); Cli.run(spark, args)
+    val outV = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "vacuum")))
+    assert(outV.head.startsWith("vacuum (keep 3): ") &&
+      outV.head.contains("region:1"), s"got $outV")
+    assert(graft.sources.Versioned.versions(spark, dir) == Seq(2, 3, 4))
+  }
+
   test("argument parser rejects unknown words and requires a command") {
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("loda")))
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("-c", "x.yml")))
