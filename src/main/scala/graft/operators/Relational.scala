@@ -228,6 +228,38 @@ object Relational {
           .orderBy($"o_custkey", $"o_orderkey")
       }),
 
+    // 23b. ntile bucketing: equal-frequency quartiles of customers by
+    // account balance within each market segment — the windowed form of
+    // equi-depth bucketing (q_histogram is the aggregate form). ntile
+    // semantics (earlier buckets take the remainder) are identical in
+    // Spark and DuckDB given the same total order, so the rollup
+    // hash-checks; the (c_acctbal, c_custkey) order key makes ties
+    // deterministic. One shuffle by segment; the rollup reuses it.
+    Q("q_ntile",
+      s"""WITH t AS (
+         |  SELECT c_mktsegment,
+         |    ntile(4) OVER (PARTITION BY c_mktsegment
+         |                   ORDER BY c_acctbal, c_custkey) AS quartile,
+         |    ${sqlMicros("c_acctbal")} AS bal
+         |  FROM customer)
+         |SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(bal) AS BIGINT) AS min_micros,
+         |  CAST(MAX(bal) AS BIGINT) AS max_micros
+         |FROM t GROUP BY c_mktsegment, quartile
+         |ORDER BY c_mktsegment, quartile""".stripMargin)(
+      (s, dir) => {
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal", $"c_custkey")
+        t(s, dir, "customer")
+          .select($"c_mktsegment", micros($"c_acctbal").as("bal"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .groupBy($"c_mktsegment", $"quartile")
+          .agg(count(lit(1)).as("n"), min($"bal").as("min_micros"),
+            max($"bal").as("max_micros"))
+          .orderBy($"c_mktsegment", $"quartile")
+      }),
+
     // 24. top-k per group, no global sort
     Q("q_topk_per_group",
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (

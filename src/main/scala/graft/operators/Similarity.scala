@@ -45,6 +45,7 @@ object Similarity {
 
   val NumQueries = 5
   val TopK = 10
+  val HardK = 5 // hard negatives mined per anchor (q_hard_negatives)
 
   /** Deterministic pseudo-random ±1 hyperplane components: component i of
     * plane j follows the first md5 hex digit of "j:i" — no RNG, identical
@@ -364,6 +365,46 @@ object Similarity {
         val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
         scored.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= TopK)
+          .select("q_id", "c_id", "rn")
+          .orderBy("q_id", "rn")
+      }),
+
+    // 36b. HARD-NEGATIVE MINING — the contrastive-training companion of
+    // q_knn_brute: for each anchor, the top-5 most-similar vectors with a
+    // DIFFERENT label (the "closest impostors" an embedding model trains
+    // against). Identical scale shape: broadcast anchors × one corpus
+    // scan, fused VecCosine, per-anchor top-k window over the tiny scored
+    // slice; the label inequality rides the join condition, so same-label
+    // candidates never reach scoring. Rank output (not the float) keeps
+    // it hash-checkable.
+    Q("q_hard_negatives",
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qe, label AS ql
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |c AS (SELECT vec_id AS c_id, embedding AS ce, label AS cl FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, c_id,
+         |    ${duckDot("qe", "ce")} / (${duckNorm("qe")} * ${duckNorm("ce")}) AS cosine
+         |  FROM q, c WHERE ql <> cl),
+         |ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, c_id, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= $HardK
+         |ORDER BY q_id, rn""".stripMargin)(
+      (s, dir) => {
+        val q = emb(s, dir).filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+            col("label").as("ql"))
+        val c = emb(s, dir)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+            col("label").as("cl"))
+        val scored = c.join(broadcast(q), col("ql") =!= col("cl"))
+          .withColumn("cosine", expr("vec_cosine(qe, ce)"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("c_id"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= HardK)
           .select("q_id", "c_id", "rn")
           .orderBy("q_id", "rn")
       }),
