@@ -59,6 +59,39 @@ object Inspect {
     rows.reduce(_ unionByName _)
   }
 
+  /** Schema drift between two catalogs — the companion of [[diff]] (row
+    * counts) and Lakehouse.rowDiff (row contents) at the METADATA level:
+    * per (table, column) rows for added/removed columns and type changes,
+    * plus whole tables present on one side only. Pure driver-side schema
+    * work (parquet footers) — zero data scanned at any table size, so an
+    * ingestion pipeline can gate on drift before committing a 100 TB load.
+    */
+  def schemaDiff(src: Map[String, DataFrame], dest: Map[String, DataFrame]): DataFrame = {
+    require(src.nonEmpty || dest.nonEmpty, "schemaDiff needs at least one table")
+    val spark = (src.values ++ dest.values).head.sparkSession
+    import spark.implicits._
+    val rows = (src.keySet ++ dest.keySet).toSeq.sorted.flatMap { tbl =>
+      (src.get(tbl), dest.get(tbl)) match {
+        case (Some(_), None) => Seq((tbl, "", "table_removed", "", ""))
+        case (None, Some(_)) => Seq((tbl, "", "table_added", "", ""))
+        case (Some(a), Some(b)) =>
+          val at = a.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+          val bt = b.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+          (at.keySet ++ bt.keySet).toSeq.sorted.flatMap { c =>
+            (at.get(c), bt.get(c)) match {
+              case (Some(t1), None) => Seq((tbl, c, "col_removed", t1, ""))
+              case (None, Some(t2)) => Seq((tbl, c, "col_added", "", t2))
+              case (Some(t1), Some(t2)) if t1 != t2 =>
+                Seq((tbl, c, "type_changed", t1, t2))
+              case _ => Nil
+            }
+          }
+        case (None, None) => Nil
+      }
+    }
+    rows.toDF("tbl", "col", "change", "src_type", "dest_type")
+  }
+
   /** Long-format column profile: per column, row/null/distinct counts —
     * the quick data-quality read a pipeline runs before committing to a
     * 100 TB job. TWO table scans total regardless of column count (the

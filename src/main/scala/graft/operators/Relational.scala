@@ -154,6 +154,42 @@ object Relational {
           .orderBy($"revenue_micros".desc, $"n_name")
       }),
 
+    // 20c. TPC-H Q3 shape (shipping priority): the OTHER canonical
+    // big-join benchmark — a date-windowed customer⋈orders⋈lineitem chain
+    // where the final answer is a top-10 over grouped revenue. The
+    // segment filter prunes customer before its (broadcastable) join;
+    // orders and lineitem carry pushed-down date filters into their
+    // scans; the top-10 plans as TakeOrderedAndProject (per-partition
+    // heaps, one tiny final merge — no global sort of the aggregate).
+    Q("q_tpch_q3", {
+      val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * 1000000 AS BIGINT)"
+      s"""SELECT l_orderkey, CAST(SUM($rev) AS BIGINT) AS revenue_micros,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < DATE '1997-06-01' AND l_shipdate > DATE '1997-06-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue_micros DESC, l_orderkey LIMIT 10""".stripMargin
+    })(
+      (s, dir) => {
+        val rev = (dec("l_extendedprice") *
+          (lit(1) - $"l_discount".cast("decimal(4,2)")) * 1000000).cast("long")
+        t(s, dir, "lineitem").filter($"l_shipdate" > "1997-06-01")
+          .join(t(s, dir, "orders").filter($"o_orderdate" < "1997-06-01"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING"),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate".cast("date").as("o_orderdate"),
+            $"o_orderpriority")
+          .agg(sum(rev).as("revenue_micros"))
+          .select($"l_orderkey", $"revenue_micros", $"o_orderdate",
+            $"o_orderpriority")
+          .orderBy($"revenue_micros".desc, $"l_orderkey")
+          .limit(10)
+      }),
+
     // 21. semi / anti join
     Q("q_semi_join",
       """SELECT * FROM customer WHERE c_custkey IN

@@ -47,4 +47,21 @@ class InspectSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq == Seq(("k", 3L, 0L, 2L), ("v", 3L, 1L, 2L)))
   }
+
+  test("schemaDiff flags added/removed columns, type changes, and tables") {
+    import spark.implicits._
+    val srcT = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val destT = Seq((1L, 1, true)).toDF("id", "score", "flag")
+    val src = Map("t" -> srcT, "gone" -> srcT)
+    val dest = Map("t" -> destT, "fresh" -> destT)
+    val got = Inspect.schemaDiff(src, dest)
+      .orderBy("tbl", "col")
+      .as[(String, String, String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("fresh", "", "table_added", "", ""),
+      ("gone", "", "table_removed", "", ""),
+      ("t", "flag", "col_added", "", "BOOLEAN"),
+      ("t", "name", "col_removed", "STRING", ""),
+      ("t", "score", "type_changed", "DOUBLE", "INT")))
+  }
 }

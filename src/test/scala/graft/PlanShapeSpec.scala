@@ -264,6 +264,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi pair join:\n$p")
   }
 
+  test("tpch q3: date filters pushed, top-10 is TakeOrdered, no product") {
+    val df = SparkEntry.queries("q_tpch_q3")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must not globally sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product in q3:\n$p")
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val li = scans.find(_.contains("lineitem")).getOrElse(fail("no lineitem scan"))
+    assert(li.contains("l_shipdate"), s"shipdate filter not pushed:\n$li")
+  }
+
   test("CDC merge is one key join, no product, scan pruned to used columns") {
     val df = SparkEntry.queries("q_merge_upsert")(spark, TestSpark.sf)
     val p = df.queryExecution.executedPlan.toString
