@@ -33,6 +33,12 @@ object Dedup {
     */
   val BucketCap = 32
 
+  /** Winnowing parameters (q_dedup_winnow): k-word grams, windows of w
+    * gram hashes — detection floor = any shared run of w+k-1 = 8 words.
+    */
+  val WinnowK = 4
+  val WinnowW = 5
+
   /** Document-frequency cap for n-gram Jaccard candidate generation: a gram
     * shared by more than this many documents is dropped from the gram SETS
     * (both engines), because a hot gram ("the cold") makes every pair of its
@@ -1089,6 +1095,56 @@ object Dedup {
           .orderBy("doc_id")
       }),
 
+    // §2d.34f — winnowing-fingerprint dedup (MOSS): candidate pairs
+    // sharing ≥2 winnowed substring fingerprints. Third dedup family
+    // beside MinHash (set similarity) and SimHash (bag distance): the
+    // window-min selection GUARANTEES any shared ≥8-word run is caught
+    // while keeping ~2/(w+1) of positions, so the postings table stays a
+    // small fraction of the gram stream. Same scale bounds as rare-gram
+    // Jaccard: df-capped fingerprints before the self-join (a boilerplate
+    // fingerprint shared by thousands of docs is dropped, not exploded),
+    // fixed-width 16-hex shuffle keys.
+    Q("q_dedup_winnow", {
+      val gramsSql = TextAnalysis.wordNgramsSql("t", WinnowK)
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform($gramsSql, g -> substr(md5(g), 1, 16)) AS h
+         |  FROM toks),
+         |fps AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(h) >= $WinnowW
+         |      THEN list_transform(range(1, len(h) - $WinnowW + 2),
+         |                          j -> list_min(h[j : j + $WinnowW - 1]))
+         |      ELSE CAST([] AS VARCHAR[]) END) AS f
+         |  FROM hs),
+         |e AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+         |df AS (SELECT fp, COUNT(*) AS c FROM e GROUP BY fp),
+         |rare AS (SELECT e.doc_id, e.fp FROM e JOIN df ON e.fp = df.fp WHERE df.c <= $DfCap),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })((s, dir) => {
+      val e = docs(s, dir)
+        .select(col("doc_id"),
+          explode(winnowFingerprints(col("text"))).as("fp"))
+      val dfc = e.groupBy("fp").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= DfCap).select("fp")
+      val rare = e.join(dfc, Seq("fp"), "left_semi")
+      val a = rare.alias("a")
+      val b = rare.alias("b")
+      a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // §2d.32f — duplication-graph centrality: PageRank (3 rounds, damping
     // 0.85) over the undirected LSH near-dup pair graph, ranking the
     // "template hubs" — documents whose near-dup neighborhoods are densest
@@ -1170,6 +1226,29 @@ object Dedup {
         .orderBy("rep", "doc_id")
     })
   )
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    * MOSS algorithm): hash every k-word gram, then keep the minimum hash
+    * of each sliding window of `w` consecutive gram hashes. The selected
+    * set is tiny (expected 2/(w+1) of positions) yet GUARANTEES that any
+    * two documents sharing a run of ≥ w+k-1 words share at least one
+    * fingerprint — the detection floor MinHash (whole-doc similarity)
+    * and SimHash (global token bag) do not offer. Pure array expressions
+    * over zipped slices (no per-index lambda lookups — those re-evaluate
+    * the split chain per element, the q_repetition O(n²) lesson), so the
+    * derivation is a zero-shuffle map. Hashes compare as fixed-width hex
+    * strings: lexicographic min ≡ numeric min, identical cross-engine.
+    */
+  def winnowFingerprints(text: Column, k: Int = WinnowK, w: Int = WinnowW): Column = {
+    val grams = TextAnalysis.wordNgrams(split(normText(text), " "), k)
+    val h = transform(grams, g => substring(md5(g.cast("binary")), 1, 16))
+    val slices = (1 to w).map(i => slice(h, lit(i), size(h) - (w - 1)))
+    val mins = when(size(h) >= w,
+      transform(arrays_zip(slices: _*),
+        p => least((0 until w).map(i => p.getField(i.toString)): _*)))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(mins)
+  }
 
   /** Integer-micros PageRank over an undirected pair graph (doc_a, doc_b):
     * ranks start at 1,000,000 and each round redistributes share = rank

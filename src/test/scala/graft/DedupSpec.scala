@@ -199,6 +199,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, "train"), (1L, 25L, "test")), s"got $got")
   }
 
+  test("winnowing guarantees detection of any shared 8-word run") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight" // w+k-1 = 8 words
+    val docs = Seq(
+      (1L, s"aaa bbb ccc $run ddd eee fff ggg hhh iii"),
+      (2L, s"jjj kkk lll mmm $run nnn ooo ppp qqq"),
+      (3L, "rrr sss ttt uuu vvv www xxx yyy zzz qqq www eee"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Dedup.winnowFingerprints(col("text")).as("f"))
+      .as[(Long, Seq[String])].collect().toMap
+    // 1 and 2 share the run => must share at least one fingerprint
+    assert(docs(1L).toSet.intersect(docs(2L).toSet).nonEmpty,
+      "shared 8-word run missed by winnowing")
+    // 3 shares no 4-gram with either => no shared fingerprints
+    assert(docs(3L).toSet.intersect(docs(1L).toSet ++ docs(2L).toSet).isEmpty)
+    // selection is sparse: far fewer fingerprints than gram positions
+    assert(docs(1L).size < 10)
+  }
+
   test("pageRank: hand-computed one round on a star, hubs outrank leaves") {
     import spark.implicits._
     // star: 1-2, 1-3 (deg 1=2, 2=1, 3=1)
