@@ -689,6 +689,82 @@ object Analytic {
           .orderBy(col("l_returnflag"))
       }),
 
+    // 24p2. CORRELATION MATRIX in one pass — every pairwise Pearson
+    // correlation of (quantity, price-cents, discount-cents) per group
+    // from ONE scan: the aggregate carries all 10 exact integer moments
+    // (DECIMAL(38,0) buffers, per-row math in longs — q_regression's
+    // overflow discipline), and each pair's correlation derives from the
+    // closed form afterward. The naive per-pair plan scans the table
+    // C(k,2) times; this one is O(k²) extra aggregate STATE, not extra
+    // reads — the EDA/feature-audit shape for a 100 TB table. Final
+    // division happens in doubles on exact integer inputs with identical
+    // expression trees both engines (same q_regression determinism
+    // argument), rounded to milli units.
+    Q("q_corr_matrix", {
+      val q = "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)"
+      val p = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      val d = "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      def corr(sa: String, sb: String, sab: String, saa: String, sbb: String) =
+        s"""CAST(ROUND(CAST(n * $sab - $sa * $sb AS DOUBLE) * 1000
+           |    / sqrt(CAST(n * $saa - $sa * $sa AS DOUBLE)
+           |         * CAST(n * $sbb - $sb * $sb AS DOUBLE))) AS BIGINT)""".stripMargin
+      val pairs = Seq(
+        ("qty_price", corr("sq", "sp", "sqp", "sqq", "spp")),
+        ("qty_disc", corr("sq", "sd", "sqd", "sqq", "sdd")),
+        ("price_disc", corr("sp", "sd", "spd", "spp", "sdd")))
+        .map { case (name, c) =>
+          s"SELECT l_returnflag, '$name' AS pair, CAST(n AS BIGINT) AS n, $c AS corr_milli FROM sums"
+        }.mkString("\nUNION ALL ")
+      s"""WITH v AS (
+         |  SELECT l_returnflag, $q AS q, $p AS p, $d AS d FROM lineitem),
+         |sums AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(*) AS HUGEINT) AS n,
+         |    CAST(SUM(q) AS HUGEINT) AS sq, CAST(SUM(p) AS HUGEINT) AS sp,
+         |    CAST(SUM(d) AS HUGEINT) AS sd,
+         |    CAST(SUM(q * q) AS HUGEINT) AS sqq, CAST(SUM(p * p) AS HUGEINT) AS spp,
+         |    CAST(SUM(d * d) AS HUGEINT) AS sdd,
+         |    CAST(SUM(q * p) AS HUGEINT) AS sqp, CAST(SUM(q * d) AS HUGEINT) AS sqd,
+         |    CAST(SUM(p * d) AS HUGEINT) AS spd
+         |  FROM v GROUP BY l_returnflag)
+         |SELECT * FROM ($pairs)
+         |ORDER BY l_returnflag, pair""".stripMargin
+    })(
+      (s, dir) => {
+        val qL = dec("l_quantity").cast("long")
+        val pL = (dec("l_extendedprice") * 100).cast("long")
+        val dL = (dec("l_discount") * 100).cast("long")
+        def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+        val sums = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), qL.as("q"), pL.as("p"), dL.as("d"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("decimal(38,0)").as("n"),
+            dsum(col("q")).as("sq"), dsum(col("p")).as("sp"),
+            dsum(col("d")).as("sd"),
+            dsum(col("q") * col("q")).as("sqq"),
+            dsum(col("p") * col("p")).as("spp"),
+            dsum(col("d") * col("d")).as("sdd"),
+            dsum(col("q") * col("p")).as("sqp"),
+            dsum(col("q") * col("d")).as("sqd"),
+            dsum(col("p") * col("d")).as("spd"))
+        def corr(sa: String, sb: String, sab: String, saa: String, sbb: String) =
+          expr(s"""CAST(ROUND(CAST(n * $sab - $sa * $sb AS DOUBLE) * 1000
+                  |    / sqrt(CAST(n * $saa - $sa * $sa AS DOUBLE)
+                  |         * CAST(n * $sbb - $sb * $sb AS DOUBLE))) AS BIGINT)""".stripMargin)
+        val pairs = Seq(
+          ("qty_price", corr("sq", "sp", "sqp", "sqq", "spp")),
+          ("qty_disc", corr("sq", "sd", "sqd", "sqq", "sdd")),
+          ("price_disc", corr("sp", "sd", "spd", "spp", "sdd")))
+        sums.select(col("l_returnflag"), col("n").cast("long").as("n"),
+            explode(array(pairs.map { case (name, c) =>
+              struct(lit(name).as("pair"), c.as("corr_milli"))
+            }: _*)).as("pc"))
+          .select(col("l_returnflag"), col("pc.pair").as("pair"),
+            col("n"), col("pc.corr_milli").as("corr_milli"))
+          .orderBy(col("l_returnflag"), col("pair"))
+      }),
+
     // Sketch percentiles — the 100 TB path. Exact percentiles buffer every
     // value of a group on one reducer; approx_percentile keeps a fixed-size
     // mergeable summary with map-side partial aggregation, so cost is flat

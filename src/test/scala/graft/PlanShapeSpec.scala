@@ -275,6 +275,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(li.contains("l_shipdate"), s"shipdate filter not pushed:\n$li")
   }
 
+  test("correlation matrix: all pairs from ONE lineitem scan") {
+    val df = SparkEntry.queries("q_corr_matrix")(spark, TestSpark.sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("lineitem"))
+    assert(scans.size == 1, s"matrix must not scan per pair: ${scans.size} scans")
+  }
+
   test("CDC merge is one key join, no product, scan pruned to used columns") {
     val df = SparkEntry.queries("q_merge_upsert")(spark, TestSpark.sf)
     val p = df.queryExecution.executedPlan.toString
