@@ -426,6 +426,50 @@ object TextAnalysis {
           .orderBy("rnk")
       }),
 
+    // 41d2. OOV RATE — the tokenizer-coverage metric that accompanies a
+    // vocabulary build: the fraction of corpus token OCCURRENCES falling
+    // outside the top-50 vocabulary, per source (which sources a
+    // vocab/tokenizer trained on this corpus serves worst). The token
+    // stream collapses to per-doc term frequencies BEFORE the vocab
+    // anti-join (one row per doc per distinct word — the q_lm_surprisal
+    // skew bound), the 50-term vocab broadcasts, and the rollup is one
+    // source-keyed shuffle of tiny partial sums.
+    Q("q_oov_rate",
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, source, term, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2, 3),
+         |corpus AS (
+         |  SELECT term, CAST(SUM(c) AS BIGINT) AS tf FROM tf GROUP BY term),
+         |vocab AS (SELECT term FROM corpus ORDER BY tf DESC, term LIMIT 50),
+         |j AS (
+         |  SELECT t.source, t.c,
+         |    CASE WHEN v.term IS NULL THEN t.c ELSE 0 END AS oov
+         |  FROM tf t LEFT JOIN vocab v ON t.term = v.term)
+         |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  CAST(SUM(oov) * 1000 // SUM(c) AS BIGINT) AS oov_milli
+         |FROM j GROUP BY source ORDER BY source""".stripMargin)(
+      (s, dir) => {
+        val tf = Tables.spread(docs(s, dir))
+          .select(col("doc_id"), col("source"),
+            explode(split(normText(col("text")), " ")).as("term"))
+          .groupBy("doc_id", "source", "term")
+          .agg(count(lit(1)).as("c"))
+        val vocab = tf.groupBy("term").agg(sum(col("c")).as("tf"))
+          .orderBy(col("tf").desc, col("term").asc).limit(50)
+          .select(col("term"), lit(1).as("in_vocab"))
+        tf.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy(col("source"))
+          .agg(sum(col("c")).cast("long").as("n_tokens"),
+            sum(when(col("in_vocab").isNull, col("c")).otherwise(0L))
+              .cast("long").as("n_oov"))
+          .withColumn("oov_milli", expr("n_oov * 1000 div n_tokens"))
+          .orderBy("source")
+      }),
+
     // 41c. PII scrub: email/phone/IP detection counts + the scrubbed text's
     // md5 (rewrite semantics hash-checked cross-engine). The synthetic
     // corpus contains no PII, so counts are zero HERE — QualitySpec drives
