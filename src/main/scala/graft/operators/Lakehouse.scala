@@ -39,6 +39,8 @@ object Lakehouse {
     */
   def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
                   valueCols: Seq[String]): DataFrame = {
+    require(!valueCols.contains("op") && !valueCols.contains("__in_base"),
+      "'op' and '__in_base' are reserved by the merge")
     val merged = base.withColumn("__in_base", lit(1))
       .join(changes, Seq(key), "full_outer")
     val kept = merged.filter(col("op").isNull || col("op") =!= "D")

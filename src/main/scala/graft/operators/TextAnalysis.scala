@@ -38,6 +38,25 @@ object TextAnalysis {
   val ChunkSize = 32
   val ChunkStride = 24
 
+  /** Shared chunk derivation — one definition for the batch query and the
+    * streaming twin (Docs.chunkDocs), so the geometry can never drift
+    * between them. Pure map + bounded explode, zero shuffle.
+    */
+  def docChunks(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+    .withColumn("n", size(col("t")).cast("long"))
+    .withColumn("k",
+      when(col("n") <= ChunkSize, lit(0L))
+        .otherwise(expr(s"(n - $ChunkSize + $ChunkStride - 1) div $ChunkStride")))
+    .select(col("doc_id"), col("t"), col("n"),
+      explode(sequence(lit(0L), col("k"))).as("chunk_id"))
+    .withColumn("start_tok", col("chunk_id") * ChunkStride)
+    .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+      least(lit(ChunkSize.toLong), col("n") - col("start_tok")).as("n_toks"),
+      md5(array_join(
+        slice(col("t"), col("start_tok") + 1, lit(ChunkSize)), " ")
+        .cast("binary")).as("chunk_md5"))
+
   /** Unigram-surprisal verdict bounds (q_lm_surprisal), in milli-bits of
     * mean per-token surprisal: below Lo the document is near-boilerplate
     * (all ultra-common tokens), above Hi it is noise (all near-unique
@@ -779,22 +798,6 @@ object TextAnalysis {
          |  md5(array_to_string(t[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkSize], ' ')) AS chunk_md5
          |FROM meta, UNNEST(range(0, k + 1)) AS u(i)
          |ORDER BY doc_id, chunk_id""".stripMargin)(
-      (s, dir) => {
-        val d = docs(s, dir)
-          .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
-          .withColumn("n", size(col("t")).cast("long"))
-          .withColumn("k",
-            when(col("n") <= ChunkSize, lit(0L))
-              .otherwise(expr(s"(n - $ChunkSize + $ChunkStride - 1) div $ChunkStride")))
-        d.select(col("doc_id"), col("t"), col("n"),
-            explode(sequence(lit(0L), col("k"))).as("chunk_id"))
-          .withColumn("start_tok", col("chunk_id") * ChunkStride)
-          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-            least(lit(ChunkSize.toLong), col("n") - col("start_tok")).as("n_toks"),
-            md5(array_join(
-              slice(col("t"), col("start_tok") + 1, lit(ChunkSize)), " ")
-              .cast("binary")).as("chunk_md5"))
-          .orderBy("doc_id", "chunk_id")
-      })
+      (s, dir) => docChunks(docs(s, dir)).orderBy("doc_id", "chunk_id"))
   )
 }

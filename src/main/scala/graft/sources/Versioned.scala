@@ -31,9 +31,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Scale posture: the manifest holds directory PATHS, not file lists —
   * Spark's parquet reader does the (parallel) file listing, so a commit
-  * is O(1) driver work regardless of table size. Optimistic concurrency
-  * (two writers racing to publish v+1) resolves by rename atomicity: the
-  * loser's manifest rename fails and it retries on the next version.
+  * is O(1) driver work regardless of table size.
+  *
+  * Concurrency: on filesystems whose rename FAILS when the target exists
+  * (HDFS), two writers racing to publish the same version resolve
+  * optimistically — the loser's manifest rename returns false and it
+  * retries under the next number. POSIX local rename and S3 overwrite
+  * silently, so there (exactly like Delta on S3) concurrent writers need
+  * an external lock or a single-writer process; readers are safe either
+  * way because data files are immutable and manifests are never edited
+  * in place.
   */
 object Versioned {
 

@@ -12,9 +12,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * into a [[Versioned]] table, one committed version per micro-batch.
   * This is the standard lakehouse CDC sink shape (Delta's
   * `foreachBatch` + MERGE): Structured Streaming owns offsets/retries via
-  * the checkpoint, the versioned commit is the atomic publish, and a
-  * replayed batch after a crash re-merges idempotently (same input, same
-  * parent version → same resulting snapshot content).
+  * the checkpoint, and the versioned commit is the atomic publish. A
+  * batch replayed after a crash commits an EXTRA version whose content is
+  * byte-identical to the one it duplicates — the merge is idempotent
+  * (updates set the same values, deletes of gone keys no-op, re-inserts
+  * become same-value updates) — so downstream readers never observe a
+  * double-application, only a redundant history entry.
   *
   * Per batch:
   *   1. compact the batch to its LATEST change per key (row_number over

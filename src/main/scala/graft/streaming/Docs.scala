@@ -203,6 +203,15 @@ object Docs {
     * streaming-dedup trade). Without a timestamp, state is one 16-byte key
     * per distinct document, growing with corpus vocabulary.
     */
+  /** Streaming RAG chunking: the q_doc_chunks window geometry applied to
+    * a document stream. Entirely stateless (pure map + bounded explode —
+    * the chunk table of a micro-batch depends on nothing outside it), so
+    * it composes with any downstream watermark or state and is trivially
+    * exactly-once under replay. Same expression tree as the batch
+    * operator; StreamBatchParitySpec pins equality on the real corpus.
+    */
+  def chunkDocs(docs: DataFrame): DataFrame = TextAnalysis.docChunks(docs)
+
   def dedupByContent(docs: DataFrame,
                      eventTimeCol: Option[String] = None,
                      delay: String = "1 hour"): DataFrame = {

@@ -77,6 +77,34 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunking equals the batch chunk table exactly") {
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .orderBy("doc_id").as[Doc].collect().toSeq
+
+    val input = MemoryStream[Doc]
+    val q = Docs.chunkDocs(input.toDF())
+      .writeStream.format("memory").queryName("paritychunks")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      docs.grouped(math.max(docs.size / 3, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+        "SELECT * FROM paritychunks ORDER BY doc_id, chunk_id")
+        .collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("q_doc_chunks")(spark, TestSpark.sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming outlier scoring equals the batch flags on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
