@@ -1130,9 +1130,11 @@ object Dedup {
          |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
          |ORDER BY doc_a, doc_b""".stripMargin
     })((s, dir) => {
-      val e = docs(s, dir)
-        .select(col("doc_id"),
-          explode(winnowFingerprints(col("text"))).as("fp"))
+      // postings materialize once: three consumers (df counts + both join
+      // sides) would otherwise each re-run the window-min pass
+      val e = winnowFingerprints(docs(s, dir))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .localCheckpoint()
       val dfc = e.groupBy("fp").agg(count(lit(1)).as("c"))
         .filter(col("c") <= DfCap).select("fp")
       val rare = e.join(dfc, Seq("fp"), "left_semi")
@@ -1239,15 +1241,33 @@ object Dedup {
     * derivation is a zero-shuffle map. Hashes compare as fixed-width hex
     * strings: lexicographic min ≡ numeric min, identical cross-engine.
     */
-  def winnowFingerprints(text: Column, k: Int = WinnowK, w: Int = WinnowW): Column = {
-    val grams = TextAnalysis.wordNgrams(split(normText(text), " "), k)
-    val h = transform(grams, g => substring(md5(g.cast("binary")), 1, 16))
-    val slices = (1 to w).map(i => slice(h, lit(i), size(h) - (w - 1)))
-    val mins = when(size(h) >= w,
+  def winnowFingerprints(docs: DataFrame, textCol: String = "text",
+                         k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    // The gram-hash array MUST materialize before the window pass:
+    // higher-order functions evaluate interpreted (no codegen
+    // subexpression elimination) and CollapseProject happily inlines the
+    // md5-transform subtree into every slice/size reference of every
+    // downstream projection — the collapsed plan carried 92 copies of the
+    // md5 chain and ran 30-60 s at sf0.1 for a 5000-doc corpus.
+    // localCheckpoint is the barrier no optimizer rule can see through:
+    // one pass computes each doc's hash array once, everything after
+    // reads stored arrays (~lengths × 16 bytes). At corpus scale this
+    // materialization IS the winnowing postings index an ingestion
+    // pipeline would persist (the corpusSigs pattern).
+    val hashed = docs
+      .withColumn("__t", split(normText(col(textCol)), " "))
+      .withColumn("__g", TextAnalysis.wordNgrams(col("__t"), k))
+      .withColumn("__h",
+        transform(col("__g"), g => substring(md5(g.cast("binary")), 1, 16)))
+      .drop("__t", "__g")
+      .localCheckpoint()
+    val slices = (1 to w).map(i =>
+      slice(col("__h"), lit(i), size(col("__h")) - (w - 1)))
+    val mins = when(size(col("__h")) >= w,
       transform(arrays_zip(slices: _*),
         p => least((0 until w).map(i => p.getField(i.toString)): _*)))
       .otherwise(array().cast("array<string>"))
-    array_distinct(mins)
+    hashed.withColumn("fps", array_distinct(mins)).drop("__h")
   }
 
   /** Integer-micros PageRank over an undirected pair graph (doc_a, doc_b):

@@ -207,16 +207,16 @@ class DedupSpec extends AnyFunSuite {
       (2L, s"jjj kkk lll mmm $run nnn ooo ppp qqq"),
       (3L, "rrr sss ttt uuu vvv www xxx yyy zzz qqq www eee"))
       .toDF("doc_id", "text")
-      .select(col("doc_id"),
-        Dedup.winnowFingerprints(col("text")).as("f"))
+    val fps = Dedup.winnowFingerprints(docs)
+      .select(col("doc_id"), col("fps"))
       .as[(Long, Seq[String])].collect().toMap
     // 1 and 2 share the run => must share at least one fingerprint
-    assert(docs(1L).toSet.intersect(docs(2L).toSet).nonEmpty,
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty,
       "shared 8-word run missed by winnowing")
     // 3 shares no 4-gram with either => no shared fingerprints
-    assert(docs(3L).toSet.intersect(docs(1L).toSet ++ docs(2L).toSet).isEmpty)
+    assert(fps(3L).toSet.intersect(fps(1L).toSet ++ fps(2L).toSet).isEmpty)
     // selection is sparse: far fewer fingerprints than gram positions
-    assert(docs(1L).size < 10)
+    assert(fps(1L).size < 10)
   }
 
   test("pageRank: hand-computed one round on a star, hubs outrank leaves") {
