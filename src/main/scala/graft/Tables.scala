@@ -100,6 +100,53 @@ object Tables {
       }.sum
   }
 
+  /** Global [min, max] of a double column read from parquet footer
+    * statistics only — no data scan at any table size. None when any row
+    * group lacks stats for the column (caller falls back to a scan).
+    */
+  def footerDoubleBounds(spark: SparkSession, path: String,
+                         column: String): Option[(Double, Double)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+       else Seq(fs.getFileStatus(p)))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return None
+    var mn = Double.MaxValue
+    var mx = Double.MinValue
+    for (st <- files) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks
+        val it = blocks.iterator()
+        while (it.hasNext) {
+          val block = it.next()
+          val cit = block.getColumns.iterator()
+          var found = false
+          while (cit.hasNext) {
+            val c = cit.next()
+            if (c.getPath.toDotString == column) {
+              found = true
+              val s = c.getStatistics
+              if (s == null || !s.hasNonNullValue) return None
+              s match {
+                case d: org.apache.parquet.column.statistics.DoubleStatistics =>
+                  mn = math.min(mn, d.getMin)
+                  mx = math.max(mx, d.getMax)
+                case _ => return None
+              }
+            }
+          }
+          if (!found) return None
+        }
+      } finally r.close()
+    }
+    if (mn > mx) None else Some((mn, mx))
+  }
+
   /** Format-generic write (csv emits a header so reads round-trip). */
   def write(df: DataFrame, path: String, format: String = "parquet",
             mode: String = "overwrite",

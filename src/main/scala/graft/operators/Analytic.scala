@@ -264,9 +264,12 @@ object Analytic {
         import s.implicits._
         val li = t(s, dir, "lineitem")
         // per-group exact p05/p95 via distributed bucket refinement — no
-        // single-reducer percentile buffer (see ExactQuantiles)
+        // single-reducer percentile buffer (see ExactQuantiles); seeded
+        // from parquet footer bounds, so the metadata round costs no scan
         val qs = ExactQuantiles.continuous(
-          li, col("l_returnflag"), col("l_extendedprice"), Seq(0.05, 0.95))
+          li, col("l_returnflag"), col("l_extendedprice"), Seq(0.05, 0.95),
+          ExactQuantiles.footerMicroBounds(
+            s, Tables.path(dir, "lineitem"), "l_extendedprice"))
         val bounds = qs.toSeq.map { case (g, a) => (g, a(0), a(1)) }
           .toDF("l_returnflag", "p05", "p95")
         li.join(broadcast(bounds), "l_returnflag")
@@ -803,7 +806,9 @@ object Analytic {
         // selection, ExactQuantiles) and inline as literals — the bucket id
         // is a pure codegen map over the scan, no join at all
         val bs = ExactQuantiles.continuous(
-          li, lit(""), col("l_extendedprice"), (1 to 7).map(_ / 8.0))("")
+          li, lit(""), col("l_extendedprice"), (1 to 7).map(_ / 8.0),
+          ExactQuantiles.footerMicroBounds(
+            s, Tables.path(dir, "lineitem"), "l_extendedprice"))("")
         val bucket = (1 to 7)
           .map(i => when(col("l_extendedprice") > lit(bs(i - 1)), 1).otherwise(0))
           .reduce(_ + _)

@@ -44,36 +44,80 @@ object ExactQuantiles {
 
   /** Exact per-group quantiles of a 2-decimal money column.
     *
+    * @param globalBounds optional [min, max] micros bound covering every
+    *        value (e.g. from parquet footer statistics,
+    *        [[graft.Tables.footerDoubleBounds]]): when given, the
+    *        metadata round 0 (per-group n/min/max scan) FUSES into the
+    *        first bucket pass — one scan fewer, same exact results (the
+    *        refinement walks identical integer sub-ranges, just seeded
+    *        from the global range instead of each group's own).
     * @return group → quantile values aligned with `probs` (groups with
     *         n = 0 are absent, matching what a per-group aggregate emits)
     */
   def continuous(df: DataFrame, group: Column, value: Column,
-                 probs: Seq[Double]): Map[String, Array[Double]] = {
+                 probs: Seq[Double],
+                 globalBounds: Option[(Long, Long)] = None): Map[String, Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df
       .select(group.cast("string").as("g"), graft.Q.micros(value).as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
 
-    // round 0: per-group count + value range — G rows of metadata
-    val stats = base.groupBy("g")
-      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
-      .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-      .toMap
+    def ranksFor(n: Long): Seq[Long] = probs.flatMap { p =>
+      val pos = p * (n - 1)
+      Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+    }.distinct.sorted
 
-    // the order statistics each prob needs: floor and ceil of p·(n−1)
-    val wanted: Map[String, Seq[Long]] = stats.map { case (g, (n, _, _)) =>
-      g -> probs.flatMap { p =>
-        val pos = p * (n - 1)
-        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
-      }.distinct.sorted
+    // (per-group n for final interpolation, initial probe set)
+    val (stats: Map[String, Long], seeded: Seq[Probe]) = globalBounds match {
+      case Some((mnG, mxG)) =>
+        require(mxG >= mnG, s"bad global bounds [$mnG, $mxG]")
+        // fused round: per-(group, global-range sub-bucket) counts in ONE
+        // scan; group sizes derive by summing, and every probe starts
+        // already refined to its bucket's sub-range
+        val width = mxG - mnG + 1
+        val counts = base
+          .groupBy(col("g"),
+            expr(s"(v - ${mnG}L) * ${B}L div ${width}L").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (g, rows) =>
+            g -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toVector
+          }
+        val ns = counts.map { case (g, bs) => g -> bs.map(_._2).sum }
+        val probes = ns.toSeq.flatMap { case (g, n) =>
+          val buckets = counts(g)
+          ranksFor(n).map { r =>
+            var rem = r
+            val it = buckets.iterator
+            var hit: (Long, Long) = null
+            while (hit == null && it.hasNext) {
+              val (b, c) = it.next()
+              if (rem < c) hit = (b, c) else rem -= c
+            }
+            require(hit != null, s"fused round lost rank $r of $g")
+            val (b, c) = hit
+            val nlo = mnG + ceilDiv(b * width, B)
+            val nhi = mnG + ceilDiv((b + 1) * width, B) - 1
+            Probe(g, r, nlo, nhi, rem, c)
+          }
+        }
+        (ns, probes)
+      case None =>
+        // round 0: per-group count + value range — G rows of metadata
+        val st = base.groupBy("g")
+          .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        val probes = st.toSeq.flatMap { case (g, (n, mn, mx)) =>
+          ranksFor(n).map(r => Probe(g, r, mn, mx, r, n))
+        }
+        (st.map { case (g, (n, _, _)) => g -> n }, probes)
     }
 
-    var open: Seq[Probe] = wanted.toSeq.flatMap { case (g, ranks) =>
-      val (n, mn, mx) = stats(g)
-      ranks.map(r => Probe(g, r, mn, mx, r, n))
-    }
+    var open: Seq[Probe] = seeded
     val resolved = scala.collection.mutable.Map.empty[(String, Long), Long]
 
     def settle(p: Probe, v: Long): Unit = resolved((p.g, p.rank)) = v
@@ -171,7 +215,7 @@ object ExactQuantiles {
 
     // interpolate back in the raw double domain (micros/1e6 is the
     // correctly-rounded inverse of the 2-decimal ×1e6 mapping)
-    stats.map { case (g, (n, _, _)) =>
+    stats.map { case (g, n) =>
       g -> probs.map { p =>
         val pos = p * (n - 1)
         val (lo, hi) = (math.floor(pos).toLong, math.ceil(pos).toLong)
@@ -186,4 +230,18 @@ object ExactQuantiles {
   }
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+  /** Footer-statistics bounds of a 2-decimal money column in the micros
+    * domain — the zero-scan seed for [[continuous]]'s fused first round.
+    * Rounds exactly like `Q.micros` (decimal(18,2) HALF_UP ×1e6), and
+    * the mapping is monotone, so footer [min,max] stay covering bounds.
+    */
+  def footerMicroBounds(spark: org.apache.spark.sql.SparkSession,
+                        path: String, column: String): Option[(Long, Long)] =
+    graft.Tables.footerDoubleBounds(spark, path, column).map { case (a, b) =>
+      def m(x: Double) = new java.math.BigDecimal(x)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact
+      (m(a), m(b))
+    }
 }

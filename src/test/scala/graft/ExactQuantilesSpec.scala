@@ -50,6 +50,28 @@ class ExactQuantilesSpec extends AnyFunSuite {
       assert(got(g)(i) == want(g)(i), s"group $g prob ${probs(i)}")
   }
 
+  test("footer-seeded global bounds give bit-identical results, one scan less") {
+    import spark.implicits._
+    // same forced-refinement shape as above; bounds deliberately LOOSER
+    // than the data (a footer bound covers, it need not be tight)
+    val df = spark.range(80000)
+      .select((col("id") % 2).cast("string").as("g"),
+        round((abs(hash(col("id")).cast("double")) % 1000000) / 100.0 + 0.01, 2)
+          .as("v"))
+    val plain = ExactQuantiles.continuous(df, col("g"), col("v"), probs)
+    val seeded = ExactQuantiles.continuous(df, col("g"), col("v"), probs,
+      globalBounds = Some((0L, 10000010000L)))
+    assert(plain.keySet == seeded.keySet)
+    for (g <- plain.keySet; i <- probs.indices)
+      assert(plain(g)(i) == seeded(g)(i), s"group $g prob ${probs(i)}")
+    // and the real parquet footer bounds actually cover the real column
+    val path = Tables.path(TestSpark.sf, "lineitem")
+    val Some((mn, mx)) = Tables.footerDoubleBounds(spark, path, "l_extendedprice")
+    val row = Tables.load(spark, TestSpark.sf, "lineitem")
+      .agg(min("l_extendedprice"), max("l_extendedprice")).head()
+    assert(mn <= row.getDouble(0) && mx >= row.getDouble(1))
+  }
+
   test("empty groups are absent and single-row groups are exact") {
     import spark.implicits._
     val df = Seq(("a", 42.17)).toDF("g", "v")
