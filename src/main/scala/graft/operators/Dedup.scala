@@ -1130,11 +1130,13 @@ object Dedup {
          |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
          |ORDER BY doc_a, doc_b""".stripMargin
     })((s, dir) => {
-      // postings materialize once: three consumers (df counts + both join
-      // sides) would otherwise each re-run the window-min pass
-      val e = winnowFingerprints(docs(s, dir))
-        .select(col("doc_id"), explode(col("fps")).as("fp"))
-        .localCheckpoint()
+      // the postings are a standing corpus index like corpusSigs: built
+      // once per corpus (stamp-keyed), probed by every consumer — and
+      // within one run the three consumers (df counts + both join sides)
+      // read the table instead of re-running the window-min pass
+      val e = cachedCorpusTable(s, dir, "winnow", s"$WinnowK|$WinnowW")(
+        winnowFingerprints(docs(s, dir))
+          .select(col("doc_id"), explode(col("fps")).as("fp")))
       val dfc = e.groupBy("fp").agg(count(lit(1)).as("c"))
         .filter(col("c") <= DfCap).select("fp")
       val rare = e.join(dfc, Seq("fp"), "left_semi")
