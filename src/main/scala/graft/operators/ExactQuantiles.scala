@@ -76,9 +76,10 @@ object ExactQuantiles {
         // scan; group sizes derive by summing, and every probe starts
         // already refined to its bucket's sub-range
         val width = mxG - mnG + 1
+        val step = ceilDiv(width, B) // bucket b covers [lo+b·step, lo+(b+1)·step)
         val counts = base
           .groupBy(col("g"),
-            expr(s"(v - ${mnG}L) * ${B}L div ${width}L").as("b"))
+            expr(s"(v - ${mnG}L) div ${step}L").as("b"))
           .agg(count(lit(1)).as("c"))
           .collect()
           .groupBy(_.getString(0))
@@ -98,8 +99,8 @@ object ExactQuantiles {
             }
             require(hit != null, s"fused round lost rank $r of $g")
             val (b, c) = hit
-            val nlo = mnG + ceilDiv(b * width, B)
-            val nhi = mnG + ceilDiv((b + 1) * width, B) - 1
+            val nlo = mnG + b * step
+            val nhi = math.min(mnG + (b + 1) * step - 1, mxG)
             Probe(g, r, nlo, nhi, rem, c)
           }
         }
@@ -138,19 +139,22 @@ object ExactQuantiles {
       open = Nil
 
       if (toBucket.nonEmpty) {
-        // distinct ranges (probes of one group often share a range)
+        // distinct ranges (probes of one group often share a range); each
+        // carries its bucket step = ceil(width / B)
         val ranges = toBucket.map(p => (p.g, p.lo, p.hi)).distinct.zipWithIndex
-          .map { case ((g, lo, hi), id) => (id.toLong, g, lo, hi) }
-        val spec = broadcast(ranges.toDF("rid", "rg", "rlo", "rhi"))
-        // bucket id: floor((v−lo)·B / width) ∈ [0, B) in EXACT long
+          .map { case ((g, lo, hi), id) =>
+            (id.toLong, g, lo, hi, ceilDiv(hi - lo + 1, B)) }
+        val spec = broadcast(ranges.toDF("rid", "rg", "rlo", "rhi", "rstep"))
+        // bucket id: floor((v−lo) / step) ∈ [0, B) in EXACT long
         // arithmetic (`div`, not `/` — double division is only ~0.5 ulp
         // accurate and a boundary value rounded into the wrong bucket
-        // would fall outside that bucket's exact integer sub-range);
-        // (v−lo) ≤ ~1e11 micros and B = 2^16 keep the product ≪ 2^63
+        // would fall outside that bucket's exact integer sub-range). The
+        // DIVISION form, not (v−lo)·B div width: the product overflows a
+        // long for wide-range columns (a 2^31-valued micros column is
+        // already 2.1e15 — ×65536 blows past 2^63; caught by a spec).
         val counts = base.join(spec,
             col("g") === col("rg") && col("v") >= col("rlo") && col("v") <= col("rhi"))
-          .select(col("rid"),
-            expr(s"(v - rlo) * ${B}L div (rhi - rlo + 1)").as("b"))
+          .select(col("rid"), expr("(v - rlo) div rstep").as("b"))
           .groupBy("rid", "b").agg(count(lit(1)).as("c"))
           .collect()
           .groupBy(_.getLong(0))
@@ -158,8 +162,7 @@ object ExactQuantiles {
             rid -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toVector
           }
         val byRange = toBucket.groupBy(p => (p.g, p.lo, p.hi))
-        open = ranges.flatMap { case (rid, g, lo, hi) =>
-          val width = hi - lo + 1
+        open = ranges.flatMap { case (rid, g, lo, hi, step) =>
           val buckets = counts.getOrElse(rid, Vector.empty[(Long, Long)])
           // walk each probe's offset down the cumulative bucket counts
           byRange((g, lo, hi)).map { p =>
@@ -172,10 +175,9 @@ object ExactQuantiles {
             }
             require(hit != null, s"quantile refinement lost rank ${p.rank} of $g")
             val (b, c) = hit
-            // sub-range covered by bucket b (integer bounds of the open
-            // interval [b·w/B, (b+1)·w/B) shifted by lo)
-            val nlo = lo + ceilDiv(b * width, B)
-            val nhi = lo + ceilDiv((b + 1) * width, B) - 1
+            // sub-range covered by bucket b: [lo + b·step, lo + (b+1)·step)
+            val nlo = lo + b * step
+            val nhi = math.min(lo + (b + 1) * step - 1, hi)
             Probe(p.g, p.rank, nlo, nhi, rem, c)
           }
         }

@@ -139,25 +139,48 @@ object Export {
     * boundaries are the upgrade path there.
     */
   def zorderParquet(df: DataFrame, destPath: String, cols: Seq[String],
-                    numFiles: Int, bitsPerCol: Int = 16): Unit = {
+                    numFiles: Int, bitsPerCol: Int = 16,
+                    quantileCells: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty && cols.size * bitsPerCol <= 63,
       s"z-address must fit a long: ${cols.size} cols x $bitsPerCol bits")
-    val mmCols = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c)).cast("double").as(s"mn$i"),
-        max(col(c)).cast("double").as(s"mx$i"))
-    }
-    val mm = df.agg(mmCols.head, mmCols.tail: _*).head()
-    val cells = (1L << bitsPerCol) - 1
-    // per-column cell index in [0, 2^bits): exact long arithmetic over the
-    // micros-scaled value keeps the bucketing deterministic
-    val cellCols = cols.zipWithIndex.map { case (c, i) =>
-      val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
-      val width = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
-      least(lit(cells), greatest(lit(0L),
-        ((col(c).cast("double") - lit(mn)) / lit(width) * lit(cells.toDouble))
-          .cast("long")))
-    }
+    val cellCols =
+      if (quantileCells) {
+        // EQUI-DEPTH cells: boundaries are exact distributed quantiles
+        // (ExactQuantiles — no single-reducer percentile), so every cell
+        // holds ~1/2^bits of the ROWS no matter how skewed the values.
+        // Equi-width cells degrade under skew (most rows share cell 0 and
+        // the skewed column stops contributing locality to the curve —
+        // its footer min/max go slack in every file). Boundaries inline
+        // as a when-sum like q_histogram's bucketing, hence the bit cap.
+        require(bitsPerCol <= 8,
+          s"quantile cells inline 2^bits-1 boundaries as a codegen when-sum; use <= 8 bits, got $bitsPerCol")
+        val cells = 1 << bitsPerCol
+        cols.map { c =>
+          val bs = graft.operators.ExactQuantiles.continuous(
+            df, lit(""), col(c), (1 until cells).map(_.toDouble / cells))("")
+          (1 until cells)
+            .map(i => when(col(c).cast("double") > lit(bs(i - 1)), 1L)
+              .otherwise(0L))
+            .reduce(_ + _)
+        }
+      } else {
+        val mmCols = cols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c)).cast("double").as(s"mn$i"),
+            max(col(c)).cast("double").as(s"mx$i"))
+        }
+        val mm = df.agg(mmCols.head, mmCols.tail: _*).head()
+        val cells = (1L << bitsPerCol) - 1
+        // per-column cell index in [0, 2^bits): exact long arithmetic over
+        // the micros-scaled value keeps the bucketing deterministic
+        cols.zipWithIndex.map { case (c, i) =>
+          val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+          val width = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+          least(lit(cells), greatest(lit(0L),
+            ((col(c).cast("double") - lit(mn)) / lit(width) * lit(cells.toDouble))
+              .cast("long")))
+        }
+      }
     // interleave: output bit (b*nCols + i) = bit b of column i's cell
     val z = (0 until bitsPerCol).flatMap { b =>
       cellCols.zipWithIndex.map { case (cc, i) =>

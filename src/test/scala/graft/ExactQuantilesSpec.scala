@@ -72,6 +72,19 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(mn <= row.getDouble(0) && mx >= row.getDouble(1))
   }
 
+  test("wide-range columns (2^31-scale values) do not overflow bucketing") {
+    import spark.implicits._
+    // micros domain reaches 2.1e15 here: the old (v-lo)·65536 bucket id
+    // overflowed a long on exactly this shape
+    val df = spark.range(20000)
+      .select(lit("g").as("g"),
+        pow(lit(2.0), col("id") % 32).cast("double").as("v"))
+    val got = ExactQuantiles.continuous(df, col("g"), col("v"), probs)
+    val want = builtin(df, "g", "v")
+    for (i <- probs.indices)
+      assert(got("g")(i) == want("g")(i), s"prob ${probs(i)}")
+  }
+
   test("empty groups are absent and single-row groups are exact") {
     import spark.implicits._
     val df = Seq(("a", 42.17)).toDF("g", "v")

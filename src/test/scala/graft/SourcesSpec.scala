@@ -241,6 +241,62 @@ class SourcesSpec extends AnyFunSuite {
       s"z-order first-column spread as bad as ignoring it: $zOrd vs 8x$fullOrd")
   }
 
+  test("quantile z-order cells keep a SKEWED column prunable") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // value SPACING exponentially skewed (doubling), count per distinct
+    // uniform: equi-width cells dump ~80% of the distinct values (all
+    // below max/64) into cell 0, so the skewed column stops steering the
+    // curve for most rows; equi-depth cells ignore spacing entirely
+    val df = spark.range(60000)
+      .select(pow(lit(2.0), col("id") % 32).cast("double").as("skew"),
+        (col("id") % 1000).cast("double").as("uni"))
+    val eqDir = Files.createTempDirectory("zeq").toString + "/t"
+    val qDir = Files.createTempDirectory("zq").toString + "/t"
+    Export.zorderParquet(df, eqDir, Seq("skew", "uni"), numFiles = 64,
+      bitsPerCol = 6)
+    Export.zorderParquet(df, qDir, Seq("skew", "uni"), numFiles = 64,
+      bitsPerCol = 6, quantileCells = true)
+    // read amplification of a point predicate on the skewed column: how
+    // many files' [min,max] contain each distinct value, averaged over
+    // rows (values are uniform per row here). Value-width spread is the
+    // WRONG metric for skew — equi-width cells are value-width-optimal by
+    // construction; what they lose is row-balanced pruning: the 40% of
+    // rows crammed into the low cells stop steering the curve and their
+    // values show up in most files.
+    def fileRanges(dir: String, c: String): Seq[(Double, Double)] = {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            val stats = r.getFooter.getBlocks.asScala
+              .map(_.getColumns.asScala.find(_.getPath.toDotString == c).get.getStatistics)
+            (stats.map(_.genericGetMin.asInstanceOf[Number].doubleValue).min,
+              stats.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max)
+          } finally r.close()
+        }
+    }
+    val values = (0 until 32).map(i => math.pow(2.0, i))
+    def readAmp(dir: String): Double = {
+      val rs = fileRanges(dir, "skew")
+      values.map(v => rs.count { case (mn, mx) => v >= mn && v <= mx }).sum /
+        values.size.toDouble
+    }
+    val eqAmp = readAmp(eqDir)
+    val qAmp = readAmp(qDir)
+    info(f"files read per point lookup: equi-width $eqAmp%.2f vs quantile $qAmp%.2f of 64")
+    assert(qAmp < 0.7 * eqAmp,
+      s"quantile cells did not cut read amplification: $qAmp vs $eqAmp")
+    // both layouts stay byte-lossless
+    assert(spark.read.parquet(qDir).count() == 60000)
+  }
+
   test("Tables catalog round-trips csv and json with schema control") {
     val nation = Tables.load(spark, TestSpark.sf, "nation")
     val base = Files.createTempDirectory("tables-fmt").toString
