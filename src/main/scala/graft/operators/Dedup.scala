@@ -1096,7 +1096,7 @@ object Dedup {
       }),
 
     // §2d.34f — winnowing-fingerprint dedup (MOSS): candidate pairs
-    // sharing ≥2 winnowed substring fingerprints. Third dedup family
+    // sharing any winnowed substring fingerprint. Third dedup family
     // beside MinHash (set similarity) and SimHash (bag distance): the
     // window-min selection GUARANTEES any shared ≥8-word run is caught
     // while keeping ~2/(w+1) of positions, so the postings table stays a
@@ -1127,7 +1127,7 @@ object Dedup {
          |    CAST(COUNT(*) AS BIGINT) AS n_shared
          |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+         |SELECT doc_a, doc_b, n_shared FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin
     })((s, dir) => {
       // the postings are a standing corpus index like corpusSigs: built
@@ -1142,10 +1142,13 @@ object Dedup {
       val rare = e.join(dfc, Seq("fp"), "left_semi")
       val a = rare.alias("a")
       val b = rare.alias("b")
+      // every pair with ANY shared fingerprint survives: a single shared
+      // fingerprint is exactly what the MOSS guarantee promises for a
+      // shared 8-word run, so a >=2 threshold would break it (n_shared is
+      // reported for downstream ranking instead)
       a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
         .orderBy("doc_a", "doc_b")
     }),
 

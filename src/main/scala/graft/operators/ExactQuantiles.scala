@@ -240,10 +240,15 @@ object ExactQuantiles {
     */
   def footerMicroBounds(spark: org.apache.spark.sql.SparkSession,
                         path: String, column: String): Option[(Long, Long)] =
-    graft.Tables.footerDoubleBounds(spark, path, column).map { case (a, b) =>
-      def m(x: Double) = new java.math.BigDecimal(x)
-        .setScale(2, java.math.RoundingMode.HALF_UP)
-        .movePointRight(6).longValueExact
-      (m(a), m(b))
+    graft.Tables.footerDoubleBounds(spark, path, column).flatMap { case (a, b) =>
+      // None — never throw — keeps the documented fall-back-to-scan
+      // contract: NaN-polluted footer stats blow up the BigDecimal
+      // constructor and out-of-micros-range bounds fail longValueExact
+      try {
+        def m(x: Double) = new java.math.BigDecimal(x)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact
+        Some((m(a), m(b)))
+      } catch { case _: ArithmeticException | _: NumberFormatException => None }
     }
 }

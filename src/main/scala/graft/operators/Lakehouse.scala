@@ -29,9 +29,12 @@ object Lakehouse {
   /** MERGE a deduplicated change batch into a base table in one full-outer
     * key shuffle — the Delta/Iceberg MERGE INTO shape, minus the file-level
     * commit protocol:
-    *   matched  & op='D' → delete      matched  & op='U' → update
+    *   matched  & op='D' → delete      matched  & other op → update
     *   unmatched change (op≠'D')      → insert
     *   unmatched base                 → carry through unchanged
+    * Every op except 'D' applies the change row's `new_*` values — an
+    * 'I'-flavored CDC feed upserts exactly like a 'U' one (fixed from an
+    * op==='U' test that silently inserted all-NULL rows for other ops).
     * `changes` must be unique per key (CDC compaction — latest op per key —
     * is a window row_number the caller runs first). At scale this is ONE
     * exchange on the key for any base size; no driver round-trips, no
@@ -45,7 +48,7 @@ object Lakehouse {
       .join(changes, Seq(key), "full_outer")
     val kept = merged.filter(col("op").isNull || col("op") =!= "D")
     val outCols = valueCols.map { c =>
-      when(col("op") === "U", col(s"new_$c")).otherwise(col(c)).as(c)
+      when(col("op").isNotNull, col(s"new_$c")).otherwise(col(c)).as(c)
     }
     kept.select(
       (col(key) +: outCols) :+
@@ -59,14 +62,24 @@ object Lakehouse {
     * [valid_from, valid_to) bounds and a current flag. Two windows over ONE
     * partitioning (the entity key) — the lag that detects transitions and
     * the lead that closes intervals reuse the same exchange.
+    *
+    * NULL is a first-class attribute value: the change test is null-safe
+    * (`<=>`), so a value→NULL transition opens a NULL interval and
+    * NULL→same-value afterwards closes it without a spurious version; a
+    * key's FIRST row always opens version 1 via an explicit first-row
+    * marker, even when its value is NULL. `tieBreak` orders same-`ordUs`
+    * rows deterministically (a unique log column).
     */
-  def scd2(log: DataFrame, key: String, attr: String, ordUs: Column): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(ordUs, col("event_id"))
+  def scd2(log: DataFrame, key: String, attr: String, ordUs: Column,
+           tieBreak: Column = col("event_id")): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(ordUs, tieBreak)
     val transitions = log
       .withColumn("__us", ordUs)
+      .withColumn("__tb", tieBreak)
       .withColumn("__prev", lag(col(attr), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
-    val w2 = Window.partitionBy(col(key)).orderBy(col("__us"), col("event_id"))
+      .withColumn("__first", lag(lit(1), 1).over(w).isNull)
+      .filter(col("__first") || !(col("__prev") <=> col(attr)))
+    val w2 = Window.partitionBy(col(key)).orderBy(col("__us"), col("__tb"))
     transitions
       .withColumn("version", row_number().over(w2))
       .withColumn("valid_to_us", lead(col("__us"), 1).over(w2))

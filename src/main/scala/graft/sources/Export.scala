@@ -157,8 +157,21 @@ object Export {
           s"quantile cells inline 2^bits-1 boundaries as a codegen when-sum; use <= 8 bits, got $bitsPerCol")
         val cells = 1 << bitsPerCol
         cols.map { c =>
+          // ExactQuantiles works in the 2-decimal×1e6 micros domain:
+          // values outside it (|v| beyond ~9.2e12, NaN) or columns whose
+          // 2-decimal rounding collapses every value (all |v| < 0.005)
+          // cannot produce usable boundaries — fail loudly rather than
+          // silently writing a layout where the column steers nothing
           val bs = graft.operators.ExactQuantiles.continuous(
-            df, lit(""), col(c), (1 until cells).map(_.toDouble / cells))("")
+            df, lit(""), col(c), (1 until cells).map(_.toDouble / cells))
+            .getOrElse("", sys.error(
+              s"quantile cells: column $c has no in-domain values " +
+                "(2-decimal micros domain; use equi-width cells instead)"))
+          require(bs.forall(b => !b.isNaN && !b.isInfinite),
+            s"quantile cells: non-finite boundary for column $c")
+          require(bs.distinct.length > 1,
+            s"quantile cells degenerate for column $c (all boundaries equal " +
+              "after 2-decimal rounding); use equi-width cells instead")
           (1 until cells)
             .map(i => when(col(c).cast("double") > lit(bs(i - 1)), 1L)
               .otherwise(0L))

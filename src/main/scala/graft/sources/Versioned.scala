@@ -59,8 +59,11 @@ object Versioned {
     if (!f.exists(commits)) Seq.empty
     else f.listStatus(commits).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d{5}\\.json") =>
-        n.substring(1, 6).toInt }
+      // %05d PADS to 5 digits but grows past v99999 — accept any width
+      // (a fixed {5} here would go blind at 100k commits: one day of
+      // 1-second CDC batches)
+      .collect { case n if n.matches("v\\d+\\.json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
       .sorted
   }
 

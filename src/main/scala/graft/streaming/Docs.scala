@@ -194,15 +194,6 @@ object Docs {
       .start()
   }
 
-  /** Exactly-once per normalized content: first arrival wins, byte-copies
-    * and whitespace/case variants are dropped. With `eventTimeCol`, the
-    * watermark bounds fingerprint state to the delay horizon via
-    * `dropDuplicatesWithinWatermark` — a plain dropDuplicates("fp") would
-    * never evict state, because eviction requires the event-time column in
-    * the key set (re-crawls past the horizon re-admit — the standard
-    * streaming-dedup trade). Without a timestamp, state is one 16-byte key
-    * per distinct document, growing with corpus vocabulary.
-    */
   /** Streaming RAG chunking: the q_doc_chunks window geometry applied to
     * a document stream. Entirely stateless (pure map + bounded explode —
     * the chunk table of a micro-batch depends on nothing outside it), so
@@ -212,6 +203,15 @@ object Docs {
     */
   def chunkDocs(docs: DataFrame): DataFrame = TextAnalysis.docChunks(docs)
 
+  /** Exactly-once per normalized content: first arrival wins, byte-copies
+    * and whitespace/case variants are dropped. With `eventTimeCol`, the
+    * watermark bounds fingerprint state to the delay horizon via
+    * `dropDuplicatesWithinWatermark` — a plain dropDuplicates("fp") would
+    * never evict state, because eviction requires the event-time column in
+    * the key set (re-crawls past the horizon re-admit — the standard
+    * streaming-dedup trade). Without a timestamp, state is one 16-byte key
+    * per distinct document, growing with corpus vocabulary.
+    */
   def dedupByContent(docs: DataFrame,
                      eventTimeCol: Option[String] = None,
                      delay: String = "1 hour"): DataFrame = {

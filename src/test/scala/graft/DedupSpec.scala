@@ -217,6 +217,19 @@ class DedupSpec extends AnyFunSuite {
     assert(fps(3L).toSet.intersect(fps(1L).toSet ++ fps(2L).toSet).isEmpty)
     // selection is sparse: far fewer fingerprints than gram positions
     assert(fps(1L).size < 10)
+
+    // the GUARANTEE must reach the query output too: a pair sharing only
+    // the single run (possibly 1 shared fingerprint) appears in
+    // q_dedup_winnow — a >=2 threshold here once broke the MOSS floor
+    val dir = java.nio.file.Files.createTempDirectory("graft_winq").toString
+    Seq((1L, s"aaa bbb ccc $run ddd eee fff ggg hhh iii"),
+      (2L, s"jjj kkk lll mmm $run nnn ooo ppp qqq"))
+      .map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val qOut = SparkEntry.queries("q_dedup_winnow")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(qOut == Seq((1L, 2L)), s"shared-run pair missing from query: $qOut")
   }
 
   test("pageRank: hand-computed one round on a star, hubs outrank leaves") {

@@ -38,6 +38,34 @@ class LakehouseSpec extends AnyFunSuite {
       (3L, Some("z"), "ins")))
   }
 
+  test("mergeUpsert applies new values for any non-delete op (I/U alike)") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((2L, "I", "b"), (1L, "I", "a2"))
+      .toDF("k", "op", "new_v")
+    val out = Lakehouse.mergeUpsert(base, changes, "k", Seq("v"))
+      .orderBy("k").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq((1L, "a2", "upd"), (2L, "b", "ins")))
+  }
+
+  test("scd2 treats NULL as a real value: opens/closes NULL intervals") {
+    val log = Seq(
+      (1L, 1L, Some("a"), 100L),
+      (1L, 2L, None: Option[String], 200L), // a -> NULL opens a NULL run
+      (1L, 3L, None: Option[String], 300L), // same NULL: no new version
+      (1L, 4L, Some("a"), 400L),            // NULL -> a closes it
+      (2L, 5L, None: Option[String], 150L)) // first row NULL still opens v1
+      .toDF("user_id", "event_id", "event_type", "us")
+    val out = Lakehouse.scd2(log, "user_id", "event_type", col("us"))
+      .orderBy("user_id", "version")
+      .select("user_id", "version", "event_type", "valid_from_us")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) "<null>" else r.getString(2), r.getLong(3)))
+    assert(out == Seq(
+      (1L, 1L, "a", 100L), (1L, 2L, "<null>", 200L), (1L, 3L, "a", 400L),
+      (2L, 1L, "<null>", 150L)))
+  }
+
   test("scd2 builds closed intervals and one open current row per key") {
     val log = Seq(
       (10L, 1L, "free", 100L), (10L, 2L, "free", 200L),
