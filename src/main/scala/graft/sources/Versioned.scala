@@ -137,6 +137,38 @@ object Versioned {
     spark.read.parquet(m.dataDirs: _*)
   }
 
+  /** Row-level diff between two committed versions — time travel composed
+    * with the §2f snapshot-diff operator: what changed between v1 and v2,
+    * straight off the commit log.
+    */
+  def diff(spark: SparkSession, dir: String, v1: Int, v2: Int, key: String,
+           valueCols: Seq[String]): DataFrame =
+    graft.operators.Lakehouse.rowDiff(
+      read(spark, dir, Some(v1)), read(spark, dir, Some(v2)), key, valueCols)
+
+  /** Fold an append chain back into one directory: commits the current
+    * contents as a fresh SNAPSHOT version (one data dir), after which
+    * `vacuum` can reclaim the fragment directories once older versions
+    * age out of retention. The versioned-table answer to small-files
+    * buildup from per-batch appends (Export.compact's job, done as a
+    * commit instead of an in-place rewrite).
+    */
+  def compactCommit(spark: SparkSession, dir: String,
+                    targetBytes: Long = 256L << 20): Int = {
+    val m = {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no committed versions at $dir")
+      readManifest(spark, dir, vs.last)
+    }
+    val f = fs(spark, dir)
+    val bytes = m.dataDirs.map { d =>
+      val p = new Path(d)
+      if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+    }.sum
+    val parts = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
+    commit(read(spark, dir).repartition(parts), dir)
+  }
+
   /** Drop data directories referenced by NO retained manifest and delete
     * manifests older than the newest `keepVersions`. Returns the deleted
     * data directories. Never touches directories the surviving versions

@@ -57,6 +57,30 @@ class VersionedSpec extends AnyFunSuite {
       Set((1L, "a2")))
   }
 
+  test("diff between versions and compactCommit fold the append chain") {
+    import spark.implicits._
+    val dir = tmp("dc")
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    Versioned.commit(Seq((4L, "d")).toDF("k", "v"), dir, append = true)
+    Versioned.commit(Seq((3L, "c")).toDF("k", "v"), dir, append = true)
+    // v1 -> v3: keys 3 and 4 added, 1 and 2 unchanged (diff assumes each
+    // version is key-unique, which disjoint-key appends preserve)
+    val d = Versioned.diff(spark, dir, 1, 3, "k", Seq("v"))
+      .as[(Long, String, String)].collect().toSet
+    assert(d == Set((3L, "added", ""), (4L, "added", "")))
+    // compaction commits a single-directory snapshot with identical rows
+    val v4 = Versioned.compactCommit(spark, dir)
+    assert(v4 == 4)
+    val m4rows = Versioned.read(spark, dir, Some(4))
+      .as[(Long, String)].collect().sorted
+    val m3rows = Versioned.read(spark, dir, Some(3))
+      .as[(Long, String)].collect().sorted
+    assert(m4rows.toSeq == m3rows.toSeq)
+    assert(Versioned.read(spark, dir, Some(4)).inputFiles
+      .map(_.split("/data/")(1).split("/")(0)).distinct.length == 1,
+      "compacted version must read one data dir")
+  }
+
   test("uncommitted data is invisible until the manifest publishes") {
     import spark.implicits._
     val dir = tmp("inv")
