@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing fingerprints as ONE native expression: token array → k-gram
+  * md5 prefixes → sliding-window minima → distinct, fused in a single
+  * primitive pass per row. The composed Column form (wordNgrams →
+  * transform(md5) → arrays_zip slices → least) costs three higher-order
+  * functions that evaluate interpreted AND re-inline their whole subtree
+  * into every downstream reference when CollapseProject merges projections
+  * — the 30× plan blowup recorded in SURVEY §7d. A single expression node
+  * evaluates once per reference by construction, stays inside whole-stage
+  * codegen (the generated code is one static call — no fallback row
+  * materialization), and is STREAM-SAFE: no localCheckpoint barrier, so
+  * the streaming winnowing twin can share it verbatim.
+  *
+  * Bit-compatibility contract (pinned in DedupSpec against the composed
+  * form): gram = tokens joined by one space; hash = first 16 lowercase
+  * hex chars of md5(UTF-8 bytes) — identical to Spark's `md5` and
+  * DuckDB's `md5`; window min = lexicographic (hex is ASCII, so
+  * UTF8String binary order ≡ String order); distinct keeps first
+  * occurrence. Fewer than k tokens or fewer than w grams → empty array.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && w >= 1, s"winnow_fps needs k,w >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fps expects array<string> tokens, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFps.compute(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowFps.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** The fused pass (also the codegen target — generated code calls this
+    * static method, keeping the surrounding operators in whole-stage
+    * codegen with one invoke per row).
+    */
+  def compute(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    val m = n - k + 1 // gram count
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      md.reset()
+      val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 16 hex chars = first 8 digest bytes, lowercase — identical
+      // to substr(md5(x), 1, 16) in Spark and DuckDB
+      val hex = new Array[Char](16)
+      var b = 0
+      while (b < 8) {
+        hex(2 * b) = hexDigits((dig(b) >> 4) & 0xf)
+        hex(2 * b + 1) = hexDigits(dig(b) & 0xf)
+        b += 1
+      }
+      hashes(i) = new String(hex)
+      i += 1
+    }
+    // sliding-window minima, distinct by first occurrence
+    val seen = new java.util.LinkedHashSet[String]
+    var j = 0
+    while (j <= m - w) {
+      var mn = hashes(j)
+      var t = j + 1
+      while (t < j + w) {
+        if (hashes(t).compareTo(mn) < 0) mn = hashes(t)
+        t += 1
+      }
+      seen.add(mn)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Column sugar + SQL registration. */
+  def winnowFps(tokens: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      WinnowFps(org.apache.spark.sql.GraftSqlBridge.expression(tokens), k, w))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps", exprs => {
+        def intLit(e: Expression): Int =
+          e.eval(null).asInstanceOf[Number].intValue
+        WinnowFps(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
+      }, "built-in")
+}

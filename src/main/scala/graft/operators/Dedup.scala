@@ -1130,13 +1130,7 @@ object Dedup {
          |SELECT doc_a, doc_b, n_shared FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin
     })((s, dir) => {
-      // the postings are a standing corpus index like corpusSigs: built
-      // once per corpus (stamp-keyed), probed by every consumer — and
-      // within one run the three consumers (df counts + both join sides)
-      // read the table instead of re-running the window-min pass
-      val e = cachedCorpusTable(s, dir, "winnow", s"$WinnowK|$WinnowW")(
-        winnowFingerprints(docs(s, dir))
-          .select(col("doc_id"), explode(col("fps")).as("fp")))
+      val e = corpusWinnowPostings(s, dir)
       val dfc = e.groupBy("fp").agg(count(lit(1)).as("c"))
         .filter(col("c") <= DfCap).select("fp")
       val rare = e.join(dfc, Seq("fp"), "left_semi")
@@ -1246,34 +1240,30 @@ object Dedup {
     * derivation is a zero-shuffle map. Hashes compare as fixed-width hex
     * strings: lexicographic min ≡ numeric min, identical cross-engine.
     */
+  /** The winnowing postings table (doc_id, fp) as a standing corpus index
+    * like [[corpusSigs]]: built once per corpus (stamp-keyed), probed by
+    * q_dedup_winnow's three consumers and by the streaming incremental
+    * twin (Docs.winnowAgainstIndex).
+    */
+  def corpusWinnowPostings(s: SparkSession, dir: String): DataFrame =
+    cachedCorpusTable(s, dir, "winnow", s"$WinnowK|$WinnowW")(
+      winnowFingerprints(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), explode(col("fps")).as("fp")))
+
   def winnowFingerprints(docs: DataFrame, textCol: String = "text",
-                         k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
-    // The gram-hash array MUST materialize before the window pass:
-    // higher-order functions evaluate interpreted (no codegen
-    // subexpression elimination) and CollapseProject happily inlines the
-    // md5-transform subtree into every slice/size reference of every
-    // downstream projection — the collapsed plan carried 92 copies of the
-    // md5 chain and ran 30-60 s at sf0.1 for a 5000-doc corpus.
-    // localCheckpoint is the barrier no optimizer rule can see through:
-    // one pass computes each doc's hash array once, everything after
-    // reads stored arrays (~lengths × 16 bytes). At corpus scale this
-    // materialization IS the winnowing postings index an ingestion
-    // pipeline would persist (the corpusSigs pattern).
-    val hashed = docs
-      .withColumn("__t", split(normText(col(textCol)), " "))
-      .withColumn("__g", TextAnalysis.wordNgrams(col("__t"), k))
-      .withColumn("__h",
-        transform(col("__g"), g => substring(md5(g.cast("binary")), 1, 16)))
-      .drop("__t", "__g")
-      .localCheckpoint()
-    val slices = (1 to w).map(i =>
-      slice(col("__h"), lit(i), size(col("__h")) - (w - 1)))
-    val mins = when(size(col("__h")) >= w,
-      transform(arrays_zip(slices: _*),
-        p => least((0 until w).map(i => p.getField(i.toString)): _*)))
-      .otherwise(array().cast("array<string>"))
-    hashed.withColumn("fps", array_distinct(mins)).drop("__h")
-  }
+                         k: Int = WinnowK, w: Int = WinnowW): DataFrame =
+    // ONE native expression (functions/TextSketchOps.scala), not a chain
+    // of higher-order functions: the composed wordNgrams → transform(md5)
+    // → arrays_zip/least form evaluated interpreted AND CollapseProject
+    // inlined its whole subtree into every downstream slice/size
+    // reference — 92 copies of the md5 chain in the optimized plan,
+    // 30-60 s at sf0.1 for a 5000-doc corpus (SURVEY §7d scale lesson).
+    // WinnowFps evaluates once per reference by construction, stays in
+    // whole-stage codegen, and needs no localCheckpoint barrier — so the
+    // STREAMING twin can share it verbatim (no barrier = stream-safe).
+    docs.withColumn("fps",
+      graft.functions.WinnowFps.winnowFps(
+        split(normText(col(textCol)), " "), k, w))
 
   /** Integer-micros PageRank over an undirected pair graph (doc_a, doc_b):
     * ranks start at 1,000,000 and each round redistributes share = rank

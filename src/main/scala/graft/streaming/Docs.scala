@@ -130,6 +130,32 @@ object Docs {
       .select(col("doc_id"), col("old_id"), col("band"), col("est_micro"))
   }
 
+  /** Streaming winnowing near-dup against the standing postings index —
+    * the substring-level (MOSS) twin of [[nearDupAgainstIndex]]: each
+    * stream document's winnowed fingerprints come from the NATIVE
+    * `WinnowFps` expression (one fused pass, stateless — the Column-HOF
+    * form needed a localCheckpoint barrier that streams cannot take) and
+    * equi-join the static df-capped postings. A hit means the new doc
+    * shares a ≥ w+k-1-word run with that corpus document. Zero state;
+    * per-batch cost ∝ batch size + probe. Exact parity with the batch
+    * query's pair set pinned in StreamBatchParitySpec.
+    */
+  def winnowAgainstIndex(docs: DataFrame, postings: DataFrame,
+                         dfCap: Int = graft.operators.Dedup.DfCap): DataFrame = {
+    import graft.operators.Dedup
+    val dfc = postings.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= dfCap).select("fp")
+    val rare = postings.join(dfc, Seq("fp"), "left_semi")
+      .withColumnRenamed("doc_id", "old_id")
+    val fps = graft.functions.WinnowFps.winnowFps(
+      split(TextAnalysis.normText(col("text")), " "),
+      Dedup.WinnowK, Dedup.WinnowW)
+    docs.select(col("doc_id"), explode(fps).as("fp"))
+      .join(rare, Seq("fp"))
+      .filter(col("doc_id") =!= col("old_id"))
+      .select(col("doc_id"), col("old_id"), col("fp"))
+  }
+
   /** Streaming MAINTENANCE of the standing MinHash index — the missing
     * half of the build-once/probe-many design: `buildMinhashIndex` builds
     * the index from the corpus-so-far, this keeps it current as documents

@@ -232,6 +232,35 @@ class DedupSpec extends AnyFunSuite {
     assert(qOut == Seq((1L, 2L)), s"shared-run pair missing from query: $qOut")
   }
 
+  test("native winnow_fps is bit-identical to the composed HOF form") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, TestSpark.sf, "documents").limit(200)
+    val toks = split(TextAnalysis.normText(col("text")), " ")
+    // the reference composition the expression replaced (kept here as the
+    // semantics oracle): k-gram md5 prefixes -> zipped-slice window mins
+    val k = Dedup.WinnowK; val w = Dedup.WinnowW
+    val h = transform(TextAnalysis.wordNgrams(toks, k),
+      g => substring(md5(g.cast("binary")), 1, 16))
+    val composed = docs
+      .withColumn("__h", h)
+      .select(col("doc_id"),
+        when(size(col("__h")) >= w,
+          array_distinct(transform(
+            arrays_zip((1 to w).map(i =>
+              slice(col("__h"), lit(i), size(col("__h")) - (w - 1))): _*),
+            p => least((0 until w).map(i => p.getField(i.toString)): _*))))
+          .otherwise(array().cast("array<string>")).as("fps"))
+      .as[(Long, Seq[String])].collect().toMap
+    val native = Dedup.winnowFingerprints(docs)
+      .select(col("doc_id"), col("fps"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native.keySet == composed.keySet)
+    for (id <- native.keySet)
+      assert(native(id).sorted == composed(id).sorted, s"doc $id")
+    assert(native.values.exists(_.nonEmpty))
+  }
+
   test("pageRank: hand-computed one round on a star, hubs outrank leaves") {
     import spark.implicits._
     // star: 1-2, 1-3 (deg 1=2, 2=1, 3=1)

@@ -105,6 +105,40 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming winnowing near-dup equals the batch pair set exactly") {
+    import graft.operators.Dedup
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val postings = Dedup.corpusWinnowPostings(spark, TestSpark.sf)
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .orderBy("doc_id").as[Doc].collect().toSeq
+
+    val input = MemoryStream[Doc]
+    val q = Docs.winnowAgainstIndex(input.toDF(), postings)
+      .writeStream.format("memory").queryName("paritywinnow")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      docs.grouped(math.max(docs.size / 3, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // normalize streamed hits (both directions, per-fp rows) to the
+      // batch query's (doc_a < doc_b, n_shared) pair rollup
+      val streamed = spark.sql(
+        """SELECT least(doc_id, old_id) AS a, greatest(doc_id, old_id) AS b,
+          |  CAST(count(DISTINCT fp) AS BIGINT) AS n
+          |FROM paritywinnow GROUP BY 1, 2""".stripMargin)
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("q_dedup_winnow")(spark, TestSpark.sf)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming outlier scoring equals the batch flags on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
