@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{MisraGriesTopK, VecCosine, VecDot}
+import graft.functions.{MisraGriesTopK, VecCosine, VecDot, WinnowFps}
 import graft.plans.{TopKRewrite, TopKStrategy}
 
 /** Cluster-deployable entry point for everything graft injects into a
@@ -47,6 +47,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => sys.error(s"mg_topk: k must be an int literal, got $other")
         }
         MisraGriesTopK(exprs.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) => {
+        def intLit(e: Expression): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) => v.toInt
+          case other => sys.error(s"winnow_fps: k/w must be int literals, got $other")
+        }
+        WinnowFps(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
       }))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => TopKRewrite)

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.model.RelGraph
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2e.49 — dbcut `inspect`'s two-sided view: per-table row counts in
@@ -57,6 +57,77 @@ object Inspect {
     }
     require(rows.nonEmpty, "no FK edges between the given tables")
     rows.reduce(_ unionByName _)
+  }
+
+  /** Declarative data-quality rules (the Deequ/dbt-tests staple): each
+    * rule reports its violation count and pass/fail over one catalog
+    * table. Evaluation is pass-minimal, not rule-minimal:
+    *   - every row-local rule (not-null, accepted-values, arbitrary
+    *     predicate) folds into ONE aggregate — one scan however many
+    *     rules;
+    *   - each uniqueness rule is one groupBy on its key (counting keys
+    *     seen more than once);
+    *   - each referential rule is one left-anti join against the parent.
+    * At 100 TB the row-local batch dominates the rule list and stays a
+    * single scan; this is the pre-commit gate that pairs with
+    * [[schemaDiff]] (metadata) before a load publishes.
+    */
+  sealed trait DqRule { def name: String }
+  final case class DqNotNull(colName: String) extends DqRule {
+    def name = s"not_null($colName)"
+  }
+  final case class DqAccepted(colName: String, values: Seq[String]) extends DqRule {
+    def name = s"accepted_values($colName)"
+  }
+  final case class DqCheck(label: String, predicate: Column) extends DqRule {
+    def name = s"check($label)"
+  }
+  final case class DqUnique(cols: Seq[String]) extends DqRule {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+  final case class DqRef(fkCols: Seq[String], parent: DataFrame,
+                         pkCols: Seq[String], parentName: String) extends DqRule {
+    def name = s"ref(${fkCols.mkString(",")}->$parentName)"
+  }
+
+  def dqChecks(df: DataFrame, rules: Seq[DqRule]): DataFrame = {
+    require(rules.nonEmpty, "dqChecks needs at least one rule")
+    val spark = df.sparkSession
+    val rowLocal: Seq[(String, Column)] = rules.collect {
+      case r: DqNotNull => r.name -> col(r.colName).isNull
+      case r: DqAccepted =>
+        r.name -> !col(r.colName).isin(r.values: _*)
+      case r: DqCheck => r.name -> !coalesce(r.predicate, lit(false))
+    }
+    val localCounts: Seq[DataFrame] =
+      if (rowLocal.isEmpty) Nil
+      else {
+        val aggs = rowLocal.zipWithIndex.map { case ((_, bad), i) =>
+          sum(when(bad, 1L).otherwise(0L)).as(s"__v$i")
+        }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        Seq(one.select(explode(array(rowLocal.zipWithIndex.map {
+          case ((name, _), i) =>
+            struct(lit(name).as("rule"), col(s"__v$i").as("n_violations"))
+        }: _*)).as("r")).select("r.*"))
+      }
+    val others: Seq[DataFrame] = rules.collect {
+      case r: DqUnique =>
+        df.groupBy(r.cols.map(col): _*).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations"))
+          .select(lit(r.name).as("rule"), col("n_violations"))
+      case r: DqRef =>
+        val nonNull = r.fkCols.map(col(_).isNotNull).reduce(_ && _)
+        val cond = r.fkCols.zip(r.pkCols)
+          .map { case (f, p) => df(f) === r.parent(p) }.reduce(_ && _)
+        df.filter(nonNull).join(r.parent, cond, "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(r.name).as("rule"), col("n_violations"))
+    }
+    (localCounts ++ others).reduce(_ unionByName _)
+      .select(col("rule"), col("n_violations"),
+        (col("n_violations") === 0).as("passed"))
   }
 
   /** Schema drift between two catalogs — the companion of [[diff]] (row
@@ -200,6 +271,44 @@ object Inspect {
       val tables = Tables.relational.map(n => n -> Tables.load(s, dir, n)).toMap
       orphans(tables, RelGraph.tpch).orderBy("edge")
     }),
+
+    // §2e.49e — declarative data-quality gate over orders: row-local rules
+    // in ONE aggregate scan, uniqueness one groupBy, referential one
+    // anti-join. The synthetic data passes every rule; InspectSpec proves
+    // violation SENSITIVITY on corrupted tables.
+    Q("q_dq_checks",
+      """SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+        |SELECT 'accepted_values(o_orderstatus)' AS rule,
+        |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'check(positive_total)',
+        |  CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'not_null(o_custkey)',
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'ref(o_custkey->customer)',
+        |  CAST((SELECT COUNT(*) FROM orders o WHERE o_custkey IS NOT NULL
+        |        AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'unique(o_orderkey)',
+        |  CAST(COALESCE((SELECT SUM(c - 1) FROM (
+        |    SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) t WHERE c > 1), 0) AS BIGINT)
+        |) ORDER BY rule""".stripMargin)(
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        dqChecks(orders, Seq(
+          DqNotNull("o_custkey"),
+          DqAccepted("o_orderstatus", Seq("O", "F", "P")),
+          DqCheck("positive_total", col("o_totalprice") > 0),
+          DqUnique(Seq("o_orderkey")),
+          DqRef(Seq("o_custkey"), customer, Seq("c_custkey"), "customer")))
+          .orderBy("rule")
+      }),
 
     // column profile of the documents table (row/null/distinct per column)
     Q("q_profile", {

@@ -65,6 +65,17 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("config-string session exposes winnow_fps in plain SQL") {
+    withExtendedSession { s =>
+      val fps = s.sql(
+        "SELECT winnow_fps(array('a','b','c','d','e','f','g','h','i'), 4, 5) AS f")
+        .head().getSeq[String](0)
+      // 9 tokens -> 6 grams -> 2 windows of 5 -> <= 2 distinct fingerprints
+      assert(fps.nonEmpty && fps.size <= 2)
+      assert(fps.forall(_.matches("[0-9a-f]{16}")))
+    }
+  }
+
   test("injected planner strategy plans TopKPerGroup without experimental registration") {
     withExtendedSession { s =>
       val df = s.range(0, 100).selectExpr("id % 5 AS g", "id AS v")

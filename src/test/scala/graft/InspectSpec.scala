@@ -2,6 +2,7 @@ package graft
 
 import graft.model.{FK, RelGraph, TableMeta}
 import graft.operators.Inspect
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The RI audit must detect actual orphans — the registered query sees only
@@ -46,6 +47,40 @@ class InspectSpec extends AnyFunSuite {
       .orderBy("col_name").collect()
     assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq == Seq(("k", 3L, 0L, 2L), ("v", 3L, 1L, 2L)))
+  }
+
+  test("dqChecks counts each violation kind on a corrupted table") {
+    import spark.implicits._
+    import graft.operators.Inspect._
+    val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pk")
+    val df = Seq(
+      (Some(1L), Some("A"), Some(10.0), 100L),  // clean
+      (None, Some("A"), Some(10.0), 101L),      // null fk
+      (Some(9L), Some("A"), Some(10.0), 102L),  // orphan fk
+      (Some(2L), Some("Z"), Some(10.0), 103L),  // bad status
+      (Some(2L), Some("A"), Some(-1.0), 104L),  // check fails
+      (Some(2L), Some("A"), None, 105L),        // check NULL -> fails
+      (Some(2L), Some("A"), Some(10.0), 100L))  // duplicate key 100
+      .toDF("fk", "status", "amount", "k")
+    val got = dqChecks(df, Seq(
+      DqNotNull("fk"),
+      DqAccepted("status", Seq("A", "B")),
+      DqCheck("amount_pos", col("amount") > 0),
+      DqUnique(Seq("k")),
+      DqRef(Seq("fk"), parent, Seq("pk"), "parent")))
+      .orderBy("rule")
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("accepted_values(status)", 1L, false),
+      ("check(amount_pos)", 2L, false),
+      ("not_null(fk)", 1L, false),
+      ("ref(fk->parent)", 1L, false),
+      ("unique(k)", 1L, false)))
+    // a clean slice passes everything
+    val clean = dqChecks(df.filter(col("k") === 100L && col("fk") === 1L),
+      Seq(DqNotNull("fk"), DqUnique(Seq("k"))))
+      .as[(String, Long, Boolean)].collect()
+    assert(clean.forall(_._3))
   }
 
   test("schemaDiff flags added/removed columns, type changes, and tables") {
