@@ -35,7 +35,7 @@ object Cli {
 
   val CommandNames: Seq[String] =
     Seq("load", "flush", "clear", "inspect", "estimate", "dumpsql", "dumpjson",
-      "dumporc", "models", "snapshot", "vacuum", "purgecache")
+      "dumporc", "models", "snapshot", "vacuum", "check", "purgecache")
 
   final case class Options(
       configPath: String = "graft.yml",
@@ -278,6 +278,40 @@ object Cli {
               s"${p.getFileName}:${deleted.size}"
             }
           log(s"vacuum (keep 3): ${rows.mkString(", ")} data dirs dropped")
+        }
+      case "check" =>
+        // post-load data-quality gate over the DESTINATION: rules derive
+        // from the FK graph (PK uniqueness + not-null, FK referential
+        // integrity toward co-loaded parents) — the integrity dbcut
+        // preserves by construction, verified after the fact on whatever
+        // actually landed
+        val tables = destTables()
+        if (tables.isEmpty) log("check: destination has no tables")
+        else {
+          var bad = 0L
+          fkOrder(tables).foreach { n =>
+            val df = tables(n)
+            val meta = graph.tables.get(n)
+            val pk = meta.map(_.pk)
+              .getOrElse(RelGraph.synthesizePk(df.columns.toSeq))
+              .filter(df.columns.contains)
+            val rules =
+              pk.map(Inspect.DqNotNull(_)) ++
+                (if (pk.nonEmpty) Seq(Inspect.DqUnique(pk)) else Nil) ++
+                meta.map(_.fks).getOrElse(Nil)
+                  .filter(fk => tables.contains(fk.parent))
+                  .map(fk => Inspect.DqRef(fk.childCols, tables(fk.parent),
+                    fk.parentCols, fk.parent))
+            if (rules.nonEmpty) {
+              val rows = Inspect.dqChecks(df, rules).orderBy("rule").collect()
+              rows.foreach { r =>
+                val v = r.getLong(1)
+                bad += v
+                log(f"check $n%-10s ${r.getString(0)}%-34s ${if (v == 0) "ok" else s"$v VIOLATIONS"}")
+              }
+            }
+          }
+          log(s"check: ${if (bad == 0) "all rules passed" else s"$bad total violations"}")
         }
       case "purgecache" =>
         cfg.cacheDir match {

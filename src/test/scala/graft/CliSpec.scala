@@ -242,6 +242,28 @@ class CliSpec extends AnyFunSuite {
     assert(graft.sources.Versioned.versions(spark, dir) == Seq(2, 3, 4))
   }
 
+  test("check derives PK/FK rules from the graph and passes on a clean load") {
+    val work = tmp()
+    val cfgPath = writeConfig(work,
+      s"""databases:
+         |  source_dir: ${TestSpark.sf}
+         |  destination_dir: $work/dest
+         |queries:
+         |  - from: customer
+         |    limit: 5
+         |    join_depth: 5
+         |    backref_depth: 0
+         |""".stripMargin)
+    val out = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "load", "check")))
+    assert(out.exists(_ == "check: all rules passed"), s"got $out")
+    // customer loaded with nation+region parents: its FK rule must be there
+    assert(out.exists(l => l.startsWith("check customer") &&
+      l.contains("ref(c_nationkey->nation)") && l.endsWith("ok")), s"got $out")
+    assert(out.exists(l => l.startsWith("check customer") &&
+      l.contains("unique(c_custkey)")), s"got $out")
+  }
+
   test("argument parser rejects unknown words and requires a command") {
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("loda")))
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("-c", "x.yml")))
