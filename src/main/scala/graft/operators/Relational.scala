@@ -296,6 +296,33 @@ object Relational {
           .orderBy($"c_mktsegment", $"quartile")
       }),
 
+    // 23c. grouped mode (most frequent value) with a DETERMINISTIC tie
+    // rule (highest count, then smallest value) — the built-in `mode`
+    // aggregate is non-deterministic under ties on both engines, so the
+    // portable form is the count + rank-window composition; the rank
+    // window rides the (group, value)-count aggregate's tiny output,
+    // never the raw scan.
+    Q("q_mode",
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, qty AS mode_qty, n AS n_rows
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY n DESC, qty) AS rn FROM c)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)(
+      (s, dir) => {
+        val c = t(s, dir, "lineitem")
+          .groupBy($"l_returnflag", $"l_quantity".cast("long").as("qty"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"n".desc, $"qty")
+        c.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"l_returnflag", $"qty".as("mode_qty"), $"n".as("n_rows"))
+          .orderBy($"l_returnflag")
+      }),
+
     // 24. top-k per group, no global sort
     Q("q_topk_per_group",
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
