@@ -125,6 +125,35 @@ object Dedup {
        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep FROM reach GROUP BY src)""".stripMargin
   }
 
+  /** Whole-corpus DuckDB CTE chain `reps → toks → sh → sigs → bands0 →
+    * bands` (capped) — ONE definition shared by every minhash oracle
+    * (q_dedup_minhash, q_jaccard_minhash_est, q_dedup_edit,
+    * q_source_overlap), so shingling/seed/band/cap geometry can never
+    * drift between them (the guarantee lshLabelsCtes already gives the
+    * clustering oracles). Embed as `WITH $corpusBandsCtes, ...`.
+    */
+  private[operators] def corpusBandsCtes: String = {
+    val minhs = (0 until NumSeeds).map { i =>
+      val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+      s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
+    }.mkString(",\n  ")
+    val bands = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""reps AS (
+       |  SELECT min(doc_id) AS doc_id, s
+       |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
+       |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
+       |sh AS (
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+       |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
+       |bands0 AS ($bands),
+       |bands AS (
+       |  SELECT doc_id, band, bkey FROM bands0
+       |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap)""".stripMargin
+  }
+
   /** DuckDB CTE `bands0_$sfx`: uncapped band keys of `sigs_$sfx`. */
   private def bandsSqlFor(sfx: String): String = {
     val bands = (0 until Bands)
@@ -250,19 +279,9 @@ object Dedup {
                                 params: String, table: String = "documents")(
                                 build: => DataFrame): DataFrame =
     synchronized {
-      val corpus = Tables.path(dir, table)
       val conf = s.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(corpus)
-      val fs = p.getFileSystem(conf)
-      val stamp = {
-        val sts =
-          if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.getName)
-          else Array(fs.getFileStatus(p))
-        sts.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          .mkString("|")
-      }
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$corpus|$stamp|$params".getBytes("UTF-8"))
+        .digest(s"${corpusStamp(s, dir, table)}|$params".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
       val done = new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")
@@ -316,12 +335,32 @@ object Dedup {
     * params, so a re-generated corpus never reads a stale index.
     */
   def minhashIndexDir(s: SparkSession, dir: String, mod: Int): String = {
-    val corpus = Tables.path(dir, "documents")
-    val n = Tables.footerRowCount(s, corpus)
+    // keyed by the full file stamp (name:length:mtime per data file), NOT
+    // the row count: a regenerated corpus with the same row count must
+    // rebuild, or incremental dedup probes a stale index
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$corpus|$n|$mod|$NumSeeds|$BucketCap".getBytes("UTF-8"))
+      .digest(s"${corpusStamp(s, dir, "documents")}|$mod|$NumSeeds|$BucketCap"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft_minhash_$key"
+  }
+
+  /** Corpus identity stamp shared by every persisted-index key: path plus
+    * each data file's (name, length, mtime). Same stamp ⇒ byte-identical
+    * corpus for caching purposes.
+    */
+  private[operators] def corpusStamp(s: SparkSession, dir: String,
+                                     table: String): String = {
+    val corpus = Tables.path(dir, table)
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(corpus)
+    val fs = p.getFileSystem(conf)
+    val sts =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.getName)
+      else Array(fs.getFileStatus(p))
+    corpus + "|" + sts
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString("|")
   }
 
   /** MinHash index BUILD — run once per ingested corpus, never per batch:
@@ -550,30 +589,11 @@ object Dedup {
     //    the groupBy's map-side partial mins do all reduction locally;
     //  - bands come from exploding a 4-element array, not a 4-way union that
     //    would re-evaluate the whole signature subtree per branch.
-    Q("q_dedup_minhash", {
-      val minhs = (0 until NumSeeds).map { i =>
-        val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
-        s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
-      }.mkString(",\n  ")
-      val bands = (0 until Bands)
-        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
-        .mkString("\n  UNION ALL ")
-      s"""WITH reps AS (
-         |  SELECT min(doc_id) AS doc_id, s
-         |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
-         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
-         |sh AS (
-         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
-         |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
-         |bands0 AS ($bands),
-         |bands AS (
-         |  SELECT doc_id, band, bkey FROM bands0
-         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap)
+    Q("q_dedup_minhash",
+      s"""WITH $corpusBandsCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin
-    })(
+         |ORDER BY doc_a, doc_b""".stripMargin)(
       (s, dir) => bandPairs(corpusSigs(s, dir)).orderBy("doc_a", "doc_b")),
 
     // 33. SimHash (64-bit): distinct tokens vote ±1 per bit of md5(token);
@@ -750,28 +770,10 @@ object Dedup {
     // integer per pair. The md5-slice signatures are bit-identical across
     // engines, so unlike a float sketch this estimator hash-checks.
     Q("q_jaccard_minhash_est", {
-      val minhs = (0 until NumSeeds).map { i =>
-        val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
-        s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
-      }.mkString(",\n  ")
-      val bands = (0 until Bands)
-        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
-        .mkString("\n  UNION ALL ")
       val matches = (0 until NumSeeds)
         .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
         .mkString(" + ")
-      s"""WITH reps AS (
-         |  SELECT min(doc_id) AS doc_id, s
-         |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
-         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
-         |sh AS (
-         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
-         |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
-         |bands0 AS ($bands),
-         |bands AS (
-         |  SELECT doc_id, band, bkey FROM bands0
-         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
+      s"""WITH $corpusBandsCtes,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
@@ -810,25 +812,7 @@ object Dedup {
     // and the corpus is ASCII), so the verdict hash-checks — is_dup means
     // dist ≤ 20% of the longer capped text.
     Q("q_dedup_edit", {
-      val minhs = (0 until NumSeeds).map { i =>
-        val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
-        s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
-      }.mkString(",\n  ")
-      val bands = (0 until Bands)
-        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
-        .mkString("\n  UNION ALL ")
-      s"""WITH reps AS (
-         |  SELECT min(doc_id) AS doc_id, s
-         |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
-         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
-         |sh AS (
-         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
-         |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
-         |bands0 AS ($bands),
-         |bands AS (
-         |  SELECT doc_id, band, bkey FROM bands0
-         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
+      s"""WITH $corpusBandsCtes,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -936,25 +920,7 @@ object Dedup {
     // source pair. The pipeline view a data curator reads to find which
     // crawl snapshots overlap and whether curated sets leak into the crawl.
     Q("q_source_overlap", {
-      val minhs = (0 until NumSeeds).map { i =>
-        val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
-        s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
-      }.mkString(",\n  ")
-      val bands = (0 until Bands)
-        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
-        .mkString("\n  UNION ALL ")
-      s"""WITH reps AS (
-         |  SELECT min(doc_id) AS doc_id, s
-         |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
-         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
-         |sh AS (
-         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
-         |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
-         |bands0 AS ($bands),
-         |bands AS (
-         |  SELECT doc_id, band, bkey FROM bands0
-         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
+      s"""WITH $corpusBandsCtes,
          |near AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -1228,18 +1194,6 @@ object Dedup {
     })
   )
 
-  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
-    * MOSS algorithm): hash every k-word gram, then keep the minimum hash
-    * of each sliding window of `w` consecutive gram hashes. The selected
-    * set is tiny (expected 2/(w+1) of positions) yet GUARANTEES that any
-    * two documents sharing a run of ≥ w+k-1 words share at least one
-    * fingerprint — the detection floor MinHash (whole-doc similarity)
-    * and SimHash (global token bag) do not offer. Pure array expressions
-    * over zipped slices (no per-index lambda lookups — those re-evaluate
-    * the split chain per element, the q_repetition O(n²) lesson), so the
-    * derivation is a zero-shuffle map. Hashes compare as fixed-width hex
-    * strings: lexicographic min ≡ numeric min, identical cross-engine.
-    */
   /** The winnowing postings table (doc_id, fp) as a standing corpus index
     * like [[corpusSigs]]: built once per corpus (stamp-keyed), probed by
     * q_dedup_winnow's three consumers and by the streaming incremental
@@ -1250,6 +1204,16 @@ object Dedup {
       winnowFingerprints(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), explode(col("fps")).as("fp")))
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    * MOSS algorithm): hash every k-word gram, keep the minimum hash of
+    * each sliding window of `w` consecutive gram hashes. The selected set
+    * is tiny (expected 2/(w+1) of positions) yet GUARANTEES that any two
+    * documents sharing a run of ≥ w+k-1 words share at least one
+    * fingerprint — the detection floor MinHash (whole-doc similarity) and
+    * SimHash (global token bag) do not offer. Hashes compare as
+    * fixed-width hex strings: lexicographic min ≡ numeric min, identical
+    * cross-engine.
+    */
   def winnowFingerprints(docs: DataFrame, textCol: String = "text",
                          k: Int = WinnowK, w: Int = WinnowW): DataFrame =
     // ONE native expression (functions/TextSketchOps.scala), not a chain

@@ -19,12 +19,20 @@ object Inspect {
     * destination simply doesn't have them yet.
     */
   def diff(src: Map[String, DataFrame], dest: Map[String, DataFrame]): DataFrame = {
-    require(src.nonEmpty, "inspect diff needs at least one source table")
-    src.keys.toSeq.sorted.map { n =>
-      val s = src(n).agg(count(lit(1)).as("src_rows"))
+    require(src.nonEmpty || dest.nonEmpty,
+      "inspect diff needs at least one table")
+    val spark = (src.values ++ dest.values).head.sparkSession
+    def zero = spark.range(1)
+    // BOTH key sets: a table only the destination has (drift the inspect
+    // exists to surface) must still get a row, with src_rows = 0
+    (src.keySet ++ dest.keySet).toSeq.sorted.map { n =>
+      val s = src.get(n) match {
+        case Some(df) => df.agg(count(lit(1)).as("src_rows"))
+        case None => zero.select(lit(0L).as("src_rows"))
+      }
       val d = dest.get(n) match {
         case Some(df) => df.agg(count(lit(1)).as("dest_rows"))
-        case None => src(n).sparkSession.range(1).select(lit(0L).as("dest_rows"))
+        case None => zero.select(lit(0L).as("dest_rows"))
       }
       s.crossJoin(d).select(
         lit(n).as("tbl"), col("src_rows"), col("dest_rows"),
@@ -92,7 +100,6 @@ object Inspect {
 
   def dqChecks(df: DataFrame, rules: Seq[DqRule]): DataFrame = {
     require(rules.nonEmpty, "dqChecks needs at least one rule")
-    val spark = df.sparkSession
     val rowLocal: Seq[(String, Column)] = rules.collect {
       case r: DqNotNull => r.name -> col(r.colName).isNull
       case r: DqAccepted =>

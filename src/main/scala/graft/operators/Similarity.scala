@@ -128,15 +128,15 @@ object Similarity {
   val IvfNprobe = 4
   val IvfIters = 3
 
-  /** Location of the persisted IVF index for a corpus: keyed by corpus
-    * path, footer row count, and build params, so a different corpus (or a
-    * re-generated one) never reads a stale index.
+  /** Location of the persisted IVF index for a corpus: keyed by the full
+    * file stamp (per-file name:length:mtime — Dedup.corpusStamp) and the
+    * build params. A row-count key was not enough: a REGENERATED corpus
+    * with the same row count would silently probe the old centroids.
     */
   def ivfIndexDir(s: SparkSession, dir: String, k: Int, iters: Int): String = {
-    val corpus = Tables.path(dir, "embeddings")
-    val n = Tables.footerRowCount(s, corpus)
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$corpus|$n|$k|$iters".getBytes("UTF-8"))
+      .digest(s"${Dedup.corpusStamp(s, dir, "embeddings")}|$k|$iters"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$key"
   }
@@ -246,10 +246,9 @@ object Similarity {
     * [[ivfIndexDir]].
     */
   def pqIndexDir(s: SparkSession, dir: String): String = {
-    val corpus = Tables.path(dir, "embeddings")
-    val n = Tables.footerRowCount(s, corpus)
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$corpus|$n|$PqM|$PqK|$PqIters".getBytes("UTF-8"))
+      .digest(s"${Dedup.corpusStamp(s, dir, "embeddings")}|$PqM|$PqK|$PqIters"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft_pq_$key"
   }

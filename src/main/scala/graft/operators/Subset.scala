@@ -149,16 +149,37 @@ object Subset {
       case Some(cond) =>
         val dotted = FilterCompiler.dottedTables(cond) - spec.from
         // inner-join each referenced relation along its FK path (many-to-one
-        // joins preserve multiplicity: each row has at most one parent)
+        // joins preserve multiplicity: each row has at most one parent).
+        // Two dotted refs sharing a path PREFIX (nation.* and region.*
+        // from customer both walk customer→nation) must join the shared
+        // hop ONCE — re-joining it under the same alias made every
+        // reference to it ambiguous. A table reachable via two DIFFERENT
+        // paths (a diamond: nation via customer vs via supplier) binds
+        // different rows per path, so silently sharing would conflate
+        // them — that case errors loudly instead.
+        val joinedVia =
+          scala.collection.mutable.Map.empty[String, List[(String, FK)]]
         val joined = dotted.toSeq.sorted.foldLeft(root) { (df, other) =>
           joinPath(spec.from, other, graph) match {
             case Some(path) =>
-              path.foldLeft(df) { case (acc, (childTbl, fk)) =>
-                val parent = Tables.load(spark, sfDir, fk.parent).alias(fk.parent)
-                val on = fk.childCols.zip(fk.parentCols).map { case (c, p) =>
-                  col(s"$childTbl.$c") === col(s"${fk.parent}.$p")
-                }.reduce(_ && _)
-                acc.join(parent, on, "inner")
+              path.zipWithIndex.foldLeft(df) {
+                case (acc, ((childTbl, fk), i)) =>
+                  val prefix = path.take(i + 1)
+                  joinedVia.get(fk.parent) match {
+                    case Some(p) if p == prefix => acc // shared prefix hop
+                    case Some(_) => sys.error(
+                      s"dotted ref to ${fk.parent} is ambiguous: reachable " +
+                        s"via multiple FK paths from ${spec.from}")
+                    case None =>
+                      joinedVia(fk.parent) = prefix
+                      val parent =
+                        Tables.load(spark, sfDir, fk.parent).alias(fk.parent)
+                      val on = fk.childCols.zip(fk.parentCols).map {
+                        case (c, p) =>
+                          col(s"$childTbl.$c") === col(s"${fk.parent}.$p")
+                      }.reduce(_ && _)
+                      acc.join(parent, on, "inner")
+                  }
               }
             case None => sys.error(s"no FK path from ${spec.from} to $other")
           }
@@ -390,7 +411,10 @@ object Subset {
           case _ => false
         }
       }
-      val keySum = integral.map(c => col(c).cast("long")).reduce(_ + _)
+      // a PK with no integral part (string/UUID keys) checksums as 0 —
+      // count-only row, not an empty-reduce crash
+      val keySum = integral.map(c => col(c).cast("long"))
+        .reduceOption(_ + _).getOrElse(lit(0L))
       df.agg(count(lit(1)).as("n_rows"),
              coalesce(sum(keySum), lit(0L)).as("key_sum"))
         .select(lit(name).as("tbl"), col("n_rows"), col("key_sum"))

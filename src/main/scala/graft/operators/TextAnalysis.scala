@@ -184,7 +184,6 @@ object TextAnalysis {
         val toks = split(normText(col("text")), " ")
         val scored = Tables.spread(docs(s, dir)).select(
           col("doc_id") +: col("lang") +: langs.map { l =>
-            val set = stopwords(l).map(lit(_))
             size(filter(toks, t => t.isInCollection(stopwords(l))))
               .cast("long").as(s"s_$l")
           }: _*)

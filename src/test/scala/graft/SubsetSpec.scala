@@ -41,6 +41,34 @@ class SubsetSpec extends AnyFunSuite {
     assert(p.tables.toSet == Set("customer", "nation", "region"))
   }
 
+  test("dotted filters sharing an FK-path prefix join each hop once") {
+    import org.apache.spark.sql.functions._
+    // nation.* and region.* from customer both walk customer→nation:
+    // re-joining nation under the same alias used to throw
+    // AMBIGUOUS_REFERENCE for any spec like this
+    val spec = SpecJson.parse(
+      """
+        |from: customer
+        |limit: null
+        |where:
+        |  $and:
+        |    - nation.n_name: {$like: 'NATION_1%'}
+        |    - region.r_name: {$like: 'A%'}
+        |""".stripMargin)
+    val got = Subset.applyRootQuery(spark, TestSpark.sf, spec, RelGraph.tpch)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    // independent recomputation with explicit single joins
+    val want = Tables.load(spark, TestSpark.sf, "customer")
+      .join(Tables.load(spark, TestSpark.sf, "nation")
+        .filter(col("n_name").like("NATION_1%")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, TestSpark.sf, "region")
+        .filter(col("r_name").like("A%")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty, s"got ${got.size} want ${want.size}")
+  }
+
   test("extraction maintains referential integrity on real data") {
     val spec = SpecJson.parse(
       "from: customer\nwhere:\n  c_mktsegment: BUILDING\nlimit: 8\n" +
