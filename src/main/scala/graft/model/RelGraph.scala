@@ -99,16 +99,31 @@ object RelGraph {
     * columnar data: a column named `<x>_<suffix>` matches a parent whose
     * single-column PK shares the `<suffix>` tail (TPC-H style: `l_orderkey`
     * → `o_orderkey` of `orders`).
+    *
+    * Guard rails (inference must err toward MISSING an edge, never toward
+    * inventing one — a spurious FK makes the closure pull unrelated rows):
+    *   - the shared tail must be ≥ 3 chars: a bare "id" tail would link
+    *     every `*_id` column to every `*_id`-keyed table (a cyclic mesh
+    *     over e.g. event_id/doc_id/vec_id);
+    *   - the tail must identify EXACTLY ONE parent — an ambiguous match
+    *     infers nothing rather than guessing;
+    *   - a table's own PK column never becomes an FK out of it.
     */
   def inferFks(schemas: Map[String, Seq[String]], pks: Map[String, Seq[String]]): Map[String, Seq[FK]] = {
     def tail(c: String): String = c.toLowerCase.dropWhile(_ != '_').stripPrefix("_")
     schemas.map { case (table, cols) =>
+      val ownPk = pks.getOrElse(table, Nil).toSet
       val fks = for {
         c <- cols
-        (parent, ppk) <- pks.toSeq.sortBy(_._1)
-        if parent != table && ppk.size == 1
-        if tail(ppk.head).nonEmpty && tail(ppk.head) == tail(c) && c != ppk.head
-      } yield FK(Seq(c), parent, ppk)
+        if !ownPk.contains(c)
+        t = tail(c)
+        if t.length >= 3
+        candidates = pks.toSeq.sortBy(_._1).filter { case (parent, ppk) =>
+          parent != table && ppk.size == 1 && tail(ppk.head) == t &&
+            c != ppk.head
+        }
+        if candidates.size == 1
+      } yield FK(Seq(c), candidates.head._1, candidates.head._2)
       table -> fks
     }
   }

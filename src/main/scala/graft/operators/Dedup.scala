@@ -384,6 +384,15 @@ object Dedup {
     // the shingle explode + 8-way min aggregate once
     val sigs = minhashSignatures(old).localCheckpoint()
     graft.sources.Export.flush(sigs, s"$root/sigs")
+    // normalized-content keepers: the sidecar streaming maintenance needs
+    // to drop cross-batch byte-copies exactly like this build's corpus-
+    // wide exact-dedup pre-pass (bands written LAST — its _SUCCESS is the
+    // index-complete marker)
+    graft.sources.Export.flush(
+      old.select(md5s(TextAnalysis.normText(col("text"))).as("h"),
+          col("doc_id"))
+        .groupBy("h").agg(min(col("doc_id")).as("doc_id")),
+      s"$root/reps")
     graft.sources.Export.flush(cappedBandKeys(sigs), s"$root/bands")
     root
   }

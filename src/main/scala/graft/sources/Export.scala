@@ -90,6 +90,13 @@ object Export {
     val fs = p.getFileSystem(conf)
     val files = fs.listStatus(p)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // a hive-partitioned table has no top-level data files; compacting it
+    // here would compute parts=1 and FLATTEN the partition layout into a
+    // single file — refuse instead (partition-aware compaction rewrites
+    // per partition directory)
+    require(files.nonEmpty,
+      s"compact: no top-level parquet files at $path — partitioned " +
+        "tables must be compacted per partition directory")
     val parts = math.max(1L,
       math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")

@@ -50,10 +50,17 @@ object QueryCache {
       e.tables.foreach { case (n, df) =>
         df.write.mode(SaveMode.Overwrite).parquet(dir.resolve(n).toString)
       }
-      val counts = e.tables.toSeq.sortBy(_._1)
+      // count + return FROM the just-written parquet, not the live
+      // closure lineage: counting the lineage re-runs the whole
+      // extraction per table (and the caller's first use would run it a
+      // third time) — reading back makes the count a footer read and
+      // hands out cached data, exactly like the hit path
+      val cached = e.tables.keys.map(n =>
+        n -> spark.read.parquet(dir.resolve(n).toString)).toMap
+      val counts = cached.toSeq.sortBy(_._1)
         .map { case (n, df) => s"$n=${df.count()}" }
       Files.write(countFile(dir), counts.asJava)
-      (e.tables, false)
+      (cached, false)
     }
   }
 

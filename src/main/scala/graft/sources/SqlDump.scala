@@ -191,6 +191,14 @@ object SqlDump {
     def boolLiteral(c: Column): Column = when(c, "TRUE").otherwise("FALSE")
     def binaryLiteral(c: Column): Column =
       concat(lit("X'"), upper(hex(c)), lit("'"))
+    /** Escaping INSIDE a string literal. Standard SQL only doubles the
+      * quote; MySQL additionally treats backslash as an escape character
+      * (default sql_mode), so it must double those too — otherwise a
+      * value like {{{C:\tmp}}} silently corrupts ({{{\t}}} → tab) and a
+      * trailing backslash eats the closing quote, splicing the rest of
+      * the row INTO the string (an injection, not just a load error).
+      */
+    def stringEscape(c: Column): Column = regexp_replace(c, "'", "''")
   }
 
   case object Ansi extends Dialect {
@@ -203,6 +211,10 @@ object SqlDump {
   case object MySql extends Dialect {
     val name = "mysql"
     override def quote(ident: String): String = s"`$ident`"
+    // backslash first, then quote doubling — the other order would
+    // re-escape the backslashes inserted for quotes
+    override def stringEscape(c: Column): Column =
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "'", "''")
     override def sqlType(dt: DataType): String = dt match {
       case DoubleType => "DOUBLE"
       case BooleanType => "TINYINT(1)"
@@ -326,7 +338,7 @@ object SqlDump {
     val c = col(f.name)
     val rendered: Column = f.dataType match {
       case StringType =>
-        concat(lit("'"), regexp_replace(c, "'", "''"), lit("'"))
+        concat(lit("'"), dialect.stringEscape(c), lit("'"))
       case DateType =>
         concat(lit("'"), c.cast("string"), lit("'"))
       case TimestampType | TimestampNTZType =>

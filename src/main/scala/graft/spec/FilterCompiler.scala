@@ -15,12 +15,22 @@ import org.apache.spark.sql.functions._
 object FilterCompiler {
 
   def compile(cond: Cond, resolve: String => Column): Column = cond match {
-    case And(cs) => cs.map(compile(_, resolve)).reduce(_ && _)
-    case Or(cs)  => cs.map(compile(_, resolve)).reduce(_ || _)
+    // empty conjunction/disjunction: SQL identity elements (an empty $and
+    // constrains nothing, an empty $or admits nothing) — reduce on the
+    // empty list would throw instead
+    case And(cs) => cs.map(compile(_, resolve)).reduceOption(_ && _)
+      .getOrElse(lit(true))
+    case Or(cs)  => cs.map(compile(_, resolve)).reduceOption(_ || _)
+      .getOrElse(lit(false))
     case Not(c)  => !compile(c, resolve)
     case Pred(field, op, value) =>
       val col = resolve(field)
       op match {
+        // null compares as IS [NOT] NULL — the reference's SQLAlchemy
+        // `col == None` semantics; `=== lit(null)` is never true and
+        // would silently return zero rows
+        case "eq" if value == null  => col.isNull
+        case "neq" if value == null => col.isNotNull
         case "eq"   => col === lit(value)
         case "neq"  => col =!= lit(value)
         case "gt"   => col > lit(value)

@@ -56,7 +56,14 @@ object Cdc {
                  valueCols: Seq[String], seqCol: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    // seq ties break on a content hash, NOT shuffle arrival order: a
+    // replayed batch must pick the SAME winner or the idempotent-replay
+    // contract (byte-identical duplicate version) breaks. Identical-
+    // content ties are trivially stable; differing-content ties resolve
+    // deterministically by the hash.
+    val tieCols = batch.columns.filterNot(_ == seqCol).sorted.map(col)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(seqCol).desc, xxhash64(tieCols: _*))
     val compacted = batch
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -171,25 +171,51 @@ object Docs {
     *      the static build's deterministic lowest-doc_id cap EXACTLY
     *      (parity-pinned in StreamBatchParitySpec).
     *
+    * Cross-batch byte-copies are dropped against the index's `reps`
+    * sidecar (normalized-content keepers — the corpus-wide face of the
+    * static build's exact-dedup pre-pass): without it, a duplicate text
+    * arriving in a LATER batch would get its own signature rows and
+    * consume cap slots the static build would never spend.
+    *
     * The occupancy aggregate reads only (band, bkey) — column-pruned — and
     * at warehouse scale would be a maintained count table instead of a
-    * re-aggregate; the admit rule is the same either way. Exactly-once:
-    * parquet appends are atomic per task file; a replayed batch would
-    * re-admit under the cap and duplicate signatures — production would
-    * key part files by batchId (idempotent overwrite) as the streaming
-    * sinks in Export do.
+    * re-aggregate; the admit rule is the same either way. The checkpoint
+    * directory is REQUIRED: without one, a restarted query replays the
+    * whole source and every row appends twice (the reps sidecar would
+    * drop the replays' texts, but their cap accounting would already be
+    * spent — offsets must come from the checkpoint, not luck). Within a
+    * tracked stream, a single replayed batch re-admits under the cap —
+    * production would key part files by batchId (idempotent overwrite)
+    * as the streaming sinks in Export do.
     */
   def maintainMinhashIndex(docsStream: DataFrame, root: String,
+                           checkpointDir: String,
                            cap: Int = graft.operators.Dedup.BucketCap)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     import org.apache.spark.sql.expressions.Window
     docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          val sigs = Dedup.minhashSignatures(batch).localCheckpoint()
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        if (!batch0.isEmpty) {
+          val s = batch0.sparkSession
+          val conf0 = s.sessionState.newHadoopConf()
+          val repsPath = new org.apache.hadoop.fs.Path(s"$root/reps")
+          val withH = batch0.withColumn("__h",
+            md5(TextAnalysis.normText(col("text")).cast("binary")))
+          val batch =
+            if (repsPath.getFileSystem(conf0).exists(repsPath))
+              withH.join(s.read.parquet(s"$root/reps")
+                  .select(col("h").as("__h")),
+                Seq("__h"), "left_anti")
+            else withH
+          if (!batch.isEmpty) {
+          batch.select(col("__h").as("h"), col("doc_id"))
+            .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+            .write.mode("append").parquet(s"$root/reps")
+          val sigs = Dedup.minhashSignatures(batch.drop("__h"))
+            .localCheckpoint()
           sigs.write.mode("append").parquet(s"$root/sigs")
           val newKeys = Dedup.bandKeys(sigs)
           val conf = s.sessionState.newHadoopConf()
@@ -215,6 +241,7 @@ object Docs {
                 .select("doc_id", "band", "bkey")
             }
           admitted.write.mode("append").parquet(s"$root/bands")
+          }
         }
       }
       .start()

@@ -109,11 +109,16 @@ object Events {
           Iterator(SessionUpdate(userId, st.startUs, st.lastUs, st.n))
         else Iterator.empty
       }
-      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // exact event-time micros: getTime alone is ms-truncated, which
+      // quantizes gap tests (and the emitted *_us fields) away from the
+      // batch sessionizer's exact unix_micros
+      def usOf(t: java.sql.Timestamp): Long =
+        (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+      val sorted = batch.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
       var st = state.getOption.orNull
       val out = scala.collection.mutable.ListBuffer.empty[SessionUpdate]
       for (e <- sorted) {
-        val us = e.ts.getTime * 1000L
+        val us = usOf(e.ts)
         if (st == null) st = SessionState(us, us, 1)
         else if (us - st.lastUs > gapUs) {
           out += SessionUpdate(userId, st.startUs, st.lastUs, st.n) // closed

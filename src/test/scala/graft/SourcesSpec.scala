@@ -56,6 +56,15 @@ class SourcesSpec extends AnyFunSuite {
       .collect()(0).getString(0)
     assert(ansiIns.contains("TRUE") && myIns.contains(", 1,"))
 
+    // MySQL treats backslash as an escape inside string literals: it must
+    // be doubled or values corrupt ('C:\tmp' -> tab) and a trailing
+    // backslash eats the closing quote (an injection, not a typo)
+    val slashed = Seq(Tuple1("C:\\tmp\\")).toDF("s")
+    assert(SqlDump.insertStatements("t", slashed, SqlDump.MySql)
+      .collect()(0).getString(0).contains("'C:\\\\tmp\\\\'"))
+    assert(SqlDump.insertStatements("t", slashed, SqlDump.Ansi)
+      .collect()(0).getString(0).contains("'C:\\tmp\\'")) // standard SQL: verbatim
+
     // binary literals: X'..' (ansi/mysql) vs '\x..' (postgres)
     val bdf = Seq(Tuple1(Array[Byte](0xde.toByte, 0xad.toByte))).toDF("b")
     assert(SqlDump.insertStatements("t", bdf, SqlDump.Ansi)

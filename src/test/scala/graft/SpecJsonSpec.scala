@@ -53,4 +53,20 @@ class SpecJsonSpec extends AnyFunSuite {
     val s = SpecJson.parse("from: nation\nwhere:\n  n_nationkey: [1, 2, 3]\n")
     assert(s.where.contains(Pred("n_nationkey", "in", Seq(1L, 2L, 3L))))
   }
+
+  test("null eq/neq compile to IS NULL / IS NOT NULL; empty $and is true") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, Some("x")), (2L, None: Option[String])).toDF("k", "v")
+    def rows(c: Cond): Set[Long] =
+      df.filter(FilterCompiler.compile(c, col)).select("k")
+        .as[Long].collect().toSet
+    // SQLAlchemy `col == None` semantics: null matches the null row, not
+    // the never-true `= NULL`
+    assert(rows(Pred("v", "eq", null)) == Set(2L))
+    assert(rows(Pred("v", "neq", null)) == Set(1L))
+    assert(rows(And(Nil)) == Set(1L, 2L)) // empty conjunction: no constraint
+    assert(rows(Or(Nil)) == Set.empty)    // empty disjunction: admits nothing
+  }
 }

@@ -291,13 +291,21 @@ class StreamBatchParitySpec extends AnyFunSuite {
     val root = java.nio.file.Files
       .createTempDirectory("graft_stream_idx").toString
     val input = MemoryStream[Doc]
-    val q = Docs.maintainMinhashIndex(input.toDF(), root)
+    val q = Docs.maintainMinhashIndex(input.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_stream_idx_ckpt").toString)
     try {
       // doc_id-ascending feed in 4 micro-batches
       feed.grouped(math.max(feed.size / 4, 1)).foreach { chunk =>
         input.addData(chunk)
         q.processAllAvailable()
       }
+      // a LATER batch carrying a byte-copy of an already-indexed text must
+      // be dropped by the reps sidecar — no new signature, no cap slots
+      val nSigs = spark.read.parquet(s"$root/sigs").count()
+      input.addData(feed.head.copy(doc_id = 999999L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$root/sigs").count() == nSigs,
+        "cross-batch byte-copy was indexed")
     } finally q.stop()
 
     val staticRoot = Dedup.buildMinhashIndex(spark, TestSpark.sf)
