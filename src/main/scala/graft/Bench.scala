@@ -42,17 +42,18 @@ object Bench {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // extraction queries persist their selections; drop them so cached
-      // blocks from one query never pressure the next one's heap
-      spark.catalog.clearCache()
-      dt
+      // the cache clear sits in finally: a FAILED extraction query may
+      // already have persisted blocks, and leaking them would pressure
+      // every remaining measurement — the exact skew the clear prevents
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      } finally spark.catalog.clearCache()
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -66,14 +67,18 @@ object Bench {
       n -> (if (a > 2.0) { val b = run(n); if (b < 0) a else math.min(a, b) }
             else a)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT formatting throughout: the line is machine-parsed JSON,
+    // and a decimal-comma default locale (de_DE etc.) would corrupt it
+    def n3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + n3(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val calLast = calibrate()
     val drift = math.max(calFirst, calLast) / math.min(calFirst, calLast)
     val contended = drift > 1.5
-    val cal = f""""calibration":{"first_sec":$calFirst%.3f,"last_sec":$calLast%.3f,"drift":$drift%.2f,"contended":$contended}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$cal,"sf":"$sfDir"}""")
+    val cal = s""""calibration":{"first_sec":${n3(calFirst)},"last_sec":${n3(calLast)},"drift":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(drift))},"contended":$contended}"""
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

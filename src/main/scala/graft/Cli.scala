@@ -159,10 +159,14 @@ object Cli {
     def fkOrder(tables: Map[String, DataFrame]): Seq[String] =
       graph.topological.filter(tables.contains) ++
         tables.keys.filterNot(graph.topological.contains).toSeq.sorted
+    // directory streams close eagerly (Using): leaked DirectoryStreams
+    // only release on GC and a long session would exhaust fds
+    def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+      scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
     def destTables(): Map[String, DataFrame] = {
       val dir = Paths.get(cfg.destDir)
       if (!Files.isDirectory(dir)) Map.empty
-      else Files.list(dir).iterator().asScala
+      else listDir(dir)
         .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("_SUCCESS")))
         .map(p => p.getFileName.toString -> spark.read.parquet(p.toString))
         .toMap
@@ -183,7 +187,8 @@ object Cli {
         // dbcut flush: drop + recreate the destination (cmd_flush.py)
         val dir = Paths.get(cfg.destDir)
         if (Files.exists(dir))
-          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          scala.util.Using.resource(Files.walk(dir))(
+            _.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
         Files.createDirectories(dir)
         log("flush: destination dropped and recreated")
       case "clear" =>
@@ -269,8 +274,8 @@ object Cli {
         val root = Paths.get(s"${cfg.destDir}/versioned")
         if (!Files.isDirectory(root)) log("vacuum: no versioned tables")
         else {
-          val rows = Files.list(root).iterator().asScala
-            .filter(Files.isDirectory(_)).toSeq
+          val rows = listDir(root)
+            .filter(Files.isDirectory(_))
             .sortBy(_.getFileName.toString)
             .map { p =>
               val deleted = graft.sources.Versioned

@@ -29,36 +29,30 @@ import graft.plans.{TopKRewrite, TopKStrategy}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    def binary(name: String, mk: (Expression, Expression) => Expression)
+        : Seq[Expression] => Expression = exprs => {
+      require(exprs.length == 2,
+        s"$name requires 2 arguments, got ${exprs.length}")
+      mk(exprs(0), exprs(1))
+    }
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+      binary("vec_dot", VecDot.apply)))
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
-      (exprs: Seq[Expression]) => VecCosine(exprs(0), exprs(1))))
+      binary("vec_cosine", VecCosine.apply)))
+    // the aggregate/array builders live with their functions (one
+    // arity/literal check shared with the per-session register helpers)
     ext.injectFunction((
       FunctionIdentifier("mg_topk"),
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
-      (exprs: Seq[Expression]) => {
-        val k = exprs(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case Literal(v: Long, LongType) => v.toInt
-          case other => sys.error(s"mg_topk: k must be an int literal, got $other")
-        }
-        MisraGriesTopK(exprs.head, k).toAggregateExpression()
-      }))
+      graft.functions.FreqSketch.fromExprs))
     ext.injectFunction((
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
-      (exprs: Seq[Expression]) => {
-        def intLit(e: Expression): Int = e match {
-          case Literal(v: Int, IntegerType) => v
-          case Literal(v: Long, LongType) => v.toInt
-          case other => sys.error(s"winnow_fps: k/w must be int literals, got $other")
-        }
-        WinnowFps(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
-      }))
+      graft.functions.WinnowFps.fromExprs))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => TopKRewrite)
   }

@@ -88,9 +88,15 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else Seq(fs.getFileStatus(p))
+    // RECURSIVE listing: a hive-partitioned table keeps its data files in
+    // key=value subdirectories — a top-level-only listing would silently
+    // report 0 rows for a populated table
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
+    if (fs.getFileStatus(p).isDirectory) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) files += it.next()
+    } else files += fs.getFileStatus(p)
     files.iterator
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map { st =>

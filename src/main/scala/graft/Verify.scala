@@ -5,6 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: graft.Verify <sfDir> <outDir> [queryName ...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: run only these query names (local iteration)
     val only = args.drop(2).toSet

@@ -143,20 +143,24 @@ case class MisraGriesTopK(
 }
 
 object FreqSketch {
+  /** SQL builder shared by the session-registry and the extensions
+    * registration paths — one arity/literal check, not two copies.
+    */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"mg_topk requires 2 arguments (tokens, k), got ${exprs.length}")
+    val k = exprs(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v.toInt
+      case other => sys.error(s"mg_topk: k must be an int literal, got $other")
+    }
+    MisraGriesTopK(exprs.head, k).toAggregateExpression()
+  }
+
   /** Register `mg_topk(array<string>, k)` so `expr(...)` strings can use
     * it. `k` must be an integer literal. Idempotent.
     */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "mg_topk",
-      exprs => {
-        val k = exprs(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case Literal(v: Long, LongType) => v.toInt
-          case other => sys.error(s"mg_topk: k must be an int literal, got $other")
-        }
-        MisraGriesTopK(exprs.head, k).toAggregateExpression()
-      },
-      "built-in")
-  }
+      "mg_topk", fromExprs, "built-in")
 }

@@ -116,11 +116,18 @@ object WinnowFps {
     org.apache.spark.sql.GraftSqlBridge.column(
       WinnowFps(org.apache.spark.sql.GraftSqlBridge.expression(tokens), k, w))
 
+  /** SQL builder shared by the session-registry and the extensions
+    * registration paths — one arity/literal check, not two copies.
+    */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"winnow_fps requires 3 arguments (tokens, k, w), got ${exprs.length}")
+    def intLit(e: Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue
+    WinnowFps(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fps", exprs => {
-        def intLit(e: Expression): Int =
-          e.eval(null).asInstanceOf[Number].intValue
-        WinnowFps(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
-      }, "built-in")
+      "winnow_fps", fromExprs, "built-in")
 }

@@ -110,7 +110,9 @@ object Inspect {
       if (rowLocal.isEmpty) Nil
       else {
         val aggs = rowLocal.zipWithIndex.map { case ((_, bad), i) =>
-          sum(when(bad, 1L).otherwise(0L)).as(s"__v$i")
+          // coalesce: SUM over an EMPTY table is NULL — a freshly cleared
+          // destination must report 0 violations, not NPE the caller
+          coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(s"__v$i")
         }
         val one = df.agg(aggs.head, aggs.tail: _*)
         Seq(one.select(explode(array(rowLocal.zipWithIndex.map {

@@ -19,6 +19,18 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * merges the per-partition winners. At 100 TB that turns "sort everything"
   * into "stream everything through k-sized heaps" — shuffle traffic is
   * bounded by (partitions × groups × k), not the input.
+  *
+  * Memory contract: each task holds one k-row heap per DISTINCT group in
+  * its partition, in heap memory, with no spill — task memory is
+  * O(groups-per-task × k × rowSize). That is the win for the usual
+  * "top-k within a modest number of categories" shape; for extreme group
+  * cardinality (hundreds of millions of near-unique keys per task) the
+  * window formulation's sort-and-spill is the safer plan — size
+  * partitions (or skip the rewrite) accordingly. TopKRewrite also
+  * declines floating-point group keys: NormalizeFloatingNumbers
+  * canonicalizes -0.0/NaN for Window keys but runs after the rewrite and
+  * never matches this node, so byte-level grouping would split -0.0/0.0
+  * groups.
   */
 final case class TopKPerGroup(
     groupExprs: Seq[Expression],

@@ -71,6 +71,13 @@ object TopKRewrite extends Rule[LogicalPlan] {
         rn = a.toAttribute
         k <- limitOf(cond, rn)
         if k > 0 && k <= MaxK
+        // floating-point partition keys decline the rewrite: Spark's
+        // NormalizeFloatingNumbers pass canonicalizes -0.0/0.0 and NaN in
+        // Window partition keys, but it runs AFTER this optimizer batch
+        // and never matches the custom node — our byte-level grouping
+        // would split one logical group into two. Integer/string/date
+        // keys (the overwhelmingly common case) keep the fast path.
+        if w.partitionSpec.forall(e => !hasFloat(e.dataType))
         // if Spark's InferWindowGroupLimit already inserted its row filter,
         // replace it too — its physical operator would force the sort back
         source = w.child match {
@@ -81,5 +88,16 @@ object TopKRewrite extends Rule[LogicalPlan] {
           projList.forall(_.references.subsetOf(source.outputSet))
       } yield Project(projList, TopKPerGroup(w.partitionSpec, w.orderSpec, k, source))
       rewritten.getOrElse(p)
+  }
+
+  private def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => true
+      case ArrayType(et, _) => hasFloat(et)
+      case MapType(kt, vt, _) => hasFloat(kt) || hasFloat(vt)
+      case StructType(fs) => fs.exists(f => hasFloat(f.dataType))
+      case _ => false
+    }
   }
 }

@@ -262,6 +262,10 @@ class CliSpec extends AnyFunSuite {
       l.contains("ref(c_nationkey->nation)") && l.endsWith("ok")), s"got $out")
     assert(out.exists(l => l.startsWith("check customer") &&
       l.contains("unique(c_custkey)")), s"got $out")
+    // empty tables (post-clear) must report ok, not NPE on a NULL SUM
+    val out2 = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "clear", "check")))
+    assert(out2.exists(_ == "check: all rules passed"), s"got $out2")
   }
 
   test("argument parser rejects unknown words and requires a command") {

@@ -137,6 +137,19 @@ class ExtensionsSpec extends AnyFunSuite {
       ranked.collect()
       val p2 = ranked.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
       assert(!p2.contains("TopKPerGroup"), s"rank() keeps ties — must stay a window:\n$p2")
+
+      // floating-point group keys: -0.0/0.0 and NaN only canonicalize in
+      // the LATER NormalizeFloatingNumbers batch, which never matches the
+      // custom node — the rewrite must decline, and results must group
+      // -0.0 with 0.0 like the window does
+      val fdf = s.range(0, 8).selectExpr(
+        "CAST(IF(id % 2 = 0, 0.0, -0.0) AS DOUBLE) AS g", "id AS v")
+      val fk = fdf
+        .withColumn("rn", row_number().over(W.partitionBy("g").orderBy("v")))
+        .filter(col("rn") <= 3).drop("rn")
+      assert(fk.count() == 3, "-0.0 and 0.0 must be ONE group of top-3")
+      val p3 = fk.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!p3.contains("TopKPerGroup"), s"float keys must stay a window:\n$p3")
     }
   }
 }
