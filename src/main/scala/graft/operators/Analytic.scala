@@ -573,6 +573,39 @@ object Analytic {
           .orderBy(col("source"), col("split"))
       }),
 
+    // 24u. deterministic WEIGHTED sampling — importance sampling with a
+    // per-ROW weight (here n_chars: longer documents kept proportionally
+    // more often), the knob between uniform hash sampling (24h) and
+    // per-source mixture rates (24m). Keep test is the cross-multiplied
+    // integer form hash16 · max_w < w · 2^16 (no division, no rounding
+    // drift), with the hash salted separately from the split/sample
+    // hashes so the decisions stay independent. One metadata aggregate
+    // (max weight) broadcast back; the keep itself is a pure map —
+    // reproducible across retries, engines, and corpus growth.
+    Q("q_sample_weighted", {
+      val duckH = (0 until 4).map { d =>
+        s"(strpos('0123456789abcdef', substr(md5('w:' || CAST(doc_id AS VARCHAR)), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
+      }.mkString(" + ")
+      s"""WITH mx AS (SELECT MAX(n_chars) AS max_w FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_kept
+         |FROM documents, mx
+         |WHERE ($duckH) * max_w < n_chars * 65536
+         |GROUP BY source ORDER BY source""".stripMargin
+    })(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val mx = d.agg(max(col("n_chars")).as("max_w"))
+        val h = expr(
+          "CAST(conv(substr(md5(cast(concat('w:', cast(doc_id AS string)) AS binary)), 1, 4), 16, 10) AS BIGINT)")
+        d.crossJoin(broadcast(mx))
+          .filter(h * col("max_w") < col("n_chars") * 65536L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("n_chars_kept"))
+          .orderBy(col("source"))
+      }),
+
     // 41i. MIXTURE PLANNING — the sizing step that precedes mixture sampling:
     // given target token shares per source tier (curated 50%, web 30%,
     // mid 15%, tail 5%), find the largest total token budget B the corpus

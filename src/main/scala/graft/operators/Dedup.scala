@@ -1121,6 +1121,63 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // §2d.32h — LSH RECALL AUDIT: the QA number every probabilistic dedup
+    // deployment needs on real data — what fraction of the rare-gram-
+    // Jaccard-verified near-dup pairs (jac ≥ 0.25, the candidate
+    // threshold) did the LSH bands actually nominate, and how precise was
+    // the candidate set? SimilaritySpec bounds ANN recall on crafted
+    // data; this measures the TEXT pipeline's recall on the corpus
+    // itself, hash-checked cross-engine. Both sides derive from the SAME
+    // exact-dedup reps (the shared CTE), so the comparison is apples to
+    // apples; one row out.
+    Q("q_lsh_recall",
+      s"""WITH $corpusBandsCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |ng0 AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS gram
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |rareg AS (SELECT gram FROM ng0 GROUP BY gram HAVING COUNT(*) <= $DfCap),
+         |ng AS (SELECT ng0.* FROM ng0 JOIN rareg USING (gram)),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ng GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM ng a JOIN ng b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE n_inter * 1000000 // (sa.sz + sb.sz - n_inter) >= 250000),
+         |hit AS (SELECT t.* FROM truth t JOIN cand c
+         |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+         |n AS (SELECT
+         |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+         |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+         |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit)
+         |SELECT n_truth, n_cand, n_hit,
+         |  CAST(COALESCE(n_hit * 1000 // NULLIF(n_truth, 0), 0) AS BIGINT) AS recall_milli,
+         |  CAST(COALESCE(n_hit * 1000 // NULLIF(n_cand, 0), 0) AS BIGINT) AS precision_milli
+         |FROM n""".stripMargin)((s, dir) => {
+      val d = docs(s, dir)
+      val cand = bandPairs(corpusSigs(s, dir))
+      // truth over the SAME reps domain the signatures cover
+      val reps = d.select(normText(col("text")).as("s"), col("doc_id"))
+        .groupBy("s").agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("s").as("text"))
+      val truth = rareGramJaccard(reps, minJacMicro = 250000L)
+        .select("doc_a", "doc_b")
+      val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      val counts = truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      counts.select(col("n_truth"), col("n_cand"), col("n_hit"),
+        coalesce(expr("n_hit * 1000 div nullif(n_truth, 0)"), lit(0L))
+          .as("recall_milli"),
+        coalesce(expr("n_hit * 1000 div nullif(n_cand, 0)"), lit(0L))
+          .as("precision_milli"))
+    }),
+
     // §2d.32f — duplication-graph centrality: PageRank (3 rounds, damping
     // 0.85) over the undirected LSH near-dup pair graph, ranking the
     // "template hubs" — documents whose near-dup neighborhoods are densest
