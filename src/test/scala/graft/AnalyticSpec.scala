@@ -20,11 +20,26 @@ class AnalyticSpec extends AnyFunSuite {
       .withColumn("want", date_format(col("want_cts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
       .select(col("pu"), date_format(col("pts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("want_pts"), col("want"))
     val got = SparkEntry.queries("q_asof_join")(spark, TestSpark.sf)
-    assert(got.count() == expected.count())
-    val mismatches = got.join(expected,
-        got("user_id") === expected("pu") && got("p_ts") === expected("want_pts"))
-      .filter(got("c_ts") =!= col("want")).count()
-    assert(mismatches == 0)
+    // SET equality over full rows (null c_ts included): count-equality +
+    // inner-join + null-swallowing =!= used to let compensating wrong
+    // rows and all-NULL attribution regressions pass unseen
+    def normalize(r: org.apache.spark.sql.Row): (Long, String, String) =
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) "<null>" else r.getString(2))
+    val gotSet = got.select("user_id", "p_ts", "c_ts")
+      .collect().map(normalize).toSet
+    val wantSet = expected.select(col("pu"), col("want_pts"), col("want"))
+      .collect().map(normalize).toSet
+    // purchases with NO preceding click are absent from the brute-force
+    // inner join but present in got with NULL c_ts — fold them in
+    val wantKeys = wantSet.map(t => (t._1, t._2))
+    val gotNullFree = gotSet.filter(t => wantKeys.contains((t._1, t._2)))
+    val gotNullOnly = gotSet -- gotNullFree
+    assert(gotNullOnly.forall(_._3 == "<null>"),
+      s"non-null attribution outside the brute-force set: ${gotNullOnly.take(3)}")
+    assert(gotNullFree == wantSet,
+      s"attribution mismatch: got ${gotNullFree.size} want ${wantSet.size}")
+    assert(gotSet.size == gotNullFree.size + gotNullOnly.size)
   }
 
   test("rollup grand total equals the sum of its leaves") {

@@ -45,7 +45,7 @@ class BucketingSpec extends AnyFunSuite {
       // DROP TABLE leaves external (path-backed) data behind — delete it
       whPath.foreach { root =>
         import scala.jdk.CollectionConverters._
-        Files.walk(root).iterator().asScala.toSeq.reverse
+        scala.util.Using.resource(Files.walk(root))(_.iterator().asScala.toSeq).reverse
           .foreach(Files.deleteIfExists(_))
       }
     }

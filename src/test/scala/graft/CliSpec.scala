@@ -65,7 +65,7 @@ class CliSpec extends AnyFunSuite {
     assert(orc.count() == 5)
 
     // the cache was populated by the load
-    assert(Files.list(Paths.get(s"$work/cache")).count() == 1)
+    assert(scala.util.Using.resource(Files.list(Paths.get(s"$work/cache")))(_.count()) == 1)
   }
 
   test("models command emits case-class source and an FK-ordered DDL script") {
@@ -109,7 +109,7 @@ class CliSpec extends AnyFunSuite {
          |    backref_depth: 0
          |""".stripMargin)
     Cli.run(spark, Cli.parseArgs(Seq("-c", cfgPath, "--quiet", "load")))
-    val key = Files.list(Paths.get(s"$work/cache")).iterator().next()
+    val key = scala.util.Using.resource(Files.list(Paths.get(s"$work/cache")))(_.iterator().next())
     val countsMtime = Files.getLastModifiedTime(key.resolve("_counts"))
     // second run must hit the cache (counts sidecar untouched)
     Cli.run(spark, Cli.parseArgs(Seq("-c", cfgPath, "--quiet", "load")))
@@ -122,8 +122,8 @@ class CliSpec extends AnyFunSuite {
     val out = Cli.run(spark, Cli.parseArgs(
       Seq("-c", cfgPath, "--quiet", "purgecache", "flush")))
     assert(out.exists(_.startsWith("purgecache:")))
-    assert(Files.list(Paths.get(s"$work/cache")).count() == 0)
-    assert(Files.list(Paths.get(s"$work/dest")).count() == 0)
+    assert(scala.util.Using.resource(Files.list(Paths.get(s"$work/cache")))(_.count()) == 0)
+    assert(scala.util.Using.resource(Files.list(Paths.get(s"$work/dest")))(_.count()) == 0)
   }
 
   test("only/last-only select queries; clear truncates but keeps schema") {

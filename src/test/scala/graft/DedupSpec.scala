@@ -106,24 +106,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1L), "every chain node must label to the min")
   }
 
-  test("rareGramJaccard: df cap bounds per-gram postings") {
-    // after pruning, no gram may appear in more than dfCap docs — the
-    // invariant that bounds pair output per gram to C(dfCap, 2)
-    val docs = (0L until 100L).map(i => i -> s"shared gram here plus unique$i bit")
-    val d = docsDf(docs).select(col("doc_id"),
-      split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ").as("t"))
-    val ng0 = d.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"))
-      .as("gram")).distinct()
-    val rare = ng0.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 10).select("gram")
-    val maxPosting = ng0.join(rare, Seq("gram"), "left_semi")
-      .groupBy("gram").agg(count(lit(1)).as("df"))
-      .agg(max("df")).collect()(0).getLong(0)
-    assert(maxPosting <= 10)
-    // and the operator output on this corpus is empty (no rare-gram overlap)
-    assert(Dedup.rareGramJaccard(docsDf(docs), dfCap = 10, minJacMicro = 0L)
-      .count() == 0)
+  test("rareGramJaccard: hot grams produce NO pairs, rare overlap still fires") {
+    // 100 docs all share a hot phrase (df = 100 ≫ cap): without the df
+    // prune every one of the C(100,2) pairs would be a candidate. Only
+    // docs 0 and 1 also share a RARE gram — the operator must emit
+    // exactly that pair and nothing else. (The earlier form of this test
+    // re-derived the prune inside the test and asserted its own filter —
+    // a tautology that never touched the operator.)
+    val docs = (0L until 100L).map { i =>
+      val base = s"hot1 hot2 hot3 unique$i filler$i"
+      i -> (if (i <= 1) s"$base rare pair" else base)
+    }
+    val got = Dedup.rareGramJaccard(docsDf(docs), dfCap = 10, minJacMicro = 0L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L)),
+      s"expected exactly the rare-gram pair, got ${got.length} pairs")
   }
 
   test("chunkDedup drops corpus-shared chunks and keeps unique ones") {

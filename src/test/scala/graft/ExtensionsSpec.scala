@@ -35,10 +35,15 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("the config-string class name resolves to the extensions hook") {
-    // what `--conf spark.sql.extensions=graft.GraftExtensions` instantiates
+    // what `--conf spark.sql.extensions=graft.GraftExtensions` instantiates.
+    // ACTUALLY APPLY it to a real SparkSessionExtensions: an erased
+    // Function1 isInstanceOf check passes for any Function1 and would let
+    // a wrong-typed refactor slip through to a submit-time ClassCastException
     val cls = Class.forName("graft.GraftExtensions")
-    assert(cls.getDeclaredConstructor().newInstance()
-      .isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+    val inst = cls.getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    inst(ext) // must not throw — registers functions/strategy/rule
   }
 
   test("config-string session exposes vec_dot / vec_cosine in plain SQL") {

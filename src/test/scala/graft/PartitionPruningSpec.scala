@@ -17,9 +17,12 @@ class PartitionPruningSpec extends AnyFunSuite {
 
     val df = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
     val plan = df.queryExecution.executedPlan.toString
+    // assert the LITERAL inside the partition-filter clause — a bare
+    // contains("F") is vacuous (every plan string has FileScan)
     assert(plan.contains("PartitionFilters") &&
-      plan.contains("o_orderstatus") && plan.contains("F"),
-      s"partition filter not recognized:\n$plan")
+      "PartitionFilters: \\[[^\\]]*o_orderstatus[^\\]]*F".r
+        .findFirstIn(plan).isDefined,
+      s"partition filter with the F literal not recognized:\n$plan")
 
     // the scan must actually read ONLY the F partition's files
     val allCount = spark.read.parquet(dir).count()

@@ -109,7 +109,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planOf("q_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k not a distributed TakeOrdered:\n$p")
-    // the rank window must sit ABOVE the limit, never under it
+    // the rank window must exist AND sit ABOVE the limit (a bare indexOf
+    // comparison passes vacuously at -1 when the window vanishes)
+    assert(p.contains("Window"), s"rank window missing from plan:\n$p")
     assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
       s"rank window below the top-k limit:\n$p")
   }

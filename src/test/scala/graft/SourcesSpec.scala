@@ -10,6 +10,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class SourcesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** Per-file (min, max) footer statistics of a numeric column — one
+    * walker for every layout test (disjoint ranges, spread, read-amp).
+    */
+  private def footerStats(dir: String, c: String): Seq[(Double, Double)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val stats = r.getFooter.getBlocks.asScala
+            .map(_.getColumns.asScala.find(_.getPath.toDotString == c).get.getStatistics)
+          (stats.map(_.genericGetMin.asInstanceOf[Number].doubleValue).min,
+            stats.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max)
+        } finally r.close()
+      }
+  }
+
   test("SqlDump renders DDL and escaped INSERT literals") {
     import spark.implicits._
     val df = Seq((1L, "it's", 2.5), (2L, null.asInstanceOf[String], 3.0))
@@ -173,25 +195,10 @@ class SourcesSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("sorted").toString + "/t"
     Export.sortedParquet(Tables.load(spark, TestSpark.sf, "orders"),
       dir, "o_orderkey", numFiles = 4)
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(conf)
-    val ranges = fs.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          import scala.jdk.CollectionConverters._
-          val stats = r.getFooter.getBlocks.asScala
-            .map(_.getColumns.asScala.find(_.getPath.toDotString == "o_orderkey").get.getStatistics)
-          (stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
-            stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
-        } finally r.close()
-      }.sortBy(_._1)
+    val ranges = footerStats(dir, "o_orderkey").sortBy(_._1)
     assert(ranges.length == 4)
     // disjoint: every file's max < the next file's min
-    ranges.sliding(2).foreach { case Array((_, max1), (min2, _)) =>
+    ranges.sliding(2).foreach { case Seq((_, max1), (min2, _)) =>
       assert(max1 < min2, s"overlapping file ranges: $max1 vs $min2")
     }
   }
@@ -214,24 +221,8 @@ class SourcesSpec extends AnyFunSuite {
 
     // per-file [min,max] width of a column, summed over files — the footer
     // stats a pushed-down predicate prunes with
-    def spread(dir: String, c: String): Double = {
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(conf)
-      fs.listStatus(p)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map { st =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            import scala.jdk.CollectionConverters._
-            val stats = r.getFooter.getBlocks.asScala
-              .map(_.getColumns.asScala.find(_.getPath.toDotString == c).get.getStatistics)
-            (stats.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max -
-              stats.map(_.genericGetMin.asInstanceOf[Number].doubleValue).min)
-          } finally r.close()
-        }.sum
-    }
+    def spread(dir: String, c: String): Double =
+      footerStats(dir, c).map { case (mn, mx) => mx - mn }.sum
     // lexicographic: leading column tight, second column spans the full
     // range in EVERY file. Z-order: both columns must beat that second-
     // column blowup by a wide margin (each file covers a hyper-rectangle)
@@ -273,27 +264,9 @@ class SourcesSpec extends AnyFunSuite {
     // construction; what they lose is row-balanced pruning: the 40% of
     // rows crammed into the low cells stop steering the curve and their
     // values show up in most files.
-    def fileRanges(dir: String, c: String): Seq[(Double, Double)] = {
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(conf)
-      fs.listStatus(p).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map { st =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            import scala.jdk.CollectionConverters._
-            val stats = r.getFooter.getBlocks.asScala
-              .map(_.getColumns.asScala.find(_.getPath.toDotString == c).get.getStatistics)
-            (stats.map(_.genericGetMin.asInstanceOf[Number].doubleValue).min,
-              stats.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max)
-          } finally r.close()
-        }
-    }
     val values = (0 until 32).map(i => math.pow(2.0, i))
     def readAmp(dir: String): Double = {
-      val rs = fileRanges(dir, "skew")
+      val rs = footerStats(dir, "skew")
       values.map(v => rs.count { case (mn, mx) => v >= mn && v <= mx }).sum /
         values.size.toDouble
     }
