@@ -51,6 +51,7 @@ object Cli {
       sourceDir: String,
       destDir: String,
       cacheDir: Option[String],
+      indexRoot: Option[String],
       dialect: SqlDump.Dialect,
       job: Job.JobConfig)
 
@@ -133,6 +134,8 @@ object Cli {
       destDir = expandEnv(dbs.get("destination_dir").asText(), extraEnv),
       cacheDir = Option(root.get("cache")).filter(!_.isNull)
         .map(n => expandEnv(n.asText(), extraEnv)),
+      indexRoot = Option(root.get("index_root")).filter(!_.isNull)
+        .map(n => expandEnv(n.asText(), extraEnv)),
       dialect = SqlDump.dialects(dialect),
       job = Job.parseConfig(text))
   }
@@ -147,6 +150,24 @@ object Cli {
     val job = cfg.job.copy(
       onlyTables = if (opts.onlyTables.nonEmpty) opts.onlyTables else cfg.job.onlyTables,
       lastOnly = opts.lastOnly || cfg.job.lastOnly)
+    // standing indexes must live on shared storage (Tables.indexRoot): a CLI
+    // run has one by construction — the destination_dir — so default the
+    // session's index root there unless the config or caller pinned one.
+    // Scoped to this run (restored below): callers sharing the session keep
+    // their own root.
+    val prevIndexRoot = spark.conf.getOption("spark.graft.index.root")
+    if (prevIndexRoot.forall(_.isEmpty))
+      spark.conf.set("spark.graft.index.root",
+        cfg.indexRoot.getOrElse(s"${cfg.destDir}/_graft_index"))
+    try runCommands(spark, opts, cfg, job, graph)
+    finally prevIndexRoot match {
+      case Some(v) => spark.conf.set("spark.graft.index.root", v)
+      case None => spark.conf.unset("spark.graft.index.root")
+    }
+  }
+
+  private def runCommands(spark: SparkSession, opts: Options, cfg: Config,
+                          job: Job.JobConfig, graph: RelGraph): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     def log(s: String): Unit = { out += s; if (!opts.quiet) println(s) }
 

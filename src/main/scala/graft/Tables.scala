@@ -60,6 +60,38 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Root directory for every persisted standing index (MinHash/SimHash
+    * signatures, winnow postings, CC labels, incremental-dedup index,
+    * IVF/PQ tables). These are build-once/probe-many parquet tables, so on
+    * a cluster the root MUST be shared storage — a driver-local path means
+    * executors write task output to their *own* local disks and the
+    * driver-side read sees a torn or empty table. Resolution order:
+    *
+    *   1. `spark.graft.index.root` Spark conf — explicit, runtime-settable;
+    *   2. `GRAFT_INDEX_ROOT` environment variable — deployment-wide;
+    *   3. `<corpusDir>/_graft_index` when the corpus URI scheme is a
+    *      non-local filesystem (hdfs/s3a/abfs/…): the corpus itself proves
+    *      that location is shared storage, and co-locating the index with
+    *      the data it derives from is the natural ingestion layout;
+    *   4. `java.io.tmpdir` — the single-JVM fallback (local[*] dev/test),
+    *      where driver-local IS shared. Never the default on a cluster:
+    *      any non-local corpus path takes branch 3.
+    *
+    * Stamp keys (corpus path + per-file name:length:mtime + params) are
+    * part of each index's directory name, not of the root, so overriding
+    * the root never changes cache identity — it only moves the storage.
+    */
+  def indexRoot(spark: SparkSession, corpusDir: String): String = {
+    val conf = spark.conf.getOption("spark.graft.index.root").filter(_.nonEmpty)
+    val env = sys.env.get("GRAFT_INDEX_ROOT").filter(_.nonEmpty)
+    conf.orElse(env).getOrElse {
+      val scheme = new org.apache.hadoop.fs.Path(corpusDir).toUri.getScheme
+      if (scheme != null && scheme != "file")
+        s"${corpusDir.stripSuffix("/")}/_graft_index"
+      else System.getProperty("java.io.tmpdir")
+    }
+  }
+
   /** Format-generic read — the catalog face of §2e.45. CSV reads take an
     * explicit schema when given (the only scale-safe option: schema
     * inference is an extra full pass over the files) and fall back to

@@ -269,8 +269,10 @@ object Dedup {
         .withColumnRenamed("simhash", "sig"))
 
   /** Build-once/probe-many materialization of a deterministic corpus
-    * derivation: builds into a tmp-dir parquet table on first use, then
-    * every caller reads the table. The cache key covers the corpus path,
+    * derivation: builds into a parquet table under [[Tables.indexRoot]]
+    * (shared storage on a cluster; tmpdir only in single-JVM local mode)
+    * on first use, then every caller reads the table. The cache key covers
+    * the corpus path,
     * every data file's (name, length, mtime), and `params`, so a
     * regenerated corpus — even one with the same row count — never reads
     * a stale table.
@@ -283,7 +285,7 @@ object Dedup {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(s"${corpusStamp(s, dir, table)}|$params".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
+      val root = s"${Tables.indexRoot(s, dir)}/graft_${tag}_$key"
       val done = new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")
       if (!done.getFileSystem(conf).exists(done))
         graft.sources.Export.flush(build, root)
@@ -342,7 +344,7 @@ object Dedup {
       .digest(s"${corpusStamp(s, dir, "documents")}|$mod|$NumSeeds|$BucketCap"
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_minhash_$key"
+    s"${Tables.indexRoot(s, dir)}/graft_minhash_$key"
   }
 
   /** Corpus identity stamp shared by every persisted-index key: path plus

@@ -138,7 +138,7 @@ object Similarity {
       .digest(s"${Dedup.corpusStamp(s, dir, "embeddings")}|$k|$iters"
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$key"
+    s"${Tables.indexRoot(s, dir)}/graft_ivf_$key"
   }
 
   /** IVF index BUILD — the expensive phase, run once per corpus, never per
@@ -250,7 +250,7 @@ object Similarity {
       .digest(s"${Dedup.corpusStamp(s, dir, "embeddings")}|$PqM|$PqK|$PqIters"
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_pq_$key"
+    s"${Tables.indexRoot(s, dir)}/graft_pq_$key"
   }
 
   /** PQ index BUILD — the 100 TB ANN *memory* path: each corpus vector is
