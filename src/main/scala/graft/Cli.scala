@@ -299,8 +299,10 @@ object Cli {
             .filter(Files.isDirectory(_))
             .sortBy(_.getFileName.toString)
             .map { p =>
+              // graceMs=0: the chained CLI is the table's only writer in
+              // this process, so no in-flight commit can race the reclaim
               val deleted = graft.sources.Versioned
-                .vacuum(spark, p.toString, keepVersions = 3)
+                .vacuum(spark, p.toString, keepVersions = 3, graceMs = 0L)
               s"${p.getFileName}:${deleted.size}"
             }
           log(s"vacuum (keep 3): ${rows.mkString(", ")} data dirs dropped")

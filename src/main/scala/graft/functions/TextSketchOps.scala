@@ -25,6 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB's `md5`; window min = lexicographic (hex is ASCII, so
   * UTF8String binary order ≡ String order); distinct keeps first
   * occurrence. Fewer than k tokens or fewer than w grams → empty array.
+  * Null tokens (containsNull inputs are accepted): any gram touching a
+  * null is skipped deterministically — remaining grams window as if the
+  * null grams never existed; all-null or too-few-surviving-grams → empty.
   */
 case class WinnowFps(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -64,19 +67,26 @@ object WinnowFps {
     */
   def compute(tokens: ArrayData, k: Int, w: Int): ArrayData = {
     val n = tokens.numElements()
-    val m = n - k + 1 // gram count
-    if (m < w) return new GenericArrayData(Array.empty[Any])
+    val m0 = n - k + 1 // gram count before null filtering
+    if (m0 < w) return new GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hashes = new Array[String](m)
+    val hashes = new Array[String](m0)
+    var m = 0 // grams kept (containsNull inputs: a gram touching a null
+              // token is skipped deterministically instead of NPE-ing)
     var i = 0
-    while (i < m) {
+    while (i < m0) {
       val sb = new java.lang.StringBuilder
       var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(tokens.getUTF8String(i + j).toString)
+      var hasNull = false
+      while (j < k && !hasNull) {
+        if (tokens.isNullAt(i + j)) hasNull = true
+        else {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens.getUTF8String(i + j).toString)
+        }
         j += 1
       }
+      if (!hasNull) {
       md.reset()
       val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 16 hex chars = first 8 digest bytes, lowercase — identical
@@ -88,9 +98,12 @@ object WinnowFps {
         hex(2 * b + 1) = hexDigits(dig(b) & 0xf)
         b += 1
       }
-      hashes(i) = new String(hex)
+      hashes(m) = new String(hex)
+      m += 1
+      }
       i += 1
     }
+    if (m < w) return new GenericArrayData(Array.empty[Any])
     // sliding-window minima, distinct by first occurrence
     val seen = new java.util.LinkedHashSet[String]
     var j = 0

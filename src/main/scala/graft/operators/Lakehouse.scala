@@ -169,11 +169,16 @@ object Lakehouse {
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
         |  FROM events),
         |tr AS (
+        |  -- mirrors the operator's NULL semantics exactly: a null-safe
+        |  -- change test (IS DISTINCT FROM = Spark's <=> negated) plus an
+        |  -- explicit first-row marker, so value->NULL transitions and NULL
+        |  -- first rows version identically on both engines
         |  SELECT * FROM (
         |    SELECT user_id, event_id, event_type, us,
-        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+        |      lag(1) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS first_row
         |    FROM lg)
-        |  WHERE prev IS NULL OR prev <> event_type)
+        |  WHERE first_row OR prev IS DISTINCT FROM event_type)
         |SELECT user_id,
         |  CAST(row_number() OVER w AS BIGINT) AS version,
         |  event_type,

@@ -173,16 +173,29 @@ object Versioned {
     * manifests older than the newest `keepVersions`. Returns the deleted
     * data directories. Never touches directories the surviving versions
     * read, so time travel within the retention window stays intact.
+    *
+    * `graceMs` is the concurrent-writer fence (Delta's vacuum retention):
+    * commit writes its data directory BEFORE publishing the manifest, so
+    * an in-flight commit's directory is momentarily unreferenced — a
+    * vacuum racing it would destroy the commit. Directories modified
+    * within the last `graceMs` are therefore retained even when
+    * unreferenced. The default (7 days, Delta parity) makes vacuum safe
+    * against any writer that commits in under a week; pass 0 only when no
+    * concurrent writer can exist (single-process CLI, tests).
     */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Seq[String] = {
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1,
+             graceMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     val keep = vs.takeRight(math.max(1, keepVersions))
     val referenced = keep.flatMap(v => readManifest(spark, dir, v).dataDirs).toSet
     vs.filterNot(keep.contains).foreach(v => f.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(s"$dir/data")
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     if (!f.exists(dataRoot)) Seq.empty
-    else f.listStatus(dataRoot).toSeq.map(_.getPath)
+    else f.listStatus(dataRoot).toSeq
+      .filter(_.getModificationTime <= cutoff)
+      .map(_.getPath)
       .filterNot(p => referenced.exists(r => new Path(r).getName == p.getName))
       .map { p => f.delete(p, true); p.toString }
   }

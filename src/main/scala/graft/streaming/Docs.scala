@@ -211,9 +211,6 @@ object Docs {
                 Seq("__h"), "left_anti")
             else withH
           if (!batch.isEmpty) {
-          batch.select(col("__h").as("h"), col("doc_id"))
-            .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-            .write.mode("append").parquet(s"$root/reps")
           val sigs = Dedup.minhashSignatures(batch.drop("__h"))
             .localCheckpoint()
           sigs.write.mode("append").parquet(s"$root/sigs")
@@ -241,6 +238,15 @@ object Docs {
                 .select("doc_id", "band", "bkey")
             }
           admitted.write.mode("append").parquet(s"$root/bands")
+          // reps LAST: the sidecar is the replay fence (the anti-join
+          // above drops any batch whose hashes are already in it), so it
+          // must only admit a batch whose sigs/bands writes all landed. If
+          // a crash hits before this point, the replayed batch re-appends
+          // sigs/bands (the documented duplicate-append) instead of being
+          // silently dropped with its index rows missing.
+          batch.select(col("__h").as("h"), col("doc_id"))
+            .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+            .write.mode("append").parquet(s"$root/reps")
           }
         }
       }

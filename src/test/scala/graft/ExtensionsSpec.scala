@@ -81,6 +81,34 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow_fps skips grams touching null tokens instead of crashing") {
+    withExtendedSession { s =>
+      // array() with a CAST(NULL) element is containsNull=true — the shape
+      // that used to NPE in compute(). Nulls at 1 and 6 kill every gram
+      // overlapping them; the surviving grams still window deterministically.
+      val fps = s.sql(
+        """SELECT winnow_fps(
+          |  array('a', CAST(NULL AS STRING), 'c','d','e','f',
+          |        CAST(NULL AS STRING), 'h','i','j','k','l','m'), 4, 2) AS f""".stripMargin)
+        .head().getSeq[String](0)
+      assert(fps.nonEmpty && fps.forall(_.matches("[0-9a-f]{16}")))
+      // all-null tokens -> zero surviving grams -> empty, not a crash
+      val empty = s.sql(
+        """SELECT winnow_fps(array(CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  CAST(NULL AS STRING)), 4, 2) AS f""".stripMargin)
+        .head().getSeq[String](0)
+      assert(empty.isEmpty)
+      // and the kept grams equal the fingerprints of the same token stream
+      // with null-touching grams pre-dropped: here only 'h'..'m' form
+      // contiguous non-null 4-grams after the second null
+      val tail = s.sql(
+        "SELECT winnow_fps(array('h','i','j','k','l','m'), 4, 2) AS f")
+        .head().getSeq[String](0)
+      assert(tail.forall(fps.contains), s"tail=$tail fps=$fps")
+    }
+  }
+
   test("injected planner strategy plans TopKPerGroup without experimental registration") {
     withExtendedSession { s =>
       val df = s.range(0, 100).selectExpr("id % 5 AS g", "id AS v")

@@ -43,7 +43,7 @@ class VersionedSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
     // keep latest 2: v1's manifest goes, but its DATA survives because
     // v2/v3 still reference it (append history shares directories)
-    val deleted = Versioned.vacuum(spark, dir, keepVersions = 2)
+    val deleted = Versioned.vacuum(spark, dir, keepVersions = 2, graceMs = 0L)
     assert(deleted.isEmpty)
     assert(Versioned.versions(spark, dir) == Seq(2, 3))
     assert(Versioned.read(spark, dir).as[(Long, String)].collect().size == 3)
@@ -51,7 +51,7 @@ class VersionedSpec extends AnyFunSuite {
     val dir2 = tmp("vac")
     Versioned.commit(Seq((1L, "a")).toDF("k", "v"), dir2)
     Versioned.commit(Seq((1L, "a2")).toDF("k", "v"), dir2)
-    val deleted2 = Versioned.vacuum(spark, dir2, keepVersions = 1)
+    val deleted2 = Versioned.vacuum(spark, dir2, keepVersions = 1, graceMs = 0L)
     assert(deleted2.size == 1)
     assert(Versioned.read(spark, dir2).as[(Long, String)].collect().toSet ==
       Set((1L, "a2")))
@@ -79,6 +79,26 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, dir, Some(4)).inputFiles
       .map(_.split("/data/")(1).split("/")(0)).distinct.length == 1,
       "compacted version must read one data dir")
+  }
+
+  test("vacuum retention grace protects an in-flight commit's data dir") {
+    import spark.implicits._
+    val dir = tmp("grace")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), dir)
+    Versioned.commit(Seq((1L, "a2")).toDF("k", "v"), dir)
+    // a concurrent committer mid-flight: data written, manifest not yet
+    // published — unreferenced, but seconds old
+    Seq((9L, "inflight")).toDF("k", "v")
+      .write.parquet(s"$dir/data/v00003-cafe0000")
+    // default grace (7d): neither the in-flight dir NOR v1's aged-out data
+    // is reclaimed — both were modified inside the window
+    assert(Versioned.vacuum(spark, dir, keepVersions = 1).isEmpty)
+    assert(spark.read.parquet(s"$dir/data/v00003-cafe0000").count() == 1)
+    // grace 0 (single-writer): both unreferenced dirs go
+    val gone = Versioned.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(gone.size == 2, gone.mkString(","))
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2")))
   }
 
   test("uncommitted data is invisible until the manifest publishes") {
