@@ -45,6 +45,9 @@ object Cli {
       onlyTables: Seq[String] = Nil,
       quiet: Boolean = false,
       profiler: Boolean = false,
+      record: Option[String] = None,
+      recordMode: sources.Recorder.Mode = sources.Recorder.Once,
+      recordDir: String = sources.Recorder.DefaultDir,
       commands: Seq[String] = Nil)
 
   final case class Config(
@@ -70,6 +73,10 @@ object Cli {
         go(t, acc.copy(onlyTables = acc.onlyTables ++ v.split(",").toSeq))
       case ("-q" | "--quiet") :: t => go(t, acc.copy(quiet = true))
       case "--profiler" :: t => go(t, acc.copy(profiler = true))
+      case "--record" :: v :: t => go(t, acc.copy(record = Some(v)))
+      case "--record-mode" :: v :: t =>
+        go(t, acc.copy(recordMode = sources.Recorder.mode(v)))
+      case "--record-dir" :: v :: t => go(t, acc.copy(recordDir = v))
       case ("-y" | "--force-yes") :: t => go(t, acc) // non-interactive already
       case cmd :: t if CommandNames.contains(cmd) =>
         go(t, acc.copy(commands = acc.commands :+ cmd))
@@ -172,11 +179,24 @@ object Cli {
     def log(s: String): Unit = { out += s; if (!opts.quiet) println(s) }
 
     // one shared extraction per run (like dbcut's per-context load): the
-    // first command that needs tables computes it, the rest reuse it
-    lazy val extracted: Map[String, DataFrame] = Job.run(
-      spark, cfg.sourceDir, job, graph,
-      cacheRoot = cfg.cacheDir.filter(_ => !opts.noCache),
-      force = opts.forceRefresh)
+    // first command that needs tables computes it, the rest reuse it.
+    // --record NAME routes it through a named cassette (sources/Record
+    // .scala): first run records the fixture, later runs replay it with
+    // the source offline (the reference's contrib recorder workflow).
+    lazy val extracted: Map[String, DataFrame] = opts.record match {
+      case Some(name) =>
+        sources.Recorder.using(spark, name, opts.recordMode, opts.recordDir) {
+          rec =>
+            sources.Recorder.extraction(rec)(Job.run(
+              spark, cfg.sourceDir, job, graph,
+              cacheRoot = cfg.cacheDir.filter(_ => !opts.noCache),
+              force = opts.forceRefresh))
+        }
+      case None => Job.run(
+        spark, cfg.sourceDir, job, graph,
+        cacheRoot = cfg.cacheDir.filter(_ => !opts.noCache),
+        force = opts.forceRefresh)
+    }
     def fkOrder(tables: Map[String, DataFrame]): Seq[String] =
       graph.topological.filter(tables.contains) ++
         tables.keys.filterNot(graph.topological.contains).toSeq.sorted
@@ -364,6 +384,10 @@ object Cli {
        |  -l, --last-only     run only the last query
        |  --no-cache          bypass the query-result cache
        |  --force-refresh     recompute cached queries
+       |  --record NAME       record/replay the extraction through cassette
+       |                      NAME (VCR fixtures; see sources/Record.scala)
+       |  --record-mode MODE  ONCE (default) | ALL | NONE
+       |  --record-dir DIR    cassette directory (default graft_records)
        |  -q, --quiet         suppress output
        |  --profiler          log per-command wall timings
        |  -y, --force-yes     non-interactive (accepted for compatibility)""".stripMargin
