@@ -22,14 +22,25 @@ object Job {
       lastOnly: Boolean = false)
 
   /** Parse a job config: a YAML document with a `queries:` list (each entry
-    * a dbcut query) and optional `only_tables` / `last_only`.
+    * a dbcut query) and optional `only_tables` / `last_only` /
+    * `global_exclude`. `global_exclude` (reference `configuration.py:25`,
+    * merged per query at `parser.py:135-137`) is a config-level exclude
+    * list folded into EVERY query's exclude — how a user bans an audit
+    * table corpus-wide without repeating it per query. A scalar value is
+    * accepted as a one-element list, like the per-query key.
     */
   def parseConfig(text: String): JobConfig = {
     val mapper = new ObjectMapper(new YAMLFactory())
     val root = mapper.readTree(text)
     require(root.hasNonNull("queries"), "job config needs a 'queries' list")
+    val globalExclude = Option(root.get("global_exclude")).filter(!_.isNull)
+      .map(n =>
+        if (n.isArray) n.elements().asScala.toSeq.map(_.asText())
+        else Seq(n.asText()))
+      .getOrElse(Nil)
     val queries = root.get("queries").elements().asScala.toSeq
       .map(n => SpecJson.parse(mapper.writeValueAsString(n)))
+      .map(q => q.copy(exclude = (q.exclude ++ globalExclude).distinct))
     val only = Option(root.get("only_tables")).map(n =>
       if (n.isArray) n.elements().asScala.toSeq.map(_.asText())
       else n.asText().split(",").toSeq).getOrElse(Nil)

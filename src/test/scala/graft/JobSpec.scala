@@ -33,6 +33,34 @@ class JobSpec extends AnyFunSuite {
     assert(n.count() == n.select("n_nationkey").distinct().count())
   }
 
+  test("global_exclude merges into every query; the table never loads") {
+    val cfg = Job.parseConfig(
+      """
+        |global_exclude: [nation]
+        |queries:
+        |  - from: customer
+        |    limit: 3
+        |    join_depth: 5
+        |    backref_depth: 0
+        |    exclude: [orders]
+        |  - from: supplier
+        |    limit: 2
+        |    join_depth: 5
+        |    backref_depth: 0
+        |""".stripMargin)
+    // folded into each query's exclude, deduped against per-query entries
+    assert(cfg.queries.map(_.exclude.sorted) ==
+      Seq(Seq("nation", "orders"), Seq("nation")))
+    val merged = Job.run(spark, TestSpark.sf, cfg)
+    assert(merged.contains("customer") && merged.contains("supplier"))
+    assert(!merged.contains("nation") && !merged.contains("region"),
+      s"globally excluded table (and its only path to region) must not load: ${merged.keys}")
+    // scalar form is accepted like the per-query key
+    assert(Job.parseConfig(
+      "global_exclude: nation\nqueries:\n  - from: region\n")
+      .queries.head.exclude == Seq("nation"))
+  }
+
   test("only_tables filters by root; last_only keeps the final query") {
     val cfg = Job.parseConfig(configYaml)
     assert(Job.selectQueries(cfg.copy(onlyTables = Seq("supplier"))).map(_.from) ==
