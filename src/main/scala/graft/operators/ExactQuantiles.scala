@@ -35,6 +35,26 @@ object ExactQuantiles {
   private val B = 1L << 16 // sub-buckets per refinement round
   private val Small = 1L << 13 // collect a range once its population ≤ this
 
+  /** Hard ceiling on rows any single driver-side collect may return —
+    * the refinement holds COUNTS, never values, but counts still scale
+    * with open-ranges × B per round (G·B in the fused round), and a
+    * high-cardinality group column would otherwise put G·2^16 count rows
+    * on the driver at once. Ranges are processed in batches sized so each
+    * collect stays under this (≈24 MB of count rows); extra batches cost
+    * extra fully-parallel scans, not memory. ExactQuantilesSpec pins the
+    * bound on a many-group column.
+    */
+  private[graft] val MaxDriverRows = 1L << 20
+  private[graft] val BucketRangeBatch: Int =
+    math.max(1L, MaxDriverRows / B).toInt // 16 ranges × ≤2^16 buckets
+  private[graft] val CollectRangeBatch: Int =
+    math.max(1L, MaxDriverRows / Small).toInt // 128 ranges × ≤2^13 values
+
+  /** Test hook: the largest row count any single driver collect returned
+    * during the most recent [[continuous]] call.
+    */
+  @volatile private[graft] var lastMaxCollectRows: Long = 0L
+
   /** One still-open order statistic: rank (0-indexed) within group `g`,
     * known to lie in [lo, hi] (micros, inclusive) at `offset` among that
     * range's values in sorted order; `pop` = range population (rows).
@@ -59,6 +79,11 @@ object ExactQuantiles {
                  globalBounds: Option[(Long, Long)] = None): Map[String, Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
+    lastMaxCollectRows = 0L
+    def tally(rows: Array[Row]): Array[Row] = {
+      lastMaxCollectRows = math.max(lastMaxCollectRows, rows.length.toLong)
+      rows
+    }
     val base = df
       .select(group.cast("string").as("g"), graft.Q.micros(value).as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
@@ -74,42 +99,58 @@ object ExactQuantiles {
         require(mxG >= mnG, s"bad global bounds [$mnG, $mxG]")
         // fused round: per-(group, global-range sub-bucket) counts in ONE
         // scan; group sizes derive by summing, and every probe starts
-        // already refined to its bucket's sub-range
+        // already refined to its bucket's sub-range. The count matrix is
+        // ≤ G·B rows, so collect through a LIMIT probe: complete within
+        // MaxDriverRows ⇒ proceed fused (common case, small G); truncated
+        // ⇒ a high-cardinality group column — fall back to per-group sizes
+        // only (G rows, the irreducible metadata) with probes seeded from
+        // the global range, and let the BATCHED refinement rounds below
+        // carry the bucketing at bounded driver memory.
         val width = mxG - mnG + 1
         val step = ceilDiv(width, B) // bucket b covers [lo+b·step, lo+(b+1)·step)
-        val counts = base
+        val fusedAgg = base
           .groupBy(col("g"),
             expr(s"(v - ${mnG}L) div ${step}L").as("b"))
           .agg(count(lit(1)).as("c"))
-          .collect()
-          .groupBy(_.getString(0))
-          .map { case (g, rows) =>
-            g -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toVector
-          }
-        val ns = counts.map { case (g, bs) => g -> bs.map(_._2).sum }
-        val probes = ns.toSeq.flatMap { case (g, n) =>
-          val buckets = counts(g)
-          ranksFor(n).map { r =>
-            var rem = r
-            val it = buckets.iterator
-            var hit: (Long, Long) = null
-            while (hit == null && it.hasNext) {
-              val (b, c) = it.next()
-              if (rem < c) hit = (b, c) else rem -= c
+        val probe = tally(fusedAgg.limit((MaxDriverRows + 1).toInt).collect())
+        if (probe.length <= MaxDriverRows) {
+          val counts = probe
+            .groupBy(_.getString(0))
+            .map { case (g, rows) =>
+              g -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toVector
             }
-            require(hit != null, s"fused round lost rank $r of $g")
-            val (b, c) = hit
-            val nlo = mnG + b * step
-            val nhi = math.min(mnG + (b + 1) * step - 1, mxG)
-            Probe(g, r, nlo, nhi, rem, c)
+          val ns = counts.map { case (g, bs) => g -> bs.map(_._2).sum }
+          val probes = ns.toSeq.flatMap { case (g, n) =>
+            val buckets = counts(g)
+            ranksFor(n).map { r =>
+              var rem = r
+              val it = buckets.iterator
+              var hit: (Long, Long) = null
+              while (hit == null && it.hasNext) {
+                val (b, c) = it.next()
+                if (rem < c) hit = (b, c) else rem -= c
+              }
+              require(hit != null, s"fused round lost rank $r of $g")
+              val (b, c) = hit
+              val nlo = mnG + b * step
+              val nhi = math.min(mnG + (b + 1) * step - 1, mxG)
+              Probe(g, r, nlo, nhi, rem, c)
+            }
           }
+          (ns, probes)
+        } else {
+          val ns = tally(base.groupBy("g").agg(count(lit(1)).as("n")).collect())
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val probes = ns.toSeq.flatMap { case (g, n) =>
+            ranksFor(n).map(r => Probe(g, r, mnG, mxG, r, n))
+          }
+          (ns, probes)
         }
-        (ns, probes)
       case None =>
         // round 0: per-group count + value range — G rows of metadata
-        val st = base.groupBy("g")
+        val st = tally(base.groupBy("g")
           .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
-          .collect()
+          .collect())
           .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
           .toMap
         val probes = st.toSeq.flatMap { case (g, (n, mn, mx)) =>
@@ -140,10 +181,15 @@ object ExactQuantiles {
 
       if (toBucket.nonEmpty) {
         // distinct ranges (probes of one group often share a range); each
-        // carries its bucket step = ceil(width / B)
-        val ranges = toBucket.map(p => (p.g, p.lo, p.hi)).distinct.zipWithIndex
+        // carries its bucket step = ceil(width / B). Batched: ≤
+        // BucketRangeBatch ranges per scan keeps every collect under
+        // MaxDriverRows count rows no matter how many groups are open.
+        val allRanges = toBucket.map(p => (p.g, p.lo, p.hi)).distinct.zipWithIndex
           .map { case ((g, lo, hi), id) =>
             (id.toLong, g, lo, hi, ceilDiv(hi - lo + 1, B)) }
+        val byRange = toBucket.groupBy(p => (p.g, p.lo, p.hi))
+        val refined = scala.collection.mutable.ArrayBuffer.empty[Probe]
+        for (ranges <- allRanges.grouped(BucketRangeBatch)) {
         val spec = broadcast(ranges.toDF("rid", "rg", "rlo", "rhi", "rstep"))
         // bucket id: floor((v−lo) / step) ∈ [0, B) in EXACT long
         // arithmetic (`div`, not `/` — double division is only ~0.5 ulp
@@ -152,17 +198,16 @@ object ExactQuantiles {
         // DIVISION form, not (v−lo)·B div width: the product overflows a
         // long for wide-range columns (a 2^31-valued micros column is
         // already 2.1e15 — ×65536 blows past 2^63; caught by a spec).
-        val counts = base.join(spec,
+        val counts = tally(base.join(spec,
             col("g") === col("rg") && col("v") >= col("rlo") && col("v") <= col("rhi"))
           .select(col("rid"), expr("(v - rlo) div rstep").as("b"))
           .groupBy("rid", "b").agg(count(lit(1)).as("c"))
-          .collect()
+          .collect())
           .groupBy(_.getLong(0))
           .map { case (rid, rows) =>
             rid -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toVector
           }
-        val byRange = toBucket.groupBy(p => (p.g, p.lo, p.hi))
-        open = ranges.flatMap { case (rid, g, lo, hi, step) =>
+        refined ++= ranges.flatMap { case (rid, g, lo, hi, step) =>
           val buckets = counts.getOrElse(rid, Vector.empty[(Long, Long)])
           // walk each probe's offset down the cumulative bucket counts
           byRange((g, lo, hi)).map { p =>
@@ -181,23 +226,27 @@ object ExactQuantiles {
             Probe(p.g, p.rank, nlo, nhi, rem, c)
           }
         }
-        open = split(open)
+        }
+        open = split(refined.toSeq)
       }
 
       if (toCollect.nonEmpty) {
-        val ranges = toCollect.map(p => (p.g, p.lo, p.hi)).distinct.zipWithIndex
+        val allRanges = toCollect.map(p => (p.g, p.lo, p.hi)).distinct.zipWithIndex
           .map { case ((g, lo, hi), id) => (id.toLong, g, lo, hi) }
+        val byRange = toCollect.groupBy(p => (p.g, p.lo, p.hi))
+        for (ranges <- allRanges.grouped(CollectRangeBatch)) {
         val spec = broadcast(ranges.toDF("rid", "rg", "rlo", "rhi"))
-        // (value, count) of the target ranges only — ≤ Small rows per range
-        val vals = base.join(spec,
+        // (value, count) of the target ranges only — ≤ Small rows per
+        // range, ≤ CollectRangeBatch ranges per scan ⇒ every collect
+        // bounded by MaxDriverRows
+        val vals = tally(base.join(spec,
             col("g") === col("rg") && col("v") >= col("rlo") && col("v") <= col("rhi"))
           .groupBy("rid", "v").agg(count(lit(1)).as("c"))
-          .collect()
+          .collect())
           .groupBy(_.getLong(0))
           .map { case (rid, rows) =>
             rid -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toVector
           }
-        val byRange = toCollect.groupBy(p => (p.g, p.lo, p.hi))
         ranges.foreach { case (rid, g, lo, hi) =>
           val sorted = vals.getOrElse(rid, Vector.empty[(Long, Long)])
           byRange((g, lo, hi)).foreach { p =>
@@ -211,6 +260,7 @@ object ExactQuantiles {
             settle(p, out.getOrElse(
               sys.error(s"quantile collect lost rank ${p.rank} of $g")))
           }
+        }
         }
       }
     }

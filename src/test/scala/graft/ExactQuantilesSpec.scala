@@ -85,6 +85,36 @@ class ExactQuantilesSpec extends AnyFunSuite {
       assert(got("g")(i) == want("g")(i), s"prob ${probs(i)}")
   }
 
+  test("driver rows stay bounded on a many-group column (batched refinement)") {
+    import graft.operators.ExactQuantiles._
+    import spark.implicits._
+    // 150 groups × 9k rows: every group's range needs a bucket round
+    // (pop > the 8k direct-collect bound), and G·B ≈ 10M count rows would
+    // have landed on the driver in ONE collect before batching — the
+    // high-cardinality-group shape the public API invites
+    val df = spark.range(1350000)
+      .select((col("id") % 150).cast("string").as("g"),
+        round((abs(hash(col("id")).cast("double")) % 100000) / 100.0 + 0.01, 2)
+          .as("v"))
+    val want = builtin(df, "g", "v")
+    // unfused path: per-group ranges, batched bucket rounds
+    val plain = ExactQuantiles.continuous(df, col("g"), col("v"), probs)
+    assert(lastMaxCollectRows <= MaxDriverRows,
+      s"unfused collect put $lastMaxCollectRows rows on the driver")
+    // fused path: the G·B matrix exceeds the cap, so the LIMIT probe must
+    // reject fusion (its collect is allowed exactly MaxDriverRows+1 rows)
+    // and fall back to per-group seeding + batched refinement
+    val seeded = ExactQuantiles.continuous(df, col("g"), col("v"), probs,
+      globalBounds = Some((0L, 2000000000L)))
+    assert(lastMaxCollectRows <= MaxDriverRows + 1,
+      s"seeded collect put $lastMaxCollectRows rows on the driver")
+    assert(plain.keySet == want.keySet && seeded.keySet == want.keySet)
+    for (g <- want.keySet; i <- probs.indices) {
+      assert(plain(g)(i) == want(g)(i), s"plain group $g prob ${probs(i)}")
+      assert(seeded(g)(i) == want(g)(i), s"seeded group $g prob ${probs(i)}")
+    }
+  }
+
   test("empty groups are absent and single-row groups are exact") {
     import spark.implicits._
     val df = Seq(("a", 42.17)).toDF("g", "v")
