@@ -259,6 +259,24 @@ object Dedup {
     cachedCorpusTable(s, dir, "cclabels", s"$NumSeeds|$BucketCap|cc")(
       connectedComponents(bandPairs(corpusSigs(s, dir))))
 
+  /** Persisted rare-gram-Jaccard-verified near-dup TRUTH pairs over the
+    * exact-dedup reps (jac ≥ 0.25, the LSH candidate threshold) — the
+    * ground-truth side of the recall audit (q_lsh_recall). Exactly the
+    * kind of deterministic corpus derivation the standing-index ladder
+    * already amortizes: the audit re-runs after every config change, but
+    * the truth set only changes when the corpus does, so it is stamp-keyed
+    * like every cached corpus table and the audit is ~free on re-runs.
+    */
+  def corpusTruthPairs(s: SparkSession, dir: String): DataFrame =
+    cachedCorpusTable(s, dir, "truth", s"$DfCap|250000|jac") {
+      // truth over the SAME reps domain the signatures cover
+      val reps = docs(s, dir)
+        .select(normText(col("text")).as("s"), col("doc_id"))
+        .groupBy("s").agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("s").as("text"))
+      rareGramJaccard(reps, minJacMicro = 250000L).select("doc_a", "doc_b")
+    }
+
   /** The SimHash twin of [[corpusSigs]]: the persisted 64-bit signature
     * table both simhash queries probe (column renamed to `sig`, the index
     * side's name).
@@ -1161,14 +1179,8 @@ object Dedup {
          |  CAST(COALESCE(n_hit * 1000 // NULLIF(n_truth, 0), 0) AS BIGINT) AS recall_milli,
          |  CAST(COALESCE(n_hit * 1000 // NULLIF(n_cand, 0), 0) AS BIGINT) AS precision_milli
          |FROM n""".stripMargin)((s, dir) => {
-      val d = docs(s, dir)
       val cand = bandPairs(corpusSigs(s, dir))
-      // truth over the SAME reps domain the signatures cover
-      val reps = d.select(normText(col("text")).as("s"), col("doc_id"))
-        .groupBy("s").agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"), col("s").as("text"))
-      val truth = rareGramJaccard(reps, minJacMicro = 250000L)
-        .select("doc_a", "doc_b")
+      val truth = corpusTruthPairs(s, dir)
       val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
       val counts = truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
