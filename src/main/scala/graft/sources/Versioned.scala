@@ -44,7 +44,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Versioned {
 
-  final case class Manifest(version: Int, dataDirs: Seq[String], nRows: Long)
+  final case class Manifest(version: Int, dataDirs: Seq[String], nRows: Long,
+                            epochId: Option[Long] = None)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -78,8 +79,19 @@ object Versioned {
     val node = json.readTree(txt)
     Manifest(node.get("version").asInt(),
       node.get("dataDirs").elements().asScala.map(_.asText()).toSeq,
-      node.get("nRows").asLong())
+      node.get("nRows").asLong(),
+      Option(node.get("epochId")).filter(!_.isNull).map(_.asLong()))
   }
+
+  /** Epoch id recorded by the latest committed version (None for a fresh
+    * table or a commit made without one) — the streaming-CDC replay fence:
+    * foreachBatch re-delivers the LAST batch after a crash, and epoch ids
+    * are monotone, so one manifest read answers "was this batch already
+    * applied?".
+    */
+  def latestEpochId(spark: SparkSession, dir: String): Option[Long] =
+    versions(spark, dir).lastOption
+      .flatMap(v => readManifest(spark, dir, v).epochId)
 
   /** Publish `df` as the next version. `append = false` commits a full
     * snapshot (the new version reads only this data); `append = true`
@@ -89,7 +101,8 @@ object Versioned {
     * writer won the version) the data dir is re-referenced under the
     * next number without rewriting.
     */
-  def commit(df: DataFrame, dir: String, append: Boolean = false): Int = {
+  def commit(df: DataFrame, dir: String, append: Boolean = false,
+             epochId: Option[Long] = None): Int = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     f.mkdirs(new Path(s"$dir/_commits"))
@@ -109,14 +122,15 @@ object Versioned {
       val dirs = parent.map(_.dataDirs).getOrElse(Seq.empty) :+ dataDir
       val nRows = parent.map(_.nRows).getOrElse(0L) + (
         if (append) nNew else 0L)
-      val m = Manifest(v, dirs, if (append) nRows else nNew)
+      val m = Manifest(v, dirs, if (append) nRows else nNew, epochId)
       val tmp = new Path(f"$dir/_commits/.v$v%05d.json.tmp")
+      val payload = new java.util.LinkedHashMap[String, Object]()
+      payload.put("version", Int.box(m.version))
+      payload.put("dataDirs", java.util.List.of(m.dataDirs: _*))
+      payload.put("nRows", Long.box(m.nRows))
+      m.epochId.foreach(e => payload.put("epochId", Long.box(e)))
       val out = f.create(tmp, true)
-      try out.write(json.writeValueAsBytes(
-        java.util.Map.of(
-          "version", Int.box(m.version),
-          "dataDirs", java.util.List.of(m.dataDirs: _*),
-          "nRows", Long.box(m.nRows))))
+      try out.write(json.writeValueAsBytes(payload))
       finally out.close()
       // atomic publish: rename fails (returns false) if the version
       // already exists — a concurrent writer won; retry as v+1 with the

@@ -12,12 +12,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * into a [[Versioned]] table, one committed version per micro-batch.
   * This is the standard lakehouse CDC sink shape (Delta's
   * `foreachBatch` + MERGE): Structured Streaming owns offsets/retries via
-  * the checkpoint, and the versioned commit is the atomic publish. A
-  * batch replayed after a crash commits an EXTRA version whose content is
-  * byte-identical to the one it duplicates — the merge is idempotent
-  * (updates set the same values, deletes of gone keys no-op, re-inserts
-  * become same-value updates) — so downstream readers never observe a
-  * double-application, only a redundant history entry.
+  * the checkpoint, and the versioned commit is the atomic publish.
+  * Batch-retry idempotence is EXACT: every commit records its epoch id
+  * (the foreachBatch batchId) in the manifest, and a replayed epoch skips
+  * the commit entirely (epoch ids are monotone, so one latest-manifest
+  * read decides) — version history stays one-version-per-applied-batch
+  * even across crash/replay, so a downstream version-count assertion
+  * never flakes. The merge itself is also idempotent (updates set the
+  * same values, deletes of gone keys no-op) as defense in depth.
   *
   * Per batch:
   *   1. compact the batch to its LATEST change per key (row_number over
@@ -43,19 +45,24 @@ object Cdc {
                    seqCol: String): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, tableDir, key, valueCols, seqCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, tableDir, key, valueCols, seqCol, Some(batchId))
         ()
       }
       .start()
 
   /** One micro-batch of the CDC merge (factored out so batch jobs and
-    * tests drive the identical code path).
+    * tests drive the identical code path). With an `epochId`, a batch
+    * whose id matches the latest committed manifest's is a REPLAY and is
+    * skipped — the commit already happened; the crash hit after publish.
     */
   def applyBatch(batch: DataFrame, tableDir: String, key: String,
-                 valueCols: Seq[String], seqCol: String): Unit = {
+                 valueCols: Seq[String], seqCol: String,
+                 epochId: Option[Long] = None): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    if (epochId.isDefined &&
+        Versioned.latestEpochId(spark, tableDir) == epochId) return
     // seq ties break on a content hash, NOT shuffle arrival order: a
     // replayed batch must pick the SAME winner or the idempotent-replay
     // contract (byte-identical duplicate version) breaks. Identical-
@@ -76,6 +83,6 @@ object Cdc {
       else Versioned.read(spark, tableDir)
     val merged = Lakehouse.mergeUpsert(base, compacted, key, valueCols)
       .drop("src")
-    Versioned.commit(merged, tableDir)
+    Versioned.commit(merged, tableDir, epochId = epochId)
   }
 }

@@ -113,6 +113,34 @@ class VersionedSpec extends AnyFunSuite {
       Set((1L, "a")))
   }
 
+  test("a replayed CDC epoch skips the commit (batch-retry idempotence)") {
+    import spark.implicits._
+    val dir = tmp("cdcretry")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    Cdc.applyBatch(batch((1L, "U", "a", 1L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(0L))
+    assert(Versioned.versions(spark, dir) == Seq(1))
+    // crash-after-publish: foreachBatch re-delivers epoch 0 — the commit
+    // already happened, so the replay must be a no-op (same version count,
+    // same content), not a duplicate history entry
+    Cdc.applyBatch(batch((1L, "U", "a", 1L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(0L))
+    assert(Versioned.versions(spark, dir) == Seq(1),
+      "replayed epoch must not commit a second version")
+    assert(Versioned.latestEpochId(spark, dir).contains(0L))
+    // the next epoch commits normally
+    Cdc.applyBatch(batch((2L, "U", "b", 2L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(1L))
+    assert(Versioned.versions(spark, dir) == Seq(1, 2))
+    assert(Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // epoch-less commits (batch jobs) stay un-fenced and never match
+    Cdc.applyBatch(batch((3L, "U", "c", 3L)), dir, "k", Seq("v"), "seq")
+    assert(Versioned.versions(spark, dir) == Seq(1, 2, 3))
+    assert(Versioned.latestEpochId(spark, dir).isEmpty)
+  }
+
   test("streaming CDC apply commits one merged version per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
