@@ -50,12 +50,25 @@ object Cli {
       recordDir: String = sources.Recorder.DefaultDir,
       commands: Seq[String] = Nil)
 
+  /** Logging surface (reference `configuration.py:17-20`): numeric level
+    * 1=ERROR 2=WARN 3=INFO (default) 4=DEBUG gates what reaches the
+    * console and the log file; `log_file` `:stderr:`/`:stdout:` mean
+    * console-only (the default), any other value appends FORMATTED lines
+    * to that path; `log_format` understands the python-logging tokens
+    * `%(levelname)Ns` / `%(asctime)s` / `%(name)s` / `%(message)s`.
+    */
+  final case class LogCfg(
+      level: Int = 3,
+      file: String = ":stderr:",
+      format: String = "[%(levelname)8s] [%(asctime)s] [%(name)s]: %(message)s")
+
   final case class Config(
       sourceDir: String,
       destDir: String,
       cacheDir: Option[String],
       indexRoot: Option[String],
       dialect: SqlDump.Dialect,
+      log: LogCfg,
       job: Job.JobConfig)
 
   /** Chained-command argument parser: global options may appear anywhere;
@@ -144,6 +157,16 @@ object Cli {
       indexRoot = Option(root.get("index_root")).filter(!_.isNull)
         .map(n => expandEnv(n.asText(), extraEnv)),
       dialect = SqlDump.dialects(dialect),
+      log = {
+        val d = LogCfg()
+        LogCfg(
+          level = Option(root.get("log_level")).filter(!_.isNull)
+            .map(_.asInt(d.level)).getOrElse(d.level),
+          file = Option(root.get("log_file")).filter(!_.isNull)
+            .map(n => expandEnv(n.asText(), extraEnv)).getOrElse(d.file),
+          format = Option(root.get("log_format")).filter(!_.isNull)
+            .map(_.asText()).getOrElse(d.format))
+      },
       job = Job.parseConfig(text))
   }
 
@@ -175,8 +198,29 @@ object Cli {
 
   private def runCommands(spark: SparkSession, opts: Options, cfg: Config,
                           job: Job.JobConfig, graph: RelGraph): Seq[String] = {
+    // log_level 4 opens up Spark's own INFO stream; ≤1 quiets it to errors
+    if (cfg.log.level >= 4) spark.sparkContext.setLogLevel("INFO")
+    else if (cfg.log.level <= 1) spark.sparkContext.setLogLevel("ERROR")
+    val toFile = Some(cfg.log.file)
+      .filterNot(f => f == ":stderr:" || f == ":stdout:" || f.isEmpty)
+    toFile.foreach { f =>
+      val p = Paths.get(f).toAbsolutePath
+      if (p.getParent != null) Files.createDirectories(p.getParent)
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    def log(s: String): Unit = { out += s; if (!opts.quiet) println(s) }
+    // `out` (the API/test contract) always carries every raw line; the
+    // console and log file are gated by log_level, and the file gets
+    // log_format-formatted lines
+    def log(s: String): Unit = {
+      out += s
+      if (cfg.log.level >= 3) {
+        if (!opts.quiet) println(s)
+        toFile.foreach(f => Files.writeString(Paths.get(f),
+          formatLogLine(cfg.log.format, "INFO", "graft.cli", s) + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND))
+      }
+    }
 
     // one shared extraction per run (like dbcut's per-context load): the
     // first command that needs tables computes it, the rest reuse it.
@@ -372,6 +416,33 @@ object Cli {
       log(f"[profile] $cmd: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     out.toSeq
+  }
+
+  /** Render one log line per the python-logging style `log_format`:
+    * `%(levelname)s` / `%(asctime)s` / `%(name)s` / `%(message)s`, each
+    * with optional printf-style width (`%(levelname)8s` right-pads to 8,
+    * `-8` left-pads). Unknown tokens pass through verbatim.
+    */
+  private val LogToken = "%\\((levelname|asctime|name|message)\\)(-?\\d*)s".r
+  def formatLogLine(fmt: String, level: String, name: String,
+                    message: String): String = {
+    val asctime = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    LogToken.replaceAllIn(fmt, m => {
+      val v = m.group(1) match {
+        case "levelname" => level
+        case "asctime" => asctime
+        case "name" => name
+        case "message" => message
+      }
+      val padded = m.group(2) match {
+        case "" => v
+        case w if w.startsWith("-") => v.padTo(-w.toInt, ' ')
+        case w => " " * math.max(0, w.toInt - v.length) + v
+      }
+      java.util.regex.Matcher.quoteReplacement(padded)
+    })
   }
 
   val usage: String =

@@ -268,6 +268,38 @@ class CliSpec extends AnyFunSuite {
     assert(out2.exists(_ == "check: all rules passed"), s"got $out2")
   }
 
+  test("log_file/log_format/log_level drive the logging surface") {
+    val work = tmp()
+    def cfg(level: Int) = writeConfig(work,
+      s"""databases:
+         |  source_dir: ${TestSpark.sf}
+         |  destination_dir: $work/dest
+         |log_level: $level
+         |log_file: $work/logs/graft.log
+         |log_format: "[%(levelname)8s] [%(name)s]: %(message)s"
+         |queries:
+         |  - from: region
+         |    limit: 2
+         |    join_depth: 0
+         |    backref_depth: 0
+         |""".stripMargin)
+    val out = Cli.run(spark, Cli.parseArgs(Seq("-c", cfg(3), "--quiet", "load")))
+    // the API contract stays raw lines; the file gets formatted ones
+    assert(out.exists(_.startsWith("load: ")))
+    val logPath = Paths.get(s"$work/logs/graft.log")
+    val lines = Files.readAllLines(logPath)
+    assert(lines.size == 1 && lines.get(0).startsWith("[    INFO] [graft.cli]: load: "),
+      lines.toString)
+    // level 2 suppresses INFO from the file but not from the return value
+    Files.delete(logPath)
+    val out2 = Cli.run(spark, Cli.parseArgs(Seq("-c", cfg(2), "--quiet", "load")))
+    assert(out2.exists(_.startsWith("load: ")))
+    assert(!Files.exists(logPath), "INFO line must not reach the file at level 2")
+    // the format renderer itself: padding and unknown tokens
+    assert(Cli.formatLogLine("%(levelname)8s|%(name)-6s|%(message)s x %(other)s",
+      "WARN", "abc", "m") == "    WARN|abc   |m x %(other)s")
+  }
+
   test("argument parser rejects unknown words and requires a command") {
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("loda")))
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("-c", "x.yml")))
