@@ -163,6 +163,22 @@ object TextAnalysis {
           .otherwise("clean").as("verdict"))
   }
 
+  /** Standing index of corpus-DUPLICATED 5-gram hashes (grams present in
+    * ≥2 distinct documents) — the cross-doc half of q_dup_gram_coverage,
+    * stamp-keyed like the signature tables: it changes only when the
+    * corpus does, and an ingestion pipeline maintains it rather than
+    * re-deriving the corpus gram df per scoring run. One column (gh,
+    * md5 of the gram — a fixed-width key), so probes stay narrow.
+    */
+  def corpusDupGrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.cachedCorpusTable(s, dir, "dupgrams", "5|2")(
+      Tables.spread(docs(s, dir))
+        .select(col("doc_id"), explode(gramSet(col("text"), 5)).as("gram"))
+        .groupBy(md5(col("gram").cast("binary")).as("gh"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+        .select("gh"))
+
   val pack: Seq[Q] = Seq(
 
     // 38. language ID: per-language stopword hit count, arg-max with a fixed
@@ -494,6 +510,61 @@ object TextAnalysis {
     // the same patterns over crafted strings with real hits; this query
     // pins the cross-engine regex/rewrite parity and the pipeline shape
     // (pure codegen'd map, no shuffle).
+    // 41m. CORPUS-DUPLICATED-GRAM COVERAGE — the cross-document face of
+    // the repetition signals: what fraction of each document's 5-gram
+    // positions carry a gram that appears in ≥2 DISTINCT documents
+    // (RefinedWeb/CCNet-style "covered by duplicated text" quality
+    // signal; 41c's q_repetition measures WITHIN-doc repetition, 34d's
+    // chunk dedup REMOVES duplicated 8-word chunks — this SCORES docs by
+    // corpus-level duplication without mutating them). Scale shape: gram
+    // stream collapses to per-doc (gram-hash, tf) before any join (md5
+    // gram hash = fixed-width shuffle key, map-side combined); the
+    // duplicated-gram set is a stamp-keyed standing index (built once per
+    // corpus, like the signature tables); coverage = one equi-join + one
+    // doc-keyed agg. All-integer micros, so it hash-checks cross-engine.
+    Q("q_dup_gram_coverage", {
+      val grams = wordNgramsSql("l", 5)
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+         |g AS (SELECT doc_id, unnest($grams) AS gram FROM tok),
+         |tf AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf FROM g GROUP BY 1, 2),
+         |dup AS (SELECT gram FROM tf GROUP BY gram HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN d.gram IS NOT NULL THEN t.tf ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM tf t LEFT JOIN dup d ON t.gram = d.gram GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+         |  CAST(coalesce(n_dup * 1000000 // nullif(n_grams, 0), 0) AS BIGINT) AS dup_frac_micros,
+         |  CASE WHEN coalesce(n_dup * 1000000 // nullif(n_grams, 0), 0) > 500000
+         |    THEN 'flag' ELSE 'keep' END AS verdict
+         |FROM documents LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        val tf = Tables.spread(docs(s, dir))
+          .select(col("doc_id"),
+            explode(wordNgrams(split(normText(col("text")), " "), 5)).as("gram"))
+          .groupBy(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
+          .agg(count(lit(1)).as("tf"))
+        val cov = tf
+          .join(corpusDupGrams(s, dir).withColumn("d", lit(1)), Seq("gh"), "left")
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).as("n_grams"),
+            sum(when(col("d") === 1, col("tf")).otherwise(0L)).as("n_dup"))
+        docs(s, dir).select("doc_id")
+          .join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            coalesce(expr("n_dup * 1000000 div nullif(n_grams, 0)"), lit(0L))
+              .as("dup_frac_micros"))
+          .withColumn("verdict",
+            when(col("dup_frac_micros") > 500000, "flag").otherwise("keep"))
+          .orderBy("doc_id")
+      }),
+
     // 41f. benchmark decontamination: flag training documents sharing any
     // word n-gram with a held-out benchmark set (here: the src0 slice —
     // n=3 so the tiny synthetic vocabulary actually produces overlaps; a
