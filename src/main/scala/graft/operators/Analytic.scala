@@ -371,6 +371,40 @@ object Analytic {
             col("s_minute_sum"), col("c_minute_sum"), col("p_minute_sum"))
       }),
 
+    // 30c. Top event PATHS — sequence mining over the event log: the most
+    // frequent 3-step event-type paths across all user timelines (the
+    // "common journeys" companion to q_funnel's fixed 3-stage funnel —
+    // here the paths are DISCOVERED, not declared). One user-keyed window
+    // builds each position's (e, next, next2) via two leads riding the
+    // SAME exchange; paths collapse to a (path, count) aggregate whose
+    // key space is |event vocabulary|³ — tiny — and the top-20 is a
+    // TakeOrdered, never a global sort. Tie order (count desc, path asc)
+    // plus the (epoch-us, event_id) order key make it bit-deterministic.
+    Q("q_event_paths",
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(expr("unix_micros(CAST(ts AS TIMESTAMP))"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e3").isNotNull)
+          .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+            .as("path"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+      }),
+
     // 30b. Cohort retention matrix — the product-analytics triangle: users
     // grouped by first-active day, distinct actives per (cohort, day
     // offset). Scale shape: the (user, day) distinct and the first-day
