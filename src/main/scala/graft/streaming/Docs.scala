@@ -71,6 +71,43 @@ object Docs {
     out
   }
 
+  /** Streaming duplicated-gram coverage — the twin of q_dup_gram_coverage
+    * (§2d.41m) over an ingest feed: each arriving document is scored by
+    * the fraction of its 5-gram positions carrying a gram the CORPUS
+    * already holds in ≥2 documents, against the persisted dup-gram index
+    * (md5 gram hashes, `TextAnalysis.corpusDupGrams`). Same shape (and
+    * same documented trade-off) as [[decontaminate]]: the index is
+    * collected once into a broadcast set and one struct-returning lookup
+    * UDF computes (n_grams, n_dup) in a single traversal — the batch
+    * explode→aggregate→join-back is a stateful aggregation append mode
+    * rejects, and two separate column references would re-inline the
+    * md5-transform chain (the §7d HOF lesson). Stream side is fully
+    * stateless.
+    */
+  def dupGramCoverage(docs: DataFrame, dupGrams: DataFrame, n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dupSet = spark.sparkContext.broadcast(
+      dupGrams.select(col("gh")).as[String].collect().toSet)
+    val score = udf((gs: Seq[String]) => {
+      val total = if (gs == null) 0L else gs.length.toLong
+      val dup = if (gs == null) 0L else gs.count(dupSet.value.contains).toLong
+      (total, dup)
+    })
+    docs
+      .withColumn("__t", split(TextAnalysis.normText(col("text")), " "))
+      .withColumn("__s", score(transform(
+        TextAnalysis.wordNgrams(col("__t"), n),
+        x => md5(x.cast("binary")))))
+      .withColumn("n_grams", col("__s._1"))
+      .withColumn("n_dup", col("__s._2"))
+      .withColumn("dup_frac_micros",
+        coalesce(expr("n_dup * 1000000L div nullif(n_grams, 0)"), lit(0L)))
+      .withColumn("verdict",
+        when(col("dup_frac_micros") > 500000, "flag").otherwise("keep"))
+      .drop("__t", "__s")
+  }
+
   /** Streaming incremental near-dup detection — the twin of
     * q_dedup_incremental (§2d.32d) over an unbounded ingest feed: each
     * arriving document is checked against the PERSISTED corpus MinHash

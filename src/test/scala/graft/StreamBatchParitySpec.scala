@@ -105,6 +105,38 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dup-gram coverage equals the batch scores exactly") {
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .orderBy("doc_id").as[Doc].collect().toSeq
+    val dupGrams = graft.operators.TextAnalysis
+      .corpusDupGrams(spark, TestSpark.sf)
+
+    val input = MemoryStream[Doc]
+    val q = Docs.dupGramCoverage(input.toDF(), dupGrams)
+      .writeStream.format("memory").queryName("paritydupgram")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      docs.grouped(math.max(docs.size / 3, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+        """SELECT doc_id, n_grams, n_dup, dup_frac_micros, verdict
+          |FROM paritydupgram ORDER BY doc_id""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("q_dup_gram_coverage")(spark, TestSpark.sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty &&
+        streamed.exists(_.last == "flag") && streamed.exists(_.last == "keep"))
+    } finally q.stop()
+  }
+
   test("streaming winnowing near-dup equals the batch pair set exactly") {
     import graft.operators.Dedup
     import graft.streaming.Docs
