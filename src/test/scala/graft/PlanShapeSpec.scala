@@ -277,6 +277,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(li.contains("l_shipdate"), s"shipdate filter not pushed:\n$li")
   }
 
+  test("event paths: top-20 is TakeOrdered, events scan pruned") {
+    val df = SparkEntry.queries("q_event_paths")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not globally sort:\n$p")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("events")).getOrElse(fail("no events scan"))
+    assert(!scan.contains("value"), s"unused value column not pruned:\n$scan")
+  }
+
+  test("dup-gram coverage: equi-joins only, docs scan pruned to id+text") {
+    val df = SparkEntry.queries("q_dup_gram_coverage")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .filter(_.contains("documents"))
+    assert(scans.nonEmpty && scans.forall(s =>
+      !s.contains("lang") && !s.contains("source")),
+      s"docs scan reads unused columns:\n${scans.mkString("\n")}")
+  }
+
   test("correlation matrix: all pairs from ONE lineitem scan") {
     val df = SparkEntry.queries("q_corr_matrix")(spark, TestSpark.sf)
     val scans = df.queryExecution.executedPlan.collectLeaves()
