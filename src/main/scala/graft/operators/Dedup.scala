@@ -941,6 +941,59 @@ object Dedup {
           .orderBy("doc_id")
       }),
 
+    // 32j. CORPUS DATASHEET — the per-source report a dataset card ships
+    // with ("datasheets for datasets"), composed from the standing dedup
+    // machinery: doc and token counts, language mix, byte-identical copy
+    // count, and near-dup-cluster membership LIFTED over exact-copy groups
+    // (a copy inherits its keeper's cluster, as in the split-leakage
+    // audit). One doc-keyed norm-group window + one broadcastable join
+    // against the (small) cluster-label index + one source-keyed rollup —
+    // shuffle ∝ corpus docs once, never pairs. All-integer, hash-checked.
+    Q("q_corpus_report", {
+      s"""$lshLabelsCtes,
+         |keepers AS (
+         |  SELECT doc_id, source, lang,
+         |    CAST(len(string_split(s, ' ')) AS BIGINT) AS n_words,
+         |    MIN(doc_id) OVER (PARTITION BY s) AS keeper
+         |  FROM (SELECT doc_id, source, lang, $normSql AS s FROM documents)),
+         |flags AS (
+         |  SELECT k.source, k.n_words,
+         |    CASE WHEN k.doc_id <> k.keeper THEN 1 ELSE 0 END AS is_copy,
+         |    CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_cluster,
+         |    CASE WHEN k.lang = 'en' THEN 1 ELSE 0 END AS is_en
+         |  FROM keepers k LEFT JOIN labels l ON k.keeper = l.doc_id)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS sum_words,
+         |  CAST(SUM(is_en) AS BIGINT) AS n_en,
+         |  CAST(SUM(is_copy) AS BIGINT) AS n_exact_copies,
+         |  CAST(SUM(in_cluster) AS BIGINT) AS n_dup_members
+         |FROM flags GROUP BY source ORDER BY source""".stripMargin
+    })(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val withKeeper = d.select(col("doc_id"), col("source"), col("lang"),
+            normText(col("text")).as("s"))
+          .withColumn("n_words", size(split(col("s"), " ")).cast("long"))
+          .withColumn("keeper",
+            min(col("doc_id")).over(Window.partitionBy(col("s"))))
+          .drop("s")
+        val labels = corpusClusterLabels(s, dir)
+          .select(col("doc_id").as("keeper")).distinct()
+          .withColumn("in_cluster", lit(1L))
+        withKeeper
+          .join(labels, Seq("keeper"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("sum_words"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+            sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+              .as("n_exact_copies"),
+            sum(coalesce(col("in_cluster"), lit(0L))).as("n_dup_members"))
+          .orderBy("source")
+      }),
+
     // 32e. cross-source duplication matrix — "which sources copy from
     // which": every duplication pair (near-dup LSH pairs between exact-dedup
     // representatives, PLUS one (keeper, copy) pair per byte-identical
