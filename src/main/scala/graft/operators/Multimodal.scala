@@ -37,6 +37,16 @@ object Multimodal {
     * Deterministic in the payload bytes so tests are stable. Real decoders
     * implement the same (payload, meta) => features contract, batch-wise.
     */
+  /** Frame-sampling geometry for "video" payloads: fixed FrameBytes-byte
+    * frames, every FrameStride-th frame sampled (a real pipeline decodes
+    * only the sampled frames — the point of sampling is exactly that the
+    * full decode never happens). A trailing partial frame is a frame.
+    * Declared BEFORE `pack`: the oracle SQL interpolates them at object
+    * initialization, and a later-declared val would read as 0 there.
+    */
+  val FrameBytes = 64
+  val FrameStride = 4
+
   object FakeCodec {
     val FeatureDim = 8
     def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, String, Array[Float])] =
@@ -112,7 +122,96 @@ object Multimodal {
       feats.select(Seq(col("media_id"), col("n_bytes"), col("checksum"),
         size(col("feature")).cast("long").as("feature_dim")) ++ hs: _*)
         .orderBy("media_id")
-    }))
+    }),
+
+    // 42b. FRAME SAMPLING — the video-shaped half of the multimodal
+    // plumbing: fixed 64-byte frames, every 4th frame sampled, per-frame
+    // "decode" = exact unsigned-byte sum (the stub; a real decoder keeps
+    // the batch contract and touches ONLY sampled offsets — the point of
+    // frame sampling at 100 TB is that the full decode never runs). The
+    // oracle recomputes frame geometry and byte sums from the payload hex
+    // independently, so the batched mapPartitions path is byte-exact.
+    graft.Q("q_multimodal_frames", {
+      val fb = FrameBytes
+      val st = FrameStride
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, strlen(text) AS nb, hex(encode(text)) AS hx,
+         |    (strlen(text) + ${fb - 1}) // $fb AS n_frames
+         |  FROM documents),
+         |b AS (
+         |  SELECT media_id,
+         |    CAST('0x' || substr(hx, 2 * i + 1, 2) AS INT) AS byte,
+         |    i // $fb AS frame,
+         |    ((n_frames - 1) // $st) * $st AS last_s
+         |  FROM m, UNNEST(range(0, nb)) AS u(i)),
+         |agg AS (
+         |  SELECT media_id,
+         |    CAST(SUM(CASE WHEN frame % $st = 0 THEN byte ELSE 0 END) AS BIGINT) AS sampled_sum,
+         |    CAST(SUM(CASE WHEN frame = 0 THEN byte ELSE 0 END) AS BIGINT) AS first_frame_sum,
+         |    CAST(SUM(CASE WHEN frame = last_s THEN byte ELSE 0 END) AS BIGINT) AS last_sampled_sum
+         |  FROM b GROUP BY media_id)
+         |SELECT m.media_id,
+         |  CAST(m.n_frames AS BIGINT) AS n_frames,
+         |  CAST(CASE WHEN m.n_frames = 0 THEN 0
+         |    ELSE (m.n_frames + ${st - 1}) // $st END AS BIGINT) AS n_sampled,
+         |  COALESCE(a.sampled_sum, 0) AS sampled_sum,
+         |  COALESCE(a.first_frame_sum, 0) AS first_frame_sum,
+         |  COALESCE(a.last_sampled_sum, 0) AS last_sampled_sum
+         |FROM m LEFT JOIN agg a USING (media_id)
+         |ORDER BY media_id""".stripMargin
+    })((s, dir) =>
+      sampleFrames(syntheticMedia(s, dir)).orderBy("media_id")))
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("n_sampled", LongType, nullable = false),
+    StructField("sampled_sum", LongType, nullable = false),
+    StructField("first_frame_sum", LongType, nullable = false),
+    StructField("last_sampled_sum", LongType, nullable = false)))
+
+  /** STUB frame extractor — stands in for video frame decode: per sampled
+    * frame the "decode" is an exact unsigned-byte sum (deterministic, so
+    * DuckDB recomputes it from the payload hex). Real decoders keep the
+    * same batch contract and only ever touch the sampled offsets.
+    */
+  object FrameCodec {
+    def sampleBatch(batch: Seq[(Long, Array[Byte])])
+        : Seq[(Long, Long, Long, Long, Long, Long)] =
+      batch.map { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        val nFrames = (b.length + FrameBytes - 1) / FrameBytes
+        def frameSum(i: Int): Long = {
+          var s = 0L
+          var j = i * FrameBytes
+          val end = math.min(j + FrameBytes, b.length)
+          while (j < end) { s += (b(j) & 0xff); j += 1 }
+          s
+        }
+        val sampled = 0 until nFrames by FrameStride
+        val lastS = if (sampled.isEmpty) -1 else sampled.last
+        (id, nFrames.toLong, sampled.size.toLong,
+          sampled.map(frameSum).sum,
+          if (nFrames > 0) frameSum(0) else 0L,
+          if (lastS >= 0) frameSum(lastS) else 0L)
+      }
+  }
+
+  /** Batched frame-sampling stage — same mapPartitions plumbing as
+    * [[extractFeatures]], different codec.
+    */
+  def sampleFrames(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { chunk =>
+          val batch = chunk.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+          FrameCodec.sampleBatch(batch).map { case (id, nf, ns, ss, fs, ls) =>
+            Row(id, nf, ns, ss, fs, ls)
+          }
+        }
+      }(enc)
+  }
 
   /** The decode stage: batched mapPartitions over (media_id, payload).
     * Batching amortizes per-call codec setup exactly like a Pandas-UDF
