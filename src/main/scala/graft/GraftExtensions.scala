@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{MisraGriesTopK, VecCosine, VecDot, WinnowFps}
+import graft.functions.{MisraGriesTopK, VecCosine, VecDot, WinnowFps, WordNgrams}
 import graft.plans.{TopKRewrite, TopKStrategy}
 
 /** Cluster-deployable entry point for everything graft injects into a
@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       graft.functions.WinnowFps.fromExprs))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      graft.functions.WordNgrams.fromExprs))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => TopKRewrite)
   }

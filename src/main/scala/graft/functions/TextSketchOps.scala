@@ -144,3 +144,91 @@ object WinnowFps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fps", fromExprs, "built-in")
 }
+
+/** Word n-grams of a token array as ONE native codegen expression — the
+  * hot front half of every gram-based operator (dup-gram coverage,
+  * decontamination, repetition, chunk/substring dedup). The composed form
+  * (slice × n → arrays_zip → transform(concat_ws)) allocates n slice
+  * arrays plus a zip-struct array per row and evaluates interpreted;
+  * this is one primitive pass per row that stays inside whole-stage
+  * codegen (same design as [[WinnowFps]], which fuses grams+hash+minima
+  * for the winnowing-specific pipeline).
+  *
+  * Bit-compatibility contract (pinned in QualitySpec against the
+  * composed form): gram = n tokens joined by one space; fewer than n
+  * tokens → empty array; null elements are skipped within their gram
+  * exactly like `concat_ws` (null-safe, not null-propagating); a null
+  * input array → null (the composed form's `when` guard maps it to
+  * empty — callers that need that coalesce, and the shared
+  * `TextAnalysis.wordNgrams` wrapper does).
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 2, s"word_ngrams needs n >= 2, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_ngrams expects array<string> tokens, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNgrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** One pass: n-token windows joined by a single space. Null tokens are
+    * skipped within their gram (concat_ws semantics).
+    */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val total = tokens.numElements()
+    val m = total - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) {
+        window(j) = if (tokens.isNullAt(i + j)) null
+                    else tokens.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column sugar. */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      WordNgrams(org.apache.spark.sql.GraftSqlBridge.expression(tokens), n))
+
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"word_ngrams requires 2 arguments (tokens, n), got ${exprs.length}")
+    WordNgrams(exprs(0),
+      exprs(1).eval(null).asInstanceOf[Number].intValue)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", fromExprs, "built-in")
+}

@@ -113,13 +113,25 @@ object TextAnalysis {
         s"'$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g')"
   }
 
-  /** Word n-grams from a token-array column, built by zipping n shifted
-    * slices so the transform lambda touches only its own variable —
-    * indexing the source array inside the lambda re-evaluates the whole
-    * split+regex chain per element (O(len²), see q_repetition's history).
-    * Empty array (not null/crash) below n tokens.
+  /** Word n-grams from a token-array column — ONE native codegen
+    * expression pass per row (functions/TextSketchOps.WordNgrams), the
+    * hot front half of every gram-based operator. Empty array (not
+    * null/crash) below n tokens or on a null input, matching the
+    * historical composed form ([[wordNgramsComposed]], kept only as the
+    * bit-parity reference).
     */
-  def wordNgrams(toks: Column, n: Int): Column = {
+  def wordNgrams(toks: Column, n: Int): Column =
+    coalesce(graft.functions.WordNgrams.wordNgrams(toks, n),
+      array().cast("array<string>"))
+
+  /** The pre-round-6 composed form (n shifted slices zipped so the
+    * transform lambda touches only its own variable — indexing the source
+    * array inside the lambda re-evaluates the producing chain per
+    * element, O(len²)). Interpreted (HOFs skip codegen) and allocates n
+    * slices + a zip-struct array per row; superseded by the native
+    * expression, retained for the parity spec.
+    */
+  def wordNgramsComposed(toks: Column, n: Int): Column = {
     require(n >= 2, s"n-gram n must be >= 2, got $n")
     val slices = (1 to n).map(i => slice(toks, lit(i), size(toks) - (n - 1)))
     when(size(toks) >= n,

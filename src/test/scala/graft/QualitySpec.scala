@@ -34,6 +34,36 @@ class QualitySpec extends AnyFunSuite {
     assert(covered == (0L until 40L).toSet)
   }
 
+  test("native word_ngrams is bit-identical to the composed HOF form") {
+    import spark.implicits._
+    // the real corpus plus crafted edges: under-n token counts, empty
+    // string, and a null-element array (concat_ws skip semantics)
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+      .select(split(TextAnalysis.normText(col("text")), " ").as("t"))
+    for (n <- Seq(2, 3, 5)) {
+      val both = corpus.select(
+        TextAnalysis.wordNgrams(col("t"), n).as("native"),
+        TextAnalysis.wordNgramsComposed(col("t"), n).as("composed"))
+      assert(both.filter(not(col("native") <=> col("composed"))).count() == 0,
+        s"native/composed drift at n=$n")
+    }
+    val edges = Seq(
+      Seq("a"), Seq("a", "b"), Seq("a", "b", "c"), Seq.empty[String])
+      .toDF("t")
+    val e = edges.select(
+      TextAnalysis.wordNgrams(col("t"), 3).as("native"),
+      TextAnalysis.wordNgramsComposed(col("t"), 3).as("composed"))
+    assert(e.filter(not(col("native") <=> col("composed"))).count() == 0)
+    // null input array -> empty (the wrapper's contract), no crash
+    val nulls = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS t")
+    assert(nulls.select(TextAnalysis.wordNgrams(col("t"), 2).as("g"))
+      .head().getSeq[String](0).isEmpty)
+    // null ELEMENTS: concat_ws skips them on both forms
+    val ne = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'c') AS t")
+    assert(ne.select(TextAnalysis.wordNgrams(col("t"), 2).as("g"))
+      .head().getSeq[String](0) == Seq("a", "c"))
+  }
+
   test("PII scrub masks emails, phones, and IPs and leaves clean text alone") {
     import spark.implicits._
     val df = Seq(
