@@ -167,32 +167,61 @@ object Dedup {
     * row per doc: chunk counts plus the md5 of the reassembled text with
     * every corpus-duplicated chunk removed.
     */
-  def chunkDedup(docs0: DataFrame): DataFrame = {
+  def chunkDedup(docs0: DataFrame,
+                 dupChunks: Option[DataFrame] = None): DataFrame = {
     // chunks come straight off the per-doc token array (one slice per
     // chunk id, lambda-local so the split runs once) — no word-level
     // shuffle and no collect_list re-assembly of an order the array
     // already had. The only shuffles left are the chunk-df aggregate
-    // (fixed-width md5 key) and the per-doc rollup.
+    // (fixed-width md5 key, skipped entirely when the standing
+    // duplicated-chunk set is supplied) and the per-doc rollup.
     val ch = docs0
       .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, CAST((size(t) - 1) div $ChunkWidth AS INT)), i -> array_join(slice(t, i * $ChunkWidth + 1, $ChunkWidth), ' '))"))
         .as(Seq("cid", "chunk")))
       .withColumn("cid", col("cid").cast("long"))
-    val dfc = ch.groupBy(md5(col("chunk")).as("ck"))
-      .agg(countDistinct("doc_id").as("df"))
-    ch.join(dfc, md5(col("chunk")) === col("ck"))
+      .withColumn("ck", md5s(col("chunk")))
+    // df >= 2 membership set: the persisted corpus index when given
+    // (build-once/probe-many — the chunk table then derives ONCE), else
+    // derived in-query from the chunk table itself
+    val dup = dupChunks.getOrElse(
+      ch.groupBy(col("ck")).agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2).select("ck"))
+    // left-join miss ⇒ d NULL: isNotNull, not ===1 (a null predicate in
+    // when() silently counts as false on BOTH branches)
+    val isDup = col("d").isNotNull
+    ch.join(dup.withColumn("d", lit(1)), Seq("ck"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
-        sum(when(col("df") < 2, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!isDup, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(isDup, 1L).otherwise(0L)).as("n_dropped"),
         md5(array_join(
           transform(
             array_sort(collect_list(
-              when(col("df") < 2, struct(col("cid"), col("chunk"))))),
+              when(!isDup, struct(col("cid"), col("chunk"))))),
             x => x.getField("chunk")), " ").cast("binary")).as("cleaned_md5"))
   }
+
+  /** Standing index of corpus-duplicated chunk hashes (ck present in ≥2
+    * distinct documents) — the probe set q_chunk_dedup's registered query
+    * uses so the per-query work is one chunk derivation + one equi-join,
+    * never a second corpus-wide chunk-df aggregate. Stamp-keyed like
+    * every cached corpus table.
+    */
+  def corpusDupChunks(s: SparkSession, dir: String): DataFrame =
+    cachedCorpusTable(s, dir, "chunkdf", s"$ChunkWidth|2") {
+      docs(s, dir)
+        .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, CAST((size(t) - 1) div $ChunkWidth AS INT)), i -> array_join(slice(t, i * $ChunkWidth + 1, $ChunkWidth), ' '))"))
+          .as("chunk"))
+        .groupBy(md5s(col("chunk")).as("ck"))
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2)
+        .select("ck")
+    }
 
   /** MinHash signatures over (doc_id, text): exact-dedup pre-pass, word
     * 3-shingles, NumSeeds min-slice columns h0..h7. The building block of
@@ -790,7 +819,8 @@ object Dedup {
          |FROM ch JOIN dfc ON md5(chunk) = ck
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })(
-      (s, dir) => chunkDedup(Tables.spread(docs(s, dir))).orderBy("doc_id")),
+      (s, dir) => chunkDedup(Tables.spread(docs(s, dir)),
+        dupChunks = Some(corpusDupChunks(s, dir))).orderBy("doc_id")),
 
     // 34b. MinHash-ESTIMATED Jaccard: the scale path for pairwise
     // similarity — no gram self-join at all. Candidates come from the
