@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{MisraGriesTopK, VecCosine, VecDot, WinnowFps, WordNgrams}
+import graft.functions.{MisraGriesTopK, VecCosine, VecDot, WinnowFps, WordNgrams, WpEncodeAll}
 import graft.plans.{TopKRewrite, TopKStrategy}
 
 /** Cluster-deployable entry point for everything graft injects into a
@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       graft.functions.WordNgrams.fromExprs))
+    ext.injectFunction((
+      FunctionIdentifier("wp_encode_all"),
+      new ExpressionInfo(classOf[WpEncodeAll].getName, "wp_encode_all"),
+      graft.functions.WpEncodeAll.fromExprs))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => TopKRewrite)
   }

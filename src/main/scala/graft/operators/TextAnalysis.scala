@@ -330,6 +330,86 @@ object TextAnalysis {
           .cast("long").as("bpe_tokens"))
         .orderBy("doc_id")),
 
+    // 40b. SUBWORD TOKENIZER APPLICATION — greedy longest-match
+    // (WordPiece/MaxMatch inference) with the VOCABULARY AS DATA: the
+    // vocab derives deterministically from the corpus itself (top-5 whole
+    // words by tf, top-300 3-char substrings by occurrence-weighted count,
+    // plus every corpus character so no position can miss), collects once
+    // as bounded model state, and the encode is ONE native codegen pass
+    // per document (functions/TokenizerOps.WpEncodeAll — a hash-set trie
+    // baked into the generated class). At 100 TB, tokenization is a pure
+    // map: zero shuffles beyond the tiny vocab derivation, retrain = swap
+    // the vocab table. All positions count CODE POINTS (DuckDB substr
+    // semantics — strlen would count bytes and diverge on the zh docs).
+    // The oracle replays the greedy walk with a recursive CTE + LATERAL
+    // longest-prefix probe; per-doc piece-stream md5 pins every piece and
+    // its order, not just the counts.
+    Q("q_subword_tokenize", {
+      s"""WITH RECURSIVE
+         |tok0 AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+         |tok AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM tok0),
+         |tf AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+         |topw AS (SELECT w AS v FROM tf ORDER BY c DESC, w LIMIT 5),
+         |tri0 AS (SELECT substr(w, i, 3) AS v, c FROM tf, UNNEST(range(1, length(w) - 1)) AS u(i)),
+         |tri AS (SELECT v FROM (SELECT v, sum(c) AS sc FROM tri0 GROUP BY v)
+         |        ORDER BY sc DESC, v LIMIT 300),
+         |chars AS (SELECT DISTINCT substr(w, i, 1) AS v
+         |          FROM tf, UNNEST(range(1, length(w) + 1)) AS u(i)),
+         |vocab AS (SELECT v FROM topw UNION SELECT v FROM tri UNION SELECT v FROM chars),
+         |words AS (SELECT DISTINCT w FROM tok),
+         |enc(w, pos, np, ps) AS (
+         |  SELECT w, 1, CAST(0 AS BIGINT), CAST('' AS VARCHAR) FROM words
+         |  UNION ALL
+         |  SELECT e.w, e.pos + length(p.v), e.np + 1, e.ps || '|' || p.v
+         |  FROM enc e, LATERAL (
+         |    SELECT v FROM vocab WHERE substr(e.w, e.pos, length(v)) = v
+         |    ORDER BY length(v) DESC, v LIMIT 1) p
+         |  WHERE e.pos <= length(e.w)),
+         |done AS (SELECT w, np, ps FROM enc WHERE pos > length(w)),
+         |agg AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(d.np) AS BIGINT) AS n_pieces,
+         |    md5(coalesce(string_agg(d.ps, '' ORDER BY t.pos), '')) AS stream_md5
+         |  FROM tok t JOIN done d ON t.w = d.w GROUP BY 1)
+         |SELECT doc_id, n_words, n_pieces,
+         |  CAST(n_pieces * 1000000 // n_words AS BIGINT) AS fertility_micros,
+         |  stream_md5
+         |FROM agg ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        import graft.functions.WpEncodeAll
+        val toks = docs(s, dir)
+          .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+        val tok = toks.select(col("doc_id"), explode(col("t")).as("w"))
+        val tf = tok.groupBy("w").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // three vocab slices read it; don't re-derive
+        val topw = tf.orderBy(col("c").desc, col("w").asc).limit(5)
+          .select(col("w").as("v"))
+        val tri = tf.select(explode(
+            when(length(col("w")) >= 3, expr(
+              "transform(sequence(1, length(w) - 2), i -> substring(w, i, 3))"))
+              .otherwise(array().cast("array<string>"))).as("v"), col("c"))
+          .groupBy("v").agg(sum(col("c")).as("sc"))
+          .orderBy(col("sc").desc, col("v").asc).limit(300).select("v")
+        val chars = tf.select(explode(expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+            .as("v")).distinct()
+        // bounded model state (≤ ~350 strings), like the k-means centroids
+        val vocab = topw.union(tri).union(chars).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val enc = toks.select(col("doc_id"),
+          size(col("t")).cast("long").as("n_words"),
+          WpEncodeAll.wpEncodeAll(col("t"), vocab).as("pieces"))
+        enc.select(col("doc_id"), col("n_words"),
+            size(col("pieces")).cast("long").as("n_pieces"),
+            expr("size(pieces) * 1000000L div n_words").as("fertility_micros"),
+            when(size(col("pieces")) === 0, md5(lit("").cast("binary")))
+              .otherwise(md5(concat(lit("|"),
+                concat_ws("|", col("pieces"))).cast("binary")))
+              .as("stream_md5"))
+          .orderBy("doc_id")
+      }),
+
     // 41. document fingerprint: md5 over the sorted distinct token set (a
     // shingle-free content fingerprint; binary-collation sort both engines)
     Q("q_fingerprint",

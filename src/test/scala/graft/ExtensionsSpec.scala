@@ -109,6 +109,27 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("wp_encode_all greedily longest-matches, falls back per code point") {
+    withExtendedSession { s =>
+      def enc(toksSql: String, vocabSql: String): Seq[String] =
+        s.sql(s"SELECT wp_encode_all($toksSql, $vocabSql) AS p")
+          .head().getSeq[String](0)
+      // longest match wins over shorter prefixes; remainder re-matches
+      assert(enc("array('abcde')", "array('ab','abcd','a','b','c','d','e')")
+        == Seq("abcd", "e"))
+      // vocab gap: the uncovered position emits its single code point
+      assert(enc("array('axb')", "array('a','b')") == Seq("a", "x", "b"))
+      // null tokens skipped, empty tokens contribute nothing
+      assert(enc("array('ab', CAST(NULL AS STRING), '')", "array('a','b')")
+        == Seq("a", "b"))
+      // non-literal vocab is rejected at analysis, not at runtime
+      val e = intercept[Exception](s.sql(
+        "SELECT wp_encode_all(array('a'), array(CAST(rand() AS STRING)))")
+        .collect())
+      assert(e.getMessage.contains("foldable"), e.getMessage)
+    }
+  }
+
   test("injected planner strategy plans TopKPerGroup without experimental registration") {
     withExtendedSession { s =>
       val df = s.range(0, 100).selectExpr("id % 5 AS g", "id AS v")
