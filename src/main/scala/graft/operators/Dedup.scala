@@ -204,6 +204,22 @@ object Dedup {
             x => x.getField("chunk")), " ").cast("binary")).as("cleaned_md5"))
   }
 
+  /** Standing exact-dedup keeper map (doc_id, keeper): each document's
+    * minimum-doc_id byte-identical (normalized) representative. Three
+    * registered queries (source overlap, pipeline select, corpus report)
+    * used to re-shuffle the FULL normalized text through a
+    * window-partition-by-norm every run just to derive these two longs
+    * per doc; the map is corpus-deterministic, tiny, and exactly what an
+    * ingestion pipeline maintains next to its signature index.
+    */
+  def corpusKeepers(s: SparkSession, dir: String): DataFrame =
+    cachedCorpusTable(s, dir, "keepers", "norm") {
+      docs(s, dir).select(col("doc_id"), normText(col("text")).as("s"))
+        .withColumn("keeper",
+          min(col("doc_id")).over(Window.partitionBy(col("s"))))
+        .select("doc_id", "keeper")
+    }
+
   /** Standing index of df-capped 8-gram postings (gram-hash, doc_id) —
     * the substring-overlap query's probe table. Shuffles a 16-hex md5
     * prefix, never the ~60-char gram itself: the gram-keyed exchanges
@@ -1010,11 +1026,8 @@ object Dedup {
       (s, dir) => {
         val d = docs(s, dir)
         val withKeeper = d.select(col("doc_id"), col("source"), col("lang"),
-            normText(col("text")).as("s"))
-          .withColumn("n_words", size(split(col("s"), " ")).cast("long"))
-          .withColumn("keeper",
-            min(col("doc_id")).over(Window.partitionBy(col("s"))))
-          .drop("s")
+            size(split(normText(col("text")), " ")).cast("long").as("n_words"))
+          .join(corpusKeepers(s, dir), Seq("doc_id"))
         val labels = corpusClusterLabels(s, dir)
           .select(col("doc_id").as("keeper")).distinct()
           .withColumn("in_cluster", lit(1L))
@@ -1060,9 +1073,7 @@ object Dedup {
       (s, dir) => {
         val d = docs(s, dir)
         val near = bandPairs(corpusSigs(s, dir))
-        val exact = d.select(col("doc_id"), normText(col("text")).as("s"))
-          .withColumn("keeper",
-            min(col("doc_id")).over(Window.partitionBy(col("s"))))
+        val exact = corpusKeepers(s, dir)
           .filter(col("doc_id") =!= col("keeper"))
           .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b"))
         val pairs = near.unionByName(exact).distinct()
@@ -1165,10 +1176,7 @@ object Dedup {
         // pre-pass keeps only each text's min-doc_id representative), so
         // they form their own drop set: every doc that is NOT its
         // normalized text's keeper
-        val exactDrops = d
-          .select(col("doc_id"), normText(col("text")).as("s"))
-          .withColumn("keeper", min(col("doc_id"))
-            .over(Window.partitionBy(col("s"))))
+        val exactDrops = corpusKeepers(s, dir)
           .filter(col("doc_id") =!= col("keeper"))
           .select("doc_id")
         val drops = ccDrops.unionByName(exactDrops).distinct()
