@@ -141,14 +141,25 @@ object Versioned {
     committed
   }
 
-  /** Read the table at `asOf` (default: latest committed version). */
+  /** Read the table at `asOf` (default: latest committed version).
+    * Schema EVOLVES across an append chain: a version whose manifest
+    * references directories written with different (compatible) schemas
+    * reads as their merged schema, with absent columns null-filled for
+    * the older rows — so `commit(df.withColumn(...), dir, append=true)`
+    * widens the table without rewriting history, and time travel to a
+    * pre-widening version still returns exactly that version's schema
+    * (its manifest references only the old directories).
+    */
   def read(spark: SparkSession, dir: String, asOf: Option[Int] = None): DataFrame = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed versions at $dir")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
     val m = readManifest(spark, dir, v)
-    spark.read.parquet(m.dataDirs: _*)
+    // mergeSchema only matters (and only costs footer reads) with >1 dir
+    if (m.dataDirs.length > 1)
+      spark.read.option("mergeSchema", "true").parquet(m.dataDirs: _*)
+    else spark.read.parquet(m.dataDirs: _*)
   }
 
   /** Row-level diff between two committed versions — time travel composed

@@ -81,6 +81,23 @@ class VersionedSpec extends AnyFunSuite {
       "compacted version must read one data dir")
   }
 
+  test("append commits evolve the schema; time travel keeps old shapes") {
+    import spark.implicits._
+    val dir = tmp("evo")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), dir)
+    // widen: the appended batch carries a new column
+    Versioned.commit(Seq((2L, "b", 9L)).toDF("k", "v", "extra"), dir,
+      append = true)
+    val latest = Versioned.read(spark, dir)
+    assert(latest.columns.toSet == Set("k", "v", "extra"))
+    assert(latest.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSeq == Seq((1L, "a", -1L), (2L, "b", 9L)),
+      "pre-widening rows must null-fill the new column")
+    // time travel to v1: exactly the old schema, no phantom column
+    assert(Versioned.read(spark, dir, Some(1)).columns.toSet == Set("k", "v"))
+  }
+
   test("vacuum retention grace protects an in-flight commit's data dir") {
     import spark.implicits._
     val dir = tmp("grace")
