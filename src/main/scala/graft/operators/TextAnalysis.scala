@@ -175,6 +175,76 @@ object TextAnalysis {
           .otherwise("clean").as("verdict"))
   }
 
+  /** BPE merge TRAINING (Sennrich et al. 2016) over the corpus word
+    * frequencies — the learn half of the tokenizer story (40b's
+    * `wp_encode_all` is the apply half; feed it
+    * [[vocabFromMerges]]). Classic BPE trains on the WORD-FREQUENCY
+    * table, not the corpus: at 100 TB that table has |vocabulary| rows
+    * (millions, distributed fine), each round is one pair-explode +
+    * count aggregate + a one-row argmax collect + a per-row merge map,
+    * and the round count is the bounded model knob. The per-word symbol
+    * merge is genuinely imperative (greedy left-to-right, order
+    * matters), so it runs as a typed map; each round localCheckpoints to
+    * stop iterative lineage growth (the CC-rounds precedent).
+    *
+    * Deterministic: best pair = max weighted count, ties by (left,
+    * right) lexicographic. Returns merges in training order.
+    */
+  def bpeTrainMerges(docs0: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    var syms = docs0
+      .select(explode(split(normText(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("c"))
+      .as[(Seq[String], Long)]
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val best = syms.flatMap { case (ss, c) =>
+        ss.iterator.zip(ss.iterator.drop(1)).map(p => (p._1, p._2, c)).toSeq
+      }.toDF("l", "r", "c")
+        .groupBy("l", "r").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        merges += ((l, r))
+        val m = l + r
+        syms = syms.map { case (ss, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+              out += m; i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          (out.toSeq, c)
+        }.localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Vocabulary induced by a merge sequence: every merged symbol plus the
+    * single characters — exactly what greedy longest-match inference
+    * (`wp_encode_all`) consumes.
+    */
+  def vocabFromMerges(docs0: DataFrame, merges: Seq[(String, String)]): Seq[String] = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    val chars = docs0
+      .select(explode(split(normText(col("text")), " ")).as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("v"))
+      .distinct().as[String].collect().toSeq
+    (merges.map { case (l, r) => l + r } ++ chars).distinct
+  }
+
   /** Standing index of corpus-DUPLICATED 5-gram hashes (grams present in
     * ≥2 distinct documents) — the cross-doc half of q_dup_gram_coverage,
     * stamp-keyed like the signature tables: it changes only when the
@@ -408,6 +478,21 @@ object TextAnalysis {
                 concat_ws("|", col("pieces"))).cast("binary")))
               .as("stream_md5"))
           .orderBy("doc_id")
+      }),
+
+    // 40c. BPE merge training — rows-only BY DESIGN: each round's best
+    // pair depends on the re-tokenization the previous round produced, an
+    // iterative argmax-then-transform loop one SQL statement cannot
+    // express (the spec pins the exact merge sequence on a crafted corpus
+    // instead, and composition with wp_encode_all is spec-pinned too).
+    // Deterministic throughout, so rows/row-count stay stable.
+    Q.rowsOnly("q_bpe_merges")(
+      (s, dir) => {
+        import s.implicits._
+        bpeTrainMerges(docs(s, dir), nMerges = 10).zipWithIndex
+          .map { case ((l, r), i) => (i.toLong, l, r, l + r) }
+          .toDF("rank", "left", "right", "merged")
+          .orderBy("rank")
       }),
 
     // 41. document fingerprint: md5 over the sorted distinct token set (a

@@ -64,6 +64,26 @@ class QualitySpec extends AnyFunSuite {
       .head().getSeq[String](0) == Seq("a", "c"))
   }
 
+  test("BPE training learns the expected merge sequence and composes with wp_encode_all") {
+    import spark.implicits._
+    // tf: "abab"×10, "abc"×5 → pair counts round 1: (a,b)=25, (b,a)=10,
+    // (b,c)=5 → merge (a,b); round 2: (ab,ab)=10 beats (ab,c)=5; round 3
+    // merges the last pair; round 4 has no pairs left and stops early
+    val docs = (Seq.fill(10)("abab") ++ Seq.fill(5)("abc")).toDF("text")
+    val merges = TextAnalysis.bpeTrainMerges(docs, nMerges = 5)
+    assert(merges == Seq(("a", "b"), ("ab", "ab"), ("ab", "c")), merges)
+    // induced vocab drives greedy longest-match inference
+    val vocab = TextAnalysis.vocabFromMerges(docs, merges)
+    assert(vocab.toSet == Set("ab", "abab", "abc", "a", "b", "c"))
+    val pieces = spark.sql("SELECT 1")
+      .select(graft.functions.WpEncodeAll.wpEncodeAll(
+        typedLit(Seq("ababc", "abc", "x")), vocab).as("p"))
+      .head().getSeq[String](0)
+    // "ababc" → longest prefix "abab" then "c"; "abc" whole; "x" falls
+    // back to its single character (not in the crafted vocab)
+    assert(pieces == Seq("abab", "c", "abc", "x"), pieces)
+  }
+
   test("PII scrub masks emails, phones, and IPs and leaves clean text alone") {
     import spark.implicits._
     val df = Seq(
