@@ -12,20 +12,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Analytic {
 
-  /** Deterministic train/val/test split of a doc_id, shared by
-    * q_split_assign and the §2d split-leakage audit: first 4 md5 hex
-    * digits of "split:<id>" mod 10 → 80/10/10. Identical derivation on
-    * both engines.
+  /** Deterministic train/val/test split, shared by q_split_assign and
+    * the §2d split-leakage audit/fix: first 4 md5 hex digits of
+    * "split:<id>" mod 10 → 80/10/10, identical derivation on both
+    * engines. The 80/10/10 rule applies over any integer id column —
+    * `key` defaults to doc_id (q_split_assign); the leakage-safe variant
+    * (q_split_safe) passes the near-dup cluster ANCHOR instead, so the
+    * same salt yields the same assignment wherever no leakage existed.
     */
-  private[operators] def splitColumn: Column = {
+  private[operators] def splitColumn(key: String = "doc_id"): Column = {
     val v = expr(
-      "CAST(conv(substr(md5(cast(concat('split:', cast(doc_id AS string)) AS binary)), 1, 4), 16, 10) AS INT) % 10")
+      s"CAST(conv(substr(md5(cast(concat('split:', cast($key AS string)) AS binary)), 1, 4), 16, 10) AS INT) % 10")
     when(v <= 7, "train").when(v === 8, "val").otherwise("test")
   }
 
-  private[operators] def splitSql: String = {
+  private[operators] def splitSql(key: String = "doc_id"): String = {
     val duckV = (0 until 4).map { d =>
-      s"(strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
+      s"(strpos('0123456789abcdef', substr(md5('split:' || CAST($key AS VARCHAR)), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
     }.mkString(" + ")
     s"""CASE WHEN ($duckV) % 10 <= 7 THEN 'train'
        |     WHEN ($duckV) % 10 = 8 THEN 'val'
@@ -595,13 +598,13 @@ object Analytic {
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM (
          |  SELECT source, n_chars,
-         |    $splitSql AS split
+         |    ${splitSql()} AS split
          |  FROM documents)
          |GROUP BY source, split ORDER BY source, split""".stripMargin
     })(
       (s, dir) => {
         t(s, dir, "documents")
-          .withColumn("split", splitColumn)
+          .withColumn("split", splitColumn())
           .groupBy(col("source"), col("split"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
           .orderBy(col("source"), col("split"))

@@ -1342,7 +1342,7 @@ object Dedup {
          |eff AS (
          |  SELECT k.doc_id, COALESCE(l.rep, k.keeper) AS rep
          |  FROM keep k LEFT JOIN labels l ON l.doc_id = k.keeper),
-         |sp AS (SELECT doc_id, ${Analytic.splitSql} AS split FROM documents),
+         |sp AS (SELECT doc_id, ${Analytic.splitSql()} AS split FROM documents),
          |j AS (SELECT e.rep, e.doc_id, s.split FROM eff e JOIN sp s ON e.doc_id = s.doc_id),
          |bad AS (SELECT rep FROM j GROUP BY rep HAVING COUNT(DISTINCT split) > 1)
          |SELECT rep, doc_id, split FROM j
@@ -1350,17 +1350,12 @@ object Dedup {
          |ORDER BY rep, doc_id""".stripMargin
     })((s, dir) => {
       val d = docs(s, dir)
-      val keep = d
-        .select(col("doc_id"), md5s(normText(col("text"))).as("h"))
-        .withColumn("keeper",
-          min(col("doc_id")).over(Window.partitionBy(col("h"))))
-        .select("doc_id", "keeper")
       val labels = corpusClusterLabels(s, dir)
         .withColumnRenamed("doc_id", "keeper")
-      val eff = keep.join(labels, Seq("keeper"), "left")
+      val eff = corpusKeepers(s, dir).join(labels, Seq("keeper"), "left")
         .select(col("doc_id"),
           coalesce(col("rep"), col("keeper")).as("rep"))
-      val sp = d.select(col("doc_id"), Analytic.splitColumn.as("split"))
+      val sp = d.select(col("doc_id"), Analytic.splitColumn().as("split"))
       val j = eff.join(sp, Seq("doc_id"))
       val bad = j.groupBy("rep")
         .agg(countDistinct(col("split")).as("ns"))
@@ -1369,6 +1364,55 @@ object Dedup {
       j.join(bad, Seq("rep"), "left_semi")
         .select("rep", "doc_id", "split")
         .orderBy("rep", "doc_id")
+    }),
+
+    // §2d.32k — LEAKAGE-SAFE split assignment: the FIX for what the
+    // audit above detects. Assignment is keyed on each document's
+    // leakage UNIT — its near-dup cluster representative, lifted over
+    // exact-copy keepers — so a whole cluster (and every byte-copy of
+    // its members) lands in ONE split by construction; cross-split
+    // leakage is structurally impossible, not merely audited away. The
+    // SAME split salt as q_split_assign means singleton documents keep
+    // their naive assignment — only documents that would have leaked
+    // move (reported as n_moved). Two probes of standing indexes + one
+    // split rollup; zero pair joins.
+    Q("q_split_safe", {
+      s"""$lshLabelsCtes,
+         |normd AS (SELECT doc_id, md5($normSql) AS h FROM documents),
+         |keep AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS keeper
+         |  FROM normd),
+         |eff AS (
+         |  SELECT k.doc_id, COALESCE(l.rep, k.keeper) AS anchor
+         |  FROM keep k LEFT JOIN labels l ON l.doc_id = k.keeper),
+         |a AS (
+         |  SELECT e.doc_id, e.anchor, d.n_chars,
+         |    ${Analytic.splitSql("anchor")} AS split,
+         |    ${Analytic.splitSql("e.doc_id")} AS naive
+         |  FROM eff e JOIN documents d ON e.doc_id = d.doc_id)
+         |SELECT split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT anchor) AS BIGINT) AS n_units,
+         |  CAST(sum(CASE WHEN split <> naive THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM a GROUP BY split ORDER BY split""".stripMargin
+    })((s, dir) => {
+      val labels = corpusClusterLabels(s, dir)
+        .withColumnRenamed("doc_id", "keeper")
+      val eff = corpusKeepers(s, dir).join(labels, Seq("keeper"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("keeper")).as("anchor"))
+      eff.join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .select(col("doc_id"), col("anchor"), col("n_chars"),
+          Analytic.splitColumn("anchor").as("split"),
+          Analytic.splitColumn("doc_id").as("naive"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("anchor")).as("n_units"),
+          sum(when(col("split") =!= col("naive"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
     })
   )
 

@@ -194,6 +194,16 @@ class DedupSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q_split_leakage")(spark, dir)
       .as[(Long, Long, String)].collect().toSeq
     assert(got == Seq((1L, 1L, "train"), (1L, 25L, "test")), s"got $got")
+    // ... and q_split_safe is the FIX: anchored assignment reunites the
+    // leaky pair (both follow doc 1's anchor into train), singletons keep
+    // their naive split, and exactly one document moved
+    val safe = SparkEntry.queries("q_split_safe")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val bys = safe.map(r => r._1 -> r).toMap
+    assert(bys("train")._2 == 3 && bys("train")._4 == 1,
+      s"train must hold 1,2,25 with one moved doc: $safe")
+    assert(bys.get("test").isEmpty ||  bys("test")._2 == 0,
+      s"no doc may remain in test: $safe")
   }
 
   test("winnowing guarantees detection of any shared 8-word run") {
