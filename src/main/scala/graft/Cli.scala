@@ -35,7 +35,7 @@ object Cli {
 
   val CommandNames: Seq[String] =
     Seq("load", "flush", "clear", "inspect", "estimate", "dumpsql", "dumpjson",
-      "dumporc", "models", "snapshot", "vacuum", "check", "purgecache")
+      "dumporc", "models", "snapshot", "vacuum", "check", "purgecache", "index")
 
   final case class Options(
       configPath: String = "graft.yml",
@@ -410,6 +410,36 @@ object Cli {
           case Some(c) => QueryCache.purge(c); log(s"purgecache: $c purged")
           case None => log("purgecache: no cache configured")
         }
+      case "index" =>
+        // build/refresh every standing corpus index for source_dir under
+        // the session's index root — the ingestion-time job the
+        // build-once/probe-many operators assume has already run. Each
+        // build is stamp-keyed and idempotent: a re-run on an unchanged
+        // corpus is a handful of _SUCCESS existence checks.
+        import graft.operators.{Dedup, Similarity, TextAnalysis}
+        val srcDir = cfg.sourceDir
+        val builds: Seq[(String, () => Unit)] = Seq(
+          "minhash_sigs" -> (() => Dedup.corpusSigs(spark, srcDir).count()),
+          "cluster_labels" -> (() => Dedup.corpusClusterLabels(spark, srcDir).count()),
+          "simhash_sigs" -> (() => Dedup.corpusSimhashSigs(spark, srcDir).count()),
+          "winnow_postings" -> (() => Dedup.corpusWinnowPostings(spark, srcDir).count()),
+          "keepers" -> (() => Dedup.corpusKeepers(spark, srcDir).count()),
+          "truth_pairs" -> (() => Dedup.corpusTruthPairs(spark, srcDir).count()),
+          "dup_chunks" -> (() => Dedup.corpusDupChunks(spark, srcDir).count()),
+          "substr_postings" -> (() => Dedup.corpusSubstrPostings(spark, srcDir).count()),
+          "dup_grams" -> (() => TextAnalysis.corpusDupGrams(spark, srcDir).count()),
+          "minhash_incr" -> (() =>
+            Dedup.buildMinhashIndex(spark, srcDir, Dedup.IncrMod): Unit),
+          "ivf" -> (() => Similarity.buildIvfIndex(spark, srcDir): Unit),
+          "pq" -> (() => Similarity.buildPqIndex(spark, srcDir): Unit))
+        val lines = builds.map { case (name, build) =>
+          val b0 = System.nanoTime()
+          build()
+          f"$name=${(System.nanoTime() - b0) / 1e9}%.1fs"
+        }
+        log(s"index: ${lines.mkString(", ")} -> " +
+          spark.conf.getOption("spark.graft.index.root")
+            .getOrElse(Tables.indexRoot(spark, srcDir)))
     }
     // dbcut --profiler: per-operation wall timings (profiler_stats)
     if (opts.profiler)

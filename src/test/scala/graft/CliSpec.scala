@@ -300,6 +300,32 @@ class CliSpec extends AnyFunSuite {
       "WARN", "abc", "m") == "    WARN|abc   |m x %(other)s")
   }
 
+  test("index command builds every standing corpus index idempotently") {
+    val work = tmp()
+    val cfgPath = writeConfig(work,
+      s"""databases:
+         |  source_dir: ${TestSpark.sf}
+         |  destination_dir: $work/dest
+         |queries:
+         |  - from: region
+         |    limit: 1
+         |""".stripMargin)
+    // the ingestion-time job: builds (or confirms) all 12 index families
+    // under the session's index root; stamp-keyed, so the second run is
+    // pure existence checks
+    spark.conf.unset("spark.graft.index.root") // default (warm) root
+    val out = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "index")))
+    val line = out.find(_.startsWith("index: ")).get
+    for (n <- Seq("minhash_sigs", "cluster_labels", "simhash_sigs",
+        "winnow_postings", "keepers", "truth_pairs", "dup_chunks",
+        "substr_postings", "dup_grams", "minhash_incr", "ivf", "pq"))
+      assert(line.contains(s"$n="), s"missing $n in: $line")
+    // the indexes actually answer: a probe query runs warm
+    assert(graft.operators.Dedup.corpusClusterLabels(spark, TestSpark.sf)
+      .count() > 0)
+  }
+
   test("argument parser rejects unknown words and requires a command") {
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("loda")))
     intercept[IllegalArgumentException](Cli.parseArgs(Seq("-c", "x.yml")))
