@@ -189,18 +189,28 @@ object Cli {
     if (prevIndexRoot.forall(_.isEmpty))
       spark.conf.set("spark.graft.index.root",
         cfg.indexRoot.getOrElse(s"${cfg.destDir}/_graft_index"))
+    // log_level 4 opens up Spark's own INFO stream; ≤1 quiets it to
+    // errors. Scoped like the index root: the session may outlive this
+    // CLI call, so the previous root level is restored on the way out.
+    val prevLogLevel =
+      if (cfg.log.level >= 4 || cfg.log.level <= 1)
+        Some(org.apache.logging.log4j.LogManager.getRootLogger
+          .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel.name())
+      else None
+    if (cfg.log.level >= 4) spark.sparkContext.setLogLevel("INFO")
+    else if (cfg.log.level <= 1) spark.sparkContext.setLogLevel("ERROR")
     try runCommands(spark, opts, cfg, job, graph)
-    finally prevIndexRoot match {
-      case Some(v) => spark.conf.set("spark.graft.index.root", v)
-      case None => spark.conf.unset("spark.graft.index.root")
+    finally {
+      prevIndexRoot match {
+        case Some(v) => spark.conf.set("spark.graft.index.root", v)
+        case None => spark.conf.unset("spark.graft.index.root")
+      }
+      prevLogLevel.foreach(spark.sparkContext.setLogLevel)
     }
   }
 
   private def runCommands(spark: SparkSession, opts: Options, cfg: Config,
                           job: Job.JobConfig, graph: RelGraph): Seq[String] = {
-    // log_level 4 opens up Spark's own INFO stream; ≤1 quiets it to errors
-    if (cfg.log.level >= 4) spark.sparkContext.setLogLevel("INFO")
-    else if (cfg.log.level <= 1) spark.sparkContext.setLogLevel("ERROR")
     val toFile = Some(cfg.log.file)
       .filterNot(f => f == ":stderr:" || f == ":stdout:" || f.isEmpty)
     toFile.foreach { f =>

@@ -391,7 +391,7 @@ object Analytic {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
         |SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
-        |FROM seq WHERE e3 IS NOT NULL
+        |FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)(
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))
@@ -400,7 +400,11 @@ object Analytic {
           .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
           .withColumn("e2", lead(col("event_type"), 1).over(w))
           .withColumn("e3", lead(col("event_type"), 2).over(w))
-          .filter(col("e3").isNotNull)
+          // all three steps non-null EXPLICITLY on both engines: a NULL
+          // event_type mid-path would otherwise diverge (concat_ws skips
+          // nulls, SQL || nullifies) — latent until data carries one
+          .filter(col("event_type").isNotNull && col("e2").isNotNull &&
+            col("e3").isNotNull)
           .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3"))
             .as("path"))
           .agg(count(lit(1)).as("n"))

@@ -167,6 +167,11 @@ object Dedup {
     * row per doc: chunk counts plus the md5 of the reassembled text with
     * every corpus-duplicated chunk removed.
     */
+  /** @param dupChunks optional standing duplicated-chunk set — one `ck`
+    *        column, MUST be distinct on ck (corpusDupChunks is, by its
+    *        groupBy; a duplicated probe row would fan out the join and
+    *        corrupt every per-doc count and the cleaned_md5)
+    */
   def chunkDedup(docs0: DataFrame,
                  dupChunks: Option[DataFrame] = None): DataFrame = {
     // chunks come straight off the per-doc token array (one slice per
@@ -214,9 +219,12 @@ object Dedup {
     */
   def corpusKeepers(s: SparkSession, dir: String): DataFrame =
     cachedCorpusTable(s, dir, "keepers", "norm") {
-      docs(s, dir).select(col("doc_id"), normText(col("text")).as("s"))
+      // partition by the md5 of the normalized text, never the text: the
+      // window's exchange then moves a 32-byte key per row instead of the
+      // whole document (the repo's fixed-width shuffle-key convention)
+      docs(s, dir).select(col("doc_id"), md5s(normText(col("text"))).as("h"))
         .withColumn("keeper",
-          min(col("doc_id")).over(Window.partitionBy(col("s"))))
+          min(col("doc_id")).over(Window.partitionBy(col("h"))))
         .select("doc_id", "keeper")
     }
 

@@ -45,7 +45,13 @@ final class Recorder(spark: SparkSession, val name: String,
   private def recordPath = Paths.get(outputDir, s"$name.json")
 
   private val records: scala.collection.mutable.ArrayBuffer[Rec] = open()
-  if (mode == All) records.clear()
+  if (mode == All) {
+    records.clear()
+    // clear on open must be DURABLE: a re-record run that fails early (or
+    // records nothing) must not leave the stale cassette for the next
+    // ONCE/NONE run to silently replay
+    Files.deleteIfExists(recordPath)
+  }
   /** Keys present when the cassette was opened — the replay set. */
   private val openKeys: Set[String] = records.map(_.key).toSet
   private var iterCount = 0
@@ -155,12 +161,18 @@ object Recorder {
     */
   def extraction(rec: Recorder)(run: => Map[String, DataFrame])
       : Map[String, DataFrame] =
-    if (rec.writeProtected)
+    if (rec.writeProtected) {
+      // a pure-replay run against a missing/empty cassette is a MISS, not
+      // an empty extraction — raise like every other write-protected miss
+      if (rec.statements.isEmpty)
+        throw new IllegalStateException(
+          s"Cannot replay extraction: cassette '${rec.name}' is empty or " +
+            "missing (record it first, or check --record-dir)")
       rec.statements.map { stmt =>
         stmt.stripPrefix("table:") -> rec.query(stmt)(
           throw new IllegalStateException("replay must not execute"))
       }.toMap
-    else
+    } else
       run.toSeq.sortBy(_._1).map { case (n, df) =>
         n -> rec.query(s"table:$n")(df)
       }.toMap

@@ -45,7 +45,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Versioned {
 
   final case class Manifest(version: Int, dataDirs: Seq[String], nRows: Long,
-                            epochId: Option[Long] = None)
+                            epochId: Option[Long] = None,
+                            appId: Option[String] = None)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -80,18 +81,24 @@ object Versioned {
     Manifest(node.get("version").asInt(),
       node.get("dataDirs").elements().asScala.map(_.asText()).toSeq,
       node.get("nRows").asLong(),
-      Option(node.get("epochId")).filter(!_.isNull).map(_.asLong()))
+      Option(node.get("epochId")).filter(!_.isNull).map(_.asLong()),
+      Option(node.get("appId")).filter(!_.isNull).map(_.asText()))
   }
 
-  /** Epoch id recorded by the latest committed version (None for a fresh
-    * table or a commit made without one) — the streaming-CDC replay fence:
-    * foreachBatch re-delivers the LAST batch after a crash, and epoch ids
-    * are monotone, so one manifest read answers "was this batch already
-    * applied?".
+  /** (appId, epochId) recorded by the latest committed version (None for
+    * a fresh table or a commit made without one) — the streaming-CDC
+    * replay fence, Delta's txnAppId/txnVersion pattern: foreachBatch
+    * re-delivers the LAST batch after a crash and epoch ids are monotone
+    * WITHIN one stream identity, so one manifest read answers "did this
+    * stream already apply this (or a later) batch?". The appId keeps a
+    * DIFFERENT stream (new checkpoint) from being fenced by a colliding
+    * batch number — bare batchId equality would silently drop its data.
     */
-  def latestEpochId(spark: SparkSession, dir: String): Option[Long] =
-    versions(spark, dir).lastOption
-      .flatMap(v => readManifest(spark, dir, v).epochId)
+  def latestTxn(spark: SparkSession, dir: String): Option[(String, Long)] =
+    versions(spark, dir).lastOption.flatMap { v =>
+      val m = readManifest(spark, dir, v)
+      for (a <- m.appId; e <- m.epochId) yield (a, e)
+    }
 
   /** Publish `df` as the next version. `append = false` commits a full
     * snapshot (the new version reads only this data); `append = true`
@@ -102,7 +109,8 @@ object Versioned {
     * next number without rewriting.
     */
   def commit(df: DataFrame, dir: String, append: Boolean = false,
-             epochId: Option[Long] = None): Int = {
+             epochId: Option[Long] = None,
+             appId: Option[String] = None): Int = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     f.mkdirs(new Path(s"$dir/_commits"))
@@ -122,13 +130,14 @@ object Versioned {
       val dirs = parent.map(_.dataDirs).getOrElse(Seq.empty) :+ dataDir
       val nRows = parent.map(_.nRows).getOrElse(0L) + (
         if (append) nNew else 0L)
-      val m = Manifest(v, dirs, if (append) nRows else nNew, epochId)
+      val m = Manifest(v, dirs, if (append) nRows else nNew, epochId, appId)
       val tmp = new Path(f"$dir/_commits/.v$v%05d.json.tmp")
       val payload = new java.util.LinkedHashMap[String, Object]()
       payload.put("version", Int.box(m.version))
       payload.put("dataDirs", java.util.List.of(m.dataDirs: _*))
       payload.put("nRows", Long.box(m.nRows))
       m.epochId.foreach(e => payload.put("epochId", Long.box(e)))
+      m.appId.foreach(a => payload.put("appId", a))
       val out = f.create(tmp, true)
       try out.write(json.writeValueAsBytes(payload))
       finally out.close()

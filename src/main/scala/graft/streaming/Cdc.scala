@@ -13,12 +13,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * This is the standard lakehouse CDC sink shape (Delta's
   * `foreachBatch` + MERGE): Structured Streaming owns offsets/retries via
   * the checkpoint, and the versioned commit is the atomic publish.
-  * Batch-retry idempotence is EXACT: every commit records its epoch id
-  * (the foreachBatch batchId) in the manifest, and a replayed epoch skips
-  * the commit entirely (epoch ids are monotone, so one latest-manifest
-  * read decides) — version history stays one-version-per-applied-batch
-  * even across crash/replay, so a downstream version-count assertion
-  * never flakes. The merge itself is also idempotent (updates set the
+  * Batch-retry idempotence is EXACT: every commit records its stream
+  * identity and epoch (Delta's txnAppId/txnVersion — here the checkpoint
+  * path and the foreachBatch batchId) in the manifest, and a replayed
+  * epoch of the SAME stream skips the commit entirely (epochs are
+  * monotone within a stream, so one latest-manifest read decides) —
+  * version history stays one-version-per-applied-batch even across
+  * crash/replay, so a downstream version-count assertion never flakes.
+  * A different stream's colliding batch number never fences (its appId
+  * differs), and the merge itself is also idempotent (updates set the
   * same values, deletes of gone keys no-op) as defense in depth.
   *
   * Per batch:
@@ -39,30 +42,45 @@ object Cdc {
 
   /** Start the CDC-apply sink. `changes` must carry `key`, `op`
     * ('U'/'D'), `seqCol`, and `new_<c>` for every value column `c`.
+    * `appId` is the stream's transactional identity (Delta's txnAppId):
+    * it defaults to the checkpoint path, which is stable across restarts
+    * of the same stream and distinct per stream — a DIFFERENT stream
+    * whose batch numbers happen to collide is never fenced. Deleting and
+    * reusing a checkpoint directory resets batch ids under the SAME
+    * identity; like Delta, that requires a fresh appId (or table).
     */
   def applyChanges(changes: DataFrame, tableDir: String, checkpointDir: String,
-                   key: String, valueCols: Seq[String],
-                   seqCol: String): StreamingQuery =
+                   key: String, valueCols: Seq[String], seqCol: String,
+                   appId: Option[String] = None): StreamingQuery = {
+    val app = appId.getOrElse(s"cdc:$checkpointDir")
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, tableDir, key, valueCols, seqCol, Some(batchId))
+        applyBatch(batch, tableDir, key, valueCols, seqCol,
+          Some(batchId), Some(app))
         ()
       }
       .start()
+  }
 
   /** One micro-batch of the CDC merge (factored out so batch jobs and
-    * tests drive the identical code path). With an `epochId`, a batch
-    * whose id matches the latest committed manifest's is a REPLAY and is
-    * skipped — the commit already happened; the crash hit after publish.
+    * tests drive the identical code path). With an epoch: a batch whose
+    * (appId, epochId) is at or behind the latest committed manifest's FOR
+    * THE SAME appId is a REPLAY and is skipped — the commit already
+    * happened; the crash hit after publish. Epochs from a different
+    * appId never fence (a new stream legitimately restarts at batch 0).
     */
   def applyBatch(batch: DataFrame, tableDir: String, key: String,
                  valueCols: Seq[String], seqCol: String,
-                 epochId: Option[Long] = None): Unit = {
+                 epochId: Option[Long] = None,
+                 appId: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    if (epochId.isDefined &&
-        Versioned.latestEpochId(spark, tableDir) == epochId) return
+    val replayed = (for {
+      e <- epochId; a <- appId
+      (la, le) <- Versioned.latestTxn(spark, tableDir)
+    } yield la == a && e <= le).getOrElse(false)
+    if (replayed) return
     // seq ties break on a content hash, NOT shuffle arrival order: a
     // replayed batch must pick the SAME winner or the idempotent-replay
     // contract (byte-identical duplicate version) breaks. Identical-
@@ -83,6 +101,6 @@ object Cdc {
       else Versioned.read(spark, tableDir)
     val merged = Lakehouse.mergeUpsert(base, compacted, key, valueCols)
       .drop("src")
-    Versioned.commit(merged, tableDir, epochId = epochId)
+    Versioned.commit(merged, tableDir, epochId = epochId, appId = appId)
   }
 }

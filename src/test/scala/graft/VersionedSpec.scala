@@ -135,27 +135,37 @@ class VersionedSpec extends AnyFunSuite {
     val dir = tmp("cdcretry")
     def batch(rows: (Long, String, String, Long)*) =
       rows.toDF("k", "op", "new_v", "seq")
+    val app = Some("cdc:/ckpt/a")
     Cdc.applyBatch(batch((1L, "U", "a", 1L)), dir, "k", Seq("v"), "seq",
-      epochId = Some(0L))
+      epochId = Some(0L), appId = app)
     assert(Versioned.versions(spark, dir) == Seq(1))
     // crash-after-publish: foreachBatch re-delivers epoch 0 — the commit
     // already happened, so the replay must be a no-op (same version count,
     // same content), not a duplicate history entry
     Cdc.applyBatch(batch((1L, "U", "a", 1L)), dir, "k", Seq("v"), "seq",
-      epochId = Some(0L))
+      epochId = Some(0L), appId = app)
     assert(Versioned.versions(spark, dir) == Seq(1),
       "replayed epoch must not commit a second version")
-    assert(Versioned.latestEpochId(spark, dir).contains(0L))
-    // the next epoch commits normally
+    assert(Versioned.latestTxn(spark, dir).contains(("cdc:/ckpt/a", 0L)))
+    // the next epoch of the SAME stream commits normally
     Cdc.applyBatch(batch((2L, "U", "b", 2L)), dir, "k", Seq("v"), "seq",
-      epochId = Some(1L))
+      epochId = Some(1L), appId = app)
     assert(Versioned.versions(spark, dir) == Seq(1, 2))
     assert(Versioned.read(spark, dir).select("k", "v")
       .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // a DIFFERENT stream whose batch number collides must NOT be fenced —
+    // bare batchId equality here would silently drop its data
+    Cdc.applyBatch(batch((9L, "U", "z", 9L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(1L), appId = Some("cdc:/ckpt/b"))
+    assert(Versioned.versions(spark, dir) == Seq(1, 2, 3),
+      "colliding epoch from another appId must apply")
+    assert(Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (9L, "z")))
     // epoch-less commits (batch jobs) stay un-fenced and never match
     Cdc.applyBatch(batch((3L, "U", "c", 3L)), dir, "k", Seq("v"), "seq")
-    assert(Versioned.versions(spark, dir) == Seq(1, 2, 3))
-    assert(Versioned.latestEpochId(spark, dir).isEmpty)
+    assert(Versioned.versions(spark, dir) == Seq(1, 2, 3, 4))
+    assert(Versioned.latestTxn(spark, dir).isEmpty)
   }
 
   test("streaming CDC apply commits one merged version per micro-batch") {
