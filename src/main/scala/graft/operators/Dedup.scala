@@ -1331,6 +1331,68 @@ object Dedup {
         .select(col("node").as("doc_id"), col("r").as("rank_micros"))
         .orderBy("doc_id")),
 
+    // §2d.32l — duplication-graph TRIANGLES + clustering coefficient:
+    // the third graph-analytics lens after connected components (32b)
+    // and PageRank (32f). A high clustering coefficient marks a node
+    // whose near-dup neighbors are ALSO near-dups of each other — dense
+    // template cliques (mirrored boilerplate) rather than hub-and-spoke
+    // duplication — the distinction that decides "drop the whole clique"
+    // vs "keep spokes, drop the hub". Triangles enumerate as the
+    // standard ordered 3-way equi-join over a<b<c pairs — each triangle
+    // found exactly once, cost bounded by the band caps (the pair graph
+    // is never corpus-sized); per-node counts come from one corner
+    // union, coefficient = 2·tri·1e6 div deg·(deg−1) in exact integers.
+    Q("q_graph_triangles", {
+      s"""WITH $corpusBandsCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |tri AS (
+         |  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+         |  FROM pairs ab
+         |  JOIN pairs bc ON ab.doc_b = bc.doc_a
+         |  JOIN pairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+         |corners AS (
+         |  SELECT a AS doc_id FROM tri UNION ALL
+         |  SELECT b FROM tri UNION ALL
+         |  SELECT c FROM tri),
+         |tcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |         FROM corners GROUP BY doc_id),
+         |deg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT doc_a AS doc_id FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs) GROUP BY doc_id)
+         |SELECT t.doc_id, d.degree, t.n_triangles,
+         |  CAST(2 * t.n_triangles * 1000000 // (d.degree * (d.degree - 1)) AS BIGINT)
+         |    AS clustering_micros
+         |FROM tcnt t JOIN deg d USING (doc_id)
+         |ORDER BY clustering_micros DESC, n_triangles DESC, doc_id
+         |LIMIT 20""".stripMargin
+    })((s, dir) => {
+      val pairs = bandPairs(corpusSigs(s, dir)).localCheckpoint()
+      val tri = pairs.alias("ab")
+        .join(pairs.alias("bc"), col("ab.doc_b") === col("bc.doc_a"))
+        .join(pairs.alias("ac"),
+          col("ac.doc_a") === col("ab.doc_a") &&
+            col("ac.doc_b") === col("bc.doc_b"), "left_semi")
+        .select(col("ab.doc_a").as("a"), col("ab.doc_b").as("b"),
+          col("bc.doc_b").as("c"))
+      val corners = tri.select(col("a").as("doc_id"))
+        .unionByName(tri.select(col("b").as("doc_id")))
+        .unionByName(tri.select(col("c").as("doc_id")))
+      val tcnt = corners.groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      val deg = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      tcnt.join(deg, "doc_id")
+        .select(col("doc_id"), col("degree"), col("n_triangles"),
+          expr("2 * n_triangles * 1000000 div (degree * (degree - 1))")
+            .as("clustering_micros"))
+        .orderBy(col("clustering_micros").desc, col("n_triangles").desc,
+          col("doc_id"))
+        .limit(20)
+    }),
+
     // §2d.32g — split-leakage audit: the QA gate between dedup and
     // shipping a corpus. A near-dup (or byte-identical) cluster whose
     // members land in DIFFERENT train/val/test splits leaks evaluation
