@@ -115,6 +115,28 @@ class ExactQuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: matches Spark's percentile on seeded random shapes") {
+    import spark.implicits._
+    // five deterministic pseudo-random datasets spanning the shapes that
+    // have bitten before: heavy ties, wide ranges, tiny and large groups
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val nGroups = 1 + rnd.nextInt(12)
+      val rows = 200 + rnd.nextInt(20000)
+      val scale = math.pow(10, 1 + rnd.nextInt(6))
+      val df = spark.range(rows).select(
+        (col("id") % nGroups).cast("string").as("g"),
+        round((abs(hash(col("id"), lit(seed)).cast("double")) %
+          (scale * 100)) / 100.0, 2).as("v"))
+      val got = ExactQuantiles.continuous(df, col("g"), col("v"), probs)
+      val want = builtin(df, "g", "v")
+      assert(got.keySet == want.keySet, s"seed $seed groups")
+      for (g <- want.keySet; i <- probs.indices)
+        assert(got(g)(i) == want(g)(i),
+          s"seed $seed group $g prob ${probs(i)}: ${got(g)(i)} != ${want(g)(i)}")
+    }
+  }
+
   test("empty groups are absent and single-row groups are exact") {
     import spark.implicits._
     val df = Seq(("a", 42.17)).toDF("g", "v")
