@@ -412,6 +412,46 @@ object Analytic {
           .limit(20)
       }),
 
+    // 24w. Per-entity SEQUENTIAL fold (integer EWMA): the batch analogue
+    // of per-key streaming state — each user's time-ordered event values
+    // fold through s_i = (v_i + 3·s_{i-1}) div 4 (α=1/4 in exact integer
+    // micros; inputs are non-negative so trunc-div ≡ floor-div and the
+    // engines agree). A recursive-by-nature statistic no window frame
+    // expresses: the per-user history collects to ONE row and folds as an
+    // array aggregate — the same per-key-history-fits-in-memory contract
+    // flatMapGroupsWithState has, with shuffle ∝ events and state ∝
+    // users. Order is (epoch-us, event_id), bit-stable under ties.
+    Q("q_ewma",
+      """WITH e AS (
+        |  SELECT user_id,
+        |    {'us': epoch_us(ts), 'ev': event_id,
+        |     'v': CAST(round(value * 1000000) AS BIGINT)} AS x
+        |  FROM events),
+        |l AS (SELECT user_id, list_sort(list(x)) AS xs FROM e GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(len(xs) AS BIGINT) AS n_events,
+        |  xs[-1].v AS last_micros,
+        |  list_reduce(list_transform(xs, x -> x.v),
+        |    (acc, v) -> (v + 3 * acc) // 4) AS ewma_micros
+        |FROM l ORDER BY user_id""".stripMargin)(
+      (s, dir) => {
+        val x = struct(
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+          col("event_id").as("ev"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(x)).as("xs"))
+          .select(col("user_id"),
+            size(col("xs")).cast("long").as("n_events"),
+            element_at(col("xs"), -1).getField("v").as("last_micros"),
+            expr("""aggregate(slice(xs, 2, size(xs) - 1),
+                   |  element_at(xs, 1).v,
+                   |  (acc, x) -> (x.v + 3L * acc) div 4)""".stripMargin)
+              .as("ewma_micros"))
+          .orderBy("user_id")
+      }),
+
     // 30b. Cohort retention matrix — the product-analytics triangle: users
     // grouped by first-active day, distinct actives per (cohort, day
     // offset). Scale shape: the (user, day) distinct and the first-day
