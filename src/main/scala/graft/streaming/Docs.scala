@@ -43,70 +43,110 @@ object Docs {
         .otherwise("drop").as("verdict"))
   }
 
-  /** Streaming decontamination: flag stream documents sharing any word
-    * n-gram with a STATIC benchmark gram set (one `gram` column). The set
-    * is collected ONCE at operator construction into a broadcast variable
-    * (a stream-static join would re-run the benchmark lineage every
-    * micro-batch, and a giant array literal would blow up codegen) and a
-    * lookup UDF scores each document in O(|doc grams|) — the one place a
-    * UDF beats the built-ins, whose array_intersect rebuilds the probe set
-    * per row. Stream side fully stateless: composes with any downstream
-    * watermark/state; the batch explode+aggregate+join-back shape would be
-    * an aggregate-then-self-join, which append mode rejects. Mirrors
-    * q_decontaminate: per-doc distinct grams, contaminated = any overlap.
+  /** One micro-batch of streaming decontamination — the IDENTICAL join
+    * shape as the batch query (q_decontaminate, TextAnalysis §2d.41f):
+    * per-doc distinct grams explode, equi-join the benchmark gram set
+    * (one `gram` column — eval suites are bounded, so the join broadcasts
+    * at runtime), per-doc hit count, left-join back. Nothing ever touches
+    * the driver: earlier rounds collected the probe set into a broadcast
+    * UDF, which is fine for a benchmark but was a driver-OOM template
+    * when copied for corpus-scale sets — both twins now join instead.
+    * Output = every input column + `n_shared` + `verdict`.
     */
-  def decontaminate(docs: DataFrame, benchGrams: DataFrame, n: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val benchSet = spark.sparkContext.broadcast(
-      benchGrams.select(col("gram")).distinct().as[String].collect().toSet)
-    val nShared = udf((gs: Seq[String]) =>
-      if (gs == null) 0L else gs.count(benchSet.value.contains).toLong)
-    val out = docs.withColumn("__graft_gs",
-      TextAnalysis.gramSet(col("text"), n))
-      .withColumn("n_shared", nShared(col("__graft_gs")))
+  def decontaminateBatch(batch: DataFrame, benchGrams: DataFrame,
+                         n: Int = 3): DataFrame = {
+    val hits = batch
+      .select(col("doc_id"),
+        explode(TextAnalysis.gramSet(col("text"), n)).as("gram"))
+      .join(benchGrams.select("gram").distinct(), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("__ns"))
+    batch.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("__ns"), lit(0L)))
       .withColumn("verdict",
         when(col("n_shared") > 0, "contaminated").otherwise("clean"))
-      .drop("__graft_gs")
-    out
+      .drop("__ns")
   }
 
-  /** Streaming duplicated-gram coverage — the twin of q_dup_gram_coverage
-    * (§2d.41m) over an ingest feed: each arriving document is scored by
-    * the fraction of its 5-gram positions carrying a gram the CORPUS
-    * already holds in ≥2 documents, against the persisted dup-gram index
-    * (md5 gram hashes, `TextAnalysis.corpusDupGrams`). Same shape (and
-    * same documented trade-off) as [[decontaminate]]: the index is
-    * collected once into a broadcast set and one struct-returning lookup
-    * UDF computes (n_grams, n_dup) in a single traversal — the batch
-    * explode→aggregate→join-back is a stateful aggregation append mode
-    * rejects, and two separate column references would re-inline the
-    * md5-transform chain (the §7d HOF lesson). Stream side is fully
-    * stateless.
+  /** Streaming decontamination sink: scores each micro-batch with
+    * [[decontaminateBatch]] and publishes to `outPath/batch=<id>` —
+    * batchId-keyed directories make replay idempotent (a replayed epoch
+    * overwrites its own directory byte-for-byte instead of appending
+    * twice), and `spark.read.parquet(outPath)` sees one partitioned
+    * table. The per-doc hit count is an aggregation, which append-mode
+    * stream-static joins cannot express statelessly — foreachBatch gives
+    * each micro-batch full batch semantics (the same pattern as the CDC
+    * sink), keeps the stream side stateless, and re-reads the static side
+    * per batch (cheap when it is the standing-index parquet: pruned scan,
+    * no lineage re-derivation).
     */
-  def dupGramCoverage(docs: DataFrame, dupGrams: DataFrame, n: Int = 5): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val dupSet = spark.sparkContext.broadcast(
-      dupGrams.select(col("gh")).as[String].collect().toSet)
-    val score = udf((gs: Seq[String]) => {
-      val total = if (gs == null) 0L else gs.length.toLong
-      val dup = if (gs == null) 0L else gs.count(dupSet.value.contains).toLong
-      (total, dup)
-    })
-    docs
-      .withColumn("__t", split(TextAnalysis.normText(col("text")), " "))
-      .withColumn("__s", score(transform(
-        TextAnalysis.wordNgrams(col("__t"), n),
-        x => md5(x.cast("binary")))))
-      .withColumn("n_grams", col("__s._1"))
-      .withColumn("n_dup", col("__s._2"))
+  def decontaminateSink(docs: DataFrame, benchGrams: DataFrame,
+                        outPath: String, checkpointDir: String, n: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scoredSink(docs, outPath, checkpointDir)(decontaminateBatch(_, benchGrams, n))
+
+  /** One micro-batch of duplicated-gram coverage — the twin of
+    * q_dup_gram_coverage (§2d.41m): per-doc (gram-hash, tf) collapse,
+    * equi-join the standing dup-gram index (`gh` column,
+    * `TextAnalysis.corpusDupGrams` — CORPUS-scale, which is exactly why
+    * it must never be collected: the fraction of grams in ≥2 docs grows
+    * with the corpus), per-doc coverage sums, left-join back. Same
+    * all-integer micros as the batch query. Output = every input column +
+    * `n_grams`/`n_dup`/`dup_frac_micros`/`verdict`.
+    */
+  def dupGramCoverageBatch(batch: DataFrame, dupGrams: DataFrame,
+                           n: Int = 5): DataFrame = {
+    val tf = batch
+      .select(col("doc_id"), explode(TextAnalysis.wordNgrams(
+        split(TextAnalysis.normText(col("text")), " "), n)).as("gram"))
+      .groupBy(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
+      .agg(count(lit(1)).as("tf"))
+    val cov = tf
+      .join(dupGrams.select("gh").withColumn("d", lit(1)), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("__ng"),
+        sum(when(col("d") === 1, col("tf")).otherwise(0L)).as("__nd"))
+    batch.join(cov, Seq("doc_id"), "left")
+      .withColumn("n_grams", coalesce(col("__ng"), lit(0L)))
+      .withColumn("n_dup", coalesce(col("__nd"), lit(0L)))
       .withColumn("dup_frac_micros",
         coalesce(expr("n_dup * 1000000L div nullif(n_grams, 0)"), lit(0L)))
       .withColumn("verdict",
         when(col("dup_frac_micros") > 500000, "flag").otherwise("keep"))
-      .drop("__t", "__s")
+      .drop("__ng", "__nd")
   }
+
+  /** Streaming dup-gram coverage sink — [[dupGramCoverageBatch]] per
+    * micro-batch, published under batchId-keyed directories exactly like
+    * [[decontaminateSink]] (same aggregation constraint, same idempotent
+    * replay). The static side is the standing index parquet: at 100 TB the
+    * dup-gram set is far too large for any single heap, and the equi-join
+    * is the only shape that scales — this replaced a collect-and-broadcast
+    * variant that was the repo's last unbounded driver materialization.
+    */
+  def dupGramCoverageSink(docs: DataFrame, dupGrams: DataFrame,
+                          outPath: String, checkpointDir: String, n: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scoredSink(docs, outPath, checkpointDir)(dupGramCoverageBatch(_, dupGrams, n))
+
+  /** Shared foreachBatch wiring for the per-batch document scorers:
+    * transform each micro-batch with `score`, overwrite
+    * `outPath/batch=<batchId>` (idempotent under replay — Structured
+    * Streaming may re-run a batch after a crash between sink write and
+    * offset commit; overwriting the batch's own directory makes the retry
+    * byte-identical instead of a duplicate append).
+    */
+  private def scoredSink(docs: DataFrame, outPath: String,
+                         checkpointDir: String)(score: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          score(batch).write.mode("overwrite")
+            .parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
 
   /** Streaming incremental near-dup detection — the twin of
     * q_dedup_incremental (§2d.32d) over an unbounded ingest feed: each

@@ -116,19 +116,19 @@ class StreamBatchParitySpec extends AnyFunSuite {
     val dupGrams = graft.operators.TextAnalysis
       .corpusDupGrams(spark, TestSpark.sf)
 
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_dupgram_out").toString
     val input = MemoryStream[Doc]
-    val q = Docs.dupGramCoverage(input.toDF(), dupGrams)
-      .writeStream.format("memory").queryName("paritydupgram")
-      .outputMode(OutputMode.Append()).start()
+    val q = Docs.dupGramCoverageSink(input.toDF(), dupGrams, out,
+      java.nio.file.Files.createTempDirectory("graft_dupgram_ckpt").toString)
     try {
       docs.grouped(math.max(docs.size / 3, 1)).foreach { chunk =>
         input.addData(chunk)
         q.processAllAvailable()
       }
-      val streamed = spark.sql(
-        """SELECT doc_id, n_grams, n_dup, dup_frac_micros, verdict
-          |FROM paritydupgram ORDER BY doc_id""".stripMargin)
-        .collect().map(_.toSeq).toSeq
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "n_grams", "n_dup", "dup_frac_micros", "verdict")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
       val batch = SparkEntry.queries("q_dup_gram_coverage")(spark, TestSpark.sf)
         .collect().map(_.toSeq).toSeq
       assert(streamed == batch)
@@ -219,19 +219,19 @@ class StreamBatchParitySpec extends AnyFunSuite {
     val candidates = all.filter(col("source") =!= "src0")
       .orderBy("doc_id").as[Doc].collect().toSeq
 
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_decon_out").toString
     val input = MemoryStream[Doc]
-    val q = Docs.decontaminate(input.toDF(), benchGrams)
-      .select("doc_id", "n_shared", "verdict")
-      .writeStream.format("memory").queryName("paritydecon")
-      .outputMode(OutputMode.Append()).start()
+    val q = Docs.decontaminateSink(input.toDF(), benchGrams, out,
+      java.nio.file.Files.createTempDirectory("graft_decon_ckpt").toString)
     try {
       candidates.grouped(math.max(candidates.size / 3, 1)).foreach { chunk =>
         input.addData(chunk)
         q.processAllAvailable()
       }
-      val streamed = spark.sql(
-        "SELECT doc_id, n_shared, verdict FROM paritydecon ORDER BY doc_id")
-        .collect().map(_.toSeq).toSeq
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "n_shared", "verdict")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
       val batch = SparkEntry.queries("q_decontaminate")(spark, TestSpark.sf)
         .collect().map(_.toSeq).toSeq
       assert(streamed == batch)
