@@ -217,16 +217,25 @@ object Dedup {
     * per doc; the map is corpus-deterministic, tiny, and exactly what an
     * ingestion pipeline maintains next to its signature index.
     */
-  def corpusKeepers(s: SparkSession, dir: String): DataFrame =
-    cachedCorpusTable(s, dir, "keepers", "norm") {
-      // partition by the md5 of the normalized text, never the text: the
-      // window's exchange then moves a 32-byte key per row instead of the
-      // whole document (the repo's fixed-width shuffle-key convention)
-      docs(s, dir).select(col("doc_id"), md5s(normText(col("text"))).as("h"))
-        .withColumn("keeper",
-          min(col("doc_id")).over(Window.partitionBy(col("h"))))
-        .select("doc_id", "keeper")
-    }
+  def corpusKeepers(s: SparkSession, dir: String): DataFrame = {
+    // partition by the md5 of the normalized text, never the text: the
+    // window's exchange then moves a 32-byte key per row instead of the
+    // whole document (the repo's fixed-width shuffle-key convention)
+    def keyed(d: DataFrame) =
+      d.select(col("doc_id"), md5s(normText(col("text"))).as("h"))
+    def keepers(hd: DataFrame) = hd.withColumn("keeper",
+      min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    // the stored table KEEPS h: append-refresh re-windows the union of
+    // stored (doc_id, h) pairs + the new files' pairs — old documents'
+    // text is never re-read or re-hashed, the merge shuffles two longs +
+    // a 32-byte key per row (a new byte-copy of an old doc can lower a
+    // group's keeper, so the min must re-run; it is a pure key shuffle)
+    cachedCorpusTable(s, dir, "keepers", "norm|h",
+      incr = (old, newDocs) =>
+        keepers(old.select("doc_id", "h").unionByName(keyed(newDocs))))(
+      keepers(keyed(docs(s, dir))))
+      .select("doc_id", "keeper")
+  }
 
   /** Standing index of df-capped 8-gram postings (gram-hash, doc_id) —
     * the substring-overlap query's probe table. Shuffles a 16-hex md5
@@ -238,16 +247,45 @@ object Dedup {
     * corpus-wide shuffle; the df cap kills hot-gram quadratics at build
     * time, so the persisted table is the already-bounded join input.
     */
-  def corpusSubstrPostings(s: SparkSession, dir: String): DataFrame =
-    cachedCorpusTable(s, dir, "substr8", s"8|$DfCap") {
-      val ng0 = Tables.spread(docs(s, dir)).select(col("doc_id"),
-        explode(array_distinct(transform(
-          graft.operators.TextAnalysis.gramSet(col("text"), 8),
-          g => substring(md5(g.cast("binary")), 1, 16)))).as("gram"))
-      val rare = ng0.groupBy("gram").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DfCap).select("gram")
-      ng0.join(rare, "gram")
+  def corpusSubstrPostings(s: SparkSession, dir: String): DataFrame = {
+    def post(d: DataFrame) = d.select(col("doc_id"),
+      explode(array_distinct(transform(
+        graft.operators.TextAnalysis.gramSet(col("text"), 8),
+        g => substring(md5(g.cast("binary")), 1, 16)))).as("gram"))
+    // stored layout: (doc_id, gram, df) postings for live (df ≤ cap)
+    // grams, plus ONE null-doc_id "tombstone" row per saturated gram
+    // carrying its df. Tombstones are what make append-refresh exact:
+    // a saturated gram's postings are gone, but its df keeps counting, so
+    // new occurrences of it are dropped (not resurrected at df = small),
+    // and a live gram that an append pushes over the cap collapses to a
+    // tombstone — byte-equivalent to a cold rebuild of the grown corpus.
+    // Tombstone count ∝ distinct saturated grams, a sliver of the
+    // postings they replace.
+    def withDf(p: DataFrame) = {
+      val dfT = p.groupBy("gram").agg(count(lit(1)).as("df"))
+      p.join(dfT.filter(col("df") <= DfCap), "gram")
+        .select(col("doc_id"), col("gram"), col("df"))
+        .unionByName(dfT.filter(col("df") > DfCap)
+          .select(lit(null).cast("long").as("doc_id"), col("gram"), col("df")))
     }
+    cachedCorpusTable(s, dir, "substr8", s"8|$DfCap|df",
+      incr = (old, newDocs) => {
+        val oldSat = old.filter(col("doc_id").isNull)
+          .select(col("gram"), col("df").as("odf"))
+        val newPost = post(newDocs)
+        val satUpd = oldSat
+          .join(newPost.groupBy("gram").agg(count(lit(1)).as("ndf")),
+            Seq("gram"), "left")
+          .select(lit(null).cast("long").as("doc_id"), col("gram"),
+            (col("odf") + coalesce(col("ndf"), lit(0L))).as("df"))
+        val live = old.filter(col("doc_id").isNotNull).select("doc_id", "gram")
+          .unionByName(newPost.join(oldSat.select("gram"), Seq("gram"),
+            "left_anti"))
+        withDf(live).unionByName(satUpd)
+      })(
+      withDf(post(Tables.spread(docs(s, dir)))))
+      .filter(col("doc_id").isNotNull).select("doc_id", "gram")
+  }
 
   /** Standing index of corpus-duplicated chunk hashes (ck present in ≥2
     * distinct documents) — the probe set q_chunk_dedup's registered query
@@ -255,34 +293,52 @@ object Dedup {
     * never a second corpus-wide chunk-df aggregate. Stamp-keyed like
     * every cached corpus table.
     */
-  def corpusDupChunks(s: SparkSession, dir: String): DataFrame =
-    cachedCorpusTable(s, dir, "chunkdf", s"$ChunkWidth|2") {
-      docs(s, dir)
-        .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, CAST((size(t) - 1) div $ChunkWidth AS INT)), i -> array_join(slice(t, i * $ChunkWidth + 1, $ChunkWidth), ' '))"))
-          .as("chunk"))
-        .groupBy(md5s(col("chunk")).as("ck"))
-        .agg(countDistinct("doc_id").as("df"))
-        .filter(col("df") >= 2)
-        .select("ck")
-    }
+  def corpusDupChunks(s: SparkSession, dir: String): DataFrame = {
+    def counts(d: DataFrame) = d
+      .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST((size(t) - 1) div $ChunkWidth AS INT)), i -> array_join(slice(t, i * $ChunkWidth + 1, $ChunkWidth), ' '))"))
+        .as("chunk"))
+      .groupBy(md5s(col("chunk")).as("ck"))
+      .agg(countDistinct("doc_id").as("df"))
+    // the stored table keeps (ck, df) for EVERY chunk hash, not just the
+    // duplicated ones: per-file doc-distinct counts add across disjoint
+    // appends (doc_ids are corpus-unique), so append-refresh is one
+    // counts-merge over the chunk vocabulary — a chunk first seen in an
+    // old file and repeated only in a new one still crosses df ≥ 2. The
+    // ≥ 2 filter moves to read time (parquet-pushed on df).
+    cachedCorpusTable(s, dir, "chunkdf", s"$ChunkWidth|all",
+      incr = (old, newDocs) => old.unionByName(counts(newDocs))
+        .groupBy("ck").agg(sum(col("df")).as("df")))(
+      counts(docs(s, dir)))
+      .filter(col("df") >= 2).select("ck")
+  }
 
   /** MinHash signatures over (doc_id, text): exact-dedup pre-pass, word
     * 3-shingles, NumSeeds min-slice columns h0..h7. The building block of
     * [[minhashPairs]] and the estimated-Jaccard query.
     */
-  def minhashSignatures(docs0: DataFrame): DataFrame = {
+  def minhashSignatures(docs0: DataFrame): DataFrame =
+    minhashSigsWithH(docs0).drop("h")
+
+  /** [[minhashSignatures]] plus each rep's normalized-text md5 (`h`) —
+    * the merge key the standing sigs index stores so an append-refresh
+    * can collapse a later byte-copy onto the standing representative
+    * without re-reading any old text (the corpus-wide face of the
+    * exact-dedup pre-pass below).
+    */
+  private[operators] def minhashSigsWithH(docs0: DataFrame): DataFrame = {
     // exact-dedup pre-pass: identical normalized texts collapse to their
     // min-doc_id representative BEFORE shingling, so a 10^6-copy cluster
     // contributes one signature, not 10^12 candidate pairs
     val reps = docs0.select(col("doc_id"), normText(col("text")).as("s"))
       .groupBy(col("s")).agg(min(col("doc_id")).as("doc_id"))
-    val toks = reps.select(col("doc_id"), split(col("s"), " ").as("t"))
+    val toks = reps.select(col("doc_id"), md5s(col("s")).as("h"),
+      split(col("s"), " ").as("t"))
     val sh = toks
       // guard: Spark sequence(0,-1) is DESCENDING (not empty like DuckDB
       // range), and concat_ws skips nulls — short docs need an explicit []
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), col("h"), explode(expr(
         "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) ELSE array() END"))
         .as("shingle"))
     val minAggs = (0 until NumSeeds).map { i =>
@@ -290,7 +346,9 @@ object Dedup {
                 else md5s(concat(lit("x:"), col("shingle")))
       min(substring(src, 8 * (i % 4) + 1, 8)).as(s"h$i")
     }
-    sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    sh.groupBy("doc_id", "h").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id") +: col("h") +:
+        (0 until NumSeeds).map(i => col(s"h$i")): _*)
   }
 
   /** MinHash+LSH candidate pairs over (doc_id, text) with exact-dedup
@@ -317,8 +375,21 @@ object Dedup {
     * oracles still derive from scratch and keep hash-matching).
     */
   def corpusSigs(s: SparkSession, dir: String): DataFrame =
-    cachedCorpusTable(s, dir, "sigs", s"$NumSeeds|$BucketCap")(
-      minhashSignatures(Tables.load(s, dir, "documents")))
+    // the stored table keeps the rep's norm-hash `h`: append-refresh signs
+    // ONLY the new files' documents, then keeps the min-doc_id row per `h`
+    // — a later byte-copy of an indexed text collapses onto the standing
+    // rep exactly as the cold build's corpus-wide pre-pass would (equal
+    // texts have equal signatures, so which row survives only fixes the
+    // doc_id). Old text is never re-read; the merge shuffles sig rows.
+    cachedCorpusTable(s, dir, "sigs", s"$NumSeeds|$BucketCap|h",
+      incr = (old, newDocs) => {
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        old.unionByName(minhashSigsWithH(newDocs))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      })(
+      minhashSigsWithH(Tables.load(s, dir, "documents")))
+      .drop("h")
 
   /** Persisted near-dup cluster labels (doc_id, rep) for the whole corpus —
     * the next derivation up the same standing-index ladder as
@@ -355,10 +426,13 @@ object Dedup {
     * table both simhash queries probe (column renamed to `sig`, the index
     * side's name).
     */
-  def corpusSimhashSigs(s: SparkSession, dir: String): DataFrame =
-    cachedCorpusTable(s, dir, "simhash", s"$SimhashBits")(
-      simhashSigs(Tables.load(s, dir, "documents"))
-        .withColumnRenamed("simhash", "sig"))
+  def corpusSimhashSigs(s: SparkSession, dir: String): DataFrame = {
+    def sigs(d: DataFrame) = simhashSigs(d).withColumnRenamed("simhash", "sig")
+    // per-doc rows: append-refresh unions the new files' signatures
+    cachedCorpusTable(s, dir, "simhash", s"$SimhashBits",
+      incr = (old, newDocs) => old.unionByName(sigs(newDocs)))(
+      sigs(Tables.load(s, dir, "documents")))
+  }
 
   /** Build-once/probe-many materialization of a deterministic corpus
     * derivation: builds into a parquet table under [[Tables.indexRoot]]
@@ -368,21 +442,114 @@ object Dedup {
     * every data file's (name, length, mtime), and `params`, so a
     * regenerated corpus — even one with the same row count — never reads
     * a stale table.
+    *
+    * INCREMENTAL REFRESH on corpus append: when `incr` is given and the
+    * corpus has only GROWN since an earlier build (every file of some
+    * prior index's recorded stamp still present byte-identically, new
+    * files added — the ingestion-append shape), the new index is derived
+    * from that predecessor plus ONLY the new files:
+    * `incr(predecessorIndex, newDocs)`. Appending one file to a 100 TB
+    * corpus then costs index-merge + new-file work instead of a full
+    * corpus re-derivation — the all-or-nothing rebuild was this ladder's
+    * last 100 TB cost cliff. Each index directory stays IMMUTABLE
+    * (content-keyed name, `_SUCCESS` publish marker), so concurrent
+    * readers of the old index are never torn by a refresh; the stamp
+    * sidecar (`_GRAFT_STAMP`) records which corpus files a directory
+    * covers, and predecessor detection is a metadata-only listing. Any
+    * in-place file change or removal fails the subset check and falls
+    * back to a cold build — correctness never depends on `incr`.
     */
   private[operators] def cachedCorpusTable(s: SparkSession, dir: String, tag: String,
-                                params: String, table: String = "documents")(
+                                params: String, table: String = "documents",
+                                incr: (DataFrame, DataFrame) => DataFrame = null)(
                                 build: => DataFrame): DataFrame =
     synchronized {
       val conf = s.sessionState.newHadoopConf()
+      val corpus = Tables.path(dir, table)
+      val entries = corpusFiles(s, dir, table)
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${corpusStamp(s, dir, table)}|$params".getBytes("UTF-8"))
+        .digest(s"$corpus|${entries.map(_._2).mkString("|")}|$params"
+          .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      val root = s"${Tables.indexRoot(s, dir)}/graft_${tag}_$key"
-      val done = new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")
-      if (!done.getFileSystem(conf).exists(done))
-        graft.sources.Export.flush(build, root)
+      val idxRoot = Tables.indexRoot(s, dir)
+      val root = s"$idxRoot/graft_${tag}_$key"
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS"))) {
+        val pred =
+          if (incr == null) None
+          else predecessorIndex(fs, idxRoot, tag, corpus, table, params,
+            entries.map(_._2).toSet)
+        pred match {
+          case Some((predRoot, predEntries)) =>
+            val newPaths = entries.collect {
+              case (p, e) if !predEntries.contains(e) => p }
+            graft.sources.Export.flush(
+              incr(s.read.parquet(predRoot),
+                Tables.spread(s.read.parquet(newPaths: _*))), root)
+          case None => graft.sources.Export.flush(build, root)
+        }
+        writeStampFile(fs, root, corpus, table, params, entries.map(_._2))
+      }
       s.read.parquet(root)
     }
+
+  /** Most complete already-published index of the same (corpus, table,
+    * params) family whose recorded corpus files are a strict subset of the
+    * current ones — i.e. a build of an earlier, smaller version of this
+    * corpus that pure appends have grown. Metadata-only: one directory
+    * listing plus one tiny stamp read per candidate.
+    */
+  private def predecessorIndex(fs: org.apache.hadoop.fs.FileSystem,
+                               idxRoot: String, tag: String, corpus: String,
+                               table: String, params: String,
+                               current: Set[String])
+      : Option[(String, Set[String])] = {
+    val rootPath = new org.apache.hadoop.fs.Path(idxRoot)
+    if (!fs.exists(rootPath)) return None
+    val cands = fs.listStatus(rootPath).iterator
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"graft_${tag}_"))
+      .flatMap { st =>
+        val d = st.getPath.toString
+        val stampP = new org.apache.hadoop.fs.Path(s"$d/_GRAFT_STAMP")
+        if (!fs.exists(stampP) ||
+            !fs.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS"))) None
+        else {
+          val lines = readSmallText(fs, stampP).split("\n", -1).toSeq
+          if (lines.length < 3 || lines(0) != corpus || lines(1) != table ||
+              lines(2) != params) None
+          else {
+            val files = lines.drop(3).filter(_.nonEmpty).toSet
+            if (files.nonEmpty && files != current && files.subsetOf(current))
+              Some((d, files))
+            else None
+          }
+        }
+      }.toSeq
+    if (cands.isEmpty) None else Some(cands.maxBy(_._2.size))
+  }
+
+  private def writeStampFile(fs: org.apache.hadoop.fs.FileSystem, root: String,
+                             corpus: String, table: String, params: String,
+                             entries: Seq[String]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_GRAFT_STAMP"), true)
+    try out.write(
+      (Seq(corpus, table, params) ++ entries).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
 
   /** (doc_id, band, bkey) band keys of a signature table (h0..h7) — the
     * LSH bucket membership rows, uncapped.
@@ -444,17 +611,31 @@ object Dedup {
     * corpus for caching purposes.
     */
   private[operators] def corpusStamp(s: SparkSession, dir: String,
-                                     table: String): String = {
+                                     table: String): String =
+    Tables.path(dir, table) + "|" +
+      corpusFiles(s, dir, table).map(_._2).mkString("|")
+
+  /** The corpus's DATA files as (full path, "name:length:mtime") entries,
+    * name-sorted. Metadata files (`_SUCCESS`, `.crc`, …) are excluded: an
+    * append-mode write rewrites them without changing any data, and
+    * including them would turn every pure append into a full-rebuild
+    * stamp miss.
+    */
+  private[operators] def corpusFiles(s: SparkSession, dir: String,
+                                     table: String): Seq[(String, String)] = {
     val corpus = Tables.path(dir, table)
     val conf = s.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(corpus)
     val fs = p.getFileSystem(conf)
     val sts =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).sortBy(_.getPath.getName)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }.sortBy(_.getPath.getName)
       else Array(fs.getFileStatus(p))
-    corpus + "|" + sts
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .mkString("|")
+    sts.iterator.map(st => (st.getPath.toString,
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")).toSeq
   }
 
   /** MinHash index BUILD — run once per ingested corpus, never per batch:
@@ -1491,10 +1672,14 @@ object Dedup {
     * q_dedup_winnow's three consumers and by the streaming incremental
     * twin (Docs.winnowAgainstIndex).
     */
-  def corpusWinnowPostings(s: SparkSession, dir: String): DataFrame =
-    cachedCorpusTable(s, dir, "winnow", s"$WinnowK|$WinnowW")(
-      winnowFingerprints(Tables.load(s, dir, "documents"))
-        .select(col("doc_id"), explode(col("fps")).as("fp")))
+  def corpusWinnowPostings(s: SparkSession, dir: String): DataFrame = {
+    def post(d: DataFrame) = winnowFingerprints(d)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    // per-doc rows: append-refresh unions the new files' fingerprints
+    cachedCorpusTable(s, dir, "winnow", s"$WinnowK|$WinnowW",
+      incr = (old, newDocs) => old.unionByName(post(newDocs)))(
+      post(Tables.load(s, dir, "documents")))
+  }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     * MOSS algorithm): hash every k-word gram, keep the minimum hash of

@@ -252,14 +252,23 @@ object TextAnalysis {
     * re-deriving the corpus gram df per scoring run. One column (gh,
     * md5 of the gram — a fixed-width key), so probes stay narrow.
     */
-  def corpusDupGrams(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.cachedCorpusTable(s, dir, "dupgrams", "5|2")(
-      Tables.spread(docs(s, dir))
-        .select(col("doc_id"), explode(gramSet(col("text"), 5)).as("gram"))
-        .groupBy(md5(col("gram").cast("binary")).as("gh"))
-        .agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= 2)
-        .select("gh"))
+  def corpusDupGrams(s: SparkSession, dir: String): DataFrame = {
+    def counts(d: DataFrame) = d
+      .select(col("doc_id"), explode(gramSet(col("text"), 5)).as("gram"))
+      .groupBy(md5(col("gram").cast("binary")).as("gh"))
+      .agg(count(lit(1)).as("nd"))
+    // the stored table keeps (gh, nd) for EVERY gram (grams are per-doc
+    // distinct, so per-file counts add across disjoint appends): an
+    // append-refresh merges the new files' counts into the standing
+    // vocabulary instead of re-gramming the corpus, and a gram whose
+    // second occurrence arrives in a later file still turns duplicated.
+    // The ≥ 2 filter moves to read time (parquet-pushed on nd).
+    graft.operators.Dedup.cachedCorpusTable(s, dir, "dupgrams", "5|all",
+      incr = (old, newDocs) => old.unionByName(counts(newDocs))
+        .groupBy("gh").agg(sum(col("nd")).as("nd")))(
+      counts(Tables.spread(docs(s, dir))))
+      .filter(col("nd") >= 2).select("gh")
+  }
 
   val pack: Seq[Q] = Seq(
 
