@@ -33,14 +33,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Spark's parquet reader does the (parallel) file listing, so a commit
   * is O(1) driver work regardless of table size.
   *
-  * Concurrency: on filesystems whose rename FAILS when the target exists
-  * (HDFS), two writers racing to publish the same version resolve
-  * optimistically — the loser's manifest rename returns false and it
-  * retries under the next number. POSIX local rename and S3 overwrite
-  * silently, so there (exactly like Delta on S3) concurrent writers need
-  * an external lock or a single-writer process; readers are safe either
-  * way because data files are immutable and manifests are never edited
-  * in place.
+  * Concurrency: the manifest publish is an atomic put-if-absent chosen
+  * per filesystem scheme (see [[publishManifest]]) — HDFS-family rename
+  * (refuses existing targets), POSIX hard-link on file:// (plain local
+  * rename overwrites silently, so it is NOT a commit primitive), and an
+  * explicit refusal on object stores whose rename is copy+delete (s3a,
+  * gs, …) unless `spark.graft.versioned.singleWriter=true` acknowledges
+  * a lone writer — the Delta-on-S3 situation made loud instead of
+  * silent. Two writers racing the same version resolve optimistically:
+  * the loser's publish fails and it retries under the next number with
+  * the same data directory. Readers are safe in every case because data
+  * files are immutable and manifests are never edited in place.
   */
 object Versioned {
 
@@ -100,6 +103,24 @@ object Versioned {
       for (a <- m.appId; e <- m.epochId) yield (a, e)
     }
 
+  /** Latest epoch committed BY `appId`, scanning manifests newest-first —
+    * Delta's per-appId txn high-water mark. [[latestTxn]] reads only the
+    * top manifest, which silently disarms the replay fence whenever ANY
+    * other commit (a second stream, a batch job, a CLI snapshot)
+    * interleaves between a stream's commit and its crash-replay; this
+    * scan stops at the newest manifest carrying the stream's own
+    * identity, so an interleaved writer can never un-fence a replay. The
+    * common case still reads one manifest (the stream is the table's
+    * most frequent writer); the worst case is bounded by the retained
+    * version count, and manifests are O(100 bytes).
+    */
+  def latestEpochFor(spark: SparkSession, dir: String,
+                     appId: String): Option[Long] =
+    versions(spark, dir).reverseIterator
+      .map(v => readManifest(spark, dir, v))
+      .collectFirst { case m if m.appId.contains(appId) => m.epochId }
+      .flatten
+
   /** Publish `df` as the next version. `append = false` commits a full
     * snapshot (the new version reads only this data); `append = true`
     * extends the parent version's directory list. Returns the committed
@@ -115,11 +136,11 @@ object Versioned {
     val f = fs(spark, dir)
     f.mkdirs(new Path(s"$dir/_commits"))
     var v = versions(spark, dir).lastOption.getOrElse(0) + 1
-    // unique data-dir name (not keyed to the version): two writers racing
-    // to the same version number must never collide on the data write —
-    // only the manifest rename decides the race
-    val dataDir =
-      f"$dir/data/v$v%05d-${java.util.UUID.randomUUID.toString.take(8)}"
+    // unique data-dir AND temp-manifest names (not keyed to the version):
+    // two writers racing to the same version number must never collide on
+    // anything they write — only the manifest publish decides the race
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val dataDir = f"$dir/data/v$v%05d-$token"
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     val nNew = spark.read.parquet(dataDir).count()
     var committed = -1
@@ -131,7 +152,7 @@ object Versioned {
       val nRows = parent.map(_.nRows).getOrElse(0L) + (
         if (append) nNew else 0L)
       val m = Manifest(v, dirs, if (append) nRows else nNew, epochId, appId)
-      val tmp = new Path(f"$dir/_commits/.v$v%05d.json.tmp")
+      val tmp = new Path(f"$dir/_commits/.v$v%05d-$token.json.tmp")
       val payload = new java.util.LinkedHashMap[String, Object]()
       payload.put("version", Int.box(m.version))
       payload.put("dataDirs", java.util.List.of(m.dataDirs: _*))
@@ -141,13 +162,74 @@ object Versioned {
       val out = f.create(tmp, true)
       try out.write(json.writeValueAsBytes(payload))
       finally out.close()
-      // atomic publish: rename fails (returns false) if the version
-      // already exists — a concurrent writer won; retry as v+1 with the
-      // SAME data dir
-      if (f.rename(tmp, manifestPath(dir, v))) committed = v
-      else { f.delete(tmp, false); v += 1 }
+      // atomic publish: put-if-absent fails if the version already
+      // exists — a concurrent writer won; retry as v+1 with the SAME
+      // data dir
+      if (publishManifest(spark, f, tmp, manifestPath(dir, v))) committed = v
+      else v += 1
     }
     committed
+  }
+
+  /** Schemes whose `rename` is atomic and refuses an existing target —
+    * the HDFS family plus ABFS (Azure Data Lake Gen2 renames via a
+    * single metadata op).
+    */
+  private val AtomicRenameSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs",
+      "abfs", "abfss")
+
+  /** Atomic put-if-absent of the manifest — THE commit point. Returns
+    * false (and removes `tmp`) when the target version was already
+    * published by a concurrent winner.
+    *
+    *  - `file://`: POSIX hard-link, which is atomic and fails EEXIST on
+    *    an existing target. A plain local rename OVERWRITES silently —
+    *    the pre-round-7 protocol was unknowingly single-writer on local
+    *    disks, which the two-writer race in VersionedSpec now pins.
+    *  - HDFS-family / ABFS: `rename`, atomic without overwrite there.
+    *  - Object stores (s3a, gs, oss, wasb…): rename is copy+delete and
+    *    both racers "win", so the commit CANNOT be made atomic from this
+    *    side alone (Delta needs a coordination service there too). Refuse
+    *    loudly unless `spark.graft.versioned.singleWriter=true`
+    *    acknowledges the table has exactly one committer, in which case
+    *    an existence check stands in (safe by assumption, and the
+    *    assumption is now explicit instead of silent corruption).
+    */
+  private def publishManifest(spark: SparkSession,
+                              f: org.apache.hadoop.fs.FileSystem,
+                              tmp: Path, dst: Path): Boolean = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    val won = scheme match {
+      case "file" =>
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(f.makeQualified(dst).toUri),
+            java.nio.file.Paths.get(f.makeQualified(tmp).toUri))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      case sch if AtomicRenameSchemes(sch) =>
+        f.rename(tmp, dst)
+      case sch =>
+        val single = spark.conf
+          .getOption("spark.graft.versioned.singleWriter")
+          .exists(_.toBoolean)
+        if (!single) throw new IllegalStateException(
+          s"Versioned commit on scheme '$sch' has no atomic put-if-absent: " +
+            "rename there is copy+delete, so two concurrent committers can " +
+            "both publish the same version and silently corrupt the log. " +
+            "Either guarantee a single committer and set " +
+            "spark.graft.versioned.singleWriter=true, or place the table on " +
+            "an atomic-rename filesystem (HDFS/ABFS) or local disk.")
+        !f.exists(dst) && f.rename(tmp, dst)
+    }
+    // loser or winner, the temp name is done — f.delete also removes the
+    // checksum sidecar LocalFileSystem keeps (the published link shares
+    // the inode, not the directory entry, so it is untouched)
+    f.delete(tmp, false)
+    won
   }
 
   /** Read the table at `asOf` (default: latest committed version).

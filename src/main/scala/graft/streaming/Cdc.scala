@@ -16,10 +16,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Batch-retry idempotence is EXACT: every commit records its stream
   * identity and epoch (Delta's txnAppId/txnVersion — here the checkpoint
   * path and the foreachBatch batchId) in the manifest, and a replayed
-  * epoch of the SAME stream skips the commit entirely (epochs are
-  * monotone within a stream, so one latest-manifest read decides) —
-  * version history stays one-version-per-applied-batch even across
-  * crash/replay, so a downstream version-count assertion never flakes.
+  * epoch of the SAME stream skips the commit entirely. The fence is the
+  * PER-APPID high-water (`Versioned.latestEpochFor` scans manifests
+  * newest-first for this stream's identity), not the last writer's
+  * manifest — so a second stream, a batch `applyBatch`, or a CLI
+  * snapshot interleaving between this stream's commit and its
+  * crash-replay cannot disarm it. Version history stays
+  * one-version-per-applied-batch even across crash/replay and mixed
+  * writers, so a downstream version-count assertion never flakes.
   * A different stream's colliding batch number never fences (its appId
   * differs), and the merge itself is also idempotent (updates set the
   * same values, deletes of gone keys no-op) as defense in depth.
@@ -65,10 +69,12 @@ object Cdc {
 
   /** One micro-batch of the CDC merge (factored out so batch jobs and
     * tests drive the identical code path). With an epoch: a batch whose
-    * (appId, epochId) is at or behind the latest committed manifest's FOR
-    * THE SAME appId is a REPLAY and is skipped — the commit already
-    * happened; the crash hit after publish. Epochs from a different
-    * appId never fence (a new stream legitimately restarts at batch 0).
+    * (appId, epochId) is at or behind THIS appId's committed high-water
+    * is a REPLAY and is skipped — the commit already happened; the crash
+    * hit after publish. Epochs from a different appId never fence (a new
+    * stream legitimately restarts at batch 0), and commits from OTHER
+    * writers between this stream's publish and its replay never un-fence
+    * (the high-water is per appId, not last-writer).
     */
   def applyBatch(batch: DataFrame, tableDir: String, key: String,
                  valueCols: Seq[String], seqCol: String,
@@ -78,8 +84,8 @@ object Cdc {
     val spark = batch.sparkSession
     val replayed = (for {
       e <- epochId; a <- appId
-      (la, le) <- Versioned.latestTxn(spark, tableDir)
-    } yield la == a && e <= le).getOrElse(false)
+      le <- Versioned.latestEpochFor(spark, tableDir, a)
+    } yield e <= le).getOrElse(false)
     if (replayed) return
     // seq ties break on a content hash, NOT shuffle arrival order: a
     // replayed batch must pick the SAME winner or the idempotent-replay

@@ -30,6 +30,31 @@ class VersionedSpec extends AnyFunSuite {
     assert(latest == Set((1L, "a2"), (3L, "c")))
   }
 
+  test("two concurrent committers never publish the same version") {
+    import spark.implicits._
+    val dir = tmp("race")
+    // the local-FS publish is a POSIX hard-link put-if-absent: a plain
+    // rename would let both racers overwrite v00001 and silently lose one
+    // commit. Two writers each publish 5 snapshots concurrently; every
+    // commit must land under a DISTINCT version and remain readable.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    def writer(id: Int): Future[Seq[Int]] = Future {
+      (0 until 5).map { i =>
+        Versioned.commit(Seq((id.toLong, s"w$id-$i")).toDF("k", "v"), dir)
+      }
+    }
+    val got = Await.result(
+      Future.sequence(Seq(writer(1), writer(2))), 120.seconds).flatten
+    assert(got.sorted == (1 to 10), s"versions collided or skipped: $got")
+    assert(Versioned.versions(spark, dir) == (1 to 10))
+    // every manifest parses and resolves to exactly its own snapshot
+    val all = (1 to 10).map(v =>
+      Versioned.read(spark, dir, Some(v)).as[(Long, String)].collect().toSet)
+    assert(all.flatten.toSet.size == 10, "a racing commit's data was lost")
+  }
+
   test("append commits extend the parent; vacuum keeps retained versions readable") {
     import spark.implicits._
     val dir = tmp("app")
@@ -166,6 +191,19 @@ class VersionedSpec extends AnyFunSuite {
     Cdc.applyBatch(batch((3L, "U", "c", 3L)), dir, "k", Seq("v"), "seq")
     assert(Versioned.versions(spark, dir) == Seq(1, 2, 3, 4))
     assert(Versioned.latestTxn(spark, dir).isEmpty)
+    // INTERLEAVED-writer replay: the epoch-less batch commit above is now
+    // the latest manifest, so a last-writer fence would be disarmed — but
+    // stream a's high-water is per appId, so replaying its epoch 1 must
+    // still skip (no 5th version, content unchanged)
+    assert(Versioned.latestEpochFor(spark, dir, "cdc:/ckpt/a").contains(1L))
+    Cdc.applyBatch(batch((2L, "U", "b", 2L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(1L), appId = app)
+    assert(Versioned.versions(spark, dir) == Seq(1, 2, 3, 4),
+      "replay after an interleaved commit must stay fenced")
+    // and its next epoch still applies normally
+    Cdc.applyBatch(batch((4L, "U", "d", 7L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(2L), appId = app)
+    assert(Versioned.versions(spark, dir) == Seq(1, 2, 3, 4, 5))
   }
 
   test("streaming CDC apply commits one merged version per micro-batch") {
