@@ -437,6 +437,7 @@ object Cli {
           "truth_pairs" -> (() => Dedup.corpusTruthPairs(spark, srcDir).count()),
           "dup_chunks" -> (() => Dedup.corpusDupChunks(spark, srcDir).count()),
           "substr_postings" -> (() => Dedup.corpusSubstrPostings(spark, srcDir).count()),
+          "rare_grams" -> (() => Dedup.corpusRareGramPostings(spark, srcDir).count()),
           "dup_grams" -> (() => TextAnalysis.corpusDupGrams(spark, srcDir).count()),
           "minhash_incr" -> (() =>
             Dedup.buildMinhashIndex(spark, srcDir, Dedup.IncrMod): Unit),

@@ -247,28 +247,35 @@ object Dedup {
     * corpus-wide shuffle; the df cap kills hot-gram quadratics at build
     * time, so the persisted table is the already-bounded join input.
     */
-  def corpusSubstrPostings(s: SparkSession, dir: String): DataFrame = {
-    def post(d: DataFrame) = d.select(col("doc_id"),
-      explode(array_distinct(transform(
-        graft.operators.TextAnalysis.gramSet(col("text"), 8),
-        g => substring(md5(g.cast("binary")), 1, 16)))).as("gram"))
-    // stored layout: (doc_id, gram, df) postings for live (df ≤ cap)
-    // grams, plus ONE null-doc_id "tombstone" row per saturated gram
-    // carrying its df. Tombstones are what make append-refresh exact:
-    // a saturated gram's postings are gone, but its df keeps counting, so
-    // new occurrences of it are dropped (not resurrected at df = small),
-    // and a live gram that an append pushes over the cap collapses to a
-    // tombstone — byte-equivalent to a cold rebuild of the grown corpus.
-    // Tombstone count ∝ distinct saturated grams, a sliver of the
-    // postings they replace.
+  def corpusSubstrPostings(s: SparkSession, dir: String): DataFrame =
+    cachedPostingsIndex(s, dir, "substr8", s"8|$DfCap|df", DfCap)(d =>
+      d.select(col("doc_id"),
+        explode(array_distinct(transform(
+          graft.operators.TextAnalysis.gramSet(col("text"), 8),
+          g => substring(md5(g.cast("binary")), 1, 16)))).as("gram")))
+
+  /** Standing df-capped postings table over (doc_id, gram) rows from
+    * `post`. Stored layout: (doc_id, gram, df) postings for live
+    * (df ≤ cap) grams, plus ONE null-doc_id "tombstone" row per saturated
+    * gram carrying its df. Tombstones are what make append-refresh exact:
+    * a saturated gram's postings are gone, but its df keeps counting, so
+    * new occurrences of it are dropped (not resurrected at df = small),
+    * and a live gram that an append pushes over the cap collapses to a
+    * tombstone — byte-equivalent to a cold rebuild of the grown corpus.
+    * Tombstone count ∝ distinct saturated grams, a sliver of the
+    * postings they replace. Readers get the live (doc_id, gram) rows.
+    */
+  private def cachedPostingsIndex(s: SparkSession, dir: String, tag: String,
+                                  params: String, cap: Int)(
+                                  post: DataFrame => DataFrame): DataFrame = {
     def withDf(p: DataFrame) = {
       val dfT = p.groupBy("gram").agg(count(lit(1)).as("df"))
-      p.join(dfT.filter(col("df") <= DfCap), "gram")
+      p.join(dfT.filter(col("df") <= cap), "gram")
         .select(col("doc_id"), col("gram"), col("df"))
-        .unionByName(dfT.filter(col("df") > DfCap)
+        .unionByName(dfT.filter(col("df") > cap)
           .select(lit(null).cast("long").as("doc_id"), col("gram"), col("df")))
     }
-    cachedCorpusTable(s, dir, "substr8", s"8|$DfCap|df",
+    cachedCorpusTable(s, dir, tag, params,
       incr = (old, newDocs) => {
         val oldSat = old.filter(col("doc_id").isNull)
           .select(col("gram"), col("df").as("odf"))
@@ -286,6 +293,24 @@ object Dedup {
       withDf(post(Tables.spread(docs(s, dir)))))
       .filter(col("doc_id").isNotNull).select("doc_id", "gram")
   }
+
+  /** Standing rare word-2-gram postings over the 'en' slice — the probe
+    * table q_ngram_jaccard pairs from. This was the one gram family NOT
+    * in the standing-index ladder: every run re-exploded, re-counted and
+    * re-pruned the full 2-gram stream before the pair join, the dominant
+    * cost of the query (and identical, corpus-deterministic work). The
+    * stored rows keep the RAW gram, matching the oracle's raw-gram keys
+    * exactly; shuffle width is a short 2-gram (~15 chars), on par with
+    * the 16-hex digests the other families key on.
+    */
+  def corpusRareGramPostings(s: SparkSession, dir: String): DataFrame =
+    cachedPostingsIndex(s, dir, "engram2", s"2|en|$DfCap", DfCap)(d =>
+      d.filter(col("lang") === "en")
+        .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) ELSE array() END"))
+          .as("gram"))
+        .distinct())
 
   /** Standing index of corpus-duplicated chunk hashes (ck present in ≥2
     * distinct documents) — the probe set q_chunk_dedup's registered query
@@ -830,6 +855,16 @@ object Dedup {
     val rare = ng0.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("gram")
     val ng = ng0.join(rare, Seq("gram"), "left_semi")
+    jaccardFromPostings(ng, minJacMicro)
+  }
+
+  /** The pair-scoring back half of [[rareGramJaccard]], starting from an
+    * ALREADY df-capped postings table (doc_id, gram) — the shape the
+    * standing [[corpusRareGramPostings]] index feeds directly, skipping
+    * the per-run gram explode + df prune entirely.
+    */
+  def jaccardFromPostings(ng: DataFrame,
+                          minJacMicro: Long = 100000L): DataFrame = {
     val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = ng.alias("a"); val b = ng.alias("b")
     val inter = a.join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -939,7 +974,9 @@ object Dedup {
     // RARE grams — pairs exist only where rare-gram overlap exists, and each
     // gram contributes ≤ C(DfCap,2) pairs (no hot-key blowup). The 'en'
     // slice at sf0.1 drops from 1.75M candidate pairs to 180 — all of them
-    // true near-dups ≥ 0.1 Jaccard.
+    // true near-dups ≥ 0.1 Jaccard. The df-capped postings are a standing
+    // index (corpusRareGramPostings) like every other gram family: the
+    // per-run work is the pair join + size rollup only.
     Q("q_ngram_jaccard", {
       s"""WITH d AS (SELECT doc_id, $normSql AS s FROM documents WHERE lang = 'en'),
          |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM d),
@@ -960,8 +997,7 @@ object Dedup {
          |WHERE n_inter * 1000000 // (sa.sz + sb.sz - n_inter) >= 100000
          |ORDER BY doc_a, doc_b""".stripMargin
     })(
-      (s, dir) => rareGramJaccard(
-        Tables.spread(docs(s, dir).filter(col("lang") === "en")))
+      (s, dir) => jaccardFromPostings(corpusRareGramPostings(s, dir))
         .orderBy("doc_a", "doc_b")),
 
     // 34c. exact substring-overlap dedup: pairs of documents sharing any

@@ -25,6 +25,7 @@ class IncrementalIndexSpec extends AnyFunSuite {
     "dupgrams" -> (() => TextAnalysis.corpusDupGrams(spark, dir)),
     "chunkdf" -> (() => Dedup.corpusDupChunks(spark, dir)),
     "substr8" -> (() => Dedup.corpusSubstrPostings(spark, dir)),
+    "engram2" -> (() => Dedup.corpusRareGramPostings(spark, dir)),
     "simhash" -> (() => Dedup.corpusSimhashSigs(spark, dir)),
     "winnow" -> (() => Dedup.corpusWinnowPostings(spark, dir)))
 
