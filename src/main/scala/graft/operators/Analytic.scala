@@ -96,6 +96,54 @@ object Analytic {
           col("n"), col("total_micros"))
         .orderBy(col("status"), col("priority")))
 
+  /** q_ewma's per-key history bound: the fold collects each entity's
+    * events into ONE array row (flatMapGroupsWithState's per-key-state
+    * contract), so an unbounded hot key — a bot account with 10⁸ events —
+    * would OOM an executor, not fail cleanly. The guard pre-counts per
+    * key (one map-side-combined aggregate, shuffle of (key, count) only)
+    * and aborts naming the offending entity. 4M events × ~24 B struct
+    * ≈ 100 MB of array per worst-case key — within an executor's working
+    * memory with headroom.
+    */
+  val EwmaMaxPerKey: Long = 1L << 22
+
+  /** Integer-EWMA per-entity fold over (user_id, ts, event_id, v) — the
+    * registered q_ewma body, factored so the hot-key guard is testable
+    * with a small cap. `v` is clamped at 0 on BOTH engines: the fold's
+    * cross-engine equality needs trunc-div ≡ floor-div, which holds only
+    * for non-negative values (DuckDB `//` floors, Spark `div` truncates
+    * toward zero) — the clamp makes the invariant structural instead of
+    * an assumption about the data.
+    */
+  def ewmaPerEntity(events: DataFrame,
+                    maxPerKey: Long = EwmaMaxPerKey): DataFrame = {
+    val hot = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxPerKey)
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"q_ewma: entity user_id=${r.get(0)} has ${r.getLong(1)} events, " +
+        s"over the per-key history cap $maxPerKey — the sequential fold " +
+        "materializes one row per entity; split or pre-aggregate hot keys"
+    })
+    val x = struct(
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+      col("event_id").as("ev"),
+      expr("greatest(CAST(round(value * 1000000) AS BIGINT), 0L)").as("v"))
+    events
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(x)).as("xs"))
+      .select(col("user_id"),
+        size(col("xs")).cast("long").as("n_events"),
+        element_at(col("xs"), -1).getField("v").as("last_micros"),
+        expr("""aggregate(slice(xs, 2, size(xs) - 1),
+               |  element_at(xs, 1).v,
+               |  (acc, x) -> (x.v + 3L * acc) div 4)""".stripMargin)
+          .as("ewma_micros"))
+      .orderBy("user_id")
+  }
+
   val pack: Seq[Q] = Seq(
 
     // 24e2. explicit GROUPING SETS — the general form rollup/cube are sugar
@@ -415,17 +463,19 @@ object Analytic {
     // 24w. Per-entity SEQUENTIAL fold (integer EWMA): the batch analogue
     // of per-key streaming state — each user's time-ordered event values
     // fold through s_i = (v_i + 3·s_{i-1}) div 4 (α=1/4 in exact integer
-    // micros; inputs are non-negative so trunc-div ≡ floor-div and the
-    // engines agree). A recursive-by-nature statistic no window frame
-    // expresses: the per-user history collects to ONE row and folds as an
-    // array aggregate — the same per-key-history-fits-in-memory contract
-    // flatMapGroupsWithState has, with shuffle ∝ events and state ∝
-    // users. Order is (epoch-us, event_id), bit-stable under ties.
+    // micros; values clamp at 0 on BOTH engines so trunc-div ≡ floor-div
+    // by construction, not by assumption about the data). A recursive-by-
+    // nature statistic no window frame expresses: the per-user history
+    // collects to ONE row and folds as an array aggregate — the same
+    // per-key-history-fits-in-memory contract flatMapGroupsWithState has,
+    // with shuffle ∝ events, state ∝ users, and a pre-checked per-key cap
+    // that fails loudly naming any hot entity (see ewmaPerEntity) instead
+    // of OOMing an executor. Order is (epoch-us, event_id), tie-stable.
     Q("q_ewma",
       """WITH e AS (
         |  SELECT user_id,
         |    {'us': epoch_us(ts), 'ev': event_id,
-        |     'v': CAST(round(value * 1000000) AS BIGINT)} AS x
+        |     'v': greatest(CAST(round(value * 1000000) AS BIGINT), 0)} AS x
         |  FROM events),
         |l AS (SELECT user_id, list_sort(list(x)) AS xs FROM e GROUP BY user_id)
         |SELECT user_id,
@@ -434,23 +484,7 @@ object Analytic {
         |  list_reduce(list_transform(xs, x -> x.v),
         |    (acc, v) -> (v + 3 * acc) // 4) AS ewma_micros
         |FROM l ORDER BY user_id""".stripMargin)(
-      (s, dir) => {
-        val x = struct(
-          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
-          col("event_id").as("ev"),
-          expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
-        t(s, dir, "events")
-          .groupBy("user_id")
-          .agg(array_sort(collect_list(x)).as("xs"))
-          .select(col("user_id"),
-            size(col("xs")).cast("long").as("n_events"),
-            element_at(col("xs"), -1).getField("v").as("last_micros"),
-            expr("""aggregate(slice(xs, 2, size(xs) - 1),
-                   |  element_at(xs, 1).v,
-                   |  (acc, x) -> (x.v + 3L * acc) div 4)""".stripMargin)
-              .as("ewma_micros"))
-          .orderBy("user_id")
-      }),
+      (s, dir) => ewmaPerEntity(t(s, dir, "events"))),
 
     // 30b. Cohort retention matrix — the product-analytics triangle: users
     // grouped by first-active day, distinct actives per (cohort, day

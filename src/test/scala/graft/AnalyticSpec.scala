@@ -118,4 +118,31 @@ class AnalyticSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(2) - e90) <= 1.0)
     }
   }
+
+  test("ewma fold aborts loudly on a hot key instead of materializing it") {
+    import spark.implicits._
+    // adversarial: one bot entity with 50 events, everyone else with 2;
+    // a cap of 10 must name the bot and fail BEFORE any per-key collect
+    val events = ((1 to 50).map(i => (999L, i.toLong)) ++
+      Seq((1L, 100L), (1L, 101L), (2L, 102L), (2L, 103L)))
+      .map { case (u, i) =>
+        (i, new java.sql.Timestamp(1700000000000L + i * 1000), u, "c", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val e = intercept[IllegalArgumentException] {
+      operators.Analytic.ewmaPerEntity(events, maxPerKey = 10)
+    }
+    assert(e.getMessage.contains("user_id=999") &&
+      e.getMessage.contains("50 events"), e.getMessage)
+    // under the cap the fold runs and clamps negatives to 0 on the way in
+    val ok = operators.Analytic.ewmaPerEntity(
+      Seq((1L, new java.sql.Timestamp(1700000000000L), 7L, "c", -5.0),
+        (2L, new java.sql.Timestamp(1700000001000L), 7L, "c", 4.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"),
+      maxPerKey = 10).collect()
+    assert(ok.length == 1)
+    val r = ok.head
+    // history = [0 (clamped from -5), 4_000_000]; fold: (4M + 3*0) div 4
+    assert(r.getLong(1) == 2L && r.getLong(2) == 4000000L &&
+      r.getLong(3) == 1000000L, r.toSeq.toString)
+  }
 }
