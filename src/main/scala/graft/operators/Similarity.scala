@@ -303,8 +303,12 @@ object Similarity {
                         tau: Double = 0.30): DataFrame = {
     graft.functions.VectorOps.register(s)
     val n = footerRowCount(s, Tables.path(dir, "embeddings"))
-    val planes = math.min(12,
-      math.max(4, (math.log((n / 256.0).max(1.0)) / math.log(2)).ceil.toInt))
+    // smallest p with 2^p buckets averaging ≤ 256 vectors, clamped to
+    // [4, 12] — INTEGER arithmetic, not ceil(log2(...)): the oracle
+    // reproduces this rule in SQL, and a float log at an exact power of
+    // two can ceil differently across engines
+    val planes = math.min(12, math.max(4,
+      (0 to 12).find(p => (1L << p) * 256L >= n).getOrElse(12)))
     // normalize ONCE per vector; pair cosine is then a single dot fold
     val unitized = emb(s, dir).select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
@@ -333,6 +337,47 @@ object Similarity {
   def corpusEmbedPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.cachedCorpusTable(s, dir, "embpairs", "tau0.30", table = "embeddings")(
       embedNearDupPairs(s, dir))
+
+  /** DuckDB CTE chain reproducing [[embedNearDupPairs]] BIT-for-bit,
+    * ending in `nd(vec_a, vec_b, cos_micros)`: the integer plane-count
+    * rule, md5-derived ±1 plane components (same "j:i" keys), unit
+    * vectors via the same left-to-right dot fold VecDot runs, bucket
+    * string, in-bucket pair cosine, τ filter. Every float op happens in
+    * the same order on both engines, so the τ boundary and the floored
+    * micros agree exactly — this is what turned the embedding dedup pair
+    * from rows-only into hash-checked.
+    */
+  private def embedPairsCtes: String = {
+    val signExpr = "CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) " +
+      "|| ':' || CAST(i - 1 AS VARCHAR)), 1, 1) AS INT) % 2 = 1 " +
+      "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+    s"""params AS (
+       |  SELECT least(12, greatest(4, coalesce((
+       |    SELECT min(p) FROM (SELECT UNNEST(range(0, 13)) AS p)
+       |    WHERE (1 << p) * 256 >= (SELECT count(*) FROM embeddings)), 12))) AS np),
+       |u AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / ${duckNorm("embedding")}) AS unit
+       |  FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id, j,
+       |    CASE WHEN list_reduce(list_transform(range(1, 65),
+       |      i -> unit[i] * $signExpr), (acc, v) -> acc + v) >= 0
+       |    THEN '1' ELSE '0' END AS bit
+       |  FROM u, UNNEST(range(0, (SELECT np FROM params))) AS t(j)),
+       |bk AS (
+       |  SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
+       |  FROM bits GROUP BY vec_id),
+       |bu AS (SELECT bk.vec_id, bk.bucket, u.unit FROM bk JOIN u USING (vec_id)),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_reduce(list_transform(range(1, 65), i -> a.unit[i] * b.unit[i]),
+       |      (acc, v) -> acc + v) AS cosine
+       |  FROM bu a JOIN bu b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |nd AS (
+       |  SELECT vec_a, vec_b, CAST(floor(cosine * 1000000) AS BIGINT) AS cos_micros
+       |  FROM cand WHERE cosine >= 0.30)""".stripMargin
+  }
 
   val pack: Seq[Q] = Seq(
 
@@ -408,21 +453,42 @@ object Similarity {
           .orderBy("q_id", "rn")
       }),
 
-    // 35. embedding cosine near-dup (rows-only oracle: float cosine vs a
-    // threshold is not robust to cross-engine ULP differences at the
-    // boundary, so the driver checks row production, not hashes).
-    // Bucketing: sign of the dot product against deterministic pseudo-random
-    // hyperplanes (md5-derived ±1 components) — candidate pairs share a
-    // bucket; exact cosine confirms.
-    Q.rowsOnly("q_embed_neardup")(
-      (s, dir) => corpusEmbedPairs(s, dir).orderBy("vec_a", "vec_b")),
+    // 35. embedding cosine near-dup — HASH-checked since round 7: both
+    // engines run the identical fold order for norms, plane dots and pair
+    // cosine (VecDot ≡ left-to-right list_reduce), the plane count is an
+    // integer rule, and the emitted similarity is floor-micros — so the τ
+    // boundary decision and the output agree bit-for-bit. Bucketing: sign
+    // of the dot product against deterministic pseudo-random hyperplanes
+    // (md5-derived ±1 components) — candidate pairs share a bucket; exact
+    // cosine confirms.
+    Q("q_embed_neardup",
+      s"""WITH $embedPairsCtes
+         |SELECT vec_a, vec_b, cos_micros FROM nd
+         |ORDER BY vec_a, vec_b""".stripMargin)(
+      (s, dir) => corpusEmbedPairs(s, dir)
+        .select(col("vec_a"), col("vec_b"),
+          expr("CAST(floor(cosine * 1000000D) AS BIGINT)").as("cos_micros"))
+        .orderBy("vec_a", "vec_b")),
 
     // 35b. semantic-dedup cluster resolution: the embedding analogue of
     // q_dedup_clusters — near-dup pairs feed the same large-star/small-star
-    // connected components; min-vec_id representative per cluster. Rows-only
-    // for the same float-threshold reason as 35 (the CC machinery itself is
-    // oracle-checked through the MinHash path).
-    Q.rowsOnly("q_embed_clusters")(
+    // connected components; min-vec_id representative per cluster. Oracle:
+    // the same transitive-closure labels the MinHash clustering oracles
+    // use, over the now-hash-exact pair set of 35.
+    Q("q_embed_clusters",
+      s"""WITH RECURSIVE $embedPairsCtes,
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM nd
+         |  UNION SELECT vec_b, vec_a FROM nd),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS rep
+         |  FROM reach GROUP BY src)
+         |SELECT vec_id, rep, vec_id = rep AS is_rep FROM labels
+         |ORDER BY vec_id""".stripMargin)(
       (s, dir) => {
         // labels persist too — the iterative CC is the dominant cost and
         // is the same deterministic ingestion-time work as the pairs

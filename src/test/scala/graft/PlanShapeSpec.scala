@@ -83,11 +83,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("row_number"), s"bucket-cap window missing:\n$p")
   }
 
-  test("rare-gram jaccard prunes hot grams with an equi semi-join") {
+  test("rare-gram jaccard pairs off the standing postings, no re-derivation") {
     val p = planOf("q_ngram_jaccard")
-    // the df-prune must be a hash/sort-merge SEMI join on gram (scalable),
-    // never a product, and the pair join stays equi on the gram key
-    assert(p.contains("LeftSemi"), s"df-prune semi-join missing:\n$p")
+    // since round 7 the df-capped postings are a standing index: the plan
+    // must SCAN graft_engram2 (not re-explode documents' grams) and the
+    // pair join stays equi on the gram key, never a product
+    assert(p.contains("graft_engram2"),
+      s"standing rare-gram postings index not probed:\n$p")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      s"q_ngram_jaccard still re-reads the corpus instead of the index:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"gram join degenerated into a product join:\n$p")
   }
