@@ -92,6 +92,36 @@ object Tables {
     }
   }
 
+  /** Wrap a standing-index WRITE so an unwritable-root failure surfaces
+    * as guidance instead of a raw Hadoop stack deep inside an index
+    * build. The default root co-locates indexes at
+    * `<corpusDir>/_graft_index` (branch 3 of [[indexRoot]]) on the
+    * theory that the corpus's own location is shared storage — but
+    * curated corpora are commonly READ-ONLY, where every first index
+    * write would otherwise die with a bare permission error (or, when
+    * the bucket happens to be writable, silently pollute a shared
+    * dataset). Unrelated failures (task OOM, bad data) pass through
+    * untouched — only permission/IO shapes are rewrapped.
+    */
+  def indexWrite[T](root: String)(write: => T): T =
+    try write catch {
+      case e: Exception if {
+        val chain = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).take(16)
+          .map(t => s"${t.getClass.getName}: ${String.valueOf(t.getMessage)}")
+          .mkString("; ")
+        Seq("Permission denied", "AccessControl", "Access Denied",
+          "AccessDenied", "Read-only", "read-only", "Mkdirs failed",
+          "not a directory", "Not a directory").exists(chain.contains)
+      } =>
+        throw new IllegalStateException(
+          s"cannot write a standing index under '$root' — the resolved " +
+            "index root is not writable (curated corpora are often " +
+            "read-only, and the default co-locates indexes at " +
+            "<corpusDir>/_graft_index). Point spark.graft.index.root or " +
+            "GRAFT_INDEX_ROOT at shared writable storage.", e)
+    }
+
   /** Format-generic read — the catalog face of §2e.45. CSV reads take an
     * explicit schema when given (the only scale-safe option: schema
     * inference is an extra full pass over the files) and fall back to

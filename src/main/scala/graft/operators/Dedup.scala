@@ -504,16 +504,18 @@ object Dedup {
           if (incr == null) None
           else predecessorIndex(fs, idxRoot, tag, corpus, table, params,
             entries.map(_._2).toSet)
-        pred match {
-          case Some((predRoot, predEntries)) =>
-            val newPaths = entries.collect {
-              case (p, e) if !predEntries.contains(e) => p }
-            graft.sources.Export.flush(
-              incr(s.read.parquet(predRoot),
-                Tables.spread(s.read.parquet(newPaths: _*))), root)
-          case None => graft.sources.Export.flush(build, root)
+        Tables.indexWrite(idxRoot) {
+          pred match {
+            case Some((predRoot, predEntries)) =>
+              val newPaths = entries.collect {
+                case (p, e) if !predEntries.contains(e) => p }
+              graft.sources.Export.flush(
+                incr(s.read.parquet(predRoot),
+                  Tables.spread(s.read.parquet(newPaths: _*))), root)
+            case None => graft.sources.Export.flush(build, root)
+          }
+          writeStampFile(fs, root, corpus, table, params, entries.map(_._2))
         }
-        writeStampFile(fs, root, corpus, table, params, entries.map(_._2))
       }
       s.read.parquet(root)
     }
@@ -683,17 +685,19 @@ object Dedup {
     // the sig computation feeds both writes; localCheckpoint materializes
     // the shingle explode + 8-way min aggregate once
     val sigs = minhashSignatures(old).localCheckpoint()
-    graft.sources.Export.flush(sigs, s"$root/sigs")
-    // normalized-content keepers: the sidecar streaming maintenance needs
-    // to drop cross-batch byte-copies exactly like this build's corpus-
-    // wide exact-dedup pre-pass (bands written LAST — its _SUCCESS is the
-    // index-complete marker)
-    graft.sources.Export.flush(
-      old.select(md5s(TextAnalysis.normText(col("text"))).as("h"),
-          col("doc_id"))
-        .groupBy("h").agg(min(col("doc_id")).as("doc_id")),
-      s"$root/reps")
-    graft.sources.Export.flush(cappedBandKeys(sigs), s"$root/bands")
+    Tables.indexWrite(root) {
+      graft.sources.Export.flush(sigs, s"$root/sigs")
+      // normalized-content keepers: the sidecar streaming maintenance
+      // needs to drop cross-batch byte-copies exactly like this build's
+      // corpus-wide exact-dedup pre-pass (bands written LAST — its
+      // _SUCCESS is the index-complete marker)
+      graft.sources.Export.flush(
+        old.select(md5s(TextAnalysis.normText(col("text"))).as("h"),
+            col("doc_id"))
+          .groupBy("h").agg(min(col("doc_id")).as("doc_id")),
+        s"$root/reps")
+      graft.sources.Export.flush(cappedBandKeys(sigs), s"$root/bands")
+    }
     root
   }
 

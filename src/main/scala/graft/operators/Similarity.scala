@@ -170,8 +170,10 @@ object Similarity {
         first(col("unit")).as("unit"))
     val lists = assigned.select(col("vec_id").as("c_id"),
       col("unit").as("ce"), col("m.cell").as("cell"))
-    graft.sources.Export.flush(cents, s"$root/centroids")
-    graft.sources.Export.flush(lists, s"$root/lists")
+    Tables.indexWrite(root) {
+      graft.sources.Export.flush(cents, s"$root/centroids")
+      graft.sources.Export.flush(lists, s"$root/lists")
+    }
     root
   }
 
@@ -285,8 +287,10 @@ object Similarity {
       .groupBy(col("vec_id").as("c_id"), col("sub"))
       .agg(min(struct(col("dist"), col("code"))).as("mn"))
       .select(col("c_id"), col("sub"), col("mn.code").as("code"))
-    graft.sources.Export.flush(cb, s"$root/codebook")
-    graft.sources.Export.flush(codes, s"$root/codes")
+    Tables.indexWrite(root) {
+      graft.sources.Export.flush(cb, s"$root/codebook")
+      graft.sources.Export.flush(codes, s"$root/codes")
+    }
     cb.unpersist(blocking = false)
     root
   }

@@ -29,6 +29,38 @@ class IndexRootSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.index.root")
   }
 
+  test("an unwritable index root fails with guidance, not a raw IO stack") {
+    // permission-shaped failures rewrap with the override knobs named...
+    val e = intercept[IllegalStateException] {
+      Tables.indexWrite("s3a://curated/corpus/_graft_index") {
+        throw new java.io.IOException(
+          "java.nio.file.AccessDeniedException: s3a://curated/corpus: " +
+            "Access Denied (Service: S3)")
+      }
+    }
+    assert(e.getMessage.contains("spark.graft.index.root") &&
+      e.getMessage.contains("GRAFT_INDEX_ROOT"), e.getMessage)
+    // ...unrelated failures pass through untouched
+    intercept[ArithmeticException] {
+      Tables.indexWrite("/x")(throw new ArithmeticException("task failure"))
+    }
+    // end-to-end: a root whose parent is a plain FILE cannot take a write
+    // (the closest root-proof unwritable location — the test runs as a
+    // user permission bits cannot stop); a cold index build against it
+    // must surface the guidance, not a bare Mkdirs error
+    val f = Files.createTempFile("graft_notdir", ".blk")
+    spark.conf.set("spark.graft.index.root", s"$f/idx")
+    try {
+      val dir = Files.createTempDirectory("graft_roc").toString
+      Tables.load(spark, TestSpark.sf, "documents").limit(20)
+        .write.parquet(s"$dir/documents.parquet")
+      val e2 = intercept[IllegalStateException] {
+        graft.operators.Dedup.corpusSigs(spark, dir).count()
+      }
+      assert(e2.getMessage.contains("GRAFT_INDEX_ROOT"), e2.getMessage)
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("overridden root: index builds under it and probes bit-identically") {
     val root = Files.createTempDirectory("graft_idx_root")
     spark.conf.unset("spark.graft.index.root")
