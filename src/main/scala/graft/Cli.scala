@@ -93,6 +93,10 @@ object Cli {
       case ("-y" | "--force-yes") :: t => go(t, acc) // non-interactive already
       case cmd :: t if CommandNames.contains(cmd) =>
         go(t, acc.copy(commands = acc.commands :+ cmd))
+      // registered-query runner: `query:q_name` executes one q_* against
+      // source_dir; with --record it fixtures/replays through the cassette
+      case cmd :: t if cmd.startsWith("query:") =>
+        go(t, acc.copy(commands = acc.commands :+ cmd))
       case other :: _ =>
         throw new IllegalArgumentException(
           s"unknown argument '$other' (commands: ${CommandNames.mkString(", ")})")
@@ -270,6 +274,22 @@ object Cli {
     for (cmd <- opts.commands) {
     val t0 = System.nanoTime()
     cmd match {
+      case q if q.startsWith("query:") =>
+        // run one registered query against source_dir; with --record the
+        // result rides the cassette — record once against live data,
+        // replay forever with the corpus offline (CI fixtures for any
+        // q_* result, the recorder extended past table extractions)
+        val qn = q.stripPrefix("query:")
+        require(SparkEntry.queries.contains(qn),
+          s"unknown registered query '$qn'")
+        val df = opts.record match {
+          case Some(name) =>
+            sources.Recorder.using(spark, name, opts.recordMode,
+              opts.recordDir)(rec =>
+              sources.Recorder.registeredQuery(rec, qn, cfg.sourceDir))
+          case None => SparkEntry.queries(qn)(spark, cfg.sourceDir)
+        }
+        log(s"query $qn: ${df.count()} rows")
       case "load" =>
         val order = fkOrder(extracted)
         order.foreach { n =>
@@ -490,6 +510,8 @@ object Cli {
     s"""usage: graft.Cli [-c CONFIG.yml] [options] COMMAND [COMMAND...]
        |commands (chained left to right, sharing one extraction):
        |  ${CommandNames.mkString(" ")}
+       |  query:<q_name>      run one registered query against source_dir
+       |                      (with --record: fixture/replay its result)
        |options:
        |  -c, --config FILE   YAML config (default graft.yml)
        |  --only T1,T2        run only queries rooted at the given tables

@@ -34,7 +34,7 @@ import scala.jdk.CollectionConverters._
   * DataFrame via the recorded schema, so types — including ones JSON
   * can't distinguish — round-trip.
   */
-final class Recorder(spark: SparkSession, val name: String,
+final class Recorder(val spark: SparkSession, val name: String,
                      val mode: Recorder.Mode = Recorder.Once,
                      outputDir: String = Recorder.DefaultDir) {
 
@@ -55,6 +55,8 @@ final class Recorder(spark: SparkSession, val name: String,
   /** Keys present when the cassette was opened — the replay set. */
   private val openKeys: Set[String] = records.map(_.key).toSet
   private var iterCount = 0
+  /** True once this session appended a record — [[save]]'s write gate. */
+  private var dirty = false
 
   private def open(): scala.collection.mutable.ArrayBuffer[Rec] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Rec]
@@ -103,15 +105,20 @@ final class Recorder(spark: SparkSession, val name: String,
         val df = body
         records += Rec(k, statement, iterCount - 1, df.schema.toDDL,
           df.toJSON.collect().toSeq)
+        dirty = true
         df
     }
   }
 
-  /** Persist the cassette (a no-op when nothing was recorded) — the
-    * reference saves on context-manager exit; use [[Recorder.using]] for
-    * the same shape.
+  /** Persist the cassette — the reference saves on context-manager exit;
+    * use [[Recorder.using]] for the same shape. Pure replays skip the
+    * write entirely (nothing was appended, so rewriting would only churn
+    * a committed fixture and risk truncating it on a crash mid-write);
+    * when something WAS recorded, the bytes go to a temp file in the
+    * same directory and move into place atomically, so a reader (or a
+    * crash) never sees a half-written cassette.
     */
-  def save(): Unit = if (records.nonEmpty) {
+  def save(): Unit = if (dirty && records.nonEmpty) {
     Files.createDirectories(recordPath.getParent)
     val arr = mapper.createArrayNode()
     records.foreach { r =>
@@ -123,8 +130,12 @@ final class Recorder(spark: SparkSession, val name: String,
       val rows = o.putArray("rows")
       r.rows.foreach(j => rows.add(mapper.readTree(j)))
     }
-    Files.writeString(recordPath,
+    val tmp = Files.createTempFile(recordPath.getParent, s".$name", ".json.tmp")
+    Files.writeString(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(arr))
+    Files.move(tmp, recordPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }
 
@@ -176,4 +187,16 @@ object Recorder {
       run.toSeq.sortBy(_._1).map { case (n, df) =>
         n -> rec.query(s"table:$n")(df)
       }.toMap
+
+  /** Record or replay ONE registered query (the q_* surface) — the
+    * recorder extended past table extractions: recording executes
+    * `SparkEntry.queries(queryName)` against `sfDir` and captures
+    * schema + rows; replay reconstructs the result with the corpus
+    * offline/deleted, so any q_* result can ship as a committed CI
+    * fixture (`graft ... --record NAME query:<q_name>`).
+    */
+  def registeredQuery(rec: Recorder, queryName: String,
+                      sfDir: String): DataFrame =
+    rec.query(s"query:$queryName")(
+      graft.SparkEntry.queries(queryName)(rec.spark, sfDir))
 }

@@ -113,5 +113,46 @@ class RecordSpec extends AnyFunSuite {
     val out2 = Cli.run(spark, Cli.parseArgs(args))
     assert(out2.exists(l => l.startsWith("load:") && l.contains("customer=4")),
       out2.mkString("\n"))
+    // a PURE replay must not rewrite the committed cassette (pretty-print
+    // churn, crash-truncation risk): bytes and mtime stay identical
+    val cassette = Paths.get(s"$work/records/cli_fix.json")
+    val before = (Files.getLastModifiedTime(cassette), Files.size(cassette))
+    Cli.run(spark, Cli.parseArgs(args))
+    assert((Files.getLastModifiedTime(cassette), Files.size(cassette)) ==
+      before, "pure replay dirtied the cassette")
+  }
+
+  test("CLI query:<name> --record replays a registered query with the corpus deleted") {
+    val work = tmp()
+    val src = s"$work/src"
+    Files.createDirectories(Paths.get(src))
+    // q1_agg reads only lineitem
+    Tables.load(spark, TestSpark.sf, "lineitem")
+      .write.parquet(s"$src/lineitem.parquet")
+    val cfgPath = Paths.get(work, "graft.yml")
+    Files.writeString(cfgPath,
+      s"""databases:
+         |  source_dir: $src
+         |  destination_dir: $work/dest
+         |queries:
+         |  - from: lineitem
+         |""".stripMargin)
+    val args = Seq("-c", cfgPath.toString, "--quiet",
+      "--record", "qfix", "--record-dir", s"$work/records", "query:q1_agg")
+    val out1 = Cli.run(spark, Cli.parseArgs(args))
+    assert(out1.exists(_.startsWith("query q1_agg: 6 rows")), out1.mkString("\n"))
+    // the corpus is GONE; the registered query still answers from the
+    // cassette — any q_* result can ship as an offline CI fixture
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(Paths.get(src)))(s =>
+      s.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
+    val out2 = Cli.run(spark, Cli.parseArgs(args))
+    assert(out2.exists(_.startsWith("query q1_agg: 6 rows")), out2.mkString("\n"))
+    // and the replayed ROWS are byte-faithful, not just countable
+    val rec = new sources.Recorder(spark, "qfix",
+      sources.Recorder.None_, s"$work/records")
+    val replayed = sources.Recorder.registeredQuery(rec, "q1_agg", src)
+      .collect().map(_.toSeq).toSet
+    assert(replayed.nonEmpty && replayed.exists(_.nonEmpty))
   }
 }
