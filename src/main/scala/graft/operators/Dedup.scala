@@ -529,7 +529,8 @@ object Dedup {
   private def predecessorIndex(fs: org.apache.hadoop.fs.FileSystem,
                                idxRoot: String, tag: String, corpus: String,
                                table: String, params: String,
-                               current: Set[String])
+                               current: Set[String],
+                               marker: String = "_SUCCESS")
       : Option[(String, Set[String])] = {
     val rootPath = new org.apache.hadoop.fs.Path(idxRoot)
     if (!fs.exists(rootPath)) return None
@@ -540,7 +541,7 @@ object Dedup {
         val d = st.getPath.toString
         val stampP = new org.apache.hadoop.fs.Path(s"$d/_GRAFT_STAMP")
         if (!fs.exists(stampP) ||
-            !fs.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS"))) None
+            !fs.exists(new org.apache.hadoop.fs.Path(s"$d/$marker"))) None
         else {
           val lines = readSmallText(fs, stampP).split("\n", -1).toSeq
           if (lines.length < 3 || lines(0) != corpus || lines(1) != table ||
@@ -678,25 +679,79 @@ object Dedup {
                         mod: Int = IncrMod): String = synchronized {
     val root = minhashIndexDir(s, dir, mod)
     val conf = s.sessionState.newHadoopConf()
-    val done = new org.apache.hadoop.fs.Path(s"$root/bands/_SUCCESS")
-    if (done.getFileSystem(conf).exists(done)) return root
-    val old = Tables.load(s, dir, "documents")
-      .filter(pmod(col("doc_id"), lit(mod)) =!= 0)
-    // the sig computation feeds both writes; localCheckpoint materializes
-    // the shingle explode + 8-way min aggregate once
-    val sigs = minhashSignatures(old).localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/bands/_SUCCESS")))
+      return root
+    val corpus = Tables.path(dir, "documents")
+    val entries = corpusFiles(s, dir, "documents")
+    val params = s"$mod|$NumSeeds|$BucketCap"
+    // append-refresh: like cachedCorpusTable, an earlier build of a
+    // smaller version of this corpus (pure file appends since) seeds the
+    // new index — only the NEW files' documents are normalized, designed
+    // and banded; carried-over rows are read from the predecessor's
+    // parquet, never re-derived from text. Byte-copies of already-indexed
+    // content drop against the predecessor's reps sidecar, and new band
+    // keys admit under the existing buckets' occupancy — the identical
+    // shape the STREAMING maintainer applies per micro-batch
+    // (Docs.maintainMinhashIndex), so for the doc_id-ascending appends an
+    // ingestion pipeline produces, refresh ≡ cold rebuild exactly
+    // (IncrementalIndexSpec pins it).
+    val pred = predecessorIndex(fs, Tables.indexRoot(s, dir), "minhash",
+      corpus, "documents", params, entries.map(_._2).toSet,
+      marker = "bands/_SUCCESS")
     Tables.indexWrite(root) {
-      graft.sources.Export.flush(sigs, s"$root/sigs")
-      // normalized-content keepers: the sidecar streaming maintenance
-      // needs to drop cross-batch byte-copies exactly like this build's
-      // corpus-wide exact-dedup pre-pass (bands written LAST — its
-      // _SUCCESS is the index-complete marker)
-      graft.sources.Export.flush(
-        old.select(md5s(TextAnalysis.normText(col("text"))).as("h"),
-            col("doc_id"))
-          .groupBy("h").agg(min(col("doc_id")).as("doc_id")),
-        s"$root/reps")
-      graft.sources.Export.flush(cappedBandKeys(sigs), s"$root/bands")
+      pred match {
+        case Some((predRoot, predEntries)) =>
+          val newPaths = entries.collect {
+            case (p, e) if !predEntries.contains(e) => p }
+          val newDocs = Tables.spread(s.read.parquet(newPaths: _*))
+            .filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+          val oldReps = s.read.parquet(s"$predRoot/reps")
+          val withH = newDocs.withColumn("__h",
+            md5s(TextAnalysis.normText(col("text"))))
+          val fresh = withH.join(oldReps.select(col("h").as("__h")),
+            Seq("__h"), "left_anti")
+          val sigs = minhashSignatures(fresh.drop("__h")).localCheckpoint()
+          graft.sources.Export.flush(
+            s.read.parquet(s"$predRoot/sigs").unionByName(sigs),
+            s"$root/sigs")
+          graft.sources.Export.flush(
+            oldReps.unionByName(
+              fresh.select(col("__h").as("h"), col("doc_id"))
+                .groupBy("h").agg(min(col("doc_id")).as("doc_id"))),
+            s"$root/reps")
+          val oldBands = s.read.parquet(s"$predRoot/bands")
+          val occupancy = oldBands.groupBy(col("band"), col("bkey"))
+            .agg(count(lit(1)).as("n0"))
+          val w = Window.partitionBy(col("band"), col("bkey"))
+            .orderBy(col("doc_id"))
+          val admitted = bandKeys(sigs)
+            .join(occupancy, Seq("band", "bkey"), "left")
+            .withColumn("n0", coalesce(col("n0"), lit(0L)))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("n0") + col("rn") <= BucketCap)
+            .select("doc_id", "band", "bkey")
+          graft.sources.Export.flush(oldBands.unionByName(admitted),
+            s"$root/bands")
+        case None =>
+          val old = Tables.load(s, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+          // the sig computation feeds both writes; localCheckpoint
+          // materializes the shingle explode + 8-way min aggregate once
+          val sigs = minhashSignatures(old).localCheckpoint()
+          graft.sources.Export.flush(sigs, s"$root/sigs")
+          // normalized-content keepers: the sidecar streaming maintenance
+          // needs to drop cross-batch byte-copies exactly like this
+          // build's corpus-wide exact-dedup pre-pass (bands written
+          // LAST — its _SUCCESS is the index-complete marker)
+          graft.sources.Export.flush(
+            old.select(md5s(TextAnalysis.normText(col("text"))).as("h"),
+                col("doc_id"))
+              .groupBy("h").agg(min(col("doc_id")).as("doc_id")),
+            s"$root/reps")
+          graft.sources.Export.flush(cappedBandKeys(sigs), s"$root/bands")
+      }
+      writeStampFile(fs, root, corpus, "documents", params, entries.map(_._2))
     }
     root
   }

@@ -90,6 +90,37 @@ class IncrementalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash incremental-dedup index append equals the static build") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mh").toString
+    val grown = s"$base/grown"
+    val cold = s"$base/cold"
+    val all = Tables.load(spark, TestSpark.sf, "documents")
+    val mid = 250L
+    // ascending append — the ingestion shape whose per-bucket cap
+    // admission is EXACTLY the static build's lowest-doc_id rule (the
+    // same contract the streaming maintainer's parity test pins)
+    all.filter(col("doc_id") < mid)
+      .write.parquet(s"$grown/documents.parquet")
+    all.write.parquet(s"$cold/documents.parquet")
+    val predRoot = Dedup.buildMinhashIndex(spark, grown)
+    assert(spark.read.parquet(s"$predRoot/sigs").count() > 0)
+    all.filter(col("doc_id") >= mid)
+      .write.mode("append").parquet(s"$grown/documents.parquet")
+    val grownRoot = Dedup.buildMinhashIndex(spark, grown)
+    val coldRoot = Dedup.buildMinhashIndex(spark, cold)
+    assert(grownRoot != predRoot, "stamp did not change on append")
+    def tbl(root: String, sub: String, cols: String*) =
+      spark.read.parquet(s"$root/$sub").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    val sigCols = "doc_id" +: (0 until 8).map(i => s"h$i")
+    assert(tbl(grownRoot, "sigs", sigCols: _*) ==
+      tbl(coldRoot, "sigs", sigCols: _*), "sigs diverged")
+    assert(tbl(grownRoot, "reps", "h", "doc_id") ==
+      tbl(coldRoot, "reps", "h", "doc_id"), "reps diverged")
+    assert(tbl(grownRoot, "bands", "doc_id", "band", "bkey") ==
+      tbl(coldRoot, "bands", "doc_id", "band", "bkey"), "bands diverged")
+  }
+
   test("in-place corpus mutation falls back to a cold rebuild") {
     val base = java.nio.file.Files.createTempDirectory("graft_mut").toString
     val dir = s"$base/c"
