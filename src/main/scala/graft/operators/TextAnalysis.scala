@@ -1030,6 +1030,118 @@ object TextAnalysis {
           .orderBy("doc_id")
       }),
 
+    // 41i2. BIGRAM-LM surprisal — the conditional-model upgrade of 41i
+    // (production perplexity filters are n-gram LMs, not unigram bags):
+    // per-position surprisal -log2 P(w2|w1) in floor-bits via the same
+    // integer log2 (length(bin(c(w1))) - length(bin(c(w1 w2)))), exact
+    // cross-engine. Scale shape: ONE explode emits (w1, bigram) structs
+    // per position (no second tokenize pass), the model tables are two
+    // term-keyed aggregates over per-doc counts (map-side combined), and
+    // scoring is two equi-joins + a doc rollup — shuffle ∝ distinct
+    // (doc, bigram), never positions. Low mean bits ⇒ the document is
+    // predictable given local context (template/boilerplate) even when
+    // its unigram mix looks diverse — catches what 41i cannot.
+    Q("q_bigram_surprisal",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |btf AS (
+         |  SELECT doc_id, w1, bg, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM pos GROUP BY 1, 2, 3),
+         |cb AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS cb FROM btf GROUP BY bg),
+         |cu AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cu FROM btf GROUP BY w1),
+         |sc AS (
+         |  SELECT btf.doc_id, CAST(SUM(btf.c) AS BIGINT) AS nb,
+         |    CAST(SUM(btf.c * (length(bin(cu.cu)) - length(bin(cb.cb)))) AS BIGINT) AS ss
+         |  FROM btf JOIN cb USING (bg) JOIN cu USING (w1) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(sc.ss, 0) AS BIGINT) AS surp_sum,
+         |  CAST(coalesce(sc.ss * 1000 // nullif(sc.nb, 0), 0) AS BIGINT) AS mean_surprisal_milli
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)(
+      (s, dir) => {
+        val pos = Tables.spread(docs(s, dir))
+          .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+          .select(col("doc_id"), explode(expr(
+            "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, concat_ws(' ', t[i], t[i+1]) AS bg)) ELSE array() END"))
+            .as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+        val btf = pos.groupBy(col("doc_id"), col("w1"), col("bg"))
+          .agg(count(lit(1)).as("c"))
+        val cb = btf.groupBy("bg").agg(sum(col("c")).as("cb"))
+        val cu = btf.groupBy("w1").agg(sum(col("c")).as("cu"))
+        val sc = btf.join(cb, "bg").join(cu, "w1")
+          .groupBy("doc_id")
+          .agg(sum(col("c")).cast("long").as("nb"),
+            sum(col("c") *
+              (length(bin(col("cu"))) - length(bin(col("cb")))).cast("long"))
+              .cast("long").as("ss"))
+        docs(s, dir).select("doc_id").join(sc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+            coalesce(col("ss"), lit(0L)).as("surp_sum"),
+            coalesce(expr("ss * 1000 div nullif(nb, 0)"), lit(0L))
+              .as("mean_surprisal_milli"))
+          .orderBy("doc_id")
+      }),
+
+    // 41n. SOURCE-MIX DIVERGENCE — per-source total-variation distance
+    // between the source's unigram distribution and the whole corpus's,
+    // in exact integer micros: the mixture-planning diagnostic ("which
+    // sources pull the token distribution furthest from the blend"). TV
+    // = ½·Σ|p_s − p_c| decomposes as in-source terms + the corpus mass
+    // of words ABSENT from the source, computed as a complement
+    // (PCtot − Σ_in pc) — so the join touches only (source, word) pairs
+    // that EXIST, never the |vocab|×|sources| cross. All truncating
+    // integer division on positive counts ⇒ hash-exact cross-engine.
+    Q("q_source_divergence",
+      s"""WITH tok AS (
+         |  SELECT source, UNNEST(string_split($normSql, ' ')) AS word
+         |  FROM documents),
+         |tf AS (
+         |  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tok WHERE word <> '' GROUP BY 1, 2),
+         |stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM tf GROUP BY source),
+         |cw AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cw FROM tf GROUP BY word),
+         |ct AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM cw),
+         |pc AS (SELECT word, CAST(cw * 1000000 // (SELECT n FROM ct) AS BIGINT) AS pc FROM cw),
+         |pctot AS (SELECT CAST(SUM(pc) AS BIGINT) AS pct FROM pc),
+         |j AS (
+         |  SELECT tf.source,
+         |    CAST(SUM(abs(tf.c * 1000000 // st.ns - p.pc)) AS BIGINT) AS d_in,
+         |    CAST(SUM(p.pc) AS BIGINT) AS pc_in
+         |  FROM tf JOIN stot st USING (source) JOIN pc p USING (word)
+         |  GROUP BY tf.source)
+         |SELECT j.source, st.ns AS n_tokens,
+         |  CAST((d_in + (SELECT pct FROM pctot) - pc_in) // 2 AS BIGINT) AS tv_micros
+         |FROM j JOIN stot st USING (source)
+         |ORDER BY source""".stripMargin)(
+      (s, dir) => {
+        val tf = Tables.spread(docs(s, dir))
+          .select(col("source"),
+            explode(split(normText(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+        val stot = tf.groupBy("source").agg(sum(col("c")).as("ns"))
+        val cw = tf.groupBy("word").agg(sum(col("c")).as("cw"))
+        val ct = cw.agg(sum(col("cw")).as("n"))
+        val pc = cw.crossJoin(broadcast(ct))
+          .select(col("word"), expr("cw * 1000000 div n").as("pc"))
+        val pctot = pc.agg(sum(col("pc")).as("pct"))
+        val j = tf.join(broadcast(stot), "source").join(pc, "word")
+          .groupBy("source")
+          .agg(sum(abs(expr("c * 1000000 div ns") - col("pc")))
+              .cast("long").as("d_in"),
+            sum(col("pc")).cast("long").as("pc_in"))
+        j.join(broadcast(stot), "source").crossJoin(broadcast(pctot))
+          .select(col("source"), col("ns").cast("long").as("n_tokens"),
+            expr("CAST((d_in + pct - pc_in) div 2 AS BIGINT)").as("tv_micros"))
+          .orderBy("source")
+      }),
+
     // §2d.41l — RAG chunking: each document splits into overlapping
     // token windows (size 32, stride 24 — 8 tokens of overlap so no
     // boundary-straddling sentence is lost to retrieval). Pure map +
