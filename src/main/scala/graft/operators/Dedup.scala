@@ -526,7 +526,7 @@ object Dedup {
     * corpus that pure appends have grown. Metadata-only: one directory
     * listing plus one tiny stamp read per candidate.
     */
-  private def predecessorIndex(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def predecessorIndex(fs: org.apache.hadoop.fs.FileSystem,
                                idxRoot: String, tag: String, corpus: String,
                                table: String, params: String,
                                current: Set[String],
@@ -557,7 +557,7 @@ object Dedup {
     if (cands.isEmpty) None else Some(cands.maxBy(_._2.size))
   }
 
-  private def writeStampFile(fs: org.apache.hadoop.fs.FileSystem, root: String,
+  private[operators] def writeStampFile(fs: org.apache.hadoop.fs.FileSystem, root: String,
                              corpus: String, table: String, params: String,
                              entries: Seq[String]): Unit = {
     val out = fs.create(

@@ -157,22 +157,57 @@ object Similarity {
     graft.functions.VectorOps.register(s)
     val root = ivfIndexDir(s, dir, k, iters)
     val conf = s.sessionState.newHadoopConf()
-    val done = new org.apache.hadoop.fs.Path(s"$root/lists/_SUCCESS")
-    if (done.getFileSystem(conf).exists(done)) return root
-    val unitized = emb(s, dir).select(col("vec_id"),
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/lists/_SUCCESS")))
+      return root
+    def unitize(d: org.apache.spark.sql.DataFrame) = d.select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
         .as("unit"))
-    val cents = kmeansCentroids(unitized, k, iters)
-    val assigned = unitized.crossJoin(broadcast(cents))
-      .withColumn("cdot", expr(dotExpr("unit", "cvec")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cdot"), col("cell"))).as("m"),
-        first(col("unit")).as("unit"))
-    val lists = assigned.select(col("vec_id").as("c_id"),
-      col("unit").as("ce"), col("m.cell").as("cell"))
+    def assign(u: org.apache.spark.sql.DataFrame,
+               cents: org.apache.spark.sql.DataFrame) =
+      u.crossJoin(broadcast(cents))
+        .withColumn("cdot", expr(dotExpr("unit", "cvec")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cdot"), col("cell"))).as("m"),
+          first(col("unit")).as("unit"))
+        .select(col("vec_id").as("c_id"), col("unit").as("ce"),
+          col("m.cell").as("cell"))
+    val corpus = Tables.path(dir, "embeddings")
+    val entries = Dedup.corpusFiles(s, dir, "embeddings")
+    val params = s"$k|$iters"
+    // append-refresh: centroids are MODEL STATE frozen at train time —
+    // retraining on every append would shift every assignment and
+    // invalidate the whole inverted file, so (like every production IVF)
+    // a grown corpus keeps the predecessor's centroids and only assigns
+    // the NEW files' vectors against them, appending their list rows.
+    // The staleness trade is explicit: recall on appended vectors is
+    // bounded by how well the frozen centroids still cover the
+    // distribution (SimilaritySpec pins the bound on a half-then-append
+    // build); rebuild cold when the appended fraction grows large by
+    // deleting the index dirs (or bumping params).
+    val pred = Dedup.predecessorIndex(fs, Tables.indexRoot(s, dir), "ivf",
+      corpus, "embeddings", params, entries.map(_._2).toSet,
+      marker = "lists/_SUCCESS")
     Tables.indexWrite(root) {
-      graft.sources.Export.flush(cents, s"$root/centroids")
-      graft.sources.Export.flush(lists, s"$root/lists")
+      pred match {
+        case Some((predRoot, predEntries)) =>
+          val newPaths = entries.collect {
+            case (p, e) if !predEntries.contains(e) => p }
+          val cents = s.read.parquet(s"$predRoot/centroids")
+          val newLists = assign(
+            unitize(Tables.spread(s.read.parquet(newPaths: _*))), cents)
+          graft.sources.Export.flush(cents, s"$root/centroids")
+          graft.sources.Export.flush(
+            s.read.parquet(s"$predRoot/lists").unionByName(newLists),
+            s"$root/lists")
+        case None =>
+          val unitized = unitize(emb(s, dir))
+          val cents = kmeansCentroids(unitized, k, iters)
+          graft.sources.Export.flush(cents, s"$root/centroids")
+          graft.sources.Export.flush(assign(unitized, cents), s"$root/lists")
+      }
+      Dedup.writeStampFile(fs, root, corpus, "embeddings", params,
+        entries.map(_._2))
     }
     root
   }
@@ -271,27 +306,58 @@ object Similarity {
     graft.functions.VectorOps.register(s)
     val root = pqIndexDir(s, dir)
     val conf = s.sessionState.newHadoopConf()
-    val done = new org.apache.hadoop.fs.Path(s"$root/codes/_SUCCESS")
-    if (done.getFileSystem(conf).exists(done)) return root
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes/_SUCCESS")))
+      return root
     val sub = 64 / PqM
-    val unitized = emb(s, dir).select(col("vec_id"),
-      expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
-        .as("unit"))
-    val subvecs = unitized.select(col("vec_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${PqM - 1}), j -> slice(unit, j * $sub + 1, $sub))"))
-        .as(Seq("sub", "sv")))
-    val cb = pqCodebooks(subvecs, PqM, PqK, PqIters).persist()
-    val codes = subvecs.join(broadcast(cb), "sub")
-      .withColumn("dist", expr(l2Expr("sv", "cvec")))
-      .groupBy(col("vec_id").as("c_id"), col("sub"))
-      .agg(min(struct(col("dist"), col("code"))).as("mn"))
-      .select(col("c_id"), col("sub"), col("mn.code").as("code"))
+    def subvecsOf(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
+          .as("unit"))
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${PqM - 1}), j -> slice(unit, j * $sub + 1, $sub))"))
+          .as(Seq("sub", "sv")))
+    def encode(sv: org.apache.spark.sql.DataFrame,
+               cb: org.apache.spark.sql.DataFrame) =
+      sv.join(broadcast(cb), "sub")
+        .withColumn("dist", expr(l2Expr("sv", "cvec")))
+        .groupBy(col("vec_id").as("c_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("code"))).as("mn"))
+        .select(col("c_id"), col("sub"), col("mn.code").as("code"))
+    val corpus = Tables.path(dir, "embeddings")
+    val entries = Dedup.corpusFiles(s, dir, "embeddings")
+    val params = s"$PqM|$PqK|$PqIters"
+    // append-refresh mirrors the IVF rule: the codebook is frozen model
+    // state (retrained codes would re-encode the whole corpus), a grown
+    // corpus encodes only the NEW files' vectors against it and appends
+    // their code rows; ADC quality on appended vectors carries the same
+    // explicit staleness trade (spec-pinned).
+    val pred = Dedup.predecessorIndex(fs, Tables.indexRoot(s, dir), "pq",
+      corpus, "embeddings", params, entries.map(_._2).toSet,
+      marker = "codes/_SUCCESS")
     Tables.indexWrite(root) {
-      graft.sources.Export.flush(cb, s"$root/codebook")
-      graft.sources.Export.flush(codes, s"$root/codes")
+      pred match {
+        case Some((predRoot, predEntries)) =>
+          val newPaths = entries.collect {
+            case (p, e) if !predEntries.contains(e) => p }
+          val cb = s.read.parquet(s"$predRoot/codebook")
+          graft.sources.Export.flush(cb, s"$root/codebook")
+          graft.sources.Export.flush(
+            s.read.parquet(s"$predRoot/codes").unionByName(
+              encode(subvecsOf(Tables.spread(s.read.parquet(newPaths: _*))),
+                cb)),
+            s"$root/codes")
+        case None =>
+          val subvecs = subvecsOf(emb(s, dir))
+          val cb = pqCodebooks(subvecs, PqM, PqK, PqIters).persist()
+          graft.sources.Export.flush(cb, s"$root/codebook")
+          graft.sources.Export.flush(encode(subvecs, cb), s"$root/codes")
+          cb.unpersist(blocking = false)
+      }
+      Dedup.writeStampFile(fs, root, corpus, "embeddings", params,
+        entries.map(_._2))
     }
-    cb.unpersist(blocking = false)
     root
   }
 

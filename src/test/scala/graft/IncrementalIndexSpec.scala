@@ -121,6 +121,47 @@ class IncrementalIndexSpec extends AnyFunSuite {
       tbl(coldRoot, "bands", "doc_id", "band", "bkey"), "bands diverged")
   }
 
+  test("IVF/PQ append freezes model state and keeps appended vectors searchable") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    val grown = s"$base/grown"
+    val all = Tables.load(spark, TestSpark.sf, "embeddings")
+    val n = all.count()
+    val mid = n / 2
+    all.filter(col("vec_id") < mid).write.parquet(s"$grown/embeddings.parquet")
+    val predIvf = Similarity.buildIvfIndex(spark, grown)
+    val predPq = Similarity.buildPqIndex(spark, grown)
+    val predCents = rows(spark.read.parquet(s"$predIvf/centroids"))
+    val predCb = rows(spark.read.parquet(s"$predPq/codebook"))
+    all.filter(col("vec_id") >= mid)
+      .write.mode("append").parquet(s"$grown/embeddings.parquet")
+    val ivf2 = Similarity.buildIvfIndex(spark, grown)
+    val pq2 = Similarity.buildPqIndex(spark, grown)
+    assert(ivf2 != predIvf && pq2 != predPq, "stamp did not move on append")
+    // model state is FROZEN: no retrain on append
+    assert(rows(spark.read.parquet(s"$ivf2/centroids")) == predCents)
+    assert(rows(spark.read.parquet(s"$pq2/codebook")) == predCb)
+    // every vector (old + appended) is in the inverted file exactly once
+    val lists = spark.read.parquet(s"$ivf2/lists")
+    assert(lists.count() == n && lists.select("c_id").distinct().count() == n)
+    assert(spark.read.parquet(s"$pq2/codes").count() == n * Similarity.PqM)
+    // appended vectors are REACHABLE through the refreshed index: the
+    // IVF search on the grown corpus still recovers a usable fraction of
+    // the brute-force top-k (the explicit staleness trade, bounded)
+    val brute = SparkEntry.queries("q_knn_brute")(spark, grown).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivfTop = SparkEntry.queries("q_knn_ivf")(spark, grown).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hit = brute.map { case (q, want) =>
+      (want & ivfTop.getOrElse(q, Set.empty)).size }.sum.toDouble
+    val recall = hit / brute.values.map(_.size).sum
+    assert(ivfTop.nonEmpty && recall >= 0.2, s"pooled recall $recall")
+    assert(ivfTop.values.exists(_.exists(_ >= mid)),
+      "no appended vector ever surfaces in search results")
+  }
+
   test("in-place corpus mutation falls back to a cold rebuild") {
     val base = java.nio.file.Files.createTempDirectory("graft_mut").toString
     val dir = s"$base/c"
