@@ -1063,14 +1063,22 @@ object TextAnalysis {
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin)(
       (s, dir) => {
+        // the NATIVE WordNgrams expression emits bigrams inside codegen
+        // (a struct-building transform lambda runs interpreted — the §7d
+        // HOF lesson); the first word re-derives from the bigram after
+        // the explode with one codegen'd substring_index
         val pos = Tables.spread(docs(s, dir))
-          .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
-          .select(col("doc_id"), explode(expr(
-            "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, concat_ws(' ', t[i], t[i+1]) AS bg)) ELSE array() END"))
-            .as("p"))
-          .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+          .select(col("doc_id"), explode(
+            wordNgrams(split(normText(col("text")), " "), 2)).as("bg"))
+          .select(col("doc_id"),
+            substring_index(col("bg"), " ", 1).as("w1"), col("bg"))
+        // materialize the bigram counts ONCE — they feed the two model
+        // tables AND the scoring join, and an unchecked lineage would
+        // re-run the explode+aggregate three times (the q_decontaminate
+        // pattern)
         val btf = pos.groupBy(col("doc_id"), col("w1"), col("bg"))
           .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
         val cb = btf.groupBy("bg").agg(sum(col("c")).as("cb"))
         val cu = btf.groupBy("w1").agg(sum(col("c")).as("cu"))
         val sc = btf.join(cb, "bg").join(cu, "w1")
