@@ -162,6 +162,47 @@ class IncrementalIndexSpec extends AnyFunSuite {
       "no appended vector ever surfaces in search results")
   }
 
+  test("postings tombstones: appends can saturate a gram but never resurrect one") {
+    // adversarial df-cap crossing: the substring postings cap is 50 docs
+    // per gram. 40 docs share an 8-word passage (live), an append of 20
+    // more pushes it over the cap (newly-saturated -> postings drop,
+    // tombstone keeps df), a second append of 5 more must ADD to the
+    // tombstone's df, never re-admit postings at df=small. A rare gram
+    // stays live throughout. Every step compares against a cold rebuild
+    // of the same corpus state.
+    val base = java.nio.file.Files.createTempDirectory("graft_tomb").toString
+    val grown = s"$base/grown"
+    import spark.implicits._
+    val hot = "alpha beta gamma delta epsilon zeta eta theta"
+    def docRows(ids: Range, text: Long => String) =
+      ids.map(i => (i.toLong, text(i.toLong), "en", "s0", 40L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // distinct tail word keeps each doc's OTHER grams unique
+    docRows(0 until 40, i => s"$hot tail$i one two three four five six")
+      .write.parquet(s"$grown/documents.parquet")
+    def cold(data: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tombc").toString
+      data.write.parquet(s"$dir/documents.parquet")
+      rows(Dedup.corpusSubstrPostings(spark, dir))
+    }
+    val p0 = rows(Dedup.corpusSubstrPostings(spark, grown))
+    assert(p0.nonEmpty, "phase 0 should have live postings")
+
+    docRows(40 until 60, i => s"$hot tail$i one two three four five six")
+      .write.mode("append").parquet(s"$grown/documents.parquet")
+    val all60 = docRows(0 until 60, i => s"$hot tail$i one two three four five six")
+    val p1 = rows(Dedup.corpusSubstrPostings(spark, grown))
+    assert(p1 == cold(all60), "newly-saturated gram diverged from cold rebuild")
+
+    docRows(60 until 65, i => s"$hot tail$i one two three four five six")
+      .write.mode("append").parquet(s"$grown/documents.parquet")
+    val all65 = docRows(0 until 65, i => s"$hot tail$i one two three four five six")
+    val p2 = rows(Dedup.corpusSubstrPostings(spark, grown))
+    assert(p2 == cold(all65), "resurrected a saturated gram (or df drifted)")
+    // the saturated passage's grams never reappear; per-doc unique grams do
+    assert(p2.size > p1.size, "appended docs' unique grams missing")
+  }
+
   test("in-place corpus mutation falls back to a cold rebuild") {
     val base = java.nio.file.Files.createTempDirectory("graft_mut").toString
     val dir = s"$base/c"

@@ -96,6 +96,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"gram join degenerated into a product join:\n$p")
   }
 
+  test("bigram surprisal and source divergence stay equi-join and pruned") {
+    val bg = planOf("q_bigram_surprisal")
+    assert(!bg.contains("CartesianProduct") && !bg.contains("BroadcastNestedLoopJoin"),
+      s"bigram model join degenerated:\n$bg")
+    // the count table is checkpointed (its doc_id+text scan ran once at
+    // materialization); the final doc-list join must scan doc_id ONLY
+    assert(bg.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"doc-list scan not pruned to doc_id:\n$bg")
+
+    val tv = planOf("q_source_divergence")
+    // the 1-row corpus totals ride broadcast joins; nothing may expand to
+    // a vocab-by-sources product
+    assert(!tv.contains("CartesianProduct"),
+      s"divergence join degenerated:\n$tv")
+    assert(tv.contains("text:string") && tv.contains("source:string") &&
+      !tv.contains("n_chars") && !tv.contains("lang"),
+      s"documents scan not pruned to source,text:\n$tv")
+  }
+
   test("repetition and decontamination stay equi-join, pruned, no products") {
     val rep = planOf("q_repetition")
     assert(!rep.contains("CartesianProduct") && !rep.contains("BroadcastNestedLoopJoin"),
