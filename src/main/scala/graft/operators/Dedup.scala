@@ -1328,6 +1328,52 @@ object Dedup {
           .orderBy("source")
       }),
 
+    // 32m. TOKEN-level dedup savings per source — the headline number a
+    // data team quotes ("X% of this crawl's tokens are duplicates"): a
+    // doc's words count as KEPT only when the doc survives full dedup
+    // (it is its exact-copy group's keeper AND not a non-representative
+    // LSH-cluster member); savings = 1 − kept/raw in exact micros. The
+    // doc-level q_corpus_report counts copies; this weighs them by the
+    // tokens they'd burn. Two standing-index probes (keepers + cluster
+    // labels) + one source rollup — no pair joins, no text re-shuffles.
+    Q("q_dedup_savings", {
+      s"""$lshLabelsCtes,
+         |k AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(s, ' ')) AS BIGINT) AS n_words,
+         |    MIN(doc_id) OVER (PARTITION BY s) AS keeper
+         |  FROM (SELECT doc_id, source, $normSql AS s FROM documents)),
+         |f AS (
+         |  SELECT k.source, k.n_words,
+         |    CASE WHEN k.doc_id = k.keeper AND (l.rep IS NULL OR l.rep = k.doc_id)
+         |      THEN k.n_words ELSE 0 END AS kept
+         |  FROM k LEFT JOIN labels l ON k.doc_id = l.doc_id)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS raw_words,
+         |  CAST(SUM(kept) AS BIGINT) AS kept_words,
+         |  CAST(coalesce((SUM(n_words) - SUM(kept)) * 1000000 // nullif(SUM(n_words), 0), 0) AS BIGINT) AS savings_micros
+         |FROM f GROUP BY source ORDER BY source""".stripMargin
+    })(
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          size(split(normText(col("text")), " ")).cast("long").as("n_words"))
+        val k = d.join(corpusKeepers(s, dir), Seq("doc_id"))
+        val labels = corpusClusterLabels(s, dir)
+        k.join(labels, Seq("doc_id"), "left")
+          .withColumn("kept", when(col("doc_id") === col("keeper") &&
+              (col("rep").isNull || col("rep") === col("doc_id")),
+            col("n_words")).otherwise(0L))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("raw_words"),
+            sum(col("kept")).as("kept_words"))
+          .withColumn("savings_micros", coalesce(
+            expr("(raw_words - kept_words) * 1000000 div nullif(raw_words, 0)"),
+            lit(0L)))
+          .orderBy("source")
+      }),
+
     // 32e. cross-source duplication matrix — "which sources copy from
     // which": every duplication pair (near-dup LSH pairs between exact-dedup
     // representatives, PLUS one (keeper, copy) pair per byte-identical

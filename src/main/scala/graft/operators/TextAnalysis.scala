@@ -32,6 +32,12 @@ object TextAnalysis {
   val PackShards = 16
   val PackSeqLen = 256
 
+  /** Candidate training-sequence lengths q_pack_stats sizes the corpus
+    * against (declared before `pack` — init-order rule for constants the
+    * oracle SQL interpolates).
+    */
+  val PackLens: Seq[Int] = Seq(128, 256, 512, 1024)
+
   /** RAG chunk-window geometry (q_doc_chunks): 32-token windows every 24
     * tokens — 8 tokens of overlap between consecutive chunks.
     */
@@ -1148,6 +1154,70 @@ object TextAnalysis {
           .select(col("source"), col("ns").cast("long").as("n_tokens"),
             expr("CAST((d_in + pct - pc_in) div 2 AS BIGINT)").as("tv_micros"))
           .orderBy("source")
+      }),
+
+    // 41h2. PACKING-EFFICIENCY stats — the context-length sizing table a
+    // team reads BEFORE committing to a sequence length: for each
+    // candidate L, how many training sequences the corpus packs into,
+    // how many documents straddle a sequence boundary (loss-masking /
+    // attention-reset complexity), and the padding waste of each shard's
+    // final partial sequence, in exact integer micros. One per-shard
+    // cumsum window (L-independent — computed ONCE), a 4-way explode per
+    // doc row, and a two-level (L, shard) → L rollup; no extra corpus
+    // scans per candidate length.
+    Q("q_pack_stats", {
+      val lens = PackLens.mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, doc_id % $PackShards AS shard,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, shard, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+         |  FROM d),
+         |x AS (SELECT o.*, CAST(L AS BIGINT) AS L FROM o, UNNEST([$lens]) AS u(L)),
+         |sh AS (
+         |  SELECT L, shard, CAST(SUM(n_toks) AS BIGINT) AS tot,
+         |    CAST(SUM(CASE WHEN n_toks > 0
+         |      AND tok_start // L <> (tok_start + n_toks - 1) // L
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+         |  FROM x GROUP BY 1, 2),
+         |r AS (
+         |  SELECT L, CAST(SUM((tot + L - 1) // L) AS BIGINT) AS n_sequences,
+         |    CAST(SUM(n_split) AS BIGINT) AS n_split_docs,
+         |    CAST(SUM(((tot + L - 1) // L) * L - tot) AS BIGINT) AS n_pad_tokens
+         |  FROM sh GROUP BY L)
+         |SELECT L AS seq_len, n_sequences, n_split_docs, n_pad_tokens,
+         |  CAST(coalesce(n_pad_tokens * 1000000 // nullif(n_sequences * L, 0), 0) AS BIGINT) AS waste_micros
+         |FROM r ORDER BY seq_len""".stripMargin
+    })(
+      (s, dir) => {
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val o = docs(s, dir).select(
+          col("doc_id"),
+          pmod(col("doc_id"), lit(PackShards)).cast("long").as("shard"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+            .cast("long").as("n_toks"))
+          .withColumn("tok_start", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        val x = o.withColumn("L",
+          explode(array(PackLens.map(l => lit(l.toLong)): _*)))
+        val sh = x.groupBy(col("L"), col("shard"))
+          .agg(sum(col("n_toks")).as("tot"),
+            sum(when(col("n_toks") > 0 &&
+                expr("tok_start div L") =!= expr("(tok_start + n_toks - 1) div L"),
+              1L).otherwise(0L)).as("n_split"))
+        sh.groupBy(col("L"))
+          .agg(sum(expr("(tot + L - 1) div L")).cast("long").as("n_sequences"),
+            sum(col("n_split")).cast("long").as("n_split_docs"),
+            sum(expr("((tot + L - 1) div L) * L - tot")).cast("long")
+              .as("n_pad_tokens"))
+          .select(col("L").as("seq_len"), col("n_sequences"),
+            col("n_split_docs"), col("n_pad_tokens"),
+            coalesce(expr("n_pad_tokens * 1000000 div nullif(n_sequences * L, 0)"),
+              lit(0L)).as("waste_micros"))
+          .orderBy("seq_len")
       }),
 
     // §2d.41l — RAG chunking: each document splits into overlapping
