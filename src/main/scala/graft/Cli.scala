@@ -459,6 +459,7 @@ object Cli {
           "substr_postings" -> (() => Dedup.corpusSubstrPostings(spark, srcDir).count()),
           "rare_grams" -> (() => Dedup.corpusRareGramPostings(spark, srcDir).count()),
           "dup_grams" -> (() => TextAnalysis.corpusDupGrams(spark, srcDir).count()),
+          "bigram_model" -> (() => TextAnalysis.corpusBigramModel(spark, srcDir).count()),
           "minhash_incr" -> (() =>
             Dedup.buildMinhashIndex(spark, srcDir, Dedup.IncrMod): Unit),
           "ivf" -> (() => Similarity.buildIvfIndex(spark, srcDir): Unit),

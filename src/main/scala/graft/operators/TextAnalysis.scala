@@ -258,6 +258,54 @@ object TextAnalysis {
     * re-deriving the corpus gram df per scoring run. One column (gh,
     * md5 of the gram — a fixed-width key), so probes stay narrow.
     */
+  /** Standing bigram LANGUAGE MODEL (w1, bg, cb) — corpus occurrence
+    * counts per bigram with its context word, the probe table of
+    * q_bigram_surprisal and its streaming twin. Counts are per-file
+    * additive, so a corpus append merges the new files' counts into the
+    * standing vocabulary (same shape as the dup-gram counts); the
+    * context totals cu derive from this table (vocabulary-sized
+    * aggregate) at read time, never from the corpus.
+    */
+  def corpusBigramModel(s: SparkSession, dir: String): DataFrame = {
+    def counts(d: DataFrame) = d
+      .select(col("doc_id"), explode(
+        wordNgrams(split(normText(col("text")), " "), 2)).as("bg"))
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"), col("bg"))
+      .agg(count(lit(1)).as("cb"))
+    graft.operators.Dedup.cachedCorpusTable(s, dir, "bgmodel", "2|occ",
+      incr = (old, newDocs) => old.unionByName(counts(newDocs))
+        .groupBy("w1", "bg").agg(sum(col("cb")).as("cb")))(
+      counts(Tables.spread(docs(s, dir))))
+  }
+
+  /** Per-doc bigram surprisal against a FROZEN (w1, bg, cb) model — the
+    * scoring half shared by the registered query and the streaming twin
+    * (the Events.scoreOutliers pattern: model trained once, applied
+    * anywhere). Bigrams absent from the model are skipped (model
+    * coverage defines the scorable positions); scoring the corpus the
+    * model was built from has total coverage, which is what the
+    * stream/batch parity test pins. Output = every input column +
+    * n_bigrams / surp_sum / mean_surprisal_milli.
+    */
+  def bigramSurprisalScore(d: DataFrame, model: DataFrame): DataFrame = {
+    val cu = model.groupBy("w1").agg(sum(col("cb")).as("cu"))
+    val btf = d.select(col("doc_id"), explode(
+        wordNgrams(split(normText(col("text")), " "), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val sc = btf.join(model, "bg").join(cu, "w1")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("__nb"),
+        sum(col("c") *
+          (length(bin(col("cu"))) - length(bin(col("cb")))).cast("long"))
+          .cast("long").as("__ss"))
+    d.join(sc, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("__nb"), lit(0L)))
+      .withColumn("surp_sum", coalesce(col("__ss"), lit(0L)))
+      .withColumn("mean_surprisal_milli",
+        coalesce(expr("__ss * 1000 div nullif(__nb, 0)"), lit(0L)))
+      .drop("__nb", "__ss")
+  }
+
   def corpusDupGrams(s: SparkSession, dir: String): DataFrame = {
     def counts(d: DataFrame) = d
       .select(col("doc_id"), explode(gramSet(col("text"), 5)).as("gram"))
@@ -1068,39 +1116,15 @@ object TextAnalysis {
          |  CAST(coalesce(sc.ss * 1000 // nullif(sc.nb, 0), 0) AS BIGINT) AS mean_surprisal_milli
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin)(
-      (s, dir) => {
-        // the NATIVE WordNgrams expression emits bigrams inside codegen
-        // (a struct-building transform lambda runs interpreted — the §7d
-        // HOF lesson); the first word re-derives from the bigram after
-        // the explode with one codegen'd substring_index
-        val pos = Tables.spread(docs(s, dir))
-          .select(col("doc_id"), explode(
-            wordNgrams(split(normText(col("text")), " "), 2)).as("bg"))
-          .select(col("doc_id"),
-            substring_index(col("bg"), " ", 1).as("w1"), col("bg"))
-        // materialize the bigram counts ONCE — they feed the two model
-        // tables AND the scoring join, and an unchecked lineage would
-        // re-run the explode+aggregate three times (the q_decontaminate
-        // pattern)
-        val btf = pos.groupBy(col("doc_id"), col("w1"), col("bg"))
-          .agg(count(lit(1)).as("c"))
-          .localCheckpoint()
-        val cb = btf.groupBy("bg").agg(sum(col("c")).as("cb"))
-        val cu = btf.groupBy("w1").agg(sum(col("c")).as("cu"))
-        val sc = btf.join(cb, "bg").join(cu, "w1")
-          .groupBy("doc_id")
-          .agg(sum(col("c")).cast("long").as("nb"),
-            sum(col("c") *
-              (length(bin(col("cu"))) - length(bin(col("cb")))).cast("long"))
-              .cast("long").as("ss"))
-        docs(s, dir).select("doc_id").join(sc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("nb"), lit(0L)).as("n_bigrams"),
-            coalesce(col("ss"), lit(0L)).as("surp_sum"),
-            coalesce(expr("ss * 1000 div nullif(nb, 0)"), lit(0L))
-              .as("mean_surprisal_milli"))
-          .orderBy("doc_id")
-      }),
+      (s, dir) =>
+        // model = the standing corpus bigram table (append-mergeable
+        // counts); scoring the corpus against its own model is exactly
+        // the oracle's full-corpus derivation — and the same scorer runs
+        // the streaming twin against the same frozen table
+        bigramSurprisalScore(Tables.spread(docs(s, dir)),
+          corpusBigramModel(s, dir))
+          .select("doc_id", "n_bigrams", "surp_sum", "mean_surprisal_milli")
+          .orderBy("doc_id")),
 
     // 41n. SOURCE-MIX DIVERGENCE — per-source total-variation distance
     // between the source's unigram distribution and the whole corpus's,

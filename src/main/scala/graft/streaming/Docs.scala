@@ -128,6 +128,20 @@ object Docs {
       : org.apache.spark.sql.streaming.StreamingQuery =
     scoredSink(docs, outPath, checkpointDir)(dupGramCoverageBatch(_, dupGrams, n))
 
+  /** Streaming bigram-surprisal scoring — arriving documents scored by
+    * the STANDING corpus bigram model (`TextAnalysis.corpusBigramModel`,
+    * frozen at index time — the Events.scoreOutliers pattern), the
+    * perplexity-style quality gate of a live ingest feed. Same
+    * foreachBatch join-sink shape as [[decontaminateSink]] (per-doc
+    * aggregation needs batch semantics; batchId-keyed output, idempotent
+    * replay); nothing collects to the driver.
+    */
+  def bigramSurprisalSink(docs: DataFrame, model: DataFrame,
+                          outPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scoredSink(docs, outPath, checkpointDir)(
+      TextAnalysis.bigramSurprisalScore(_, model))
+
   /** Shared foreachBatch wiring for the per-batch document scorers:
     * transform each micro-batch with `score`, overwrite
     * `outPath/batch=<batchId>` (idempotent under replay — Structured

@@ -23,6 +23,7 @@ class IncrementalIndexSpec extends AnyFunSuite {
     "sigs" -> (() => Dedup.corpusSigs(spark, dir)),
     "keepers" -> (() => Dedup.corpusKeepers(spark, dir)),
     "dupgrams" -> (() => TextAnalysis.corpusDupGrams(spark, dir)),
+    "bgmodel" -> (() => TextAnalysis.corpusBigramModel(spark, dir)),
     "chunkdf" -> (() => Dedup.corpusDupChunks(spark, dir)),
     "substr8" -> (() => Dedup.corpusSubstrPostings(spark, dir)),
     "engram2" -> (() => Dedup.corpusRareGramPostings(spark, dir)),

@@ -137,6 +137,37 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bigram surprisal equals the batch scores exactly") {
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .orderBy("doc_id").as[Doc].collect().toSeq
+    val model = graft.operators.TextAnalysis
+      .corpusBigramModel(spark, TestSpark.sf)
+
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_bgsurp_out").toString
+    val input = MemoryStream[Doc]
+    val q = Docs.bigramSurprisalSink(input.toDF(), model, out,
+      java.nio.file.Files.createTempDirectory("graft_bgsurp_ckpt").toString)
+    try {
+      docs.grouped(math.max(docs.size / 3, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "n_bigrams", "surp_sum", "mean_surprisal_milli")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("q_bigram_surprisal")(spark, TestSpark.sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.exists(_.last != 0L))
+    } finally q.stop()
+  }
+
   test("streaming winnowing near-dup equals the batch pair set exactly") {
     import graft.operators.Dedup
     import graft.streaming.Docs
