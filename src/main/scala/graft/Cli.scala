@@ -469,7 +469,11 @@ object Cli {
           build()
           f"$name=${(System.nanoTime() - b0) / 1e9}%.1fs"
         }
-        log(s"index: ${lines.mkString(", ")} -> " +
+        // reclaim predecessors an append-refresh superseded (7-day
+        // concurrent-reader grace — a young dir is never deleted)
+        val vacuumed = Dedup.vacuumIndexes(spark, srcDir)
+        log(s"index: ${lines.mkString(", ")}, " +
+          s"vacuumed=${vacuumed.size} superseded -> " +
           spark.conf.getOption("spark.graft.index.root")
             .getOrElse(Tables.indexRoot(spark, srcDir)))
     }

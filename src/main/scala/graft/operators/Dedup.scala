@@ -567,6 +567,58 @@ object Dedup {
     finally out.close()
   }
 
+  /** Delete SUPERSEDED standing-index directories under this corpus's
+    * index root: append-refresh publishes a new immutable directory per
+    * corpus version and leaves the predecessor readable for concurrent
+    * probes, so a long-lived ingest pipeline accumulates one obsolete
+    * dir per (family, append) — the mechanism's own small-files problem.
+    * A dir is superseded when another PUBLISHED dir of the same family
+    * (same corpus, table, params, tag) records a strict superset of its
+    * corpus files. `graceMs` is the concurrent-reader fence (the
+    * Versioned.vacuum rule): directories modified within it are kept
+    * even when superseded — pass 0 only when no concurrent reader can
+    * exist. Returns the deleted paths.
+    */
+  def vacuumIndexes(s: SparkSession, dir: String,
+                    graceMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val conf = s.sessionState.newHadoopConf()
+    val idxRoot = new org.apache.hadoop.fs.Path(Tables.indexRoot(s, dir))
+    val fs = idxRoot.getFileSystem(conf)
+    if (!fs.exists(idxRoot)) return Seq.empty
+    final case class Idx(path: org.apache.hadoop.fs.Path, tag: String,
+                         head: Seq[String], files: Set[String],
+                         mtime: Long, published: Boolean)
+    val dirs = fs.listStatus(idxRoot).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("graft_"))
+      .flatMap { st =>
+        val name = st.getPath.getName.stripPrefix("graft_")
+        val cut = name.lastIndexOf('_')
+        val stampP = new org.apache.hadoop.fs.Path(s"${st.getPath}/_GRAFT_STAMP")
+        if (cut <= 0 || !fs.exists(stampP)) None
+        else {
+          val lines = readSmallText(fs, stampP).split("\n", -1).toSeq
+          if (lines.length < 3) None
+          else {
+            val published =
+              fs.exists(new org.apache.hadoop.fs.Path(s"${st.getPath}/_SUCCESS")) ||
+                fs.listStatus(st.getPath).exists(sub => sub.isDirectory &&
+                  fs.exists(new org.apache.hadoop.fs.Path(s"${sub.getPath}/_SUCCESS")))
+            Some(Idx(st.getPath, name.substring(0, cut), lines.take(3),
+              lines.drop(3).filter(_.nonEmpty).toSet,
+              st.getModificationTime, published))
+          }
+        }
+      }
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+    dirs.groupBy(i => (i.tag, i.head)).values.toSeq.flatMap { fam =>
+      fam.filter { i =>
+        i.mtime <= cutoff &&
+          fam.exists(o => o.published && (o.path != i.path) &&
+            i.files.subsetOf(o.files) && i.files != o.files)
+      }.map { i => fs.delete(i.path, true); i.path.toString }
+    }.sorted
+  }
+
   private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
                             p: org.apache.hadoop.fs.Path): String = {
     val in = fs.open(p)

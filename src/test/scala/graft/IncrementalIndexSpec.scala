@@ -204,6 +204,29 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(p2.size > p1.size, "appended docs' unique grams missing")
   }
 
+  test("vacuum reclaims superseded index dirs, respecting the reader grace") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val grown = s"$base/grown"
+    val all = Tables.load(spark, TestSpark.sf, "documents")
+    all.filter(col("doc_id") < 100).write.parquet(s"$grown/documents.parquet")
+    Dedup.corpusSigs(spark, grown).count()
+    all.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .write.mode("append").parquet(s"$grown/documents.parquet")
+    val afterAppend = rows(Dedup.corpusSigs(spark, grown))
+    // within the grace window NOTHING deletes, superseded or not
+    assert(Dedup.vacuumIndexes(spark, grown).isEmpty,
+      "vacuum ignored the concurrent-reader grace")
+    // grace 0 (no concurrent readers here): exactly the predecessor goes
+    val gone = Dedup.vacuumIndexes(spark, grown, graceMs = 0)
+    assert(gone.exists(_.contains("graft_sigs_")), s"deleted: $gone")
+    gone.foreach(p => assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(new java.net.URI(
+        if (p.startsWith("file:")) p else s"file://$p")))))
+    // the surviving (current) index still answers, and a re-vacuum is empty
+    assert(rows(Dedup.corpusSigs(spark, grown)) == afterAppend)
+    assert(Dedup.vacuumIndexes(spark, grown, graceMs = 0).isEmpty)
+  }
+
   test("in-place corpus mutation falls back to a cold rebuild") {
     val base = java.nio.file.Files.createTempDirectory("graft_mut").toString
     val dir = s"$base/c"
