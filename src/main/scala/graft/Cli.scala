@@ -460,6 +460,7 @@ object Cli {
           "rare_grams" -> (() => Dedup.corpusRareGramPostings(spark, srcDir).count()),
           "dup_grams" -> (() => TextAnalysis.corpusDupGrams(spark, srcDir).count()),
           "bigram_model" -> (() => TextAnalysis.corpusBigramModel(spark, srcDir).count()),
+          "unigrams" -> (() => TextAnalysis.corpusUnigramCounts(spark, srcDir).count()),
           "minhash_incr" -> (() =>
             Dedup.buildMinhashIndex(spark, srcDir, Dedup.IncrMod): Unit),
           "ivf" -> (() => Similarity.buildIvfIndex(spark, srcDir): Unit),

@@ -278,6 +278,26 @@ object TextAnalysis {
       counts(Tables.spread(docs(s, dir))))
   }
 
+  /** Standing unigram statistics (term, cw occurrences, dfw doc
+    * frequency) — the corpus vocabulary table behind q_vocab_topk,
+    * q_lm_surprisal's LM weights, q_oov_rate's top-50 vocabulary, and
+    * the streaming token-drift monitor's reference distribution. Both
+    * statistics are per-file additive (docs are disjoint across files),
+    * so a corpus append merges counts instead of re-tokenizing.
+    */
+  def corpusUnigramCounts(s: SparkSession, dir: String): DataFrame = {
+    def counts(d: DataFrame) = d
+      .select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cw"), countDistinct("doc_id").as("dfw"))
+    graft.operators.Dedup.cachedCorpusTable(s, dir, "unigrams", "1|occ+df",
+      incr = (old, newDocs) => old.unionByName(counts(newDocs))
+        .groupBy("term").agg(sum(col("cw")).as("cw"),
+          sum(col("dfw")).as("dfw")))(
+      counts(Tables.spread(docs(s, dir))))
+  }
+
   /** Per-doc bigram surprisal against a FROZEN (w1, bg, cb) model — the
     * scoring half shared by the registered query and the streaming twin
     * (the Events.scoreOutliers pattern: model trained once, applied
@@ -689,10 +709,10 @@ object TextAnalysis {
          |  CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rnk
          |FROM top ORDER BY rnk""".stripMargin)(
       (s, dir) => {
-        val tok = Tables.spread(docs(s, dir))
-          .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("term"))
-        val top = tok.groupBy("term")
-          .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        // probe the standing vocabulary table: per-run work is a top-50
+        // TakeOrdered over |vocab| rows, never a corpus re-tokenize
+        val top = corpusUnigramCounts(s, dir)
+          .select(col("term"), col("cw").as("tf"), col("dfw").as("df"))
           .orderBy(col("tf").desc, col("term").asc).limit(50)
         top.withColumn("rnk",
           row_number().over(org.apache.spark.sql.expressions.Window
@@ -732,8 +752,9 @@ object TextAnalysis {
             explode(split(normText(col("text")), " ")).as("term"))
           .groupBy("doc_id", "source", "term")
           .agg(count(lit(1)).as("c"))
-        val vocab = tf.groupBy("term").agg(sum(col("c")).as("tf"))
-          .orderBy(col("tf").desc, col("term").asc).limit(50)
+        // top-50 vocabulary off the standing table, not a second corpus agg
+        val vocab = corpusUnigramCounts(s, dir)
+          .orderBy(col("cw").desc, col("term").asc).limit(50)
           .select(col("term"), lit(1).as("in_vocab"))
         tf.join(broadcast(vocab), Seq("term"), "left")
           .groupBy(col("source"))
@@ -1065,7 +1086,10 @@ object TextAnalysis {
             explode(split(normText(col("text")), " ")).as("word"))
           .filter(col("word") =!= "")
           .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-        val vocab = tf.groupBy(col("word")).agg(sum(col("c")).as("cw"))
+        // LM weights come from the standing vocabulary table — the model
+        // derivation never re-tokenizes the corpus
+        val vocab = corpusUnigramCounts(s, dir).filter(col("term") =!= "")
+          .select(col("term").as("word"), col("cw"))
         val tot = vocab.agg(sum(col("cw")).as("n_total"))
         val sb = vocab.crossJoin(broadcast(tot))
           .select(col("word"),

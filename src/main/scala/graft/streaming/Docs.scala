@@ -142,6 +142,57 @@ object Docs {
     scoredSink(docs, outPath, checkpointDir)(
       TextAnalysis.bigramSurprisalScore(_, model))
 
+  /** One micro-batch of token-distribution DRIFT monitoring: the
+    * total-variation distance between this batch's unigram distribution
+    * and the STANDING corpus distribution
+    * (`TextAnalysis.corpusUnigramCounts`), in exact integer micros —
+    * the live alarm for "this crawl slice doesn't look like the corpus"
+    * (source flips, spam floods, encoding breakage). Same absent-mass
+    * complement as q_source_divergence: the join touches only terms the
+    * BATCH contains; the corpus-only mass is one vocabulary-sized
+    * aggregate. Returns ONE summary row: (n_docs, n_tokens, tv_micros).
+    */
+  def tokenDriftBatch(batch: DataFrame, pc: DataFrame,
+                      pcTot: Long): DataFrame = {
+    val bt = batch.select(
+        explode(split(TextAnalysis.normText(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val nb = bt.agg(sum(col("c"))).collect()(0).getLong(0)
+    val nDocs = batch.count()
+    if (nb == 0L) {
+      val s = batch.sparkSession
+      import s.implicits._
+      return Seq((nDocs, 0L, pcTot / 2)).toDF("n_docs", "n_tokens", "tv_micros")
+    }
+    bt.join(pc, Seq("term"), "left")
+      .select(
+        abs(expr(s"c * 1000000 div ${nb}L") -
+          coalesce(col("pc"), lit(0L))).as("d"),
+        coalesce(col("pc"), lit(0L)).as("pcin"))
+      .agg(sum(col("d")).as("din"), sum(col("pcin")).as("pcin"))
+      .select(lit(nDocs).as("n_docs"), lit(nb).as("n_tokens"),
+        expr(s"CAST((din + ${pcTot}L - pcin) div 2 AS BIGINT)")
+          .as("tv_micros"))
+  }
+
+  /** Streaming drift-monitor sink: one summary row per micro-batch under
+    * the batchId-keyed idempotent layout. The reference distribution's
+    * scalars (corpus micro-mass total) are computed ONCE at sink
+    * construction — per batch the only driver-side values are two 1-row
+    * aggregates (token and doc counts), bounded at any corpus size.
+    */
+  def tokenDriftSink(docs: DataFrame, counts: DataFrame,
+                     outPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val corpus = counts.filter(col("term") =!= "")
+    val total = corpus.agg(sum(col("cw"))).collect()(0).getLong(0)
+    val pc = corpus.select(col("term"),
+      expr(s"cw * 1000000 div ${total}L").as("pc"))
+    val pcTot = pc.agg(sum(col("pc"))).collect()(0).getLong(0)
+    scoredSink(docs, outPath, checkpointDir)(tokenDriftBatch(_, pc, pcTot))
+  }
+
   /** Shared foreachBatch wiring for the per-batch document scorers:
     * transform each micro-batch with `score`, overwrite
     * `outPath/batch=<batchId>` (idempotent under replay — Structured

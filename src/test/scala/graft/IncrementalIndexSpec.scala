@@ -24,6 +24,7 @@ class IncrementalIndexSpec extends AnyFunSuite {
     "keepers" -> (() => Dedup.corpusKeepers(spark, dir)),
     "dupgrams" -> (() => TextAnalysis.corpusDupGrams(spark, dir)),
     "bgmodel" -> (() => TextAnalysis.corpusBigramModel(spark, dir)),
+    "unigrams" -> (() => TextAnalysis.corpusUnigramCounts(spark, dir)),
     "chunkdf" -> (() => Dedup.corpusDupChunks(spark, dir)),
     "substr8" -> (() => Dedup.corpusSubstrPostings(spark, dir)),
     "engram2" -> (() => Dedup.corpusRareGramPostings(spark, dir)),

@@ -168,6 +168,40 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming token-drift monitor: corpus replay is zero, alien batch alarms") {
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .orderBy("doc_id").as[Doc].collect().toSeq
+    val counts = graft.operators.TextAnalysis
+      .corpusUnigramCounts(spark, TestSpark.sf)
+
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_drift_out").toString
+    val input = MemoryStream[Doc]
+    val q = Docs.tokenDriftSink(input.toDF(), counts, out,
+      java.nio.file.Files.createTempDirectory("graft_drift_ckpt").toString)
+    try {
+      // batch 0: the WHOLE corpus in one batch — its distribution IS the
+      // reference, so tv must be exactly 0 (the truncations cancel)
+      input.addData(docs)
+      q.processAllAvailable()
+      // batch 1: disjoint-vocabulary spam flood — near-total drift
+      input.addData((0 until 50).map(i =>
+        Doc(900000L + i, "zzqx wvvk qqpl zzqx wvvk", "en", "spam", 24L)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("batch", "n_docs", "n_tokens", "tv_micros")
+        .orderBy("batch").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got.head == ((docs.size.toLong, got.head._2, 0L)), s"got $got")
+      assert(got(1)._3 >= 900000L, s"alien batch under-alarmed: $got")
+    } finally q.stop()
+  }
+
   test("streaming winnowing near-dup equals the batch pair set exactly") {
     import graft.operators.Dedup
     import graft.streaming.Docs
