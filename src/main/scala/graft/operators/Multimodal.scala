@@ -47,6 +47,15 @@ object Multimodal {
   val FrameBytes = 64
   val FrameStride = 4
 
+  /** Audio-shaped geometry: OVERLAPPING analysis windows (AudioWin bytes
+    * every AudioHop — the RMS-envelope/onset shape, distinct from the
+    * video frames' disjoint tiling). A window exists for every start
+    * offset k·hop < payload length; the tail window truncates. Declared
+    * before `pack` (oracle-SQL init-order rule).
+    */
+  val AudioWin = 32
+  val AudioHop = 16
+
   object FakeCodec {
     val FeatureDim = 8
     def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, String, Array[Float])] =
@@ -160,7 +169,101 @@ object Multimodal {
          |FROM m LEFT JOIN agg a USING (media_id)
          |ORDER BY media_id""".stripMargin
     })((s, dir) =>
-      sampleFrames(syntheticMedia(s, dir)).orderBy("media_id")))
+      sampleFrames(syntheticMedia(s, dir)).orderBy("media_id")),
+
+    // 42c. WINDOWED ENERGY ANALYSIS — the audio-shaped third of the
+    // multimodal plumbing (image histogram 42, video frames 42b):
+    // overlapping 32-byte windows every 16 bytes over the "PCM" payload,
+    // per-window "energy" = exact unsigned-byte sum (the stub; a real
+    // analyzer — RMS, onset, VAD — keeps the same batch contract), per
+    // media the window count, the PEAK window (argmax, lowest index on
+    // ties), its energy, and the mean window energy in exact milli. The
+    // oracle regenerates the overlapping-window geometry and byte sums
+    // from the payload hex independently.
+    graft.Q("q_multimodal_audio", {
+      val wn = AudioWin
+      val hp = AudioHop
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, strlen(text) AS nb, hex(encode(text)) AS hx
+         |  FROM documents),
+         |w AS (
+         |  SELECT media_id, k, k * $hp AS st, LEAST(k * $hp + $wn, nb) AS en, hx
+         |  FROM m, UNNEST(range(0, (nb + ${hp - 1}) // $hp)) AS u(k)),
+         |e0 AS (
+         |  SELECT media_id, k, CAST('0x' || substr(hx, 2 * j + 1, 2) AS INT) AS byte
+         |  FROM w, UNNEST(range(st, en)) AS v(j)),
+         |e AS (
+         |  SELECT media_id, k, CAST(SUM(byte) AS BIGINT) AS energy
+         |  FROM e0 GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |    CAST(MAX(energy) AS BIGINT) AS peak_energy,
+         |    CAST(SUM(energy) AS BIGINT) AS tot
+         |  FROM e GROUP BY media_id),
+         |pk AS (
+         |  SELECT e.media_id, CAST(MIN(e.k) AS BIGINT) AS peak_window
+         |  FROM e JOIN agg ON e.media_id = agg.media_id AND e.energy = agg.peak_energy
+         |  GROUP BY e.media_id)
+         |SELECT m.media_id,
+         |  COALESCE(a.n_windows, 0) AS n_windows,
+         |  COALESCE(p.peak_window, -1) AS peak_window,
+         |  COALESCE(a.peak_energy, 0) AS peak_energy,
+         |  CAST(COALESCE(a.tot * 1000 // nullif(a.n_windows, 0), 0) AS BIGINT) AS mean_energy_milli
+         |FROM m LEFT JOIN agg a USING (media_id) LEFT JOIN pk p USING (media_id)
+         |ORDER BY media_id""".stripMargin
+    })((s, dir) =>
+      analyzeWindows(syntheticMedia(s, dir)).orderBy("media_id")))
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_windows", LongType, nullable = false),
+    StructField("peak_window", LongType, nullable = false),
+    StructField("peak_energy", LongType, nullable = false),
+    StructField("mean_energy_milli", LongType, nullable = false)))
+
+  /** STUB audio analyzer — per overlapping window the "analysis" is an
+    * exact unsigned-byte sum; real RMS/onset/VAD analyzers keep the same
+    * (payload ⇒ per-window features ⇒ summary) batch contract.
+    */
+  object AudioCodec {
+    def analyzeBatch(batch: Seq[(Long, Array[Byte])])
+        : Seq[(Long, Long, Long, Long, Long)] =
+      batch.map { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        val nw = (b.length + AudioHop - 1) / AudioHop
+        if (nw == 0) (id, 0L, -1L, 0L, 0L)
+        else {
+          var tot = 0L; var peak = Long.MinValue; var peakK = -1L
+          var k = 0
+          while (k < nw) {
+            var s = 0L
+            var j = k * AudioHop
+            val end = math.min(j + AudioWin, b.length)
+            while (j < end) { s += (b(j) & 0xff); j += 1 }
+            tot += s
+            if (s > peak) { peak = s; peakK = k.toLong }
+            k += 1
+          }
+          (id, nw.toLong, peakK, peak, tot * 1000 / nw)
+        }
+      }
+  }
+
+  /** Batched windowed-energy stage — same mapPartitions plumbing as
+    * [[extractFeatures]]/[[sampleFrames]], audio-shaped codec.
+    */
+  def analyzeWindows(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { chunk =>
+          val batch = chunk.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+          AudioCodec.analyzeBatch(batch).map { case (id, nw, pk, pe, me) =>
+            Row(id, nw, pk, pe, me)
+          }
+        }
+      }(enc)
+  }
 
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

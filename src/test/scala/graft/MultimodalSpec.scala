@@ -29,4 +29,29 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()(0).getString(2)
     assert(got == expected)
   }
+
+  test("windowed energy analysis handles empty, sub-window and exact payloads") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      Row(1L, Array.empty[Byte], null),                 // no windows at all
+      Row(2L, Array[Byte](10), null),                   // one truncated window
+      Row(3L, Array.fill[Byte](Multimodal.AudioHop * 2)(1), null),
+      Row(4L, null, null))                              // null payload = empty
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true),
+        StructField("meta", StringType, nullable = true))))
+    val out = Multimodal.analyzeWindows(media).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((0L, -1L, 0L, 0L)))
+    assert(out(4L) == ((0L, -1L, 0L, 0L)))
+    assert(out(2L) == ((1L, 0L, 10L, 10000L)))
+    // 32 bytes of 1: windows at 0 (full 32 bytes) and 16 (16-byte tail) —
+    // peak is window 0 with energy 32, mean = (32+16)*1000/2
+    assert(out(3L) == ((2L, 0L, 32L, 24000L)), out(3L).toString)
+  }
 }
