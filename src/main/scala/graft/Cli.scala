@@ -236,20 +236,26 @@ object Cli {
       }
     }
 
+    // ONE recorder session per run: the whole command chain (extraction
+    // + any number of query:<name> fixtures) shares the cassette under
+    // the iteration-keyed protocol. A per-command session would break
+    // chaining — the second command would find the cassette the first
+    // just saved and either write-protect against it (ONCE) or clear it
+    // (ALL). Saved once at the end of the run.
+    val recorder: Option[sources.Recorder] = opts.record.map(name =>
+      new sources.Recorder(spark, name, opts.recordMode, opts.recordDir))
+
     // one shared extraction per run (like dbcut's per-context load): the
     // first command that needs tables computes it, the rest reuse it.
-    // --record NAME routes it through a named cassette (sources/Record
-    // .scala): first run records the fixture, later runs replay it with
-    // the source offline (the reference's contrib recorder workflow).
-    lazy val extracted: Map[String, DataFrame] = opts.record match {
-      case Some(name) =>
-        sources.Recorder.using(spark, name, opts.recordMode, opts.recordDir) {
-          rec =>
-            sources.Recorder.extraction(rec)(Job.run(
-              spark, cfg.sourceDir, job, graph,
-              cacheRoot = cfg.cacheDir.filter(_ => !opts.noCache),
-              force = opts.forceRefresh))
-        }
+    // --record NAME routes it through the session cassette (sources/
+    // Record.scala): first run records the fixture, later runs replay it
+    // with the source offline (the reference's contrib recorder workflow).
+    lazy val extracted: Map[String, DataFrame] = recorder match {
+      case Some(rec) =>
+        sources.Recorder.extraction(rec)(Job.run(
+          spark, cfg.sourceDir, job, graph,
+          cacheRoot = cfg.cacheDir.filter(_ => !opts.noCache),
+          force = opts.forceRefresh))
       case None => Job.run(
         spark, cfg.sourceDir, job, graph,
         cacheRoot = cfg.cacheDir.filter(_ => !opts.noCache),
@@ -271,6 +277,7 @@ object Cli {
         .toMap
     }
 
+    try {
     for (cmd <- opts.commands) {
     val t0 = System.nanoTime()
     cmd match {
@@ -282,11 +289,9 @@ object Cli {
         val qn = q.stripPrefix("query:")
         require(SparkEntry.queries.contains(qn),
           s"unknown registered query '$qn'")
-        val df = opts.record match {
-          case Some(name) =>
-            sources.Recorder.using(spark, name, opts.recordMode,
-              opts.recordDir)(rec =>
-              sources.Recorder.registeredQuery(rec, qn, cfg.sourceDir))
+        val df = recorder match {
+          case Some(rec) =>
+            sources.Recorder.registeredQuery(rec, qn, cfg.sourceDir)
           case None => SparkEntry.queries(qn)(spark, cfg.sourceDir)
         }
         log(s"query $qn: ${df.count()} rows")
@@ -482,6 +487,7 @@ object Cli {
     if (opts.profiler)
       log(f"[profile] $cmd: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    } finally recorder.foreach(_.save())
     out.toSeq
   }
 

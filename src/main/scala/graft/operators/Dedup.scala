@@ -574,10 +574,15 @@ object Dedup {
     * dir per (family, append) — the mechanism's own small-files problem.
     * A dir is superseded when another PUBLISHED dir of the same family
     * (same corpus, table, params, tag) records a strict superset of its
-    * corpus files. `graceMs` is the concurrent-reader fence (the
-    * Versioned.vacuum rule): directories modified within it are kept
-    * even when superseded — pass 0 only when no concurrent reader can
-    * exist. Returns the deleted paths.
+    * corpus files — and "published" means its `_GRAFT_STAMP` exists,
+    * which every build writes LAST (after all data flushes), so a
+    * crashed partial build can never supersede a complete predecessor.
+    * `graceMs` is the concurrent-reader fence and keys on the
+    * SUPERSESSOR's age — i.e. on how long ago the supersession happened
+    * — not on the victim's build time (a 30-day-old index deleted
+    * seconds after its replacement appears would tear exactly the
+    * long-running reader the fence exists for). Pass 0 only when no
+    * concurrent reader can exist. Returns the deleted paths.
     */
   def vacuumIndexes(s: SparkSession, dir: String,
                     graceMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
@@ -612,9 +617,9 @@ object Dedup {
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
     dirs.groupBy(i => (i.tag, i.head)).values.toSeq.flatMap { fam =>
       fam.filter { i =>
-        i.mtime <= cutoff &&
-          fam.exists(o => o.published && (o.path != i.path) &&
-            i.files.subsetOf(o.files) && i.files != o.files)
+        fam.exists(o => o.published && (o.path != i.path) &&
+          i.files.subsetOf(o.files) && i.files != o.files &&
+          o.mtime <= cutoff)
       }.map { i => fs.delete(i.path, true); i.path.toString }
     }.sorted
   }

@@ -76,6 +76,23 @@ object Cdc {
     * writers between this stream's publish and its replay never un-fence
     * (the high-water is per appId, not last-writer).
     */
+  /** In-process per-(table, appId) epoch high-water: epochs are monotone
+    * within a stream identity, so after ONE manifest scan (or one
+    * commit) the fence is a map lookup — without it a stream sharing a
+    * table with a chatty second writer re-reads the whole interleaved
+    * manifest history every micro-batch. `Long.MinValue` caches a
+    * scanned "never committed" so the pre-first-commit batches don't
+    * rescan either. Process-local by design: an appId names exactly one
+    * stream, and reusing an appId against a wiped table already requires
+    * a fresh identity (documented above, the Delta rule).
+    */
+  private val epochHighWater =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  private def bump(k: (String, String), e: Long): Unit =
+    epochHighWater.merge(k, java.lang.Long.valueOf(e),
+      (a, b) => java.lang.Long.valueOf(math.max(a, b)))
+
   def applyBatch(batch: DataFrame, tableDir: String, key: String,
                  valueCols: Seq[String], seqCol: String,
                  epochId: Option[Long] = None,
@@ -84,8 +101,16 @@ object Cdc {
     val spark = batch.sparkSession
     val replayed = (for {
       e <- epochId; a <- appId
-      le <- Versioned.latestEpochFor(spark, tableDir, a)
-    } yield e <= le).getOrElse(false)
+    } yield {
+      val k = (tableDir, a)
+      val hw = Option(epochHighWater.get(k)).map(_.longValue).getOrElse {
+        val scanned = Versioned.latestEpochFor(spark, tableDir, a)
+          .getOrElse(Long.MinValue)
+        bump(k, scanned)
+        scanned
+      }
+      e <= hw
+    }).getOrElse(false)
     if (replayed) return
     // seq ties break on a content hash, NOT shuffle arrival order: a
     // replayed batch must pick the SAME winner or the idempotent-replay
@@ -108,5 +133,6 @@ object Cdc {
     val merged = Lakehouse.mergeUpsert(base, compacted, key, valueCols)
       .drop("src")
     Versioned.commit(merged, tableDir, epochId = epochId, appId = appId)
+    for (e <- epochId; a <- appId) bump((tableDir, a), e)
   }
 }

@@ -158,7 +158,11 @@ object Docs {
         explode(split(TextAnalysis.normText(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("c"))
-    val nb = bt.agg(sum(col("c"))).collect()(0).getLong(0)
+    // coalesce: a non-empty batch of token-free documents aggregates to a
+    // NULL sum (0 term rows), which is exactly the degenerate batch the
+    // monitor must alarm on, not NPE on
+    val nb = bt.agg(coalesce(sum(col("c")), lit(0L)))
+      .collect()(0).getLong(0)
     val nDocs = batch.count()
     if (nb == 0L) {
       val s = batch.sparkSession
@@ -186,7 +190,11 @@ object Docs {
                      outPath: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val corpus = counts.filter(col("term") =!= "")
-    val total = corpus.agg(sum(col("cw"))).collect()(0).getLong(0)
+    val total = corpus.agg(coalesce(sum(col("cw")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(total > 0L,
+      "tokenDriftSink: the reference unigram table has no non-empty " +
+        "terms — a drift distance against an empty corpus is undefined")
     val pc = corpus.select(col("term"),
       expr(s"cw * 1000000 div ${total}L").as("pc"))
     val pcTot = pc.agg(sum(col("pc"))).collect()(0).getLong(0)

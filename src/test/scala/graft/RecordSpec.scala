@@ -155,4 +155,35 @@ class RecordSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(replayed.nonEmpty && replayed.exists(_.nonEmpty))
   }
+
+  test("chained recorded commands share ONE cassette session") {
+    // a per-command Recorder would break the chain: command 2 would hit
+    // the write-protected cassette command 1 just saved (ONCE) or clear
+    // it (ALL). One session = iteration-keyed entries, replayed in order.
+    val work = tmp()
+    val src = s"$work/src"
+    Files.createDirectories(Paths.get(src))
+    Tables.load(spark, TestSpark.sf, "lineitem")
+      .write.parquet(s"$src/lineitem.parquet")
+    val cfgPath = Paths.get(work, "graft.yml")
+    Files.writeString(cfgPath,
+      s"""databases:
+         |  source_dir: $src
+         |  destination_dir: $work/dest
+         |queries:
+         |  - from: lineitem
+         |""".stripMargin)
+    val args = Seq("-c", cfgPath.toString, "--quiet",
+      "--record", "chainfx", "--record-dir", s"$work/records",
+      "query:q1_agg", "query:q1_agg")
+    val out1 = Cli.run(spark, Cli.parseArgs(args))
+    assert(out1.count(_.startsWith("query q1_agg: 6 rows")) == 2,
+      out1.mkString("\n"))
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(Paths.get(src)))(s =>
+      s.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
+    val out2 = Cli.run(spark, Cli.parseArgs(args))
+    assert(out2.count(_.startsWith("query q1_agg: 6 rows")) == 2,
+      out2.mkString("\n"))
+  }
 }
