@@ -107,12 +107,38 @@ object Tables {
     try write catch {
       case e: Exception if {
         val chain = Iterator.iterate(e: Throwable)(_.getCause)
-          .takeWhile(_ != null).take(16)
-          .map(t => s"${t.getClass.getName}: ${String.valueOf(t.getMessage)}")
-          .mkString("; ")
-        Seq("Permission denied", "AccessControl", "Access Denied",
-          "AccessDenied", "Read-only", "read-only", "Mkdirs failed",
-          "not a directory", "Not a directory").exists(chain.contains)
+          .takeWhile(_ != null).take(16).toSeq
+        // permission failures by TYPE anywhere in the cause chain — the
+        // reliable signal, immune to message phrasing
+        val typed = chain.exists {
+          case _: java.nio.file.AccessDeniedException => true
+          case _: java.nio.file.ReadOnlyFileSystemException => true
+          case _: org.apache.hadoop.security.AccessControlException => true
+          case _ => false
+        }
+        // untyped IO shapes (RawLocalFileSystem throws bare IOExceptions
+        // like "Mkdirs failed to create <dir>") only count when the
+        // message actually NAMES the index root or one of its ancestors
+        // (mkdirs/permission errors commonly report the parent that
+        // refused) — an unrelated task failure quoting a bad DATA path
+        // that happens to contain one of these phrases must pass through
+        // as itself, not as index-root guidance masking the real cause
+        val rootAndAncestors = Iterator.iterate(
+            new org.apache.hadoop.fs.Path(root))(_.getParent)
+          // stop before generic prefixes: a bare "/tmp" would match any
+          // scratch path; URI paths keep authority-anchored specificity
+          // one level longer (s3a://bucket/corpus)
+          .takeWhile(p => p != null && (p.depth() >= 2 ||
+            (p.depth() >= 1 && p.toUri.getScheme != null)))
+          .map(_.toString).take(6).toSeq
+        val scoped = chain.exists { t =>
+          val msg = String.valueOf(t.getMessage)
+          rootAndAncestors.exists(msg.contains) &&
+            Seq("Permission denied", "Access Denied", "AccessDenied",
+              "Read-only", "read-only", "Mkdirs failed",
+              "not a directory", "Not a directory").exists(msg.contains)
+        }
+        typed || scoped
       } =>
         throw new IllegalStateException(
           s"cannot write a standing index under '$root' — the resolved " +

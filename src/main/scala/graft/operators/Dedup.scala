@@ -583,6 +583,17 @@ object Dedup {
     * seconds after its replacement appears would tear exactly the
     * long-running reader the fence exists for). Pass 0 only when no
     * concurrent reader can exist. Returns the deleted paths.
+    *
+    * The supersession rule additionally requires the supersessor's own
+    * stamp to still be a SUBSET of the current corpus files: corpora do
+    * not only grow, and after files are removed in place the freshly
+    * built CURRENT index's stamp is a strict subset of a stale
+    * pre-shrink dir's — without the guard that stale, past-grace dir
+    * would "supersede" the live index and vacuum would delete it
+    * immediately (tearing concurrent probes and forcing rebuild churn
+    * on the next query; the CLI `index` command runs this vacuum
+    * automatically). A dir whose stamp exactly matches the current
+    * corpus is never deleted for the same reason.
     */
   def vacuumIndexes(s: SparkSession, dir: String,
                     graceMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
@@ -615,12 +626,36 @@ object Dedup {
         }
       }
     val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+    // current corpus files per stamped table, for the shrink guard below;
+    // a missing table (corpus deleted) resolves to an empty set, which
+    // conservatively blocks all deletion in that family
+    val currentByTable = scala.collection.mutable.Map.empty[String, Set[String]]
+    def currentFiles(table: String): Set[String] =
+      currentByTable.getOrElseUpdate(table,
+        scala.util.Try(corpusFiles(s, dir, table).map(_._2).toSet)
+          .getOrElse(Set.empty))
     dirs.groupBy(i => (i.tag, i.head)).values.toSeq.flatMap { fam =>
-      fam.filter { i =>
-        fam.exists(o => o.published && (o.path != i.path) &&
-          i.files.subsetOf(o.files) && i.files != o.files &&
-          o.mtime <= cutoff)
-      }.map { i => fs.delete(i.path, true); i.path.toString }
+      val head = fam.head.head
+      val (corpus, table) = (head(0), head(1))
+      // only vacuum families of THIS corpus dir: a shared index root
+      // (GRAFT_INDEX_ROOT) holds other corpora's families too, and their
+      // current-file sets are unknowable from here — each corpus's own
+      // vacuum call owns them
+      if (corpus != Tables.path(dir, table)) Seq.empty
+      else {
+        val current = currentFiles(table)
+        fam.filter { i =>
+          // shrink guard: the live index's stamp IS the current corpus —
+          // never deletable, and only a supersessor that is itself still
+          // a subset of the current corpus counts (a stale pre-shrink
+          // superset is not a successor, it is garbage awaiting its own
+          // supersession)
+          i.files != current &&
+            fam.exists(o => o.published && (o.path != i.path) &&
+              i.files.subsetOf(o.files) && i.files != o.files &&
+              o.files.subsetOf(current) && o.mtime <= cutoff)
+        }.map { i => fs.delete(i.path, true); i.path.toString }
+      }
     }.sorted
   }
 

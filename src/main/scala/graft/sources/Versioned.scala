@@ -118,7 +118,13 @@ object Versioned {
                      appId: String): Option[Long] =
     versions(spark, dir).reverseIterator
       .map(v => readManifest(spark, dir, v))
-      .collectFirst { case m if m.appId.contains(appId) => m.epochId }
+      // require epochId.isDefined IN the match: an epoch-LESS commit made
+      // under the same appId (a batch job reusing the stream's identity)
+      // must not mask the true high-water sitting in an older manifest —
+      // collectFirst on appId alone would return its None and disarm the
+      // replay fence
+      .collectFirst { case m if m.appId.contains(appId) &&
+        m.epochId.isDefined => m.epochId }
       .flatten
 
   /** Publish `df` as the next version. `append = false` commits a full
@@ -290,29 +296,65 @@ object Versioned {
     * data directories. Never touches directories the surviving versions
     * read, so time travel within the retention window stays intact.
     *
-    * `graceMs` is the concurrent-writer fence (Delta's vacuum retention):
-    * commit writes its data directory BEFORE publishing the manifest, so
-    * an in-flight commit's directory is momentarily unreferenced — a
-    * vacuum racing it would destroy the commit. Directories modified
-    * within the last `graceMs` are therefore retained even when
-    * unreferenced. The default (7 days, Delta parity) makes vacuum safe
-    * against any writer that commits in under a week; pass 0 only when no
-    * concurrent writer can exist (single-process CLI, tests).
+    * `graceMs` keys on the SUPERSESSION time, not the victim's mtime
+    * (Delta's tombstone timestamps): an unreferenced directory gets a
+    * tombstone marker the first time a vacuum observes it unreferenced,
+    * and is only deleted once that tombstone is older than `graceMs` —
+    * so the module contract "a reader that resolved version v keeps
+    * reading v" holds for at least `graceMs` after v ages out of
+    * retention. Keying on the directory's own mtime (the pre-r8 rule)
+    * deleted an 8-day-old data dir seconds after a compact+vacuum
+    * superseded it, tearing exactly the long-running reader the grace
+    * exists for. The tombstone also fences the in-flight-commit race:
+    * a data dir written before its manifest publish is unreferenced but
+    * survives until a whole grace period has passed with it STILL
+    * unreferenced (and its tombstone is cleared if the commit lands).
+    * The default (7 days, Delta parity) makes vacuum safe against any
+    * writer or reader that finishes in under a week; pass 0 only when no
+    * concurrent writer or reader can exist (single-process CLI, tests).
     */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1,
              graceMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     val keep = vs.takeRight(math.max(1, keepVersions))
-    val referenced = keep.flatMap(v => readManifest(spark, dir, v).dataDirs).toSet
+    val referenced = keep.flatMap(v => readManifest(spark, dir, v).dataDirs)
     vs.filterNot(keep.contains).foreach(v => f.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(s"$dir/data")
-    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
-    if (!f.exists(dataRoot)) Seq.empty
-    else f.listStatus(dataRoot).toSeq
-      .filter(_.getModificationTime <= cutoff)
-      .map(_.getPath)
-      .filterNot(p => referenced.exists(r => new Path(r).getName == p.getName))
-      .map { p => f.delete(p, true); p.toString }
+    if (!f.exists(dataRoot)) return Seq.empty
+    // a manifest may reference a NESTED dir (bucketed replace commits
+    // write data/vX-tok/__bucket=N): a top-level dir is live when any
+    // referenced path is at or under it
+    val dataPrefix = s"${dir.stripSuffix("/")}/data/"
+    def topName(r: String): String = {
+      val rel = r.stripPrefix(dataPrefix)
+      if (rel == r) new Path(r).getName else rel.split("/")(0)
+    }
+    val liveTop = referenced.map(topName).toSet
+    val tombRoot = new Path(s"$dir/_commits/_tombstones")
+    val now = System.currentTimeMillis()
+    f.listStatus(dataRoot).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+      val name = st.getPath.getName
+      val tomb = new Path(tombRoot, name)
+      if (liveTop.contains(name)) {
+        // referenced again (an in-flight commit published after a vacuum
+        // tombstoned its dir): the tombstone is stale — clear it
+        if (f.exists(tomb)) f.delete(tomb, false)
+        None
+      } else if (graceMs <= 0L) {
+        f.delete(st.getPath, true)
+        f.delete(tomb, false)
+        Some(st.getPath.toString)
+      } else if (!f.exists(tomb)) {
+        // first observation unreferenced: start the supersession clock
+        f.mkdirs(tombRoot)
+        f.create(tomb, true).close()
+        None
+      } else if (f.getFileStatus(tomb).getModificationTime <= now - graceMs) {
+        f.delete(st.getPath, true)
+        f.delete(tomb, false)
+        Some(st.getPath.toString)
+      } else None
+    }
   }
 }

@@ -99,6 +99,15 @@ object Cdc {
                  appId: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // one manifest listing per batch (needed below for the empty-base
+    // branch anyway). An EMPTY list with a populated high-water cache
+    // means the table dir was wiped and recreated at the same path in
+    // this JVM (tests, notebooks, long-lived drivers): the cached
+    // high-water belongs to the dead table and would silently skip the
+    // recreated stream's first epochs as replays — drop it and rescan.
+    val tableVersions = Versioned.versions(spark, tableDir)
+    if (tableVersions.isEmpty)
+      appId.foreach(a => epochHighWater.remove((tableDir, a)))
     val replayed = (for {
       e <- epochId; a <- appId
     } yield {
@@ -125,7 +134,7 @@ object Cdc {
       .filter(col("__rn") === 1)
       .drop("__rn", seqCol)
     val base =
-      if (Versioned.versions(spark, tableDir).isEmpty)
+      if (tableVersions.isEmpty)
         // first batch: empty base with the value schema the merges produce
         compacted.select(col(key) +:
           valueCols.map(c => col(s"new_$c").as(c)): _*).limit(0)

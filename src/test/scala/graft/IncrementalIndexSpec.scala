@@ -228,6 +228,39 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(Dedup.vacuumIndexes(spark, grown, graceMs = 0).isEmpty)
   }
 
+  test("vacuum never deletes the live index after an in-place corpus shrink") {
+    val base = java.nio.file.Files.createTempDirectory("graft_shrink").toString
+    val grown = s"$base/grown"
+    val all = Tables.load(spark, TestSpark.sf, "documents")
+    all.filter(col("doc_id") < 100).write.parquet(s"$grown/documents.parquet")
+    val small = rows(Dedup.corpusSigs(spark, grown))
+    // grow, refresh (the grown index records a SUPERSET stamp)...
+    all.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .write.mode("append").parquet(s"$grown/documents.parquet")
+    Dedup.corpusSigs(spark, grown).count()
+    // ...then shrink IN PLACE back to exactly the original files: the
+    // live index for the current corpus is the ORIGINAL small build
+    // again, and the stale grown dir records a strict superset of its
+    // stamp — under the unguarded supersession rule the stale dir
+    // "supersedes" the live index and vacuum tears it immediately
+    val dirP = java.nio.file.Paths.get(s"$grown/documents.parquet")
+    scala.util.Using.resource(java.nio.file.Files.list(dirP)) { st =>
+      st.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          val ids = spark.read.parquet(p.toString).select("doc_id")
+            .collect().map(_.getLong(0))
+          if (ids.exists(_ >= 100)) java.nio.file.Files.delete(p)
+        }
+      }
+    }
+    val gone = Dedup.vacuumIndexes(spark, grown, graceMs = 0)
+    assert(!gone.exists(_.contains("graft_sigs_")),
+      s"vacuum deleted a sigs dir after a shrink (live index torn): $gone")
+    // the live (pre-grow) index still answers identically
+    assert(rows(Dedup.corpusSigs(spark, grown)) == small)
+  }
+
   test("in-place corpus mutation falls back to a cold rebuild") {
     val base = java.nio.file.Files.createTempDirectory("graft_mut").toString
     val dir = s"$base/c"

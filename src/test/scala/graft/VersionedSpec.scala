@@ -143,6 +143,75 @@ class VersionedSpec extends AnyFunSuite {
       Set((1L, "a2")))
   }
 
+  test("vacuum grace keys on supersession time, not the victim's mtime") {
+    import spark.implicits._
+    val dir = tmp("sup")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), dir)
+    Versioned.commit(Seq((1L, "a2")).toDF("k", "v"), dir)
+    // age v1's data dir 8 days: under the old mtime-keyed rule it is
+    // instantly deletable even though it was superseded SECONDS ago
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val v1dir = f.listStatus(dataRoot).map(_.getPath)
+      .find(_.getName.startsWith("v00001")).get
+    val old = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+    f.setTimes(v1dir, old, old)
+    // a reader resolved v1 moments before the vacuum
+    val reader = Versioned.read(spark, dir, Some(1))
+    assert(Versioned.vacuum(spark, dir, keepVersions = 1,
+      graceMs = 3600 * 1000L).isEmpty,
+      "an 8-day-old dir superseded seconds ago must survive the grace")
+    // the reader completes against the retained files
+    assert(reader.as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // once the supersession itself has aged past the grace, it goes
+    val tomb = new org.apache.hadoop.fs.Path(
+      s"$dir/_commits/_tombstones/${v1dir.getName}")
+    assert(f.exists(tomb), "first vacuum should start the supersession clock")
+    f.setTimes(tomb, old, old)
+    val gone = Versioned.vacuum(spark, dir, keepVersions = 1,
+      graceMs = 3600 * 1000L)
+    assert(gone.size == 1 && gone.head.contains(v1dir.getName))
+    assert(!f.exists(v1dir) && !f.exists(tomb))
+  }
+
+  test("an epoch-less commit by the same appId does not mask the high-water") {
+    import spark.implicits._
+    val dir = tmp("mask")
+    Versioned.commit(Seq((1L, "a")).toDF("k", "v"), dir,
+      epochId = Some(5L), appId = Some("app"))
+    // a batch job reusing the stream's identity commits WITHOUT an epoch:
+    // the newest manifest for "app" now has no epochId, but the true
+    // high-water (5) sits one manifest down and must still fence
+    Versioned.commit(Seq((2L, "b")).toDF("k", "v"), dir,
+      epochId = None, appId = Some("app"))
+    assert(Versioned.latestEpochFor(spark, dir, "app").contains(5L),
+      "epoch-less commit by the same identity disarmed the replay fence")
+  }
+
+  test("a wiped-and-recreated table drops the stale in-process epoch cache") {
+    import spark.implicits._
+    val dir = tmp("wipe")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    val app = Some("cdc:/ckpt/wipe")
+    Cdc.applyBatch(batch((1L, "U", "a", 1L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(3L), appId = app)
+    assert(Versioned.versions(spark, dir) == Seq(1))
+    // wipe the table dir and recreate at the same path (tests, notebooks,
+    // long-lived drivers): the restarted stream's first epochs are NOT
+    // replays — a stale cached high-water would silently skip them
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Cdc.applyBatch(batch((7L, "U", "fresh", 1L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(0L), appId = app)
+    assert(Versioned.versions(spark, dir) == Seq(1),
+      "first epoch of the recreated table was skipped as a replay")
+    assert(Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toSet == Set((7L, "fresh")))
+  }
+
   test("uncommitted data is invisible until the manifest publishes") {
     import spark.implicits._
     val dir = tmp("inv")
