@@ -47,9 +47,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Versioned {
 
+  /** `bucketCol`/`nBuckets` record a stable hash-bucket layout: every data
+    * directory of a bucketed version holds exactly the rows with
+    * `pmod(xxhash64(bucketCol), nBuckets)` equal to the bucket id encoded
+    * in its name (`.../__bucket=N`). The layout is what makes REPLACE
+    * commits possible — a writer that changes only some keys rewrites only
+    * those keys' bucket directories and re-references the rest (see
+    * [[commitDirs]]), the Delta/Iceberg file-level MERGE granularity.
+    */
   final case class Manifest(version: Int, dataDirs: Seq[String], nRows: Long,
                             epochId: Option[Long] = None,
-                            appId: Option[String] = None)
+                            appId: Option[String] = None,
+                            bucketCol: Option[String] = None,
+                            nBuckets: Option[Int] = None)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -85,7 +95,20 @@ object Versioned {
       node.get("dataDirs").elements().asScala.map(_.asText()).toSeq,
       node.get("nRows").asLong(),
       Option(node.get("epochId")).filter(!_.isNull).map(_.asLong()),
-      Option(node.get("appId")).filter(!_.isNull).map(_.asText()))
+      Option(node.get("appId")).filter(!_.isNull).map(_.asText()),
+      Option(node.get("bucketCol")).filter(!_.isNull).map(_.asText()),
+      Option(node.get("nBuckets")).filter(!_.isNull).map(_.asInt()))
+  }
+
+  /** The committed manifest of version `v` (latest when omitted) — public
+    * so table-maintenance code (the CDC sink's incremental apply) can
+    * inspect the data-directory list and bucket layout it must preserve.
+    */
+  def manifest(spark: SparkSession, dir: String,
+               asOf: Option[Int] = None): Manifest = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions at $dir")
+    readManifest(spark, dir, asOf.getOrElse(vs.last))
   }
 
   /** (appId, epochId) recorded by the latest committed version (None for
@@ -158,23 +181,109 @@ object Versioned {
       val nRows = parent.map(_.nRows).getOrElse(0L) + (
         if (append) nNew else 0L)
       val m = Manifest(v, dirs, if (append) nRows else nNew, epochId, appId)
-      val tmp = new Path(f"$dir/_commits/.v$v%05d-$token.json.tmp")
-      val payload = new java.util.LinkedHashMap[String, Object]()
-      payload.put("version", Int.box(m.version))
-      payload.put("dataDirs", java.util.List.of(m.dataDirs: _*))
-      payload.put("nRows", Long.box(m.nRows))
-      m.epochId.foreach(e => payload.put("epochId", Long.box(e)))
-      m.appId.foreach(a => payload.put("appId", a))
-      val out = f.create(tmp, true)
-      try out.write(json.writeValueAsBytes(payload))
-      finally out.close()
       // atomic publish: put-if-absent fails if the version already
       // exists — a concurrent writer won; retry as v+1 with the SAME
       // data dir
-      if (publishManifest(spark, f, tmp, manifestPath(dir, v))) committed = v
+      if (writeAndPublish(spark, f, dir, m, token)) committed = v
       else v += 1
     }
     committed
+  }
+
+  private def writeAndPublish(spark: SparkSession,
+                              f: org.apache.hadoop.fs.FileSystem,
+                              dir: String, m: Manifest,
+                              token: String): Boolean = {
+    val tmp = new Path(f"$dir/_commits/.v${m.version}%05d-$token.json.tmp")
+    val payload = new java.util.LinkedHashMap[String, Object]()
+    payload.put("version", Int.box(m.version))
+    payload.put("dataDirs", java.util.List.of(m.dataDirs: _*))
+    payload.put("nRows", Long.box(m.nRows))
+    m.epochId.foreach(e => payload.put("epochId", Long.box(e)))
+    m.appId.foreach(a => payload.put("appId", a))
+    m.bucketCol.foreach(c => payload.put("bucketCol", c))
+    m.nBuckets.foreach(n => payload.put("nBuckets", Int.box(n)))
+    val out = f.create(tmp, true)
+    try out.write(json.writeValueAsBytes(payload))
+    finally out.close()
+    publishManifest(spark, f, tmp, manifestPath(dir, m.version))
+  }
+
+  /** Commit ALREADY-WRITTEN data directories as the next version,
+    * replacing `replacedDirs` of the parent version's directory list and
+    * carrying every other parent directory BY REFERENCE — the primitive
+    * behind incremental (file-level) CDC apply: a batch that touches 3 of
+    * 64 buckets writes 3 new directories and the other 61 are inherited
+    * without any IO proportional to table size. `newRows`/`replacedRows`
+    * keep the manifest's row count exact without a table scan (callers
+    * use parquet footer counts).
+    *
+    * Optimistic concurrency, the Delta conflict rule: on a lost publish
+    * race the commit retries against the new parent ONLY if that parent
+    * still references every `replacedDirs` entry and the bucket layout is
+    * unchanged — the concurrent commit touched disjoint data, so merging
+    * the directory lists is safe. Otherwise a
+    * `ConcurrentModificationException` surfaces: the merge was computed
+    * against a table state that no longer exists, and blindly publishing
+    * it would silently erase the other writer's changes (write skew).
+    */
+  def commitDirs(spark: SparkSession, dir: String,
+                 newDirs: Seq[String], newRows: Long,
+                 replacedDirs: Set[String], replacedRows: Long,
+                 epochId: Option[Long] = None, appId: Option[String] = None,
+                 bucketCol: Option[String] = None,
+                 nBuckets: Option[Int] = None): Int = {
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(s"$dir/_commits"))
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    var v = versions(spark, dir).lastOption.getOrElse(0) + 1
+    var committed = -1
+    while (committed < 0) {
+      val parent = if (v == 1) None else Some(readManifest(spark, dir, v - 1))
+      val parentDirs = parent.map(_.dataDirs).getOrElse(Seq.empty)
+      if (!replacedDirs.subsetOf(parentDirs.toSet))
+        throw new java.util.ConcurrentModificationException(
+          s"replace commit at $dir conflicts with a concurrent commit: " +
+            s"parent v${v - 1} no longer references " +
+            replacedDirs.filterNot(parentDirs.toSet).mkString(", ") +
+            " — recompute the merge against the current version and retry")
+      val dirs = parentDirs.filterNot(replacedDirs) ++ newDirs
+      val nRows = parent.map(_.nRows).getOrElse(0L) - replacedRows + newRows
+      val m = Manifest(v, dirs, nRows, epochId, appId, bucketCol, nBuckets)
+      if (writeAndPublish(spark, f, dir, m, token)) committed = v
+      else v += 1
+    }
+    committed
+  }
+
+  /** Write `df` hash-bucketed by `key` into `nBuckets` subdirectories of
+    * `dataDir` (`__bucket=N` each holding exactly its bucket's rows; the
+    * bucket value lives in the directory name, not the files) and return
+    * the created subdirectory paths. One shuffle by bucket id keeps the
+    * file count at one per non-empty bucket.
+    */
+  def writeBucketed(df: DataFrame, dataDir: String, key: String,
+                    nBuckets: Int): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val b = pmod(xxhash64(col(key)), lit(nBuckets.toLong))
+    df.withColumn("__bucket", b)
+      .repartition(nBuckets, col("__bucket"))
+      .write.partitionBy("__bucket")
+      .mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    val f = fs(spark, dataDir)
+    f.listStatus(new Path(dataDir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Bucket id encoded in a bucketed data directory's name, None for a
+    * plain (unbucketed) directory.
+    */
+  def bucketOf(dataDir: String): Option[Long] = {
+    val name = new Path(dataDir).getName
+    if (name.startsWith("__bucket=")) name.stripPrefix("__bucket=").toLongOption
+    else None
   }
 
   /** Schemes whose `rename` is atomic and refuses an existing target —
@@ -253,6 +362,17 @@ object Versioned {
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
     val m = readManifest(spark, dir, v)
+    if (m.dataDirs.isEmpty) {
+      // a table fully emptied by deletes commits a version with NO data
+      // directories; its schema is the nearest schema-bearing ancestor's
+      val anc = vs.filter(_ < v).reverseIterator
+        .map(readManifest(spark, dir, _)).find(_.dataDirs.nonEmpty)
+        .getOrElse(throw new IllegalStateException(
+          s"version $v of $dir is empty and no retained ancestor carries " +
+            "a schema — cannot construct an empty DataFrame"))
+      return spark.read.option("mergeSchema", "true")
+        .parquet(anc.dataDirs: _*).limit(0)
+    }
     // mergeSchema only matters (and only costs footer reads) with >1 dir
     if (m.dataDirs.length > 1)
       spark.read.option("mergeSchema", "true").parquet(m.dataDirs: _*)
@@ -288,7 +408,22 @@ object Versioned {
       if (f.exists(p)) f.getContentSummary(p).getLength else 0L
     }.sum
     val parts = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
-    commit(read(spark, dir).repartition(parts), dir)
+    (m.bucketCol, m.nBuckets) match {
+      case (Some(bc), Some(n)) =>
+        // a bucketed table compacts INTO its bucket layout (one fresh dir
+        // per bucket) so subsequent replace commits keep their file-level
+        // granularity — folding to a single plain dir would force the next
+        // CDC batch through a full re-bucketing migration
+        val v = versions(spark, dir).last + 1
+        val token = java.util.UUID.randomUUID.toString.take(8)
+        val dataDir = f"$dir/data/v$v%05d-$token"
+        val newDirs = writeBucketed(read(spark, dir), dataDir, bc, n)
+        val newRows = newDirs.map(graft.Tables.footerRowCount(spark, _)).sum
+        commitDirs(spark, dir, newDirs, newRows,
+          m.dataDirs.toSet, m.nRows, bucketCol = Some(bc), nBuckets = Some(n))
+      case _ =>
+        commit(read(spark, dir).repartition(parts), dir)
+    }
   }
 
   /** Drop data directories referenced by NO retained manifest and delete

@@ -31,16 +31,24 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Per batch:
   *   1. compact the batch to its LATEST change per key (row_number over
   *      seqCol descending — CDC feeds carry multiple ops per key);
-  *   2. merge into the current table version (one full-outer key join,
-  *      [[Lakehouse.mergeUpsert]]);
-  *   3. commit the result as the next version (readers time-travel to any
-  *      pre-batch state).
+  *   2. find the hash buckets the batch's keys land in, and merge the
+  *      batch into ONLY those buckets' data ([[Lakehouse.mergeUpsert]]
+  *      over the touched directories);
+  *   3. commit a version whose manifest replaces the touched bucket
+  *      directories and carries every untouched directory BY REFERENCE
+  *      ([[Versioned.commitDirs]] — readers time-travel to any pre-batch
+  *      state, and the untouched files are never opened, let alone
+  *      rewritten).
   *
-  * Scale: steps 1-2 are one shuffle each on the key; the table rewrite is
-  * snapshot-per-batch (simple, bounded by table size) — the production
-  * refinement is partition- or file-level rewrite of only the touched
-  * keys, which the Versioned manifest layout already permits (append
-  * commits referencing unchanged directories).
+  * Scale: per-batch IO is proportional to batch size + touched-bucket
+  * size, never table size — the Delta/Iceberg MERGE granularity. A table
+  * committed by other means (plain snapshot commits) migrates to the
+  * bucketed layout on its FIRST CDC batch (one full rewrite, one-time);
+  * `nBuckets` sizes the rewrite unit and is fixed at migration — size it
+  * so a bucket ≈ the target file size at expected table volume (the
+  * local default 64 is test-scale; a 100 TB table wants ~100k buckets of
+  * ~1 GB, still O(1) manifest work per commit since only TOUCHED buckets
+  * appear in the diff).
   */
 object Cdc {
 
@@ -55,17 +63,24 @@ object Cdc {
     */
   def applyChanges(changes: DataFrame, tableDir: String, checkpointDir: String,
                    key: String, valueCols: Seq[String], seqCol: String,
-                   appId: Option[String] = None): StreamingQuery = {
+                   appId: Option[String] = None,
+                   nBuckets: Int = DefaultBuckets): StreamingQuery = {
     val app = appId.getOrElse(s"cdc:$checkpointDir")
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, tableDir, key, valueCols, seqCol,
-          Some(batchId), Some(app))
+          Some(batchId), Some(app), nBuckets)
         ()
       }
       .start()
   }
+
+  /** Test-scale default; a production table sizes buckets to ≈ the target
+    * file size (see the class doc). Only consulted when the table is
+    * first bucketed — afterwards the layout in the manifest wins.
+    */
+  val DefaultBuckets = 64
 
   /** One micro-batch of the CDC merge (factored out so batch jobs and
     * tests drive the identical code path). With an epoch: a batch whose
@@ -96,7 +111,8 @@ object Cdc {
   def applyBatch(batch: DataFrame, tableDir: String, key: String,
                  valueCols: Seq[String], seqCol: String,
                  epochId: Option[Long] = None,
-                 appId: Option[String] = None): Unit = {
+                 appId: Option[String] = None,
+                 nBuckets: Int = DefaultBuckets): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     // one manifest listing per batch (needed below for the empty-base
@@ -133,15 +149,70 @@ object Cdc {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", seqCol)
-    val base =
-      if (tableVersions.isEmpty)
-        // first batch: empty base with the value schema the merges produce
-        compacted.select(col(key) +:
-          valueCols.map(c => col(s"new_$c").as(c)): _*).limit(0)
-      else Versioned.read(spark, tableDir)
-    val merged = Lakehouse.mergeUpsert(base, compacted, key, valueCols)
-      .drop("src")
-    Versioned.commit(merged, tableDir, epochId = epochId, appId = appId)
+
+    // the parent layout decides the apply granularity: a bucketed parent
+    // gets a file-level replace commit; anything else (fresh table, or a
+    // table last written by plain snapshot commits) gets a one-time full
+    // rewrite INTO the bucketed layout
+    val parentM =
+      if (tableVersions.isEmpty) None
+      else Some(Versioned.manifest(spark, tableDir))
+    val layout = parentM.flatMap(m =>
+      for {
+        bc <- m.bucketCol if bc == key
+        n <- m.nBuckets
+        if m.dataDirs.forall(d => Versioned.bucketOf(d).isDefined)
+      } yield (m, n))
+
+    layout match {
+      case Some((m, n)) =>
+        // touched buckets: one tiny distinct over the batch's keys —
+        // bounded by min(|batch keys|, nBuckets) driver-side values, the
+        // same order as Delta's touched-file list
+        val bexpr = pmod(xxhash64(col(key)), lit(n.toLong))
+        val touched = compacted.select(bexpr.as("__b")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val byBucket = m.dataDirs
+          .flatMap(d => Versioned.bucketOf(d).map(_ -> d)).toMap
+        val touchedDirs = touched.toSeq.sorted.flatMap(byBucket.get)
+        val base =
+          if (touchedDirs.nonEmpty)
+            spark.read.option("mergeSchema", "true").parquet(touchedDirs: _*)
+          else Versioned.read(spark, tableDir).limit(0)
+        val merged = Lakehouse.mergeUpsert(base, compacted, key, valueCols)
+          .drop("src")
+        val v = tableVersions.last + 1
+        val token = java.util.UUID.randomUUID.toString.take(8)
+        val dataDir = f"$tableDir/data/v$v%05d-$token"
+        val newDirs = Versioned.writeBucketed(merged, dataDir, key, n)
+        // exact row bookkeeping from parquet FOOTERS — metadata reads,
+        // no second scan of the touched data
+        val newRows = newDirs.map(graft.Tables.footerRowCount(spark, _)).sum
+        val replacedRows =
+          touchedDirs.map(graft.Tables.footerRowCount(spark, _)).sum
+        Versioned.commitDirs(spark, tableDir, newDirs, newRows,
+          touchedDirs.toSet, replacedRows, epochId, appId,
+          bucketCol = Some(key), nBuckets = Some(n))
+      case None =>
+        val base = parentM match {
+          case None =>
+            // first batch: empty base with the value schema merges produce
+            compacted.select(col(key) +:
+              valueCols.map(c => col(s"new_$c").as(c)): _*).limit(0)
+          case Some(_) => Versioned.read(spark, tableDir)
+        }
+        val merged = Lakehouse.mergeUpsert(base, compacted, key, valueCols)
+          .drop("src")
+        val v = tableVersions.lastOption.getOrElse(0) + 1
+        val token = java.util.UUID.randomUUID.toString.take(8)
+        val dataDir = f"$tableDir/data/v$v%05d-$token"
+        val newDirs = Versioned.writeBucketed(merged, dataDir, key, nBuckets)
+        val newRows = newDirs.map(graft.Tables.footerRowCount(spark, _)).sum
+        Versioned.commitDirs(spark, tableDir, newDirs, newRows,
+          parentM.map(_.dataDirs.toSet).getOrElse(Set.empty),
+          parentM.map(_.nRows).getOrElse(0L), epochId, appId,
+          bucketCol = Some(key), nBuckets = Some(nBuckets))
+    }
     for (e <- epochId; a <- appId) bump((tableDir, a), e)
   }
 }

@@ -3,6 +3,7 @@ package graft
 import graft.sources.Versioned
 import graft.streaming.Cdc
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Versioned-table commit log: snapshot/append commits, time travel,
@@ -273,6 +274,113 @@ class VersionedSpec extends AnyFunSuite {
     Cdc.applyBatch(batch((4L, "U", "d", 7L)), dir, "k", Seq("v"), "seq",
       epochId = Some(2L), appId = app)
     assert(Versioned.versions(spark, dir) == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("incremental CDC apply rewrites only touched buckets; untouched dirs carry by reference") {
+    import spark.implicits._
+    val dir = tmp("cdcincr")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def fileStamps(dataDir: String): Map[String, (Long, Long)] =
+      f.listStatus(new org.apache.hadoop.fs.Path(dataDir)).toSeq
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(st => st.getPath.toString -> (st.getLen, st.getModificationTime))
+        .toMap
+    // batch 1 populates many buckets (8-bucket layout, 64 spread keys)
+    Cdc.applyBatch(batch((0L until 64L).map(k =>
+      (k, "U", s"v$k", 1L)): _*), dir, "k", Seq("v"), "seq",
+      epochId = Some(0L), appId = Some("a"), nBuckets = 8)
+    val m1 = Versioned.manifest(spark, dir)
+    assert(m1.bucketCol.contains("k") && m1.nBuckets.contains(8))
+    assert(m1.dataDirs.nonEmpty &&
+      m1.dataDirs.forall(Versioned.bucketOf(_).isDefined))
+    assert(m1.nRows == 64)
+    val stampsBefore = m1.dataDirs.map(d => d -> fileStamps(d)).toMap
+    // batch 2 touches exactly ONE key — one bucket
+    Cdc.applyBatch(batch((5L, "U", "v5b", 2L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(1L), appId = Some("a"), nBuckets = 8)
+    val m2 = Versioned.manifest(spark, dir)
+    val touchedBucket = { // same hash rule the sink uses
+      val b = spark.range(1).select(
+        pmod(xxhash64(lit(5L)), lit(8L))).first().getLong(0)
+      b
+    }
+    val untouched1 = m1.dataDirs.filter(d =>
+      !Versioned.bucketOf(d).contains(touchedBucket))
+    // every untouched dir of v1 is referenced VERBATIM by v2...
+    assert(untouched1.forall(m2.dataDirs.contains),
+      s"untouched dirs were not carried by reference:\n" +
+        s"v1=${m1.dataDirs}\nv2=${m2.dataDirs}")
+    // ...and its files were never rewritten (same paths, lengths, mtimes)
+    untouched1.foreach { d =>
+      assert(fileStamps(d) == stampsBefore(d), s"files under $d changed")
+    }
+    // the touched bucket's dir is NEW (the old one replaced, not edited)
+    val oldTouched = m1.dataDirs.find(d =>
+      Versioned.bucketOf(d).contains(touchedBucket)).get
+    assert(!m2.dataDirs.contains(oldTouched))
+    assert(m2.nRows == 64)
+    // contents are exactly the full merge
+    val got = Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 64 && got(5L) == "v5b" && got(6L) == "v6")
+    // time travel: v1 still shows the pre-batch value
+    assert(Versioned.read(spark, dir, Some(1)).select("k", "v")
+      .as[(Long, String)].filter(_._1 == 5L).collect().head._2 == "v5")
+    // deletes empty their bucket: dir replaced by nothing, rows drop
+    Cdc.applyBatch(batch((5L, "D", "", 3L), (6L, "D", "", 3L)), dir,
+      "k", Seq("v"), "seq", epochId = Some(2L), appId = Some("a"),
+      nBuckets = 8)
+    val after = Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(after.size == 62 && !after.contains(5L) && !after.contains(6L))
+    assert(Versioned.manifest(spark, dir).nRows == 62)
+  }
+
+  test("a snapshot-committed table migrates to buckets on its first CDC batch") {
+    import spark.implicits._
+    val dir = tmp("cdcmig")
+    // table born from plain snapshot commits (no bucket layout)
+    Versioned.commit((0L until 20L).map(k => (k, s"v$k")).toDF("k", "v"), dir)
+    assert(Versioned.manifest(spark, dir).bucketCol.isEmpty)
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    Cdc.applyBatch(batch((3L, "U", "v3b", 1L)), dir, "k", Seq("v"), "seq",
+      nBuckets = 4)
+    val m = Versioned.manifest(spark, dir)
+    assert(m.bucketCol.contains("k") && m.nBuckets.contains(4),
+      "first CDC batch must migrate the table to the bucketed layout")
+    assert(m.dataDirs.forall(Versioned.bucketOf(_).isDefined))
+    assert(Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toMap == ((0L until 20L).map(k =>
+      k -> (if (k == 3L) "v3b" else s"v$k")).toMap))
+    // the NEXT batch is incremental: untouched bucket dirs carry over
+    val before = m.dataDirs.toSet
+    Cdc.applyBatch(batch((3L, "U", "v3c", 2L)), dir, "k", Seq("v"), "seq",
+      nBuckets = 4)
+    val m2 = Versioned.manifest(spark, dir)
+    assert((before & m2.dataDirs.toSet).nonEmpty,
+      "second batch should have carried untouched dirs by reference")
+  }
+
+  test("commitDirs detects conflicting concurrent commits instead of losing them") {
+    import spark.implicits._
+    val dir = tmp("confl")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    Cdc.applyBatch(batch((1L, "U", "a", 1L), (2L, "U", "b", 1L)), dir,
+      "k", Seq("v"), "seq", nBuckets = 2)
+    val m = Versioned.manifest(spark, dir)
+    // writer A computed a merge against v1, but before it commits, writer
+    // B compacts the table (replacing every v1 dir). A's replace commit
+    // must FAIL loudly — publishing it would silently erase B's commit
+    Versioned.compactCommit(spark, dir)
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.commitDirs(spark, dir, Seq.empty, 0L,
+        m.dataDirs.toSet, m.nRows)
+    }
   }
 
   test("streaming CDC apply commits one merged version per micro-batch") {
