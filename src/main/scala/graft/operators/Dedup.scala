@@ -504,6 +504,16 @@ object Dedup {
           if (incr == null) None
           else predecessorIndex(fs, idxRoot, tag, corpus, table, params,
             entries.map(_._2).toSet)
+        // build into a dot-named temp dir (invisible to every listing:
+        // predecessor detection, vacuum, and Spark's file index all skip
+        // dot/underscore names), then PUBLISH with an atomic per-scheme
+        // move — two DRIVERS sharing an index root (the intended cluster
+        // deployment) can race the same content key, and the pre-r8
+        // direct flush let the second build overwrite in place under a
+        // reader that had already seen _SUCCESS. Loser reads the winner:
+        // same key ⇒ same corpus+params ⇒ equivalent table.
+        val token = java.util.UUID.randomUUID.toString.take(8)
+        val tmp = s"$idxRoot/.build_${tag}_${key}_$token"
         Tables.indexWrite(idxRoot) {
           pred match {
             case Some((predRoot, predEntries)) =>
@@ -511,14 +521,64 @@ object Dedup {
                 case (p, e) if !predEntries.contains(e) => p }
               graft.sources.Export.flush(
                 incr(s.read.parquet(predRoot),
-                  Tables.spread(s.read.parquet(newPaths: _*))), root)
-            case None => graft.sources.Export.flush(build, root)
+                  Tables.spread(s.read.parquet(newPaths: _*))), tmp)
+            case None => graft.sources.Export.flush(build, tmp)
           }
-          writeStampFile(fs, root, corpus, table, params, entries.map(_._2))
+          writeStampFile(fs, tmp, corpus, table, params, entries.map(_._2))
+          publishIndexDir(fs, new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(root)): Unit
         }
       }
       s.read.parquet(root)
     }
+
+  /** Atomically publish a fully-built index directory at its final
+    * content-keyed path. Returns true when this builder WON (root is now
+    * its data); false when a concurrent builder published first — the
+    * loser's temp dir is cleaned up and the caller reads the winner's
+    * (equivalent, same content key) table. Per scheme:
+    *
+    *  - `file://`: NIO ATOMIC_MOVE — a true rename(2), which fails on an
+    *    existing non-empty destination instead of merging into it;
+    *  - HDFS-family: `rename` is atomic but renames INTO an existing
+    *    destination directory — detected afterwards by the nested
+    *    dot-named dir (invisible to readers while nested) and undone;
+    *  - object stores: rename is copy+delete, so the publish cannot be
+    *    made atomic from this side alone; the exists-then-rename below
+    *    narrows the window but two racing builders on s3a can still
+    *    interleave — co-locate shared index roots on an atomic-rename
+    *    filesystem (the same guidance Versioned commits enforce).
+    */
+  private[graft] def publishIndexDir(fs: org.apache.hadoop.fs.FileSystem,
+                                         tmp: org.apache.hadoop.fs.Path,
+                                         root: org.apache.hadoop.fs.Path)
+      : Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    val won =
+      if (scheme == "file") {
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri),
+            java.nio.file.Paths.get(fs.makeQualified(root).toUri),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.nio.file.DirectoryNotEmptyException => false
+          case _: java.nio.file.FileSystemException if fs.exists(root) =>
+            false
+        }
+      } else {
+        if (fs.exists(root)) false
+        else if (!fs.rename(tmp, root)) false
+        else {
+          val nested = new org.apache.hadoop.fs.Path(root, tmp.getName)
+          if (fs.exists(nested)) { fs.delete(nested, true); false } else true
+        }
+      }
+    if (!won) fs.delete(tmp, true)
+    won
+  }
 
   /** Most complete already-published index of the same (corpus, table,
     * params) family whose recorded corpus files are a strict subset of the
@@ -791,6 +851,12 @@ object Dedup {
     val pred = predecessorIndex(fs, Tables.indexRoot(s, dir), "minhash",
       corpus, "documents", params, entries.map(_._2).toSet,
       marker = "bands/_SUCCESS")
+    // same two-phase publish as cachedCorpusTable: all three subtables
+    // and the stamp land in a dot-named temp root, then one atomic move
+    // makes the whole index visible — a second driver racing this build
+    // loses the move and probes the winner's (same-keyed) index
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = s"${Tables.indexRoot(s, dir)}/.build_minhash_${token}"
     Tables.indexWrite(root) {
       pred match {
         case Some((predRoot, predEntries)) =>
@@ -806,12 +872,12 @@ object Dedup {
           val sigs = minhashSignatures(fresh.drop("__h")).localCheckpoint()
           graft.sources.Export.flush(
             s.read.parquet(s"$predRoot/sigs").unionByName(sigs),
-            s"$root/sigs")
+            s"$tmp/sigs")
           graft.sources.Export.flush(
             oldReps.unionByName(
               fresh.select(col("__h").as("h"), col("doc_id"))
                 .groupBy("h").agg(min(col("doc_id")).as("doc_id"))),
-            s"$root/reps")
+            s"$tmp/reps")
           val oldBands = s.read.parquet(s"$predRoot/bands")
           val occupancy = oldBands.groupBy(col("band"), col("bkey"))
             .agg(count(lit(1)).as("n0"))
@@ -824,14 +890,14 @@ object Dedup {
             .filter(col("n0") + col("rn") <= BucketCap)
             .select("doc_id", "band", "bkey")
           graft.sources.Export.flush(oldBands.unionByName(admitted),
-            s"$root/bands")
+            s"$tmp/bands")
         case None =>
           val old = Tables.load(s, dir, "documents")
             .filter(pmod(col("doc_id"), lit(mod)) =!= 0)
           // the sig computation feeds both writes; localCheckpoint
           // materializes the shingle explode + 8-way min aggregate once
           val sigs = minhashSignatures(old).localCheckpoint()
-          graft.sources.Export.flush(sigs, s"$root/sigs")
+          graft.sources.Export.flush(sigs, s"$tmp/sigs")
           // normalized-content keepers: the sidecar streaming maintenance
           // needs to drop cross-batch byte-copies exactly like this
           // build's corpus-wide exact-dedup pre-pass (bands written
@@ -840,10 +906,12 @@ object Dedup {
             old.select(md5s(TextAnalysis.normText(col("text"))).as("h"),
                 col("doc_id"))
               .groupBy("h").agg(min(col("doc_id")).as("doc_id")),
-            s"$root/reps")
-          graft.sources.Export.flush(cappedBandKeys(sigs), s"$root/bands")
+            s"$tmp/reps")
+          graft.sources.Export.flush(cappedBandKeys(sigs), s"$tmp/bands")
       }
-      writeStampFile(fs, root, corpus, "documents", params, entries.map(_._2))
+      writeStampFile(fs, tmp, corpus, "documents", params, entries.map(_._2))
+      publishIndexDir(fs, new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(root)): Unit
     }
     root
   }

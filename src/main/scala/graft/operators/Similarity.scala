@@ -188,6 +188,10 @@ object Similarity {
     val pred = Dedup.predecessorIndex(fs, Tables.indexRoot(s, dir), "ivf",
       corpus, "embeddings", params, entries.map(_._2).toSet,
       marker = "lists/_SUCCESS")
+    // two-phase publish (Dedup.publishIndexDir): concurrent drivers
+    // sharing the index root race the atomic move, never the directory
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = s"${Tables.indexRoot(s, dir)}/.build_ivf_$token"
     Tables.indexWrite(root) {
       pred match {
         case Some((predRoot, predEntries)) =>
@@ -196,18 +200,20 @@ object Similarity {
           val cents = s.read.parquet(s"$predRoot/centroids")
           val newLists = assign(
             unitize(Tables.spread(s.read.parquet(newPaths: _*))), cents)
-          graft.sources.Export.flush(cents, s"$root/centroids")
+          graft.sources.Export.flush(cents, s"$tmp/centroids")
           graft.sources.Export.flush(
             s.read.parquet(s"$predRoot/lists").unionByName(newLists),
-            s"$root/lists")
+            s"$tmp/lists")
         case None =>
           val unitized = unitize(emb(s, dir))
           val cents = kmeansCentroids(unitized, k, iters)
-          graft.sources.Export.flush(cents, s"$root/centroids")
-          graft.sources.Export.flush(assign(unitized, cents), s"$root/lists")
+          graft.sources.Export.flush(cents, s"$tmp/centroids")
+          graft.sources.Export.flush(assign(unitized, cents), s"$tmp/lists")
       }
-      Dedup.writeStampFile(fs, root, corpus, "embeddings", params,
+      Dedup.writeStampFile(fs, tmp, corpus, "embeddings", params,
         entries.map(_._2))
+      Dedup.publishIndexDir(fs, new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(root)): Unit
     }
     root
   }
@@ -336,27 +342,31 @@ object Similarity {
     val pred = Dedup.predecessorIndex(fs, Tables.indexRoot(s, dir), "pq",
       corpus, "embeddings", params, entries.map(_._2).toSet,
       marker = "codes/_SUCCESS")
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = s"${Tables.indexRoot(s, dir)}/.build_pq_$token"
     Tables.indexWrite(root) {
       pred match {
         case Some((predRoot, predEntries)) =>
           val newPaths = entries.collect {
             case (p, e) if !predEntries.contains(e) => p }
           val cb = s.read.parquet(s"$predRoot/codebook")
-          graft.sources.Export.flush(cb, s"$root/codebook")
+          graft.sources.Export.flush(cb, s"$tmp/codebook")
           graft.sources.Export.flush(
             s.read.parquet(s"$predRoot/codes").unionByName(
               encode(subvecsOf(Tables.spread(s.read.parquet(newPaths: _*))),
                 cb)),
-            s"$root/codes")
+            s"$tmp/codes")
         case None =>
           val subvecs = subvecsOf(emb(s, dir))
           val cb = pqCodebooks(subvecs, PqM, PqK, PqIters).persist()
-          graft.sources.Export.flush(cb, s"$root/codebook")
-          graft.sources.Export.flush(encode(subvecs, cb), s"$root/codes")
+          graft.sources.Export.flush(cb, s"$tmp/codebook")
+          graft.sources.Export.flush(encode(subvecs, cb), s"$tmp/codes")
           cb.unpersist(blocking = false)
       }
-      Dedup.writeStampFile(fs, root, corpus, "embeddings", params,
+      Dedup.writeStampFile(fs, tmp, corpus, "embeddings", params,
         entries.map(_._2))
+      Dedup.publishIndexDir(fs, new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(root)): Unit
     }
     root
   }

@@ -228,6 +228,36 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(Dedup.vacuumIndexes(spark, grown, graceMs = 0).isEmpty)
   }
 
+  test("index publish is atomic across builders: one winner, loser reads the winner") {
+    import spark.implicits._
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_pub").toString
+    val fs = new org.apache.hadoop.fs.Path(idxRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // two drivers race the same content key: each builds its own temp dir
+    // (the winner's rows carry marker 1, the loser's marker 2 — same key
+    // would mean same data in production; distinct data here PROVES which
+    // build survived)
+    val tmpA = s"$idxRoot/.build_race_k_aaaa"
+    val tmpB = s"$idxRoot/.build_race_k_bbbb"
+    Seq((1L, 1L)).toDF("doc_id", "m").write.parquet(tmpA)
+    Seq((1L, 2L)).toDF("doc_id", "m").write.parquet(tmpB)
+    val root = new org.apache.hadoop.fs.Path(s"$idxRoot/graft_race_k")
+    val wonA = Dedup.publishIndexDir(fs,
+      new org.apache.hadoop.fs.Path(tmpA), root)
+    // a reader that resolved the winner's table mid-scan
+    val reader = spark.read.parquet(root.toString)
+    val wonB = Dedup.publishIndexDir(fs,
+      new org.apache.hadoop.fs.Path(tmpB), root)
+    assert(wonA && !wonB, s"wonA=$wonA wonB=$wonB")
+    // the loser's attempt neither replaced nor tore the winner's data...
+    assert(reader.select("m").as[Long].collect().toSeq == Seq(1L))
+    assert(spark.read.parquet(root.toString).select("m")
+      .as[Long].collect().toSeq == Seq(1L))
+    // ...and its temp dir is cleaned up (nothing for vacuum to trip on)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmpB)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmpA)))
+  }
+
   test("vacuum never deletes the live index after an in-place corpus shrink") {
     val base = java.nio.file.Files.createTempDirectory("graft_shrink").toString
     val grown = s"$base/grown"
