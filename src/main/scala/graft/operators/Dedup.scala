@@ -424,9 +424,54 @@ object Dedup {
     * ingestion pipeline maintains the labels incrementally rather than
     * re-running the iterative CC per analysis. Stamp-keyed like every
     * cached corpus table, so a regenerated corpus rebuilds.
+    *
+    * INCREMENTAL refresh on ascending append (doc_ids of new files all
+    * above the standing corpus — the ingestion shape, checked with two
+    * tiny aggregates, cold fallback otherwise): the per-bucket cap is
+    * doc_id-ordered, so an ascending append never evicts an old bucket
+    * member and the grown pair set is EXACTLY oldPairs ∪ (pairs touching
+    * a new doc). Star-contraction therefore re-runs seeded with the
+    * PREDECESSOR's labels (each old component contributes its star — one
+    * edge per member, connectivity-equivalent to all its old pairs) plus
+    * only the new-doc pairs: a new doc bridging two standing clusters
+    * MERGES them to the global min rep, proven refresh ≡ cold in
+    * IncrementalIndexSpec. Old pairs are never re-derived and old text is
+    * never re-read (the sig index refreshes from its own predecessor);
+    * the one linear-in-corpus step left is the capped band-key window
+    * over the sig INDEX — 8 fixed-width rows per doc, no text, no joins.
     */
   def corpusClusterLabels(s: SparkSession, dir: String): DataFrame =
-    cachedCorpusTable(s, dir, "cclabels", s"$NumSeeds|$BucketCap|cc")(
+    cachedCorpusTable(s, dir, "cclabels", s"$NumSeeds|$BucketCap|cc",
+      incr = (oldLabels, newDocs) => {
+        val sigs = corpusSigs(s, dir)
+        val newIds = newDocs.select("doc_id").distinct()
+        val minNew = sigs.join(newIds, Seq("doc_id"), "left_semi")
+          .agg(min(col("doc_id"))).first()
+        val maxOld = sigs.join(newIds, Seq("doc_id"), "left_anti")
+          .agg(max(col("doc_id"))).first()
+        val ascending = minNew.isNullAt(0) || maxOld.isNullAt(0) ||
+          minNew.getLong(0) > maxOld.getLong(0)
+        if (!ascending)
+          // a non-ascending append can evict standing bucket members
+          // (the cap is doc_id-ordered), removing old pairs — labels are
+          // not incrementally maintainable there; rebuild from the
+          // (already-refreshed) sig index
+          connectedComponents(bandPairs(sigs))
+        else {
+          val capped = cappedBandKeys(sigs)
+          val newKeys = capped.join(newIds, Seq("doc_id"), "left_semi")
+          val newPairs = newKeys.alias("a").join(capped.alias("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bkey") === col("b.bkey") &&
+                col("a.doc_id") =!= col("b.doc_id"))
+            .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+            .distinct()
+          val seed = oldLabels.select(col("doc_id").as("doc_a"),
+            col("rep").as("doc_b"))
+          connectedComponents(seed.unionByName(newPairs))
+        }
+      })(
       connectedComponents(bandPairs(corpusSigs(s, dir))))
 
   /** Persisted rare-gram-Jaccard-verified near-dup TRUTH pairs over the
@@ -914,6 +959,36 @@ object Dedup {
         new org.apache.hadoop.fs.Path(root)): Unit
     }
     root
+  }
+
+  /** Read a MinHash-index subtable INCLUDING streaming-maintained rows:
+    * the static build writes `root/<sub>` once; the streaming maintainer
+    * (Docs.maintainMinhashIndex) lands each micro-batch under
+    * `root/<sub>_m/batch=<batchId>` with per-batch overwrite, so a
+    * replayed batch rewrites its own partition instead of appending a
+    * duplicate. `excludeBatch` drops one batch's partition (partition-
+    * pruned) — the maintainer's occupancy read excludes its OWN batch so
+    * a replay admits band keys against exactly the pre-batch state.
+    * Returns None when neither side exists yet.
+    */
+  def minhashIndexTable(s: SparkSession, root: String, sub: String,
+                        excludeBatch: Option[Long] = None)
+      : Option[DataFrame] = {
+    val conf = s.sessionState.newHadoopConf()
+    def existing(p: String): Option[String] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (hp.getFileSystem(conf).exists(hp)) Some(p) else None
+    }
+    val base = existing(s"$root/$sub").map(s.read.parquet(_))
+    val maintained = existing(s"$root/${sub}_m").map { p =>
+      val d = s.read.parquet(p)
+      excludeBatch.map(b => d.filter(col("batch") =!= b)).getOrElse(d)
+        .drop("batch")
+    }
+    (base, maintained) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
   }
 
   val SimhashBits = 64
@@ -1408,8 +1483,8 @@ object Dedup {
     })(
       (s, dir) => {
         val root = buildMinhashIndex(s, dir)
-        val oldSigs = s.read.parquet(s"$root/sigs")
-        val oldBands = s.read.parquet(s"$root/bands")
+        val oldSigs = minhashIndexTable(s, root, "sigs").get
+        val oldBands = minhashIndexTable(s, root, "bands").get
         // signatures of the NEW batch only — the index side never recomputes
         val newSigs = minhashSignatures(
           docs(s, dir).filter(pmod(col("doc_id"), lit(IncrMod)) === 0))

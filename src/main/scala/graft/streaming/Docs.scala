@@ -165,9 +165,15 @@ object Docs {
       .collect()(0).getLong(0)
     val nDocs = batch.count()
     if (nb == 0L) {
+      // a token-free batch is the MOST degenerate drift, not a moderate
+      // one: pcTot/2 (~0.5) sat below the ≥0.9 disjoint-flood alarm, so
+      // the worst batch shape slipped every threshold. Emit the metric's
+      // ceiling (1.0 in micros — at least any disjoint distribution's
+      // (1e6+pcTot)/2) so one threshold catches both failure modes.
       val s = batch.sparkSession
       import s.implicits._
-      return Seq((nDocs, 0L, pcTot / 2)).toDF("n_docs", "n_tokens", "tv_micros")
+      return Seq((nDocs, 0L, 1000000L))
+        .toDF("n_docs", "n_tokens", "tv_micros")
     }
     bt.join(pc, Seq("term"), "left")
       .select(
@@ -245,10 +251,14 @@ object Docs {
                             graft.operators.Dedup.IncrEstMicro): DataFrame = {
     val spark = docs.sparkSession
     val numSeeds = 8
-    val oldSigs = spark.read.parquet(s"$indexRoot/sigs").select(
+    def sub(name: String) = graft.operators.Dedup
+      .minhashIndexTable(spark, indexRoot, name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no '$name' table under MinHash index root $indexRoot"))
+    val oldSigs = sub("sigs").select(
       col("doc_id").as("old_id") +:
         (0 until numSeeds).map(i => col(s"h$i").as(s"o$i")): _*)
-    val oldBands = spark.read.parquet(s"$indexRoot/bands")
+    val oldBands = sub("bands")
       .select(col("doc_id").as("old_id"), col("band"), col("bkey"))
     val toks = split(TextAnalysis.normText(col("text")), " ")
     val sigged = docs
@@ -331,12 +341,25 @@ object Docs {
     * at warehouse scale would be a maintained count table instead of a
     * re-aggregate; the admit rule is the same either way. The checkpoint
     * directory is REQUIRED: without one, a restarted query replays the
-    * whole source and every row appends twice (the reps sidecar would
-    * drop the replays' texts, but their cap accounting would already be
-    * spent — offsets must come from the checkpoint, not luck). Within a
-    * tracked stream, a single replayed batch re-admits under the cap —
-    * production would key part files by batchId (idempotent overwrite)
-    * as the streaming sinks in Export do.
+    * whole source from offset 0 under NEW batch ids — offsets must come
+    * from the checkpoint, not luck.
+    *
+    * Replay idempotence is structural: every write lands under
+    * `<sub>_m/batch=<batchId>` with overwrite, so a batch re-delivered
+    * after a crash rewrites its own partition with identical
+    * (deterministic) content instead of appending duplicates, and its
+    * occupancy read EXCLUDES its own partition so cap admission replays
+    * against exactly the pre-batch state. Readers see base + maintained
+    * rows through [[graft.operators.Dedup.minhashIndexTable]].
+    *
+    * Maintenance also deletes the root's `_GRAFT_STAMP` sidecar (when the
+    * root is a stamped static build): its contents now exceed the stamp's
+    * recorded file coverage, and a truthless stamp would let a later
+    * append-refresh inherit streamed rows — or a cold fallback plus
+    * vacuum drop streamed-only entries that exist nowhere else. A
+    * maintained index leaves the stamp economy: it is the database of
+    * record for its streamed documents, never a predecessor and never a
+    * vacuum victim.
     */
   def maintainMinhashIndex(docsStream: DataFrame, root: String,
                            checkpointDir: String,
@@ -347,56 +370,57 @@ object Docs {
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         if (!batch0.isEmpty) {
           val s = batch0.sparkSession
-          val conf0 = s.sessionState.newHadoopConf()
-          val repsPath = new org.apache.hadoop.fs.Path(s"$root/reps")
+          val conf = s.sessionState.newHadoopConf()
           val withH = batch0.withColumn("__h",
             md5(TextAnalysis.normText(col("text")).cast("binary")))
-          val batch =
-            if (repsPath.getFileSystem(conf0).exists(repsPath))
-              withH.join(s.read.parquet(s"$root/reps")
-                  .select(col("h").as("__h")),
-                Seq("__h"), "left_anti")
-            else withH
+          // reps fence INCLUDES this batch's own prior attempt: a crash
+          // after the reps write replays as a fully-empty batch (all its
+          // sigs/bands/reps partitions already landed — nothing rewrites)
+          val batch = Dedup.minhashIndexTable(s, root, "reps") match {
+            case Some(reps) =>
+              withH.join(reps.select(col("h").as("__h")), Seq("__h"),
+                "left_anti")
+            case None => withH
+          }
           if (!batch.isEmpty) {
-          val sigs = Dedup.minhashSignatures(batch.drop("__h"))
-            .localCheckpoint()
-          sigs.write.mode("append").parquet(s"$root/sigs")
-          val newKeys = Dedup.bandKeys(sigs)
-          val conf = s.sessionState.newHadoopConf()
-          val bandsPath = new org.apache.hadoop.fs.Path(s"$root/bands")
-          val admitted =
-            if (bandsPath.getFileSystem(conf).exists(bandsPath)) {
-              val occupancy = s.read.parquet(s"$root/bands")
-                .groupBy(col("band"), col("bkey"))
-                .agg(count(lit(1)).as("n0"))
-              val w = Window.partitionBy(col("band"), col("bkey"))
-                .orderBy(col("doc_id"))
-              newKeys
-                .join(occupancy, Seq("band", "bkey"), "left")
-                .withColumn("n0", coalesce(col("n0"), lit(0L)))
-                .withColumn("rn", row_number().over(w))
-                .filter(col("n0") + col("rn") <= cap)
-                .select("doc_id", "band", "bkey")
-            } else {
-              val w = Window.partitionBy(col("band"), col("bkey"))
-                .orderBy(col("doc_id"))
-              newKeys.withColumn("rn", row_number().over(w))
-                .filter(col("rn") <= cap)
-                .select("doc_id", "band", "bkey")
+            val stamp = new org.apache.hadoop.fs.Path(s"$root/_GRAFT_STAMP")
+            stamp.getFileSystem(conf).delete(stamp, false): Unit
+            val sigs = Dedup.minhashSignatures(batch.drop("__h"))
+              .localCheckpoint()
+            sigs.write.mode("overwrite")
+              .parquet(s"$root/sigs_m/batch=$batchId")
+            val newKeys = Dedup.bandKeys(sigs)
+            val w = Window.partitionBy(col("band"), col("bkey"))
+              .orderBy(col("doc_id"))
+            val admitted = Dedup.minhashIndexTable(s, root, "bands",
+                excludeBatch = Some(batchId)) match {
+              case Some(bands) =>
+                val occupancy = bands.groupBy(col("band"), col("bkey"))
+                  .agg(count(lit(1)).as("n0"))
+                newKeys
+                  .join(occupancy, Seq("band", "bkey"), "left")
+                  .withColumn("n0", coalesce(col("n0"), lit(0L)))
+                  .withColumn("rn", row_number().over(w))
+                  .filter(col("n0") + col("rn") <= cap)
+                  .select("doc_id", "band", "bkey")
+              case None =>
+                newKeys.withColumn("rn", row_number().over(w))
+                  .filter(col("rn") <= cap)
+                  .select("doc_id", "band", "bkey")
             }
-          admitted.write.mode("append").parquet(s"$root/bands")
-          // reps LAST: the sidecar is the replay fence (the anti-join
-          // above drops any batch whose hashes are already in it), so it
-          // must only admit a batch whose sigs/bands writes all landed. If
-          // a crash hits before this point, the replayed batch re-appends
-          // sigs/bands (the documented duplicate-append) instead of being
-          // silently dropped with its index rows missing.
-          batch.select(col("__h").as("h"), col("doc_id"))
-            .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-            .write.mode("append").parquet(s"$root/reps")
+            admitted.write.mode("overwrite")
+              .parquet(s"$root/bands_m/batch=$batchId")
+            // reps LAST: it is the fence, so it must only admit a batch
+            // whose sigs/bands partitions all landed; a crash before this
+            // point replays the batch, which OVERWRITES those partitions
+            // with identical content instead of double-appending
+            batch.select(col("__h").as("h"), col("doc_id"))
+              .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+              .write.mode("overwrite")
+              .parquet(s"$root/reps_m/batch=$batchId")
           }
         }
       }

@@ -228,6 +228,74 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(Dedup.vacuumIndexes(spark, grown, graceMs = 0).isEmpty)
   }
 
+  test("cluster labels refresh by seeding CC with predecessor labels; a bridge doc merges clusters") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ccinc").toString
+    val grown = s"$base/grown"
+    val cold = s"$base/cold"
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // word order chosen (offline md5 search) so the concatenated bridge's
+    // per-seed minima split across the bases: band 0 favors base1, bands
+    // 2-3 favor base2 — the bridge deterministically LSH-matches BOTH
+    // clusters while base1/base2 share no band with each other
+    val base2 = "cyan orange pearl jade amber blue beige green scarlet " +
+      "ebony plum yellow slate coral rust red bronze violet sand onyx"
+    def docRows(rows: Seq[(Long, String)]) =
+      rows.map { case (id, tx) => (id, tx, "en", "s0", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // two standing near-dup clusters, far apart in content
+    val initial = Seq(
+      1L -> base1, 2L -> (base1 + " extraword"),
+      10L -> base2, 11L -> (base2 + " otherword"),
+      15L -> "solo uno dos tres cuatro cinco seis siete ocho nueve diez")
+    docRows(initial).coalesce(1).write.parquet(s"$grown/documents.parquet")
+    val before = rows(Dedup.corpusClusterLabels(spark, grown))
+    assert(before.map(_(1)).toSet == Set(1L, 10L),
+      s"expected two standing clusters (reps 1 and 10), got $before")
+
+    // append a BRIDGE doc near-dup with both clusters (its shingle set
+    // contains each base's shingles, so per-seed minima coincide with one
+    // or the other side's and bands match both) — ascending doc_id
+    val appended = Seq(20L -> (base1 + " " + base2))
+    docRows(appended).coalesce(1)
+      .write.mode("append").parquet(s"$grown/documents.parquet")
+    docRows(initial ++ appended).coalesce(1)
+      .write.parquet(s"$cold/documents.parquet")
+
+    // corrupt the ORIGINAL grown data file in place (length/mtime kept):
+    // the incremental label refresh must never re-read old text — it
+    // seeds from the predecessor labels and the refreshed sig index
+    val dirP = java.nio.file.Paths.get(s"$grown/documents.parquet")
+    scala.util.Using.resource(java.nio.file.Files.list(dirP)) { st =>
+      st.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          val ids = spark.read.parquet(p.toString).select("doc_id")
+            .collect().map(_.getLong(0))
+          if (!ids.contains(20L)) {
+            val mt = java.nio.file.Files.getLastModifiedTime(p)
+            java.nio.file.Files.write(p,
+              new Array[Byte](java.nio.file.Files.size(p).toInt))
+            java.nio.file.Files.setLastModifiedTime(p, mt)
+          }
+        }
+      }
+    }
+
+    val refreshed = rows(Dedup.corpusClusterLabels(spark, grown))
+    val coldLabels = rows(Dedup.corpusClusterLabels(spark, cold))
+    assert(refreshed == coldLabels,
+      s"incremental label refresh != cold rebuild\nincr=$refreshed\ncold=$coldLabels")
+    // the bridge merged BOTH standing clusters onto the global min rep
+    val reps = refreshed.map(r => r(0).asInstanceOf[Long] ->
+      r(1).asInstanceOf[Long]).toMap
+    assert(Set(1L, 2L, 10L, 11L, 20L).subsetOf(reps.keySet),
+      s"merged component lost members: $reps")
+    assert(Seq(2L, 10L, 11L, 20L).forall(reps(_) == 1L),
+      s"bridge doc failed to merge the clusters to rep 1: $reps")
+  }
+
   test("index publish is atomic across builders: one winner, loser reads the winner") {
     import spark.implicits._
     val idxRoot = java.nio.file.Files.createTempDirectory("graft_pub").toString

@@ -193,12 +193,21 @@ class StreamBatchParitySpec extends AnyFunSuite {
       input.addData((0 until 50).map(i =>
         Doc(900000L + i, "zzqx wvvk qqpl zzqx wvvk", "en", "spam", 24L)))
       q.processAllAvailable()
+      // batch 2: token-FREE documents — the most degenerate batch shape
+      // (encoding breakage, empty bodies) must trip the SAME alarm as a
+      // disjoint flood, not read as moderate drift below the threshold
+      input.addData((0 until 10).map(i =>
+        Doc(950000L + i, "", "en", "broken", 0L)))
+      q.processAllAvailable()
       val got = spark.read.parquet(out)
         .select("batch", "n_docs", "n_tokens", "tv_micros")
         .orderBy("batch").collect()
         .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       assert(got.head == ((docs.size.toLong, got.head._2, 0L)), s"got $got")
       assert(got(1)._3 >= 900000L, s"alien batch under-alarmed: $got")
+      assert(got(2)._2 == 0L, s"broken batch unexpectedly had tokens: $got")
+      assert(got(2)._3 >= got(1)._3,
+        s"token-free batch must alarm at least as hard as a disjoint flood: $got")
     } finally q.stop()
   }
 
@@ -387,34 +396,70 @@ class StreamBatchParitySpec extends AnyFunSuite {
 
     val root = java.nio.file.Files
       .createTempDirectory("graft_stream_idx").toString
+    def sub(name: String) =
+      Dedup.minhashIndexTable(spark, root, name).get
+    val chunks = feed.grouped(math.max(feed.size / 4, 1)).toSeq
     val input = MemoryStream[Doc]
     val q = Docs.maintainMinhashIndex(input.toDF(), root,
       java.nio.file.Files.createTempDirectory("graft_stream_idx_ckpt").toString)
     try {
       // doc_id-ascending feed in 4 micro-batches
-      feed.grouped(math.max(feed.size / 4, 1)).foreach { chunk =>
+      chunks.foreach { chunk =>
         input.addData(chunk)
         q.processAllAvailable()
       }
       // a LATER batch carrying a byte-copy of an already-indexed text must
       // be dropped by the reps sidecar — no new signature, no cap slots
-      val nSigs = spark.read.parquet(s"$root/sigs").count()
+      val nSigs = sub("sigs").count()
       input.addData(feed.head.copy(doc_id = 999999L))
       q.processAllAvailable()
-      assert(spark.read.parquet(s"$root/sigs").count() == nSigs,
-        "cross-batch byte-copy was indexed")
+      assert(sub("sigs").count() == nSigs, "cross-batch byte-copy was indexed")
     } finally q.stop()
 
     val staticRoot = Dedup.buildMinhashIndex(spark, TestSpark.sf)
-    def table(path: String, cols: String*) =
-      spark.read.parquet(path).select(cols.map(col): _*)
-        .collect().map(_.toSeq).toSet
+    def table(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    def static(name: String) = spark.read.parquet(s"$staticRoot/$name")
 
     val sigCols = "doc_id" +: (0 until 8).map(i => s"h$i")
-    assert(table(s"$root/sigs", sigCols: _*) ==
-      table(s"$staticRoot/sigs", sigCols: _*))
-    assert(table(s"$root/bands", "doc_id", "band", "bkey") ==
-      table(s"$staticRoot/bands", "doc_id", "band", "bkey"))
-    assert(spark.read.parquet(s"$root/sigs").count() > 0)
+    assert(table(sub("sigs"), sigCols: _*) == table(static("sigs"), sigCols: _*))
+    assert(table(sub("bands"), "doc_id", "band", "bkey") ==
+      table(static("bands"), "doc_id", "band", "bkey"))
+    assert(sub("sigs").count() > 0)
+
+    // REPLAY SAFETY. (a) full restart with a fresh checkpoint re-delivers
+    // every batch under the same ids: each is fenced by its own reps
+    // partition, so the index comes out byte-identical — nothing
+    // re-appends, no cap slot is re-spent (the pre-r8 append layout spent
+    // them twice). (b) a crash BEFORE the reps write (simulated by
+    // deleting the last batch's reps partition) replays that one batch,
+    // which OVERWRITES its own partitions with identical content.
+    val sigsBefore = table(sub("sigs"), sigCols: _*)
+    val bandsBefore = table(sub("bands"), "doc_id", "band", "bkey")
+    val nBandRows = sub("bands").count()
+    def replayAll(): Unit = {
+      val in2 = MemoryStream[Doc]
+      val q2 = Docs.maintainMinhashIndex(in2.toDF(), root,
+        java.nio.file.Files.createTempDirectory("graft_replay_ckpt").toString)
+      try {
+        chunks.foreach { chunk => in2.addData(chunk); q2.processAllAvailable() }
+      } finally q2.stop()
+    }
+    replayAll()
+    assert(table(sub("sigs"), sigCols: _*) == sigsBefore, "replay changed sigs")
+    assert(table(sub("bands"), "doc_id", "band", "bkey") == bandsBefore)
+    assert(sub("bands").count() == nBandRows,
+      "replay re-spent cap slots (duplicate band rows)")
+    // (b) crash-before-reps: drop the LAST batch's reps partition and
+    // replay — only that batch re-runs, rewriting identical partitions
+    val lastBatch = chunks.size - 1
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fsys.delete(new org.apache.hadoop.fs.Path(
+      s"$root/reps_m/batch=$lastBatch"), true))
+    replayAll()
+    assert(table(sub("sigs"), sigCols: _*) == sigsBefore)
+    assert(table(sub("bands"), "doc_id", "band", "bkey") == bandsBefore)
+    assert(sub("bands").count() == nBandRows)
   }
 }
