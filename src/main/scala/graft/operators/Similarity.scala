@@ -379,28 +379,56 @@ object Similarity {
     * stays ~n·256 as the corpus grows; the count comes from footers
     * (driver-side metadata), not a corpus scan.
     */
-  def embedNearDupPairs(s: SparkSession, dir: String,
-                        tau: Double = 0.30): DataFrame = {
-    graft.functions.VectorOps.register(s)
+  /** Smallest p with 2^p buckets averaging ≤ 256 vectors, clamped to
+    * [4, 12] — INTEGER arithmetic, not ceil(log2(...)): the oracle
+    * reproduces this rule in SQL, and a float log at an exact power of
+    * two can ceil differently across engines. The plane count is part of
+    * every embedding family's cache params, so growing the corpus across
+    * a bucket-count boundary invalidates predecessors automatically (all
+    * bucket memberships change — nothing is incrementally reusable).
+    */
+  def embPlanes(s: SparkSession, dir: String): Int = {
     val n = footerRowCount(s, Tables.path(dir, "embeddings"))
-    // smallest p with 2^p buckets averaging ≤ 256 vectors, clamped to
-    // [4, 12] — INTEGER arithmetic, not ceil(log2(...)): the oracle
-    // reproduces this rule in SQL, and a float log at an exact power of
-    // two can ceil differently across engines
-    val planes = math.min(12, math.max(4,
+    math.min(12, math.max(4,
       (0 to 12).find(p => (1L << p) * 256L >= n).getOrElse(12)))
-    // normalize ONCE per vector; pair cosine is then a single dot fold
-    val unitized = emb(s, dir).select(col("vec_id"),
+  }
+
+  /** (vec_id, unit, bucket) for `vecs`: normalize ONCE per vector (pair
+    * cosine is then a single dot fold), bucket bit j = sign of the fold
+    * against hyperplane j's md5-derived ±1 components.
+    */
+  private def unitBuckets(s: SparkSession, vecs: DataFrame,
+                          planes: Int): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val unitized = vecs.select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
         .as("unit"))
-    // hyperplane j as a ±1 literal array; bucket bit = sign of one fold
     val bucketBits = (0 until planes).map { j =>
       // "D" suffix: bare 1.0 literals parse as DECIMAL(2,1) in Spark SQL
       val planeArr = s"array(${Similarity.planeSigns(j).map(v => s"${v}D").mkString(",")})"
       when(expr(s"vec_dot(unit, $planeArr)") >= 0, lit("1")).otherwise(lit("0"))
     }
-    val bucketed = unitized
-      .select(col("vec_id"), col("unit"), concat(bucketBits: _*).as("bucket"))
+    unitized.select(col("vec_id"), col("unit"),
+      concat(bucketBits: _*).as("bucket"))
+  }
+
+  /** Standing (vec_id, unit, bucket) table — the bucketing layer of the
+    * embedding dedup ladder, append-refreshed: bucket membership of a
+    * standing vector never changes under append (planes are keyed into
+    * the params), so new files' vectors just union in.
+    */
+  def corpusEmbedBuckets(s: SparkSession, dir: String): DataFrame = {
+    val planes = embPlanes(s, dir)
+    Dedup.cachedCorpusTable(s, dir, "embbuckets", s"p$planes",
+      table = "embeddings",
+      incr = (old, newVecs) =>
+        old.unionByName(unitBuckets(s, newVecs, planes)))(
+      unitBuckets(s, emb(s, dir), planes))
+  }
+
+  def embedNearDupPairs(s: SparkSession, dir: String,
+                        tau: Double = 0.30): DataFrame = {
+    val bucketed = unitBuckets(s, emb(s, dir), embPlanes(s, dir))
     val a = bucketed.alias("a"); val b = bucketed.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine", expr(dotExpr("a.unit", "b.unit")))
@@ -413,10 +441,64 @@ object Similarity {
     * standing-index design as [[Dedup.corpusSigs]]: hyperplane bucketing +
     * exact-cosine verification is deterministic ingestion work, not
     * per-analysis work. Both embedding near-dup queries probe it.
+    *
+    * Append-refresh: with the plane count unchanged (params-keyed), the
+    * pair set is append-MONOTONE — standing buckets never lose members,
+    * so the grown pairs are exactly oldPairs ∪ (pairs touching a new
+    * vector). The refresh probes the standing bucket table for the new
+    * vectors' buckets and pays one bucket equi-join sized by the new
+    * side; the element-wise dot is order-symmetric (same ascending fold),
+    * so the cosine is bit-identical whichever side is the probe.
     */
-  def corpusEmbedPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.cachedCorpusTable(s, dir, "embpairs", "tau0.30", table = "embeddings")(
+  def corpusEmbedPairs(s: SparkSession, dir: String): DataFrame = {
+    val planes = embPlanes(s, dir)
+    Dedup.cachedCorpusTable(s, dir, "embpairs", s"tau0.30|p$planes",
+      table = "embeddings",
+      incr = (oldPairs, newVecs) => {
+        val buckets = corpusEmbedBuckets(s, dir)
+        val newIds = newVecs.select("vec_id").distinct()
+        val nk = buckets.join(newIds, Seq("vec_id"), "left_semi")
+        val np = nk.alias("a").join(buckets.alias("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .withColumn("cosine", expr(dotExpr("a.unit", "b.unit")))
+          .filter(col("cosine") >= lit(0.30))
+          .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+            greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
+            col("cosine"))
+          .distinct()
+        oldPairs.unionByName(np)
+      })(
       embedNearDupPairs(s, dir))
+  }
+
+  /** Persisted semantic-dedup cluster labels (doc_id, rep) over
+    * [[corpusEmbedPairs]] — the embedding face of the MinHash cluster
+    * labels, with the same incremental-seeding refresh (see the embcc
+    * call site for why no ascending-id check is needed here).
+    */
+  def embClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val planes = embPlanes(s, dir)
+    Dedup.cachedCorpusTable(s, dir, "embcc", s"tau0.30|cc|p$planes",
+      table = "embeddings",
+      incr = (oldLabels, newVecs) => {
+        val pairs = corpusEmbedPairs(s, dir)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        val newIds = newVecs.select(col("vec_id")).distinct()
+        val touching = pairs
+          .join(newIds.withColumnRenamed("vec_id", "doc_a"),
+            Seq("doc_a"), "left_semi")
+          .unionByName(pairs
+            .join(newIds.withColumnRenamed("vec_id", "doc_b"),
+              Seq("doc_b"), "left_semi"))
+          .distinct()
+        Dedup.connectedComponents(
+          oldLabels.select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
+            .unionByName(touching))
+      })(
+      Dedup.connectedComponents(corpusEmbedPairs(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
+  }
 
   /** DuckDB CTE chain reproducing [[embedNearDupPairs]] BIT-for-bit,
     * ending in `nd(vec_a, vec_b, cos_micros)`: the integer plane-count
@@ -571,11 +653,14 @@ object Similarity {
          |ORDER BY vec_id""".stripMargin)(
       (s, dir) => {
         // labels persist too — the iterative CC is the dominant cost and
-        // is the same deterministic ingestion-time work as the pairs
-        val labels = Dedup.cachedCorpusTable(s, dir, "embcc", "tau0.30|cc",
-            table = "embeddings")(
-            Dedup.connectedComponents(corpusEmbedPairs(s, dir)
-              .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
+        // is the same deterministic ingestion-time work as the pairs.
+        // Append-refresh seeds star-contraction with the predecessor's
+        // labels (one star edge per clustered vector) plus only pairs
+        // touching a new vector — sound because the pair set is
+        // append-monotone at a fixed plane count (see corpusEmbedPairs);
+        // no ascending-id requirement, unlike the MinHash ladder's
+        // doc_id-ordered cap
+        val labels = embClusterLabels(s, dir)
         labels
           .select(col("doc_id").as("vec_id"), col("rep"),
             (col("doc_id") === col("rep")).as("is_rep"))
@@ -668,11 +753,49 @@ object Similarity {
           .orderBy("q_id", "rn")
       }),
 
-    // 37. LSH-bucketed ANN (rows-only): same sign-random-projection buckets;
-    // search each query only within its bucket — the scale path where
-    // brute force would be corpus × queries.
-    Q.rowsOnly("q_knn_lsh")(
+    // 37. LSH-bucketed ANN — HASH-checked since round 8 with the same
+    // machinery that converted the embedding near-dup pair (35): 4 fixed
+    // sign-random-projection planes (md5-derived ±1 components, "j:i"
+    // keys reproduced in SQL), unit vectors and every dot as the
+    // identical left-to-right fold on both engines (VecDot ≡
+    // list_reduce), similarity emitted as floor-micros, (cosine DESC,
+    // c_id) rank tiebreak. Search each query only within its bucket —
+    // the scale path where brute force would be corpus × queries.
+    Q("q_knn_lsh", {
+      val signExpr = "CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) " +
+        "|| ':' || CAST(i - 1 AS VARCHAR)), 1, 1) AS INT) % 2 = 1 " +
+        "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+      s"""WITH u AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) / ${duckNorm("embedding")}) AS unit
+         |  FROM embeddings),
+         |bits AS (
+         |  SELECT vec_id, j,
+         |    CASE WHEN list_reduce(list_transform(range(1, 65),
+         |      i -> unit[i] * $signExpr), (acc, v) -> acc + v) >= 0
+         |    THEN '1' ELSE '0' END AS bit
+         |  FROM u, UNNEST(range(0, 4)) AS t(j)),
+         |bk AS (
+         |  SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket
+         |  FROM bits GROUP BY vec_id),
+         |bu AS (SELECT bk.vec_id, bk.bucket, u.unit FROM bk JOIN u USING (vec_id)),
+         |scored AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    list_reduce(list_transform(range(1, 65), i -> a.unit[i] * b.unit[i]),
+         |      (acc, v) -> acc + v) AS cosine
+         |  FROM bu a JOIN bu b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < $NumQueries),
+         |ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, c_id, CAST(rn AS BIGINT) AS rn,
+         |  CAST(floor(cosine * 1000000) AS BIGINT) AS cos_micros
+         |FROM ranked WHERE rn <= $TopK
+         |ORDER BY q_id, rn""".stripMargin
+    })(
       (s, dir) => {
+        graft.functions.VectorOps.register(s)
         val planes = 4
         val unitized = emb(s, dir).select(col("vec_id"),
           expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
@@ -694,7 +817,8 @@ object Similarity {
         val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
         scored.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= TopK)
-          .select("q_id", "c_id", "rn", "cosine")
+          .select(col("q_id"), col("c_id"), col("rn"),
+            floor(col("cosine") * lit(1000000L)).cast("long").as("cos_micros"))
           .orderBy("q_id", "rn")
       })
   )

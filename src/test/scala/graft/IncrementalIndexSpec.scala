@@ -296,6 +296,69 @@ class IncrementalIndexSpec extends AnyFunSuite {
       s"bridge doc failed to merge the clusters to rep 1: $reps")
   }
 
+  test("embedding pair/CC families refresh from predecessors without re-reading old vectors") {
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_embinc").toString
+    val grown = s"$base/grown"
+    val cold = s"$base/cold"
+    val all = Tables.load(spark, TestSpark.sf, "embeddings")
+    val n = all.count()
+    val mid = n / 2
+    // both halves sit below the first plane-count boundary (2^4·256), so
+    // the plane count is identical and the incremental path is eligible
+    assert(Similarity.embPlanes(spark, TestSpark.sf) == 4)
+    all.filter(col("vec_id") < mid).coalesce(1)
+      .write.parquet(s"$grown/embeddings.parquet")
+    all.coalesce(1).write.parquet(s"$cold/embeddings.parquet")
+    // build the predecessors on the half corpus (the whole ladder: a
+    // standing corpus has buckets, pairs AND labels before the append)
+    Similarity.corpusEmbedBuckets(spark, grown).count()
+    Similarity.corpusEmbedPairs(spark, grown).count()
+    Similarity.embClusterLabels(spark, grown).count()
+    // append the second half as a NEW file, then corrupt the ORIGINAL
+    // file in place (length/mtime preserved): the refresh must derive
+    // everything from the standing bucket/pair/label tables + new file
+    all.filter(col("vec_id") >= mid).coalesce(1)
+      .write.mode("append").parquet(s"$grown/embeddings.parquet")
+    val dirP = java.nio.file.Paths.get(s"$grown/embeddings.parquet")
+    scala.util.Using.resource(java.nio.file.Files.list(dirP)) { st =>
+      st.iterator().forEachRemaining { p =>
+        val nm = p.getFileName.toString
+        if (!nm.startsWith("_") && !nm.startsWith(".")) {
+          val ids = spark.read.parquet(p.toString).select("vec_id")
+            .collect().map(_.getLong(0))
+          if (ids.nonEmpty && ids.forall(_ < mid)) {
+            // zero the DATA pages but keep the header magic and the
+            // footer: embPlanes sizes the bucket count from parquet
+            // FOOTERS (metadata-only, legitimately cheap), while any
+            // path that re-reads old VECTORS must explode
+            val mt = java.nio.file.Files.getLastModifiedTime(p)
+            val len = java.nio.file.Files.size(p)
+            val raf = new java.io.RandomAccessFile(p.toFile, "rw")
+            try {
+              raf.seek(4)
+              raf.write(new Array[Byte]((len / 2).toInt - 4))
+            } finally raf.close()
+            java.nio.file.Files.setLastModifiedTime(p, mt)
+          }
+        }
+      }
+    }
+    val incrPairs = rows(Similarity.corpusEmbedPairs(spark, grown))
+    val coldPairs = rows(Similarity.corpusEmbedPairs(spark, cold))
+    assert(incrPairs == coldPairs,
+      s"embpairs refresh != cold (${incrPairs.size} vs ${coldPairs.size})")
+    assert(incrPairs.nonEmpty, "no pairs at all — the spec proves nothing")
+    // pairs must span the append boundary (old↔new pairs found via the
+    // standing buckets, not only new↔new)
+    assert(incrPairs.exists(r => r(0).asInstanceOf[Long] < mid &&
+      r(1).asInstanceOf[Long] >= mid), "no cross-boundary pair")
+    val incrCc = rows(Similarity.embClusterLabels(spark, grown))
+    val coldCc = rows(Similarity.embClusterLabels(spark, cold))
+    assert(incrCc == coldCc,
+      s"embcc refresh != cold (${incrCc.size} vs ${coldCc.size})")
+  }
+
   test("index publish is atomic across builders: one winner, loser reads the winner") {
     import spark.implicits._
     val idxRoot = java.nio.file.Files.createTempDirectory("graft_pub").toString
