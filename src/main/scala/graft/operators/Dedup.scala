@@ -1294,6 +1294,65 @@ object Dedup {
       (s, dir) => jaccardFromPostings(corpusRareGramPostings(s, dir))
         .orderBy("doc_a", "doc_b")),
 
+    // 34g. ASYMMETRIC CONTAINMENT — the subset-duplication lens symmetric
+    // Jaccard is blind to: a short doc fully quoted inside a much longer
+    // one scores inter/|A∪B| ≈ |A|/|B| (tiny) but inter/|A| ≈ 1. Real
+    // pipelines need this to catch quote-farms, wrapper boilerplate and
+    // excerpt mirrors, where the smaller side should drop and the larger
+    // side keep. Same standing rare-gram postings and pair join as 34
+    // (df-cap bounds pair fan-out identically); only the denominators
+    // differ — per-side set sizes instead of the union — plus the
+    // contained-doc verdict (larger containment side, doc_a on ties).
+    // All truncating integer division on positive counts ⇒ hash-exact.
+    Q("q_ngram_containment", {
+      s"""WITH d AS (SELECT doc_id, $normSql AS s FROM documents WHERE lang = 'en'),
+         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM d),
+         |ng0 AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS gram
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |rare AS (SELECT gram FROM ng0 GROUP BY gram HAVING COUNT(*) <= $DfCap),
+         |ng AS (SELECT ng0.* FROM ng0 JOIN rare USING (gram)),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ng GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM ng a JOIN ng b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_a, doc_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+         |    CAST(n_inter * 1000000 // sa.sz AS BIGINT) AS cont_a_micro,
+         |    CAST(n_inter * 1000000 // sb.sz AS BIGINT) AS cont_b_micro
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, n_inter, sz_a, sz_b, cont_a_micro, cont_b_micro,
+         |  CAST(CASE WHEN cont_a_micro >= cont_b_micro THEN doc_a ELSE doc_b END AS BIGINT)
+         |    AS contained_doc
+         |FROM sc WHERE greatest(cont_a_micro, cont_b_micro) >= 250000
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })(
+      (s, dir) => {
+        val ng = corpusRareGramPostings(s, dir)
+        val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val a = ng.alias("a"); val b = ng.alias("b")
+        val inter = a.join(b,
+            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+            "doc_b")
+          .withColumn("cont_a_micro", expr("(n_inter * 1000000L) div sz_a"))
+          .withColumn("cont_b_micro", expr("(n_inter * 1000000L) div sz_b"))
+          .filter(greatest(col("cont_a_micro"), col("cont_b_micro")) >= 250000L)
+          .withColumn("contained_doc",
+            when(col("cont_a_micro") >= col("cont_b_micro"), col("doc_a"))
+              .otherwise(col("doc_b")))
+          .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b",
+            "cont_a_micro", "cont_b_micro", "contained_doc")
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // 34c. exact substring-overlap dedup: pairs of documents sharing any
     // LONG word n-gram (n=8 here) — the Spark-able approximation of
     // suffix-array substring dedup ("docs that copy a long passage from
@@ -1751,6 +1810,60 @@ object Dedup {
           .join(drops, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("source"), nWords.as("n_words"))
           .orderBy("doc_id")
+      }),
+
+    // PIPELINE OBSERVABILITY — the per-source dedup FUNNEL a data team
+    // reads before believing any selection run: how many documents each
+    // source brings in, how many clear the language+quality floor, how
+    // many of those are their text's exact keeper, and how many survive
+    // the near-dup cluster drop (the last column is exactly
+    // q_pipeline_select's per-source row count, tying the report to the
+    // capstone by construction). Pure flag arithmetic over the standing
+    // keeper and cluster-label indexes + ONE source-keyed rollup —
+    // per-run shuffle is the corpus scan once; no pair joins, no CC.
+    Q("q_dedup_funnel",
+      s"""$lshLabelsCtes,
+         |exact_drops AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS keeper
+         |    FROM (SELECT doc_id, $normSql AS s FROM documents))
+         |  WHERE doc_id <> keeper),
+         |cc_drops AS (SELECT doc_id FROM labels WHERE doc_id <> rep),
+         |f AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN lang = 'en' AND length(text) >= 100
+         |      AND len(string_split($normSql, ' ')) >= 20 THEN 1 ELSE 0 END AS q,
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM exact_drops) THEN 0 ELSE 1 END AS ek,
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM cc_drops) THEN 0 ELSE 1 END AS ck
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_raw,
+         |  CAST(SUM(q) AS BIGINT) AS n_quality,
+         |  CAST(SUM(q * ek) AS BIGINT) AS n_exact_kept,
+         |  CAST(SUM(q * ek * ck) AS BIGINT) AS n_selected
+         |FROM f GROUP BY source
+         |ORDER BY source""".stripMargin)(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val exactKeep = corpusKeepers(s, dir)
+          .select(col("doc_id"),
+            when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("ek"))
+        val ccDrop = corpusClusterLabels(s, dir)
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("doc_id"), lit(0L).as("ckdrop"))
+        val q = when(col("lang") === "en" && length(col("text")) >= 100 &&
+          size(split(normText(col("text")), " ")) >= 20, 1L).otherwise(0L)
+        d.select(col("doc_id"), col("source"), q.as("q"))
+          .join(exactKeep, Seq("doc_id"), "left")
+          .join(ccDrop, Seq("doc_id"), "left")
+          .withColumn("ek", coalesce(col("ek"), lit(1L)))
+          .withColumn("ck", coalesce(col("ckdrop"), lit(1L)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_raw"),
+            sum(col("q")).as("n_quality"),
+            sum(col("q") * col("ek")).as("n_exact_kept"),
+            sum(col("q") * col("ek") * col("ck")).as("n_selected"))
+          .orderBy("source")
       }),
 
     // §2d.34f — winnowing-fingerprint dedup (MOSS): candidate pairs
