@@ -1353,6 +1353,46 @@ object Dedup {
           .orderBy("doc_a", "doc_b")
       }),
 
+    // 34h. PER-SOURCE GRAM NOVELTY — the "does this crawl add anything"
+    // number: of the rare grams a source contains, what fraction appears
+    // in NO other source. Complements q_source_overlap (doc-level pair
+    // matrix) with a gram-level marginal-contribution lens — a source
+    // whose grams all exist elsewhere is redundant however few exact
+    // dups it has. Probes the SAME standing df-capped postings as 34/34g
+    // (tombstoned saturated grams are excluded on both engines by the
+    // same cap rule), joins the doc→source map, and rolls up distinct
+    // (gram, source) incidence — two skinny equi-joins + counts, no pair
+    // join anywhere. Truncating division on positive longs ⇒ hash-exact.
+    Q("q_source_novelty", {
+      s"""WITH d AS (SELECT doc_id, source, $normSql AS s FROM documents WHERE lang = 'en'),
+         |toks AS (SELECT doc_id, source, string_split(s, ' ') AS t FROM d),
+         |ng0 AS (
+         |  SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] AS gram
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |rare AS (SELECT gram FROM ng0 GROUP BY gram HAVING COUNT(*) <= $DfCap),
+         |inc AS (SELECT DISTINCT gram, source FROM ng0 JOIN rare USING (gram)),
+         |gs AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_sources FROM inc GROUP BY gram),
+         |per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive
+         |  FROM inc JOIN gs USING (gram) GROUP BY source)
+         |SELECT source, n_grams, n_exclusive,
+         |  CAST(n_exclusive * 1000000 // n_grams AS BIGINT) AS novelty_micros
+         |FROM per ORDER BY source""".stripMargin
+    })(
+      (s, dir) => {
+        val ng = corpusRareGramPostings(s, dir)
+        val srcs = docs(s, dir).select("doc_id", "source")
+        val inc = ng.join(srcs, "doc_id").select("gram", "source").distinct()
+        val gs = inc.groupBy("gram").agg(count(lit(1)).as("n_sources"))
+        inc.join(gs, "gram")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+          .withColumn("novelty_micros", expr("n_exclusive * 1000000L div n_grams"))
+          .orderBy("source")
+      }),
+
     // 34c. exact substring-overlap dedup: pairs of documents sharing any
     // LONG word n-gram (n=8 here) — the Spark-able approximation of
     // suffix-array substring dedup ("docs that copy a long passage from

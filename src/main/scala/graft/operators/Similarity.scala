@@ -820,6 +820,112 @@ object Similarity {
           .select(col("q_id"), col("c_id"), col("rn"),
             floor(col("cosine") * lit(1000000L)).cast("long").as("cos_micros"))
           .orderBy("q_id", "rn")
+      }),
+
+    // 35c. SEMANTIC DECONTAMINATION — the embedding face of
+    // q_decontaminate: token-gram overlap misses paraphrased benchmark
+    // leaks, cosine near-dup catches them. The benchmark slice is the
+    // deterministic vec_id % 10 = 0 subset (stand-in for a held-out eval
+    // set); a corpus vector is contaminated when the STANDING near-dup
+    // pair table (same τ=0.30, bucketed-then-verified — never an
+    // all-pairs probe) links it to any benchmark vector. Per flagged
+    // vector: hit count + best-matching benchmark (cos desc, id asc
+    // tiebreak). Rides nd's bit-exact cos_micros, so it hash-checks.
+    Q("q_embed_decontaminate",
+      s"""WITH $embedPairsCtes,
+         |x AS (
+         |  SELECT CASE WHEN vec_a % 10 = 0 THEN vec_b ELSE vec_a END AS corpus_vec,
+         |    CASE WHEN vec_a % 10 = 0 THEN vec_a ELSE vec_b END AS bench_vec,
+         |    cos_micros
+         |  FROM nd WHERE (vec_a % 10 = 0) <> (vec_b % 10 = 0)),
+         |r AS (
+         |  SELECT corpus_vec, bench_vec, cos_micros,
+         |    row_number() OVER (PARTITION BY corpus_vec
+         |      ORDER BY cos_micros DESC, bench_vec) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY corpus_vec) AS BIGINT) AS n_bench_hits
+         |  FROM x)
+         |SELECT corpus_vec, n_bench_hits, bench_vec AS best_bench,
+         |  cos_micros AS best_cos_micros
+         |FROM r WHERE rn = 1 ORDER BY corpus_vec""".stripMargin)(
+      (s, dir) => {
+        val nd = corpusEmbedPairs(s, dir)
+          .select(col("vec_a"), col("vec_b"),
+            expr("CAST(floor(cosine * 1000000D) AS BIGINT)").as("cos_micros"))
+        def isBench(c: Column) = c % 10 === 0
+        val x = nd.filter(isBench(col("vec_a")) =!= isBench(col("vec_b")))
+          .select(
+            when(isBench(col("vec_a")), col("vec_b")).otherwise(col("vec_a"))
+              .as("corpus_vec"),
+            when(isBench(col("vec_a")), col("vec_a")).otherwise(col("vec_b"))
+              .as("bench_vec"),
+            col("cos_micros"))
+        val w = Window.partitionBy(col("corpus_vec"))
+          .orderBy(col("cos_micros").desc, col("bench_vec"))
+        x.withColumn("rn", row_number().over(w))
+          .withColumn("n_bench_hits",
+            count(lit(1)).over(Window.partitionBy(col("corpus_vec"))))
+          .filter(col("rn") === 1)
+          .select(col("corpus_vec"), col("n_bench_hits"),
+            col("bench_vec").as("best_bench"),
+            col("cos_micros").as("best_cos_micros"))
+          .orderBy("corpus_vec")
+      }),
+
+    // 35d. PER-LABEL COHESION — the SemDeDup-style compactness audit:
+    // how tight each label's embedding cluster sits around its centroid
+    // (prune low-cohesion classes, spot mislabeled slices). Exactness
+    // trick: per-component floor-micros BEFORE the per-label sum, so the
+    // centroid accumulates in LONG arithmetic (associative — any
+    // partition/fold order gives identical bits, unlike a double sum);
+    // cosine-to-centroid needs only the centroid DIRECTION, so the sum
+    // vector stands in for the mean and no integer division ever
+    // happens. Per-row cosine is then a fixed-order double fold against
+    // exact-integer components — bit-identical on both engines — and the
+    // per-label rollup is again all-long. Scale: one 64×n posexplode
+    // (map-side combined) + a broadcast centroid join; no pair joins.
+    Q("q_embed_cohesion",
+      s"""WITH u AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) / ${duckNorm("embedding")}) AS unit
+         |  FROM embeddings),
+         |comp AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(floor(unit[i] * 1000000) AS BIGINT)) AS BIGINT) AS sm
+         |  FROM u, UNNEST(range(1, 65)) AS t(i) GROUP BY label, i),
+         |cent AS (
+         |  SELECT label, list(CAST(sm AS DOUBLE) ORDER BY i) AS cvec
+         |  FROM comp GROUP BY label),
+         |sc AS (
+         |  SELECT u.label,
+         |    CAST(floor(${duckDot("unit", "cvec")} /
+         |      (${duckNorm("unit")} * ${duckNorm("cvec")}) * 1000000) AS BIGINT) AS cm
+         |  FROM u JOIN cent ON u.label = cent.label)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(cm) AS BIGINT) AS sum_cos_micros,
+         |  CAST(min(cm) AS BIGINT) AS min_cos_micros,
+         |  CAST(max(cm) AS BIGINT) AS max_cos_micros
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin)(
+      (s, dir) => {
+        val u = emb(s, dir).select(col("vec_id"), col("label"),
+          expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
+            .as("unit"))
+        val comp = u.select(col("label"), posexplode(col("unit")).as(Seq("i", "x")))
+          .select(col("label"), col("i"),
+            floor(col("x") * lit(1000000L)).cast("long").as("m"))
+          .groupBy("label", "i").agg(sum(col("m")).as("sm"))
+        val cent = comp.groupBy("label")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(i, sm))), p -> CAST(p.sm AS DOUBLE))")
+            .as("cvec"))
+        u.join(broadcast(cent), "label")
+          .withColumn("cm",
+            floor(expr("vec_cosine(unit, cvec)") * lit(1000000L)).cast("long"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(col("cm")).as("sum_cos_micros"),
+            min(col("cm")).as("min_cos_micros"),
+            max(col("cm")).as("max_cos_micros"))
+          .orderBy("label")
       })
   )
 }

@@ -359,4 +359,47 @@ class PlanShapeSpec extends AnyFunSuite {
       .find(_.contains("documents")).getOrElse(fail("no documents scan"))
     assert(!scan.contains("source"), s"unused column read:\n$scan")
   }
+
+  test("containment pairs off the standing postings like jaccard, no product") {
+    val p = planOf("q_ngram_containment")
+    assert(p.contains("graft_engram2"),
+      s"standing rare-gram postings index not probed:\n$p")
+    assert(!p.toLowerCase.contains("documents.parquet"),
+      s"q_ngram_containment re-reads the corpus instead of the index:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated into a product:\n$p")
+  }
+
+  test("dedup funnel probes the standing keeper+label indexes, no pair join") {
+    val p = planOf("q_dedup_funnel")
+    assert(p.contains("graft_keepers") && p.contains("graft_cclabels"),
+      s"funnel must ride the standing keeper/label indexes:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin("+"*"), s"unexpected join shape:\n$p")
+    // one corpus scan: documents appears exactly once among the leaves
+    val docScans = SparkEntry.queries("q_dedup_funnel")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.collectLeaves()
+      .count(_.toString.toLowerCase.contains("documents"))
+    assert(docScans == 1, s"funnel must scan the corpus once, saw $docScans")
+  }
+
+  test("semantic decontamination probes the standing pair table, never rebuckets") {
+    val p = planOf("q_embed_decontaminate")
+    assert(p.contains("graft_embpairs"),
+      s"must probe the standing near-dup pair index:\n$p")
+    assert(!p.toLowerCase.contains("embeddings.parquet"),
+      s"q_embed_decontaminate re-reads the corpus instead of the pair index:\n$p")
+  }
+
+  test("embedding cohesion broadcasts the centroid table; corpus scans stay pruned") {
+    val p = planOf("q_embed_cohesion")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-label centroids must broadcast, not shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohesion join degenerated into a product:\n$p")
+    val scan = SparkEntry.queries("q_embed_cohesion")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("embeddings")).getOrElse(fail("no embeddings scan"))
+    assert(!scan.contains("vec_id"), s"vec_id is unused and must be pruned:\n$scan")
+  }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the round-8 operators: asymmetric containment,
+  * the per-source dedup funnel, gram novelty, semantic decontamination
+  * and per-label embedding cohesion. Each test pins the property the
+  * oracle hash cannot express on its own (WHY the answer is right, or
+  * an invariant tying two queries together), on crafted corpora or by
+  * independent recomputation from the standing indexes.
+  */
+class R8OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Crafted documents table on disk (the registered queries read a dir). */
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8ops").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("containment flags a short doc fully quoted in a long one that Jaccard misses") {
+    // doc 1: 41 distinct words (40 grams); doc 2: a 10-word excerpt of it
+    // (9 grams, every one shared). Containment of doc 2 is 9/9 = 1.0;
+    // Jaccard is 9/40 — under any useful symmetric threshold.
+    val longWords = (1 to 41).map(i => s"w$i").mkString(" ")
+    val excerpt = (11 to 20).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, longWords, "en", "a", longWords.length.toLong),
+      (2L, excerpt, "en", "b", excerpt.length.toLong)))
+    val out = SparkEntry.queries("q_ngram_containment")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("n_inter") == 9L)
+    assert(r.getAs[Long]("sz_a") == 40L && r.getAs[Long]("sz_b") == 9L)
+    assert(r.getAs[Long]("cont_b_micro") == 1000000L, "excerpt side must be fully contained")
+    assert(r.getAs[Long]("contained_doc") == 2L, "the smaller (quoted) doc is the one to drop")
+    // the symmetric lens on the same pair: inter/union = 9/40 < the 0.25 gate
+    assert(r.getAs[Long]("n_inter") * 1000000L / 40L < 250000L,
+      "crafted pair must sit below the symmetric threshold the asymmetric lens beats")
+  }
+
+  test("funnel's n_selected column IS q_pipeline_select's per-source count") {
+    val funnel = SparkEntry.queries("q_dedup_funnel")(spark, TestSpark.sf)
+      .select("source", "n_selected").as[(String, Long)].collect().toMap
+    val capstone = SparkEntry.queries("q_pipeline_select")(spark, TestSpark.sf)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(funnel.nonEmpty)
+    for ((src, n) <- funnel)
+      assert(capstone.getOrElse(src, 0L) == n,
+        s"funnel and capstone disagree for source $src")
+    // and the funnel is monotone: raw >= quality >= exact-kept >= selected
+    val full = SparkEntry.queries("q_dedup_funnel")(spark, TestSpark.sf).collect()
+    for (r <- full) {
+      val (a, b, c, d) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_exact_kept"), r.getAs[Long]("n_selected"))
+      assert(a >= b && b >= c && c >= d, s"funnel not monotone: $r")
+    }
+  }
+
+  test("source novelty: a source whose grams all exist elsewhere scores zero") {
+    // source a: two docs with disjoint gram sets; source b: one doc whose
+    // text replays a's first doc grams exactly (novelty 0); gram sharing
+    // does not make a's own exclusive grams disappear.
+    val ta = (1 to 12).map(i => s"a$i").mkString(" ")   // 11 grams, only in a
+    val tb = (1 to 12).map(i => s"c$i").mkString(" ")   // 11 grams, a + b
+    val dir = docsDir(Seq(
+      (1L, ta, "en", "a", ta.length.toLong),
+      (2L, tb, "en", "a", tb.length.toLong),
+      (3L, tb, "en", "b", tb.length.toLong)))
+    val out = SparkEntry.queries("q_source_novelty")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_exclusive"),
+          r.getAs[Long]("novelty_micros"))).toMap
+    assert(out("a") == ((22L, 11L, 500000L)), s"got ${out("a")}")
+    assert(out("b") == ((11L, 0L, 0L)), s"source b brings nothing new: ${out("b")}")
+  }
+
+  test("semantic decontamination is exactly the benchmark-crossing slice of the standing pairs") {
+    val dir = TestSpark.sf
+    val nd = graft.operators.Similarity.corpusEmbedPairs(spark, dir)
+      .select(col("vec_a"), col("vec_b"),
+        expr("CAST(floor(cosine * 1000000D) AS BIGINT)").as("cm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cross = nd.filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b, cm) =>
+        if (a % 10 == 0) (b, a, cm) else (a, b, cm) } // (corpus, bench, cos)
+    val expectHits = cross.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expectBest = cross.groupBy(_._1).view.mapValues(ps =>
+      ps.minBy(p => (-p._3, p._2))).toMap
+    val out = SparkEntry.queries("q_embed_decontaminate")(spark, dir).collect()
+    assert(out.length == expectHits.size && out.nonEmpty)
+    for (r <- out) {
+      val v = r.getAs[Long]("corpus_vec")
+      assert(v % 10 != 0, "a benchmark vector can never be the flagged side")
+      assert(r.getAs[Long]("n_bench_hits") == expectHits(v))
+      assert(r.getAs[Long]("best_bench") == expectBest(v)._2)
+      assert(r.getAs[Long]("best_cos_micros") == expectBest(v)._3)
+    }
+  }
+
+  test("cohesion: identical vectors max out; a spread label scores lower; fold-order invariant") {
+    val tight = Array.fill(64)(0.25f)
+    def spread(i: Int) = Array.tabulate(64)(j =>
+      if (j == i) 1.0f else if (j == (i + 7) % 64) -0.5f else 0.01f * ((i * 31 + j) % 5))
+    val rows = (0 until 3).map(k => (k.toLong, tight, 1)) ++
+      (0 until 4).map(k => (10L + k, spread(k * 5), 2))
+    val dir = java.nio.file.Files.createTempDirectory("r8coh").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_embed_cohesion")(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("sum_cos_micros"),
+          r.getAs[Long]("min_cos_micros"))).toMap
+    assert(out(1)._1 == 3L && out(2)._1 == 4L)
+    // identical unit vectors: cosine to their (floored-micros) centroid is
+    // 1 up to the 1e-6 floor — every row lands within a micro of 1e6
+    assert(out(1)._3 >= 999998L, s"tight label min = ${out(1)._3}")
+    // the spread label's members sit visibly off their centroid
+    assert(out(2)._3 < 900000L, s"spread label min = ${out(2)._3}")
+    assert(out(1)._2 / 3 > out(2)._2 / 4, "mean cohesion must rank tight over spread")
+    // fold-order invariance: the long-integer centroid makes the result
+    // independent of partitioning/arrival order — recompute over a
+    // many-partition rewrite of the same table and require equality
+    val dir2 = java.nio.file.Files.createTempDirectory("r8coh2").toString
+    spark.read.parquet(s"$dir/embeddings.parquet").repartition(7)
+      .write.parquet(s"$dir2/embeddings.parquet")
+    val out2 = SparkEntry.queries("q_embed_cohesion")(spark, dir2)
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("sum_cos_micros"),
+          r.getAs[Long]("min_cos_micros"))).toMap
+    assert(out2 == out, "cohesion must be bit-identical under repartitioning")
+  }
+}
