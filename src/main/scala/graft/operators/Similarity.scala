@@ -397,7 +397,7 @@ object Similarity {
     * cosine is then a single dot fold), bucket bit j = sign of the fold
     * against hyperplane j's md5-derived ±1 components.
     */
-  private def unitBuckets(s: SparkSession, vecs: DataFrame,
+  private[graft] def unitBuckets(s: SparkSession, vecs: DataFrame,
                           planes: Int): DataFrame = {
     graft.functions.VectorOps.register(s)
     val unitized = vecs.select(col("vec_id"),

@@ -84,6 +84,61 @@ object Docs {
       : org.apache.spark.sql.streaming.StreamingQuery =
     scoredSink(docs, outPath, checkpointDir)(decontaminateBatch(_, benchGrams, n))
 
+  final case class Vec(vec_id: Long, embedding: Array[Float], label: Int)
+
+  /** One micro-batch of SEMANTIC decontamination — the embedding twin of
+    * [[decontaminateBatch]] and the streaming face of
+    * q_embed_decontaminate: each arriving vector is unit-normalized and
+    * plane-bucketed with the FROZEN plane count the standing index was
+    * built with, equi-joined on bucket against the standing BENCHMARK
+    * bucket slice (`Similarity.corpusEmbedBuckets` filtered to the eval
+    * set), and verified by the exact unit-dot (`vec_dot` — the SAME fold
+    * the standing pair table runs, so a streamed score is bit-identical
+    * to the batch pair it mirrors). Stream side is stateless pure
+    * expressions; static side is the standing bucket parquet — bounded
+    * (it is an eval suite) but joined, never hand-collected, so the
+    * shape survives benchmark growth. Output = one row per arriving
+    * vector: hit count, best benchmark match, floored-micros cosine,
+    * flag/keep verdict.
+    */
+  def embedDecontaminateBatch(batch: DataFrame, benchBuckets: DataFrame,
+                              planes: Int, tau: Double = 0.30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = batch.sparkSession
+    val bs = graft.operators.Similarity.unitBuckets(s,
+      batch.select("vec_id", "embedding"), planes)
+    val bench = benchBuckets.select(col("vec_id").as("bench_vec"),
+      col("unit").as("bunit"), col("bucket"))
+    val scored = bs.join(bench, Seq("bucket"))
+      .filter(col("bench_vec") =!= col("vec_id"))
+      .withColumn("cosine", expr("vec_dot(unit, bunit)"))
+      .filter(col("cosine") >= tau)
+      .withColumn("cos_micros",
+        expr("CAST(floor(cosine * 1000000D) AS BIGINT)"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_micros").desc, col("bench_vec"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .withColumn("n_bench_hits",
+        count(lit(1)).over(Window.partitionBy(col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("n_bench_hits"),
+        col("bench_vec").as("best_bench"), col("cos_micros").as("best_cos_micros"))
+    batch.select("vec_id").join(best, Seq("vec_id"), "left")
+      .withColumn("verdict",
+        when(col("best_cos_micros").isNotNull, "flag").otherwise("keep"))
+  }
+
+  /** Streaming semantic-decontamination sink — [[embedDecontaminateBatch]]
+    * per micro-batch, batchId-keyed directories, idempotent replay: the
+    * same foreachBatch join-sink contract as every scored twin.
+    */
+  def embedDecontaminateSink(vecs: DataFrame, benchBuckets: DataFrame,
+                             planes: Int, outPath: String,
+                             checkpointDir: String, tau: Double = 0.30)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scoredSink(vecs, outPath, checkpointDir)(
+      embedDecontaminateBatch(_, benchBuckets, planes, tau))
+
   /** One micro-batch of duplicated-gram coverage — the twin of
     * q_dup_gram_coverage (§2d.41m): per-doc (gram-hash, tf) collapse,
     * equi-join the standing dup-gram index (`gh` column,

@@ -313,6 +313,45 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic decontamination equals the batch query on the real corpus") {
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Vec
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val planes = Similarity.embPlanes(spark, TestSpark.sf)
+    val bench = Similarity.corpusEmbedBuckets(spark, TestSpark.sf)
+      .filter(col("vec_id") % 10 === 0)
+    val arrivals = Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") % 10 =!= 0)
+      .orderBy("vec_id").as[Vec].collect().toSeq
+
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_edecon_out").toString
+    val input = MemoryStream[Vec]
+    val q = Docs.embedDecontaminateSink(input.toDF(), bench, planes, out,
+      java.nio.file.Files.createTempDirectory("graft_edecon_ckpt").toString)
+    try {
+      arrivals.grouped(math.max(arrivals.size / 3, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // flagged stream rows must BE the batch query's flagged table
+      val streamed = spark.read.parquet(out)
+        .filter(col("verdict") === "flag")
+        .select(col("vec_id").as("corpus_vec"), col("n_bench_hits"),
+          col("best_bench"), col("best_cos_micros"))
+        .orderBy("corpus_vec").collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("q_embed_decontaminate")(spark, TestSpark.sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // and every arriving vector got exactly one verdict row
+      assert(spark.read.parquet(out).count() == arrivals.size)
+    } finally q.stop()
+  }
+
   test("streaming content dedup admits each normalized text exactly once") {
     import graft.streaming.Docs
     import graft.streaming.Docs.Doc
