@@ -312,6 +312,30 @@ object Dedup {
           .as("gram"))
         .distinct())
 
+  /** Scored containment pair frame shared by q_ngram_containment and
+    * q_containment_hubs: the SAME df-capped standing-postings pair join
+    * as the Jaccard family, with per-SIDE denominators (inter/|A|,
+    * inter/|B|) instead of the union, kept when either side reaches the
+    * 0.25 floor. Truncating integer division on positive counts.
+    */
+  private[operators] def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val ng = corpusRareGramPostings(s, dir)
+    val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = ng.alias("a"); val b = ng.alias("b")
+    val inter = a.join(b,
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .withColumn("cont_a_micro", expr("(n_inter * 1000000L) div sz_a"))
+      .withColumn("cont_b_micro", expr("(n_inter * 1000000L) div sz_b"))
+      .filter(greatest(col("cont_a_micro"), col("cont_b_micro")) >= 250000L)
+  }
+
   /** Standing index of corpus-duplicated chunk hashes (ck present in ≥2
     * distinct documents) — the probe set q_chunk_dedup's registered query
     * uses so the per-query work is one chunk derivation + one equi-join,
@@ -1329,28 +1353,76 @@ object Dedup {
          |FROM sc WHERE greatest(cont_a_micro, cont_b_micro) >= 250000
          |ORDER BY doc_a, doc_b""".stripMargin
     })(
+      (s, dir) => containmentPairs(s, dir)
+        .withColumn("contained_doc",
+          when(col("cont_a_micro") >= col("cont_b_micro"), col("doc_a"))
+            .otherwise(col("doc_b")))
+        .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b",
+          "cont_a_micro", "cont_b_micro", "contained_doc")
+        .orderBy("doc_a", "doc_b")),
+
+    // 34g2. CONTAINMENT HUBS — the graph lens on 34g's directed relation:
+    // a doc whose content is ≥80% contained in MANY other docs is a
+    // template/boilerplate body (drop it everywhere); a doc that contains
+    // many others is a quote-farm/aggregator (keep one, audit the rest).
+    // Per doc over the same capped pair frame: how often it is the ≥0.8
+    // contained side vs the containing side, with the role verdict. Pure
+    // rollup — the pair generation already paid by 34g's postings shapes.
+    Q("q_containment_hubs", {
+      s"""WITH d AS (SELECT doc_id, $normSql AS s FROM documents WHERE lang = 'en'),
+         |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM d),
+         |ng0 AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS gram
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |rare AS (SELECT gram FROM ng0 GROUP BY gram HAVING COUNT(*) <= $DfCap),
+         |ng AS (SELECT ng0.* FROM ng0 JOIN rare USING (gram)),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ng GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM ng a JOIN ng b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(n_inter * 1000000 // sa.sz AS BIGINT) AS cont_a_micro,
+         |    CAST(n_inter * 1000000 // sb.sz AS BIGINT) AS cont_b_micro
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE greatest(n_inter * 1000000 // sa.sz, n_inter * 1000000 // sb.sz) >= 250000),
+         |ev AS (
+         |  SELECT doc_a AS d,
+         |    CASE WHEN cont_a_micro >= 800000 THEN 1 ELSE 0 END AS cted,
+         |    CASE WHEN cont_b_micro >= 800000 THEN 1 ELSE 0 END AS ctor
+         |  FROM sc
+         |  UNION ALL
+         |  SELECT doc_b,
+         |    CASE WHEN cont_b_micro >= 800000 THEN 1 ELSE 0 END,
+         |    CASE WHEN cont_a_micro >= 800000 THEN 1 ELSE 0 END
+         |  FROM sc),
+         |agg AS (
+         |  SELECT d AS doc_id, CAST(SUM(cted) AS BIGINT) AS n_contained_in,
+         |    CAST(SUM(ctor) AS BIGINT) AS n_contains
+         |  FROM ev GROUP BY d)
+         |SELECT doc_id, n_contained_in, n_contains,
+         |  CASE WHEN n_contained_in >= 2 THEN 'template'
+         |    WHEN n_contains >= 2 THEN 'hub' ELSE 'normal' END AS role
+         |FROM agg WHERE n_contained_in + n_contains > 0
+         |ORDER BY doc_id""".stripMargin
+    })(
       (s, dir) => {
-        val ng = corpusRareGramPostings(s, dir)
-        val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val a = ng.alias("a"); val b = ng.alias("b")
-        val inter = a.join(b,
-            col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
-            "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
-            "doc_b")
-          .withColumn("cont_a_micro", expr("(n_inter * 1000000L) div sz_a"))
-          .withColumn("cont_b_micro", expr("(n_inter * 1000000L) div sz_b"))
-          .filter(greatest(col("cont_a_micro"), col("cont_b_micro")) >= 250000L)
-          .withColumn("contained_doc",
-            when(col("cont_a_micro") >= col("cont_b_micro"), col("doc_a"))
-              .otherwise(col("doc_b")))
-          .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b",
-            "cont_a_micro", "cont_b_micro", "contained_doc")
-          .orderBy("doc_a", "doc_b")
+        val sc = containmentPairs(s, dir)
+        val ctedA = when(col("cont_a_micro") >= 800000L, 1L).otherwise(0L)
+        val ctedB = when(col("cont_b_micro") >= 800000L, 1L).otherwise(0L)
+        val ev = sc.select(col("doc_a").as("d"), ctedA.as("cted"), ctedB.as("ctor"))
+          .unionByName(
+            sc.select(col("doc_b").as("d"), ctedB.as("cted"), ctedA.as("ctor")))
+        ev.groupBy(col("d").as("doc_id"))
+          .agg(sum("cted").as("n_contained_in"), sum("ctor").as("n_contains"))
+          .filter(col("n_contained_in") + col("n_contains") > 0)
+          .withColumn("role",
+            when(col("n_contained_in") >= 2, "template")
+              .when(col("n_contains") >= 2, "hub").otherwise("normal"))
+          .select("doc_id", "n_contained_in", "n_contains", "role")
+          .orderBy("doc_id")
       }),
 
     // 34h. PER-SOURCE GRAM NOVELTY — the "does this crawl add anything"
