@@ -123,17 +123,29 @@ object Tables {
         // refused) — an unrelated task failure quoting a bad DATA path
         // that happens to contain one of these phrases must pass through
         // as itself, not as index-root guidance masking the real cause
-        val rootAndAncestors = Iterator.iterate(
-            new org.apache.hadoop.fs.Path(root))(_.getParent)
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val rootAndAncestors = Iterator.iterate(rootPath)(_.getParent)
           // stop before generic prefixes: a bare "/tmp" would match any
           // scratch path; URI paths keep authority-anchored specificity
           // one level longer (s3a://bucket/corpus)
           .takeWhile(p => p != null && (p.depth() >= 2 ||
             (p.depth() >= 1 && p.toUri.getScheme != null)))
           .map(_.toString).take(6).toSeq
+        // a DEPTH-1 schemeless root (the local default: indexRoot falls
+        // back to java.io.tmpdir = "/tmp") yields NO candidates above and
+        // the guidance goes dead on the most common configuration. Keep
+        // specificity by matching the names index writes actually create
+        // under such a root ("<root>/graft_…" index dirs, "<root>/.build…"
+        // temp dirs) instead of the bare root
+        val candidates =
+          if (rootAndAncestors.nonEmpty) rootAndAncestors
+          else {
+            val r = root.stripSuffix("/")
+            Seq(s"$r/graft_", s"$r/.build")
+          }
         val scoped = chain.exists { t =>
           val msg = String.valueOf(t.getMessage)
-          rootAndAncestors.exists(msg.contains) &&
+          candidates.exists(msg.contains) &&
             Seq("Permission denied", "Access Denied", "AccessDenied",
               "Read-only", "read-only", "Mkdirs failed",
               "not a directory", "Not a directory").exists(msg.contains)

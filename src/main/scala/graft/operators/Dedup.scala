@@ -573,17 +573,13 @@ object Dedup {
           if (incr == null) None
           else predecessorIndex(fs, idxRoot, tag, corpus, table, params,
             entries.map(_._2).toSet)
-        // build into a dot-named temp dir (invisible to every listing:
-        // predecessor detection, vacuum, and Spark's file index all skip
-        // dot/underscore names), then PUBLISH with an atomic per-scheme
-        // move — two DRIVERS sharing an index root (the intended cluster
-        // deployment) can race the same content key, and the pre-r8
-        // direct flush let the second build overwrite in place under a
-        // reader that had already seen _SUCCESS. Loser reads the winner:
-        // same key ⇒ same corpus+params ⇒ equivalent table.
-        val token = java.util.UUID.randomUUID.toString.take(8)
-        val tmp = s"$idxRoot/.build_${tag}_${key}_$token"
-        Tables.indexWrite(idxRoot) {
+        // two-phase publish ([[buildAndPublishIndex]]) — two DRIVERS
+        // sharing an index root (the intended cluster deployment) can
+        // race the same content key, and the pre-r8 direct flush let the
+        // second build overwrite in place under a reader that had
+        // already seen _SUCCESS. Loser reads the winner: same key ⇒ same
+        // corpus+params ⇒ equivalent table.
+        buildAndPublishIndex(fs, idxRoot, root, s"${tag}_$key") { tmp =>
           pred match {
             case Some((predRoot, predEntries)) =>
               val newPaths = entries.collect {
@@ -594,8 +590,6 @@ object Dedup {
             case None => graft.sources.Export.flush(build, tmp)
           }
           writeStampFile(fs, tmp, corpus, table, params, entries.map(_._2))
-          publishIndexDir(fs, new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(root)): Unit
         }
       }
       s.read.parquet(root)
@@ -620,10 +614,11 @@ object Dedup {
     */
   private[graft] def publishIndexDir(fs: org.apache.hadoop.fs.FileSystem,
                                          tmp: org.apache.hadoop.fs.Path,
-                                         root: org.apache.hadoop.fs.Path)
+                                         root: org.apache.hadoop.fs.Path,
+                                         marker: String = "_SUCCESS")
       : Boolean = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    val won =
+    def moveOnce(): Boolean =
       if (scheme == "file") {
         try {
           java.nio.file.Files.move(
@@ -645,8 +640,47 @@ object Dedup {
           if (fs.exists(nested)) { fs.delete(nested, true); false } else true
         }
       }
+    var won = moveOnce()
+    // before conceding, VERIFY the occupant is a completed publish: a
+    // real winner always moves a complete dir (marker included) into
+    // place atomically, so a markerless occupant is garbage — e.g. a
+    // pre-two-phase crashed direct flush, which parquet would silently
+    // serve PARTIAL rows from forever while every rebuild concedes to
+    // it. Evict it and retry once. (Two builders both evicting the same
+    // garbage can briefly tear a reader mid-replace — acceptable: that
+    // reader was scanning wrong data either way, and the end state is a
+    // complete equivalent index.)
+    if (!won && !fs.exists(new org.apache.hadoop.fs.Path(root, marker))) {
+      fs.delete(root, true)
+      won = moveOnce()
+    }
     if (!won) fs.delete(tmp, true)
     won
+  }
+
+  /** The two-phase standing-index publish EVERY builder shares: build
+    * into a dot-named temp dir under the index root (invisible to
+    * predecessor detection, vacuum, and Spark's file listings), then
+    * atomically move to the final content-keyed path via
+    * [[publishIndexDir]]. `marker` is the root-relative path whose
+    * presence proves a complete publish (nested for the multi-table
+    * indexes, e.g. "lists/_SUCCESS"). Holding the protocol in one place
+    * keeps the four builder families from drifting — a publish-rule fix
+    * lands everywhere at once. After return, `root` holds an equivalent
+    * published table whichever racing builder won.
+    */
+  private[graft] def buildAndPublishIndex(fs: org.apache.hadoop.fs.FileSystem,
+                                          idxRoot: String, root: String,
+                                          tmpName: String,
+                                          marker: String = "_SUCCESS")(
+                                          build: String => Unit): Unit = {
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = s"$idxRoot/.build_${tmpName}_$token"
+    Tables.indexWrite(idxRoot) {
+      build(tmp)
+      publishIndexDir(fs, new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(root), marker): Unit
+    }
   }
 
   /** Most complete already-published index of the same (corpus, table,
@@ -785,7 +819,23 @@ object Dedup {
               o.files.subsetOf(current) && o.mtime <= cutoff)
         }.map { i => fs.delete(i.path, true); i.path.toString }
       }
-    }.sorted
+    }.sorted ++ {
+      // crashed builders leak full-size ".build_*" temp dirs (a driver
+      // killed between flush and publish — routine with spot instances);
+      // nothing else ever touches dot-named dirs, so sweep the ones past
+      // the grace here. Unlike published dirs, an IN-FLIGHT build may be
+      // writing right now and grace=0 callers (tests, single-process
+      // CLI) cannot know about OTHER corpora's builders sharing the
+      // root — so the sweep keeps a one-hour floor regardless of grace.
+      val buildCutoff = System.currentTimeMillis() -
+        math.max(math.max(0L, graceMs), 3600L * 1000)
+      fs.listStatus(idxRoot).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(".build_") &&
+          st.getModificationTime <= buildCutoff)
+        .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+        .sorted
+    }
   }
 
   private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
@@ -924,9 +974,8 @@ object Dedup {
     // and the stamp land in a dot-named temp root, then one atomic move
     // makes the whole index visible — a second driver racing this build
     // loses the move and probes the winner's (same-keyed) index
-    val token = java.util.UUID.randomUUID.toString.take(8)
-    val tmp = s"${Tables.indexRoot(s, dir)}/.build_minhash_${token}"
-    Tables.indexWrite(root) {
+    buildAndPublishIndex(fs, Tables.indexRoot(s, dir), root, "minhash",
+        marker = "bands/_SUCCESS") { tmp =>
       pred match {
         case Some((predRoot, predEntries)) =>
           val newPaths = entries.collect {
@@ -979,8 +1028,6 @@ object Dedup {
           graft.sources.Export.flush(cappedBandKeys(sigs), s"$tmp/bands")
       }
       writeStampFile(fs, tmp, corpus, "documents", params, entries.map(_._2))
-      publishIndexDir(fs, new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(root)): Unit
     }
     root
   }
@@ -988,15 +1035,17 @@ object Dedup {
   /** Read a MinHash-index subtable INCLUDING streaming-maintained rows:
     * the static build writes `root/<sub>` once; the streaming maintainer
     * (Docs.maintainMinhashIndex) lands each micro-batch under
-    * `root/<sub>_m/batch=<batchId>` with per-batch overwrite, so a
-    * replayed batch rewrites its own partition instead of appending a
-    * duplicate. `excludeBatch` drops one batch's partition (partition-
+    * `root/<sub>_m/batch=<lineage>_<batchId>` with per-batch overwrite,
+    * so a replayed batch rewrites its own partition instead of appending
+    * a duplicate (and a RECREATED checkpoint, whose batch ids restart at
+    * 0 over a possibly-grown source, lands under a fresh lineage instead
+    * of clobbering the dead lineage's rows). `excludeBatch` drops one batch's partition (partition-
     * pruned) — the maintainer's occupancy read excludes its OWN batch so
     * a replay admits band keys against exactly the pre-batch state.
     * Returns None when neither side exists yet.
     */
   def minhashIndexTable(s: SparkSession, root: String, sub: String,
-                        excludeBatch: Option[Long] = None)
+                        excludeBatch: Option[String] = None)
       : Option[DataFrame] = {
     val conf = s.sessionState.newHadoopConf()
     def existing(p: String): Option[String] = {
@@ -1006,8 +1055,10 @@ object Dedup {
     val base = existing(s"$root/$sub").map(s.read.parquet(_))
     val maintained = existing(s"$root/${sub}_m").map { p =>
       val d = s.read.parquet(p)
-      excludeBatch.map(b => d.filter(col("batch") =!= b)).getOrElse(d)
-        .drop("batch")
+      // the partition value is "<lineage>_<batchId>" (string compare —
+      // see Docs.maintainMinhashIndex for why batchId alone is unsafe)
+      excludeBatch.map(b => d.filter(col("batch").cast("string") =!= b))
+        .getOrElse(d).drop("batch")
     }
     (base, maintained) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))

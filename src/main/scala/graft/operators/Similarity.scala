@@ -188,11 +188,10 @@ object Similarity {
     val pred = Dedup.predecessorIndex(fs, Tables.indexRoot(s, dir), "ivf",
       corpus, "embeddings", params, entries.map(_._2).toSet,
       marker = "lists/_SUCCESS")
-    // two-phase publish (Dedup.publishIndexDir): concurrent drivers
+    // two-phase publish (Dedup.buildAndPublishIndex): concurrent drivers
     // sharing the index root race the atomic move, never the directory
-    val token = java.util.UUID.randomUUID.toString.take(8)
-    val tmp = s"${Tables.indexRoot(s, dir)}/.build_ivf_$token"
-    Tables.indexWrite(root) {
+    Dedup.buildAndPublishIndex(fs, Tables.indexRoot(s, dir), root, "ivf",
+        marker = "lists/_SUCCESS") { tmp =>
       pred match {
         case Some((predRoot, predEntries)) =>
           val newPaths = entries.collect {
@@ -212,8 +211,6 @@ object Similarity {
       }
       Dedup.writeStampFile(fs, tmp, corpus, "embeddings", params,
         entries.map(_._2))
-      Dedup.publishIndexDir(fs, new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(root)): Unit
     }
     root
   }
@@ -342,9 +339,8 @@ object Similarity {
     val pred = Dedup.predecessorIndex(fs, Tables.indexRoot(s, dir), "pq",
       corpus, "embeddings", params, entries.map(_._2).toSet,
       marker = "codes/_SUCCESS")
-    val token = java.util.UUID.randomUUID.toString.take(8)
-    val tmp = s"${Tables.indexRoot(s, dir)}/.build_pq_$token"
-    Tables.indexWrite(root) {
+    Dedup.buildAndPublishIndex(fs, Tables.indexRoot(s, dir), root, "pq",
+        marker = "codes/_SUCCESS") { tmp =>
       pred match {
         case Some((predRoot, predEntries)) =>
           val newPaths = entries.collect {
@@ -365,8 +361,6 @@ object Similarity {
       }
       Dedup.writeStampFile(fs, tmp, corpus, "embeddings", params,
         entries.map(_._2))
-      Dedup.publishIndexDir(fs, new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(root)): Unit
     }
     root
   }

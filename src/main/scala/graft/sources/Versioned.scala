@@ -237,16 +237,23 @@ object Versioned {
     f.mkdirs(new Path(s"$dir/_commits"))
     val token = java.util.UUID.randomUUID.toString.take(8)
     var v = versions(spark, dir).lastOption.getOrElse(0) + 1
+    // the merge in newDirs was computed against THIS parent's state; on a
+    // lost publish race the retry re-validates the new parent against it
+    val base = if (v == 1) None else Some(readManifest(spark, dir, v - 1))
+    val touchedBuckets =
+      (replacedDirs.toSeq ++ newDirs).flatMap(bucketOf).toSet
     var committed = -1
     while (committed < 0) {
       val parent = if (v == 1) None else Some(readManifest(spark, dir, v - 1))
       val parentDirs = parent.map(_.dataDirs).getOrElse(Seq.empty)
-      if (!replacedDirs.subsetOf(parentDirs.toSet))
+      def conflict(why: String): Nothing =
         throw new java.util.ConcurrentModificationException(
-          s"replace commit at $dir conflicts with a concurrent commit: " +
-            s"parent v${v - 1} no longer references " +
-            replacedDirs.filterNot(parentDirs.toSet).mkString(", ") +
+          s"replace commit at $dir conflicts with a concurrent commit: $why" +
             " — recompute the merge against the current version and retry")
+      parent.orElse(Some(Manifest(0, Seq.empty, 0L)))
+        .flatMap(p => retryConflict(base, p, replacedDirs, touchedBuckets,
+          bucketCol, nBuckets))
+        .foreach(why => conflict(why))
       val dirs = parentDirs.filterNot(replacedDirs) ++ newDirs
       val nRows = parent.map(_.nRows).getOrElse(0L) - replacedRows + newRows
       val m = Manifest(v, dirs, nRows, epochId, appId, bucketCol, nBuckets)
@@ -254,6 +261,55 @@ object Versioned {
       else v += 1
     }
     committed
+  }
+
+  /** Whether publishing a replace commit computed against `base` is still
+    * safe against the CURRENT `parent` — the documented Delta-style
+    * conflict rule, enforced instead of assumed. Returns the conflict
+    * reason, or None when the interleaved commits provably touched data
+    * DISJOINT from this merge:
+    *  - the subset check: every replaced dir must still be referenced
+    *    (a concurrent replace of the SAME data removed one);
+    *  - the bucket layout must be unchanged (a re-bucketing commit
+    *    invalidates every bucket-id assumption the merge made);
+    *  - every dir added since the base must itself be a bucketed dir (a
+    *    plain append may contain any key, including this merge's);
+    *  - an added bucketed dir must not collide with a bucket this commit
+    *    replaces or writes (same-bucket data published after the merge
+    *    was computed would be silently shadowed or duplicated).
+    */
+  private[graft] def retryConflict(base: Option[Manifest], parent: Manifest,
+                                   replacedDirs: Set[String],
+                                   touchedBuckets: Set[Long],
+                                   bucketCol: Option[String],
+                                   nBuckets: Option[Int]): Option[String] = {
+    val parentDirs = parent.dataDirs
+    val baseDirs = base.map(_.dataDirs).getOrElse(Seq.empty)
+    // the layout the merge ASSUMED is the base's (this commit's own
+    // bucketCol/nBuckets may legitimately differ — that is how a
+    // migration/compaction commit installs a new layout). A parent whose
+    // layout drifted from the base's invalidates every bucket-id
+    // assumption the merge made, even if its dir list happens to match.
+    val (baseCol, baseN) = base.map(b => (b.bucketCol, b.nBuckets))
+      .getOrElse((bucketCol, nBuckets))
+    if (!replacedDirs.subsetOf(parentDirs.toSet))
+      Some(s"parent v${parent.version} no longer references " +
+        replacedDirs.filterNot(parentDirs.toSet).mkString(", "))
+    else if (parent.version > base.map(_.version).getOrElse(0) &&
+        (parent.bucketCol != baseCol || parent.nBuckets != baseN))
+      Some(s"parent v${parent.version} changed the bucket layout to " +
+        s"(${parent.bucketCol}, ${parent.nBuckets}) from " +
+        s"($baseCol, $baseN)")
+    else if (parentDirs == baseDirs) None
+    else {
+      val added = parentDirs.toSet -- baseDirs.toSet
+      added.find(d => bucketOf(d).isEmpty)
+        .map(d => s"a concurrent commit added a non-bucketed dir $d whose " +
+          "keys may overlap this merge")
+        .orElse(added.flatMap(bucketOf).find(touchedBuckets)
+          .map(b => s"a concurrent commit wrote bucket $b, which this " +
+            "merge also touches"))
+    }
   }
 
   /** Write `df` hash-bucketed by `key` into `nBuckets` subdirectories of
@@ -452,18 +508,37 @@ object Versioned {
              graceMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
-    val keep = vs.takeRight(math.max(1, keepVersions))
+    val windowKeep = vs.takeRight(math.max(1, keepVersions))
+    // a fully-emptied table commits versions with NO data directories;
+    // read() reconstructs their schema from the nearest schema-bearing
+    // ancestor — so when every retained manifest is empty, that ancestor
+    // manifest AND its data dirs must survive the vacuum, or the table
+    // (and the CDC stream's empty-batch path through read().limit(0))
+    // wedges permanently on "no retained ancestor carries a schema"
+    val schemaAnchor =
+      if (windowKeep.exists(v => readManifest(spark, dir, v).dataDirs.nonEmpty))
+        None
+      else vs.filter(_ < windowKeep.min).reverseIterator
+        .find(v => readManifest(spark, dir, v).dataDirs.nonEmpty)
+    val keep = schemaAnchor.toSeq ++ windowKeep
     val referenced = keep.flatMap(v => readManifest(spark, dir, v).dataDirs)
     vs.filterNot(keep.contains).foreach(v => f.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(s"$dir/data")
     if (!f.exists(dataRoot)) return Seq.empty
     // a manifest may reference a NESTED dir (bucketed replace commits
     // write data/vX-tok/__bucket=N): a top-level dir is live when any
-    // referenced path is at or under it
-    val dataPrefix = s"${dir.stripSuffix("/")}/data/"
+    // referenced path is at or under it. QUALIFY both sides before
+    // comparing: writeBucketed records what listStatus returned —
+    // FileSystem-qualified paths ("file:/…") — while `dir` is whatever
+    // the caller passed; comparing raw strings made every bucketed
+    // table's live dirs look unreferenced (topName fell through to the
+    // nested "__bucket=N" name) and vacuum deleted the current version's
+    // data out from under its manifest
+    val qualDataRoot = f.makeQualified(dataRoot).toString.stripSuffix("/") + "/"
     def topName(r: String): String = {
-      val rel = r.stripPrefix(dataPrefix)
-      if (rel == r) new Path(r).getName else rel.split("/")(0)
+      val q = f.makeQualified(new Path(r)).toString
+      if (q.startsWith(qualDataRoot)) q.stripPrefix(qualDataRoot).split("/")(0)
+      else new Path(r).getName
     }
     val liveTop = referenced.map(topName).toSet
     val tombRoot = new Path(s"$dir/_commits/_tombstones")

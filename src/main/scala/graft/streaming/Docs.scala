@@ -422,6 +422,33 @@ object Docs {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     import org.apache.spark.sql.expressions.Window
+    // batch dirs key on (LINEAGE, batchId), not batchId alone: batch
+    // composition is only deterministic within one checkpoint lineage
+    // (offsets are logged there). A recreated checkpoint restarts batch
+    // ids at 0 over a GROWN source, and a bare batch=0 overwrite would
+    // then clobber the rows the dead lineage's batch 0 indexed — silent
+    // index data loss. The checkpoint's stream id is exactly the lineage:
+    // stable across restarts of the same checkpoint, fresh for a
+    // recreated one. Read lazily — StreamExecution writes the metadata
+    // file at query start, before any batch runs.
+    lazy val lineage: String = {
+      val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val id = try {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(txt).get("id").asText()
+      } catch {
+        // metadata unreadable (exotic checkpoint manager): fall back to
+        // the checkpoint PATH — still distinguishes different checkpoint
+        // locations, just not a wipe-and-recreate at the same path
+        case _: Exception => checkpointDir
+      }
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    }
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -429,6 +456,7 @@ object Docs {
         if (!batch0.isEmpty) {
           val s = batch0.sparkSession
           val conf = s.sessionState.newHadoopConf()
+          val batchKey = s"${lineage}_$batchId"
           val withH = batch0.withColumn("__h",
             md5(TextAnalysis.normText(col("text")).cast("binary")))
           // reps fence INCLUDES this batch's own prior attempt: a crash
@@ -446,12 +474,12 @@ object Docs {
             val sigs = Dedup.minhashSignatures(batch.drop("__h"))
               .localCheckpoint()
             sigs.write.mode("overwrite")
-              .parquet(s"$root/sigs_m/batch=$batchId")
+              .parquet(s"$root/sigs_m/batch=$batchKey")
             val newKeys = Dedup.bandKeys(sigs)
             val w = Window.partitionBy(col("band"), col("bkey"))
               .orderBy(col("doc_id"))
             val admitted = Dedup.minhashIndexTable(s, root, "bands",
-                excludeBatch = Some(batchId)) match {
+                excludeBatch = Some(batchKey)) match {
               case Some(bands) =>
                 val occupancy = bands.groupBy(col("band"), col("bkey"))
                   .agg(count(lit(1)).as("n0"))
@@ -467,7 +495,7 @@ object Docs {
                   .select("doc_id", "band", "bkey")
             }
             admitted.write.mode("overwrite")
-              .parquet(s"$root/bands_m/batch=$batchId")
+              .parquet(s"$root/bands_m/batch=$batchKey")
             // reps LAST: it is the fence, so it must only admit a batch
             // whose sigs/bands partitions all landed; a crash before this
             // point replays the batch, which OVERWRITES those partitions
@@ -475,7 +503,7 @@ object Docs {
             batch.select(col("__h").as("h"), col("doc_id"))
               .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
               .write.mode("overwrite")
-              .parquet(s"$root/reps_m/batch=$batchId")
+              .parquet(s"$root/reps_m/batch=$batchKey")
           }
         }
       }

@@ -389,6 +389,60 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(tmpA)))
   }
 
+  test("a markerless partial occupant is evicted, not conceded to") {
+    import spark.implicits._
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_evict").toString
+    val fs = new org.apache.hadoop.fs.Path(idxRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a pre-two-phase crashed direct flush left PARTIAL parquet at the
+    // final path with no _SUCCESS: parquet would silently serve it
+    val root = new org.apache.hadoop.fs.Path(s"$idxRoot/graft_evict_k")
+    Seq((1L, 0L)).toDF("doc_id", "m").write.parquet(root.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), false)
+    // a fresh builder must EVICT the garbage and publish, not lose the
+    // race to it forever
+    val tmp = s"$idxRoot/.build_evict_k_cccc"
+    Seq((1L, 7L), (2L, 7L)).toDF("doc_id", "m").write.parquet(tmp)
+    assert(Dedup.publishIndexDir(fs, new org.apache.hadoop.fs.Path(tmp), root),
+      "builder conceded to a markerless partial dir")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")))
+    assert(spark.read.parquet(root.toString).select("m")
+      .as[Long].collect().toSet == Set(7L))
+    // ...while a COMPLETE occupant (marker present) still wins the race
+    val tmp2 = s"$idxRoot/.build_evict_k_dddd"
+    Seq((1L, 9L)).toDF("doc_id", "m").write.parquet(tmp2)
+    assert(!Dedup.publishIndexDir(fs, new org.apache.hadoop.fs.Path(tmp2), root))
+    assert(spark.read.parquet(root.toString).select("m")
+      .as[Long].collect().toSet == Set(7L))
+  }
+
+  test("vacuum sweeps aged crashed-build temp dirs, never fresh ones") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tsweep").toString
+    val corpus = s"$base/c"
+    Tables.load(spark, TestSpark.sf, "documents").limit(20)
+      .write.parquet(s"$corpus/documents.parquet")
+    val idxRoot = Tables.indexRoot(spark, corpus)
+    val fs = new org.apache.hadoop.fs.Path(idxRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a crashed builder's leftover, older than any real build...
+    val stale = new org.apache.hadoop.fs.Path(
+      s"$idxRoot/.build_tsweep_stale_eeee")
+    fs.mkdirs(stale)
+    fs.setTimes(stale, System.currentTimeMillis() - 8L * 24 * 3600 * 1000, -1)
+    // ...and a FRESH in-flight build dir another driver is writing now
+    val live = new org.apache.hadoop.fs.Path(
+      s"$idxRoot/.build_tsweep_live_ffff")
+    fs.mkdirs(live)
+    val gone = Dedup.vacuumIndexes(spark, corpus, graceMs = 0)
+    assert(gone.exists(_.contains(".build_tsweep_stale")),
+      s"aged temp dir not swept: $gone")
+    assert(!fs.exists(stale))
+    assert(fs.exists(live),
+      "sweep deleted an in-flight build dir inside the one-hour floor")
+    fs.delete(live, true): Unit
+  }
+
   test("vacuum never deletes the live index after an in-place corpus shrink") {
     val base = java.nio.file.Files.createTempDirectory("graft_shrink").toString
     val grown = s"$base/grown"

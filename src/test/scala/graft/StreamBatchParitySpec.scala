@@ -489,16 +489,42 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(table(sub("bands"), "doc_id", "band", "bkey") == bandsBefore)
     assert(sub("bands").count() == nBandRows,
       "replay re-spent cap slots (duplicate band rows)")
-    // (b) crash-before-reps: drop the LAST batch's reps partition and
-    // replay — only that batch re-runs, rewriting identical partitions
-    val lastBatch = chunks.size - 1
+    // (b) crash at batch start: drop the LAST batch's partitions (its
+    // rows now exist nowhere) and replay — the un-fenced docs re-index
+    // under the replaying lineage and the tables converge to the same
+    // content, with no duplicate rows
     val fsys = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(fsys.delete(new org.apache.hadoop.fs.Path(
-      s"$root/reps_m/batch=$lastBatch"), true))
+    def lastBatchDirs(subName: String): Seq[org.apache.hadoop.fs.Path] =
+      fsys.listStatus(new org.apache.hadoop.fs.Path(s"$root/${subName}_m"))
+        .toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(s"_${chunks.size - 1}"))
+    Seq("reps", "sigs", "bands").foreach(sn =>
+      lastBatchDirs(sn).foreach(p => assert(fsys.delete(p, true))))
     replayAll()
     assert(table(sub("sigs"), sigCols: _*) == sigsBefore)
     assert(table(sub("bands"), "doc_id", "band", "bkey") == bandsBefore)
     assert(sub("bands").count() == nBandRows)
+
+    // (c) LINEAGE SAFETY: a wiped-and-recreated checkpoint restarts batch
+    // ids at 0 over a GROWN source. Batch 0 now has a DIFFERENT (superset)
+    // composition — under bare batchId-keyed overwrite it would clobber
+    // the dead lineage's batch-0 rows; lineage-keyed dirs must instead
+    // keep every standing row and admit only the genuinely new doc.
+    val extra = feed.head.copy(doc_id = 1999999L,
+      text = feed.head.text + " lineage safety sentinel growth")
+    val in3 = MemoryStream[Doc]
+    val q3 = Docs.maintainMinhashIndex(in3.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_lineage_ckpt").toString)
+    try {
+      in3.addData(chunks.head :+ extra) // batch 0 again, superset
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val sigsAfter = table(sub("sigs"), sigCols: _*)
+    assert(sigsBefore.subsetOf(sigsAfter),
+      "a recreated checkpoint's batch 0 clobbered standing index rows")
+    assert(sub("sigs").filter(col("doc_id") === 1999999L).count() == 1,
+      "the grown source's new doc was not indexed")
+    assert(sigsAfter.size == sigsBefore.size + 1)
   }
 }

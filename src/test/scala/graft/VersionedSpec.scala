@@ -383,6 +383,84 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum never deletes a live bucketed table's data (qualified-path matching)") {
+    import spark.implicits._
+    val dir = tmp("bvac")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // bucketed manifests reference what listStatus returned — QUALIFIED
+    // ("file:/…") paths, while vacuum's caller passes a plain dir; the
+    // pre-fix raw-string prefix match made every live bucketed dir look
+    // unreferenced and vacuum destroyed the current version's data
+    Cdc.applyBatch(batch((0L until 64L).map(k =>
+      (k, "U", s"v$k", 1L)): _*), dir, "k", Seq("v"), "seq",
+      epochId = Some(0L), appId = Some("a"), nBuckets = 8)
+    Cdc.applyBatch(batch((5L, "U", "v5b", 2L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(1L), appId = Some("a"), nBuckets = 8)
+    Versioned.compactCommit(spark, dir)
+    val deleted = Versioned.vacuum(spark, dir, keepVersions = 1, graceMs = 0)
+    val live = Versioned.manifest(spark, dir)
+    live.dataDirs.foreach(d => assert(
+      f.exists(new org.apache.hadoop.fs.Path(d)), s"live dir deleted: $d"))
+    val got = Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 64 && got(5L) == "v5b")
+    // and vacuum still reclaims the superseded pre-compaction dirs
+    assert(deleted.nonEmpty, "superseded bucket dirs were not reclaimed")
+  }
+
+  test("a fully-emptied table stays readable after vacuum (schema anchor retained)") {
+    import spark.implicits._
+    val dir = tmp("evac")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    Cdc.applyBatch(batch((1L, "U", "a", 1L), (2L, "U", "b", 1L)), dir,
+      "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"), nBuckets = 2)
+    Cdc.applyBatch(batch((1L, "D", "", 2L), (2L, "D", "", 2L)), dir,
+      "k", Seq("v"), "seq", epochId = Some(1L), appId = Some("a"), nBuckets = 2)
+    assert(Versioned.manifest(spark, dir).dataDirs.isEmpty)
+    Versioned.vacuum(spark, dir, keepVersions = 1, graceMs = 0)
+    // the pre-fix vacuum deleted the only schema-bearing ancestor and
+    // the empty table became permanently unreadable (and the CDC sink's
+    // empty-batch read().limit(0) path crashed on every retry)
+    val df = Versioned.read(spark, dir)
+    assert(df.count() == 0 && df.columns.contains("v"))
+    // the table is still writable through the same CDC path afterwards
+    Cdc.applyBatch(batch((3L, "U", "c", 3L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(2L), appId = Some("a"), nBuckets = 2)
+    assert(Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+  }
+
+  test("retry conflict rule: plain appends and touched-bucket collisions block, disjoint buckets pass") {
+    import Versioned.{Manifest, retryConflict}
+    def bdir(v: Int, b: Long) = s"/t/data/v0000$v-x/__bucket=$b"
+    val base = Manifest(1, Seq(bdir(1, 0), bdir(1, 1), bdir(1, 2)), 30L,
+      bucketCol = Some("k"), nBuckets = Some(8))
+    val replaced = Set(bdir(1, 2))
+    val touched = Set(2L)
+    def check(parent: Manifest) = retryConflict(Some(base), parent,
+      replaced, touched, Some("k"), Some(8))
+    // unchanged parent: no conflict
+    assert(check(base).isEmpty)
+    // a concurrent DISJOINT bucket replace: bucket 1's dir swapped — safe
+    assert(check(base.copy(version = 2,
+      dataDirs = Seq(bdir(1, 0), bdir(2, 1), bdir(1, 2)))).isEmpty)
+    // a concurrent PLAIN append may hold any key: conflict
+    assert(check(base.copy(version = 2,
+      dataDirs = base.dataDirs :+ "/t/data/v00002-y")).nonEmpty)
+    // a concurrent commit wrote the SAME bucket this merge touches: conflict
+    assert(check(base.copy(version = 2,
+      dataDirs = base.dataDirs :+ bdir(2, 2))).nonEmpty)
+    // a re-bucketing commit: conflict
+    assert(check(base.copy(version = 2, nBuckets = Some(16))).nonEmpty)
+    // our replaced dir no longer referenced: conflict
+    assert(check(base.copy(version = 2,
+      dataDirs = Seq(bdir(1, 0), bdir(1, 1)))).nonEmpty)
+  }
+
   test("streaming CDC apply commits one merged version per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
