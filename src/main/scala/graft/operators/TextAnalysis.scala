@@ -38,6 +38,14 @@ object TextAnalysis {
     */
   val PackLens: Seq[Int] = Seq(128, 256, 512, 1024)
 
+  /** DSIR hashed-feature space size and the target slice (q_dsir_weights)
+    * — declared before `pack` (init-order rule for oracle-interpolated
+    * constants). 4096 buckets keeps the weight table broadcast-tiny while
+    * still separating the synthetic vocabulary; real pipelines use 10k-1M.
+    */
+  val DsirBuckets = 4096
+  val DsirTarget = "src0"
+
   /** RAG chunk-window geometry (q_doc_chunks): 32-token windows every 24
     * tokens — 8 tokens of overlap between consecutive chunks.
     */
@@ -823,6 +831,158 @@ object TextAnalysis {
               .as("dup_frac_micros"))
           .withColumn("verdict",
             when(col("dup_frac_micros") > 500000, "flag").otherwise("keep"))
+          .orderBy("doc_id")
+      }),
+
+    // 41m2. DUPLICATED-GRAM SPAN EXTRACTION — the actionable sequel to
+    // 41m's coverage ratio: the token spans themselves. Lee et al. 2022
+    // ("Deduplicating Training Data Makes Language Models Better") REMOVE
+    // duplicated spans rather than whole documents; this emits, per doc,
+    // the merged maximal spans of positions whose 5-gram is corpus-
+    // duplicated (gaps-and-islands over gram positions: two hits merge
+    // when their 5-token windows touch, i.e. pos gap ≤ 5). Scale shape:
+    // posexplode is a linear map; the duplicated-gram probe is the SAME
+    // stamp-keyed standing index as 41m (nd ≥ 2 pushed to the parquet
+    // scan); the window is per-document over the doc's own hit positions
+    // (bounded by doc length, never corpus-wide). Output is all-integer
+    // token counts, so it hash-checks cross-engine.
+    Q("q_dup_spans", {
+      val g5 = (0 until 5).map(k => if (k == 0) "l[i]" else s"l[i + $k]")
+        .mkString(" || ' ' || ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 4),
+         |    i -> {'pos': i, 'gram': $g5})) AS u
+         |  FROM tok WHERE len(l) >= 5),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
+         |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+         |  GROUP BY gram HAVING count(*) >= 2),
+         |hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl AS (
+         |  SELECT doc_id, pos, sum(b) OVER
+         |    (PARTITION BY doc_id ORDER BY pos
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM brk),
+         |spans AS (
+         |  SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+         |  FROM isl GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+         |    CAST(max(e - s + 1) AS BIGINT) AS longest_span
+         |  FROM spans GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(coalesce(longest_span, 0) AS BIGINT) AS longest_span
+         |FROM documents LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        val pos = Tables.spread(docs(s, dir))
+          .select(col("doc_id"), posexplode(
+            wordNgrams(split(normText(col("text")), " "), 5)))
+          // oracle positions are 1-based (generate_series); posexplode is
+          // 0-based — aligned here so span endpoints agree by value, not
+          // just by length
+          .select(col("doc_id"), (col("pos") + 1).as("pos"),
+            md5(col("col").cast("binary")).as("gh"))
+        val dup = corpusDupGrams(s, dir).filter(col("nd") >= 2).select("gh")
+        val hits = pos.join(dup, "gh").select("doc_id", "pos")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val isl = hits
+          .withColumn("b", when(lag(col("pos"), 1).over(w).isNull ||
+            col("pos") > lag(col("pos"), 1).over(w) + 5, 1).otherwise(0))
+          .withColumn("island", sum(col("b")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val spans = isl.groupBy("doc_id", "island")
+          .agg(min(col("pos")).as("s"), (max(col("pos")) + 4).as("e"))
+        val per = spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"),
+            max(col("e") - col("s") + 1).cast("long").as("longest_span"))
+        docs(s, dir).select("doc_id")
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+          .orderBy("doc_id")
+      }),
+
+    // 41p. DSIR IMPORTANCE WEIGHTS — data-selection scoring per Xie et
+    // al. 2023 ("Data Selection for Language Models via Importance
+    // Resampling"): score each document by how much its hashed-unigram
+    // distribution looks like a TARGET slice (here the src0 source,
+    // standing in for a downstream eval/domain sample) versus the raw
+    // corpus. Features are md5-hashed token buckets (fixed 4096-wide
+    // space — the weight table stays broadcast-size however large the
+    // corpus); per-bucket weight = floor-log2 bits of (target count + 1)
+    // minus bits of (raw count + 1), Laplace-smoothed so unseen-in-target
+    // buckets stay defined. The per-token normalizer bits(tot_raw) −
+    // bits(tot_target) is a document-independent constant per token and
+    // is omitted — rankings at equal n_toks are unchanged, and n_toks is
+    // emitted for any reweighting. Scale shape: two map-side-combined
+    // aggregates over the token stream (bucket space is 4096, so the
+    // weight join broadcasts), one doc-keyed agg; all-integer bits, so
+    // it hash-checks cross-engine.
+    Q("q_dsir_weights", {
+      val duckB = (0 until 4).map { d =>
+        s"(strpos('0123456789abcdef', substr(md5(term), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
+      }.mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS term
+         |  FROM documents),
+         |tb AS (SELECT doc_id, source, ($duckB) % $DsirBuckets AS b FROM tok),
+         |raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+         |tgt AS (SELECT b, count(*) AS ct FROM tb
+         |  WHERE source = '$DsirTarget' GROUP BY 1),
+         |feat AS (
+         |  SELECT r.b, CAST(length(bin(coalesce(t.ct, 0) + 1))
+         |    - length(bin(r.cr + 1)) AS BIGINT) AS wb
+         |  FROM raw r LEFT JOIN tgt t USING (b)),
+         |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+         |  FROM tb GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
+         |    CAST(sum(n * wb) AS BIGINT) AS dsir_bits
+         |  FROM db JOIN feat USING (b) GROUP BY 1)
+         |SELECT doc_id, source,
+         |  CAST(coalesce(n_toks, 0) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(dsir_bits, 0) AS BIGINT) AS dsir_bits
+         |FROM documents LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        val sparkB = "CAST(conv(substr(md5(cast(term as binary)), 1, 4), " +
+          s"16, 10) AS INT) % $DsirBuckets"
+        val tb = Tables.spread(docs(s, dir))
+          .select(col("doc_id"), col("source"),
+            explode(split(normText(col("text")), " ")).as("term"))
+          .select(col("doc_id"), col("source"), expr(sparkB).as("b"))
+        val raw = tb.groupBy("b").agg(count(lit(1)).as("cr"))
+        val tgt = tb.filter(col("source") === DsirTarget)
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val feat = raw.join(tgt, Seq("b"), "left")
+          .select(col("b"),
+            (length(bin(coalesce(col("ct"), lit(0L)) + 1)) -
+              length(bin(col("cr") + 1))).cast("long").as("wb"))
+        val per = tb.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+          .join(broadcast(feat), "b")
+          .groupBy("doc_id")
+          .agg(sum(col("n")).as("n_toks"),
+            sum(col("n") * col("wb")).as("dsir_bits"))
+        docs(s, dir).select("doc_id", "source")
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+            coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"))
           .orderBy("doc_id")
       }),
 

@@ -402,4 +402,31 @@ class PlanShapeSpec extends AnyFunSuite {
       .find(_.contains("embeddings")).getOrElse(fail("no embeddings scan"))
     assert(!scan.contains("vec_id"), s"vec_id is unused and must be pruned:\n$scan")
   }
+
+  test("dup spans probe the standing dup-gram index with nd pushed to the scan") {
+    val df = SparkEntry.queries("q_dup_spans")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_dupgrams"),
+      s"spans must probe the standing dup-gram index:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span probe degenerated into a product:\n$p")
+    val idxScan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("graft_dupgrams")).getOrElse(fail("no index scan"))
+    assert(idxScan.contains("GreaterThanOrEqual(nd,2)") ||
+      idxScan.contains("IsNotNull(nd)"),
+      s"nd >= 2 not pushed to the index scan:\n$idxScan")
+  }
+
+  test("DSIR weights: 4096-bucket feature table broadcasts, corpus scanned linearly") {
+    val df = SparkEntry.queries("q_dsir_weights")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded feature table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"feature join degenerated into a product:\n$p")
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .filter(_.contains("documents"))
+    assert(scans.forall(s => !s.contains("lang") && !s.contains("n_chars")),
+      s"docs scan reads unused columns:\n${scans.mkString("\n")}")
+  }
 }

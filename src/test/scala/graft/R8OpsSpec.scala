@@ -136,4 +136,48 @@ class R8OpsSpec extends AnyFunSuite {
           r.getAs[Long]("min_cos_micros"))).toMap
     assert(out2 == out, "cohesion must be bit-identical under repartitioning")
   }
+
+  test("dup spans merge overlapping hits and split across unique gaps") {
+    // phrase A = 10 words shared by docs 1+2 (gram positions 1-6 → one
+    // merged span covering tokens 1-10); phrase B = 7 words shared by
+    // docs 1+3 (3 gram positions → a 7-token span). In doc 1 the two
+    // duplicated runs are separated by 8 unique tokens — the boundary
+    // grams mixing A/filler/B exist only in doc 1, so the islands stay
+    // disjoint (gap 19 > 6 + 5) and must NOT merge.
+    val A = (1 to 10).map(i => s"a$i").mkString(" ")
+    val B = (1 to 7).map(i => s"b$i").mkString(" ")
+    val fill = (1 to 8).map(i => s"u$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, s"$A $fill $B", "en", "s1", 1L),
+      (2L, s"$A v1 v2 v3 v4 v5", "en", "s2", 1L),
+      (3L, s"$B w1 w2 w3 w4 w5", "en", "s3", 1L),
+      (4L, (1 to 12).map(i => s"q$i").mkString(" "), "en", "s4", 1L)))
+    val out = SparkEntry.queries("q_dup_spans")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Long]("longest_span"))).toMap
+    assert(out(1L) == ((2L, 17L, 10L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((1L, 10L, 10L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((1L, 7L, 7L)), s"doc 3: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0L)), "an all-unique doc has no spans")
+  }
+
+  test("DSIR weights rank target-like docs above target-absent docs") {
+    // target slice (src0) speaks 'x'; doc 20 (src1) speaks only 'x',
+    // doc 21 (src1) speaks 'z' which the target never says. Laplace
+    // smoothing keeps z-buckets defined at bits(0+1)=1, so doc 21's
+    // weight is strictly negative while doc 20's stays near zero.
+    val dir = docsDir(Seq(
+      (10L, "x x x x y", "en", "src0", 1L),
+      (11L, "x x x x y", "en", "src0", 1L),
+      (20L, "x x x x x", "en", "src1", 1L),
+      (21L, "z z z z z", "en", "src1", 1L)))
+    val out = SparkEntry.queries("q_dsir_weights")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("dsir_bits"))).toMap
+    assert(out(20L)._1 == 5L && out(21L)._1 == 5L)
+    assert(out(20L)._2 > out(21L)._2,
+      s"target-vocabulary doc must outrank target-absent doc: $out")
+    assert(out(21L)._2 < 0L, "never-in-target tokens must weigh negative")
+  }
 }
