@@ -46,6 +46,62 @@ object TextAnalysis {
   val DsirBuckets = 4096
   val DsirTarget = "src0"
 
+  /** Spark-side md5 feature bucket of a `term` column — big-endian first-4-
+    * hex value mod [[DsirBuckets]], the engine-identical mirror of the
+    * oracle's per-digit arithmetic (the q_sample_hash convention).
+    */
+  private def dsirBucketExpr: String =
+    s"CAST(conv(substr(md5(cast(term as binary)), 1, 4), 16, 10) AS INT) % $DsirBuckets"
+
+  /** Standing DSIR feature table (b, cr, ct) — per-bucket raw-corpus and
+    * target-slice token counts over the hashed 4096-wide feature space.
+    * Both counts are per-file additive (pure token occurrence sums), so a
+    * corpus append merges the new files' counts instead of re-tokenizing
+    * — the same stamp-keyed lifecycle as the vocabulary and bigram-LM
+    * families. The table is at most [[DsirBuckets]] rows, so every scorer
+    * probes it with a broadcast join.
+    */
+  def corpusDsirFeatures(s: SparkSession, dir: String): DataFrame = {
+    def counts(d: DataFrame) = d
+      .select(col("source"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .select(col("source"), expr(dsirBucketExpr).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ct"))
+    graft.operators.Dedup.cachedCorpusTable(s, dir, "dsirfeat",
+      s"$DsirBuckets|$DsirTarget",
+      incr = (old, newDocs) => old.unionByName(counts(newDocs))
+        .groupBy("b").agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct")))(
+      counts(Tables.spread(docs(s, dir))))
+  }
+
+  /** Per-doc DSIR importance score against a FROZEN feature table — the
+    * scoring half shared by q_dsir_weights and the streaming twin.
+    * Per-bucket weight = bits(ct + 1) − bits(cr + 1) (floor-log2,
+    * Laplace-smoothed); buckets absent from the table (possible only for
+    * documents the table was not built from, i.e. streamed arrivals)
+    * weigh 0 = "no evidence either way". Output = every input column +
+    * n_toks + dsir_bits.
+    */
+  def dsirScore(d: DataFrame, feat: DataFrame): DataFrame = {
+    val wb = feat.select(col("b"),
+      (length(bin(col("ct") + 1)) - length(bin(col("cr") + 1)))
+        .cast("long").as("wb"))
+    val per = d
+      .select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .select(col("doc_id"), expr(dsirBucketExpr).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .join(broadcast(wb), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("__nt"),
+        sum(col("n") * coalesce(col("wb"), lit(0L))).as("__db"))
+    d.join(per, Seq("doc_id"), "left")
+      .withColumn("n_toks", coalesce(col("__nt"), lit(0L)))
+      .withColumn("dsir_bits", coalesce(col("__db"), lit(0L)))
+      .drop("__nt", "__db")
+  }
+
   /** RAG chunk-window geometry (q_doc_chunks): 32-token windows every 24
     * tokens — 8 tokens of overlap between consecutive chunks.
     */
@@ -928,10 +984,13 @@ object TextAnalysis {
     // buckets stay defined. The per-token normalizer bits(tot_raw) −
     // bits(tot_target) is a document-independent constant per token and
     // is omitted — rankings at equal n_toks are unchanged, and n_toks is
-    // emitted for any reweighting. Scale shape: two map-side-combined
-    // aggregates over the token stream (bucket space is 4096, so the
-    // weight join broadcasts), one doc-keyed agg; all-integer bits, so
-    // it hash-checks cross-engine.
+    // emitted for any reweighting. Scale shape: the per-bucket counts
+    // are a STANDING stamp-keyed family ([[corpusDsirFeatures]] — built
+    // once per corpus, append-merged on growth, like the vocabulary);
+    // scoring is one linear token map + a broadcast probe of the ≤4096-
+    // row weight table + one doc-keyed agg; all-integer bits, so it
+    // hash-checks cross-engine. The same frozen table drives the
+    // streaming twin (Docs.dsirSink).
     Q("q_dsir_weights", {
       val duckB = (0 until 4).map { d =>
         s"(strpos('0123456789abcdef', substr(md5(term), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
@@ -959,32 +1018,12 @@ object TextAnalysis {
          |FROM documents LEFT JOIN per USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     })(
-      (s, dir) => {
-        val sparkB = "CAST(conv(substr(md5(cast(term as binary)), 1, 4), " +
-          s"16, 10) AS INT) % $DsirBuckets"
-        val tb = Tables.spread(docs(s, dir))
-          .select(col("doc_id"), col("source"),
-            explode(split(normText(col("text")), " ")).as("term"))
-          .select(col("doc_id"), col("source"), expr(sparkB).as("b"))
-        val raw = tb.groupBy("b").agg(count(lit(1)).as("cr"))
-        val tgt = tb.filter(col("source") === DsirTarget)
-          .groupBy("b").agg(count(lit(1)).as("ct"))
-        val feat = raw.join(tgt, Seq("b"), "left")
-          .select(col("b"),
-            (length(bin(coalesce(col("ct"), lit(0L)) + 1)) -
-              length(bin(col("cr") + 1))).cast("long").as("wb"))
-        val per = tb.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
-          .join(broadcast(feat), "b")
-          .groupBy("doc_id")
-          .agg(sum(col("n")).as("n_toks"),
-            sum(col("n") * col("wb")).as("dsir_bits"))
-        docs(s, dir).select("doc_id", "source")
-          .join(per, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("source"),
-            coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-            coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"))
-          .orderBy("doc_id")
-      }),
+      (s, dir) =>
+        dsirScore(docs(s, dir).select("doc_id", "source", "text"),
+            corpusDsirFeatures(s, dir))
+          .select(col("doc_id"), col("source"), col("n_toks"),
+            col("dsir_bits"))
+          .orderBy("doc_id")),
 
     // 41f. benchmark decontamination: flag training documents sharing any
     // word n-gram with a held-out benchmark set (here: the src0 slice —

@@ -197,6 +197,22 @@ object Docs {
     scoredSink(docs, outPath, checkpointDir)(
       TextAnalysis.bigramSurprisalScore(_, model))
 
+  /** Streaming DSIR scoring — arriving documents weighed against the
+    * STANDING hashed-feature table (`TextAnalysis.corpusDsirFeatures`,
+    * frozen at sink construction): the data-selection gate of a live
+    * ingest feed, deciding per document how target-like it is BEFORE it
+    * enters the corpus. The ≤4096-row weight table broadcasts inside
+    * every micro-batch; buckets the frozen table never saw weigh 0
+    * (dsirScore's left-join rule), so alien vocabulary degrades scores
+    * smoothly instead of erroring. Same foreachBatch join-sink shape as
+    * [[bigramSurprisalSink]] (batchId-keyed output, idempotent replay).
+    */
+  def dsirSink(docs: DataFrame, feat: DataFrame,
+               outPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scoredSink(docs, outPath, checkpointDir)(
+      TextAnalysis.dsirScore(_, feat))
+
   /** One micro-batch of token-distribution DRIFT monitoring: the
     * total-variation distance between this batch's unigram distribution
     * and the STANDING corpus distribution

@@ -25,6 +25,7 @@ class IncrementalIndexSpec extends AnyFunSuite {
     "dupgrams" -> (() => TextAnalysis.corpusDupGrams(spark, dir)),
     "bgmodel" -> (() => TextAnalysis.corpusBigramModel(spark, dir)),
     "unigrams" -> (() => TextAnalysis.corpusUnigramCounts(spark, dir)),
+    "dsirfeat" -> (() => TextAnalysis.corpusDsirFeatures(spark, dir)),
     "chunkdf" -> (() => Dedup.corpusDupChunks(spark, dir)),
     "substr8" -> (() => Dedup.corpusSubstrPostings(spark, dir)),
     "engram2" -> (() => Dedup.corpusRareGramPostings(spark, dir)),

@@ -420,6 +420,8 @@ class PlanShapeSpec extends AnyFunSuite {
   test("DSIR weights: 4096-bucket feature table broadcasts, corpus scanned linearly") {
     val df = SparkEntry.queries("q_dsir_weights")(spark, TestSpark.sf)
     val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_dsirfeat"),
+      s"scoring must probe the standing feature table:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the bounded feature table must broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -168,6 +168,45 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR scoring equals the batch weights exactly") {
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .orderBy("doc_id").as[Doc].collect().toSeq
+    val feat = graft.operators.TextAnalysis
+      .corpusDsirFeatures(spark, TestSpark.sf)
+
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_dsir_out").toString
+    val input = MemoryStream[Doc]
+    val q = Docs.dsirSink(input.toDF(), feat, out,
+      java.nio.file.Files.createTempDirectory("graft_dsir_ckpt").toString)
+    try {
+      docs.grouped(math.max(docs.size / 3, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "source", "n_toks", "dsir_bits")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("q_dsir_weights")(spark, TestSpark.sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      // the score separates sources: the target slice itself must sit at
+      // the top of the per-source means (it IS the target distribution)
+      val bySrc = spark.read.parquet(out)
+        .groupBy("source")
+        .agg((sum(col("dsir_bits")) / sum(col("n_toks"))).as("m"))
+        .orderBy(desc("m"))
+        .select("source").as[String].collect()
+      assert(bySrc.head == graft.operators.TextAnalysis.DsirTarget,
+        s"target slice must rank first, got ${bySrc.head}")
+    } finally q.stop()
+  }
+
   test("streaming token-drift monitor: corpus replay is zero, alien batch alarms") {
     import graft.streaming.Docs
     import graft.streaming.Docs.Doc
