@@ -38,6 +38,28 @@ object Analytic {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Source→tier mapping and tier token shares (milli) — shared by
+    * q_mixture_plan (sizing) and q_mixture_select (execution); identical
+    * text compiles in both engines. Declared before `pack` (init-order
+    * rule for oracle-interpolated constants).
+    */
+  private[graft] val MixTierSql: String =
+    """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'curated'
+      |    WHEN source IN ('src5','src6','src7','src8','src9') THEN 'web'
+      |    WHEN source IN ('src10','src11','src12','src13','src14') THEN 'mid'
+      |    ELSE 'tail' END""".stripMargin
+  private[operators] val MixShareSql: String =
+    """CASE tier WHEN 'curated' THEN 500 WHEN 'web' THEN 300
+      |    WHEN 'mid' THEN 150 ELSE 50 END""".stripMargin
+
+  /** q_epoch_plan parameters: total training budget = EpochBudgetX × the
+    * corpus's unique tokens; no source tier may repeat beyond
+    * MaxEpochsMilli/1000 passes (the Muennighoff et al. 2023 point of
+    * diminishing returns). Declared before `pack` (init-order rule).
+    */
+  private[graft] val EpochBudgetX = 2
+  private[graft] val MaxEpochsMilli = 4000
+
   import graft.Q.{micros, sqlMicros}
 
   /** Exact 2-decimal view of a stored-as-double money/quantity column. */
@@ -731,12 +753,8 @@ object Analytic {
     // cross-engine. Production pipelines run exactly this computation to
     // turn "we want this mixture" into per-tier sampling rates.
     Q("q_mixture_plan", {
-      val tier = """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'curated'
-                   |    WHEN source IN ('src5','src6','src7','src8','src9') THEN 'web'
-                   |    WHEN source IN ('src10','src11','src12','src13','src14') THEN 'mid'
-                   |    ELSE 'tail' END""".stripMargin
-      val share = """CASE tier WHEN 'curated' THEN 500 WHEN 'web' THEN 300
-                    |    WHEN 'mid' THEN 150 ELSE 50 END""".stripMargin
+      val tier = MixTierSql
+      val share = MixShareSql
       s"""WITH d AS (
          |  SELECT $tier AS tier,
          |    CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS toks
@@ -752,20 +770,14 @@ object Analytic {
          |FROM g, b ORDER BY tier""".stripMargin
     })(
       (s, dir) => {
-        val tier = expr(
-          """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'curated'
-            |    WHEN source IN ('src5','src6','src7','src8','src9') THEN 'web'
-            |    WHEN source IN ('src10','src11','src12','src13','src14') THEN 'mid'
-            |    ELSE 'tail' END""".stripMargin)
+        val tier = expr(MixTierSql)
         val toks = size(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
           .cast("long")
         val g = t(s, dir, "documents")
           .select(tier.as("tier"), toks.as("toks"))
           .groupBy(col("tier"))
           .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
-          .withColumn("share_milli", expr(
-            """CASE tier WHEN 'curated' THEN 500L WHEN 'web' THEN 300L
-              |    WHEN 'mid' THEN 150L ELSE 50L END""".stripMargin))
+          .withColumn("share_milli", expr(MixShareSql).cast("long"))
         val b = g.agg(min(expr("tokens * 1000 div share_milli")).as("budget"))
         g.crossJoin(broadcast(b))
           .withColumn("rate_micro", expr(
@@ -773,6 +785,143 @@ object Analytic {
           .select(col("tier"), col("n_docs"), col("tokens"), col("share_milli"),
             col("rate_micro"),
             expr("tokens * rate_micro div 1000000").as("target_tokens"))
+          .orderBy("tier")
+      }),
+
+    // 41g2. MIXTURE SELECTION — execute the plan q_mixture_plan sized:
+    // per tier, take documents in deterministic md5 order until the
+    // tier's token target is met (greedy prefix, cum <= target). The
+    // NAIVE form is one per-tier window cumsum over every document — a
+    // single reducer per tier, the classic 100 TB bottleneck. The Spark
+    // side instead refines in two levels: documents pre-aggregate into
+    // 256 md5-prefix RANK BUCKETS per tier (the bucket value IS the
+    // first two hex digits of the rank, so bucket order == rank order),
+    // the tiny (tier × 256)-row bucket table cumsums to classify each
+    // bucket wholesale (entirely inside / outside the budget), and only
+    // the ONE boundary bucket per tier pays a doc-level window over
+    // ~1/256 of the tier (use 4 hex digits → 1/65536 at real scale).
+    // The ORACLE is the naive single-window form — hash equality proves
+    // the refinement selects exactly the same prefix.
+    Q("q_mixture_select", {
+      val tier = MixTierSql
+      val share = MixShareSql
+      s"""WITH d AS (
+         |  SELECT doc_id, $tier AS tier,
+         |    CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS toks,
+         |    md5(CAST(doc_id AS VARCHAR)) AS r
+         |  FROM documents),
+         |g AS (SELECT tier, CAST(SUM(toks) AS BIGINT) AS tokens,
+         |    ($share) AS share_milli FROM d GROUP BY tier),
+         |b AS (SELECT MIN(tokens * 1000 // share_milli) AS budget FROM g),
+         |tgt AS (
+         |  SELECT tier, tokens * LEAST(1000000,
+         |      (budget * share_milli // 1000) * 1000000 // tokens)
+         |    // 1000000 AS target_tokens
+         |  FROM g, b),
+         |c AS (
+         |  SELECT doc_id, tier, toks,
+         |    SUM(toks) OVER (PARTITION BY tier ORDER BY r, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT doc_id, tier, CAST(toks AS BIGINT) AS toks
+         |FROM c JOIN tgt USING (tier)
+         |WHERE cum <= target_tokens
+         |ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        val toksC = size(split(lower(trim(
+          regexp_replace(col("text"), "\\s+", " "))), " ")).cast("long")
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), expr(MixTierSql).as("tier"),
+            toksC.as("toks"),
+            md5(col("doc_id").cast("string").cast("binary")).as("r"))
+          .withColumn("bkt", expr("CAST(conv(substr(r, 1, 2), 16, 10) AS INT)"))
+        val g = d.groupBy("tier").agg(sum(col("toks")).as("tokens"))
+          .withColumn("share_milli", expr(MixShareSql).cast("long"))
+        val b = g.agg(min(expr("tokens * 1000 div share_milli")).as("budget"))
+        val tgt = g.crossJoin(broadcast(b))
+          .select(col("tier"), expr(
+            "tokens * LEAST(1000000L, (budget * share_milli div 1000) " +
+              "* 1000000 div tokens) div 1000000").as("target"))
+        val wb = Window.partitionBy("tier").orderBy("bkt")
+        val bc = d.groupBy("tier", "bkt").agg(sum(col("toks")).as("btoks"))
+          .withColumn("cb", sum(col("btoks")).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("btoks"))
+          .join(broadcast(tgt), "tier")
+        val whole = bc.filter(col("cb") + col("btoks") <= col("target"))
+          .select("tier", "bkt")
+        val bound = bc.filter(col("cb") < col("target") &&
+            col("cb") + col("btoks") > col("target"))
+          .select("tier", "bkt", "cb", "target")
+        val wd = Window.partitionBy("tier").orderBy("r", "doc_id")
+        val boundDocs = d.join(broadcast(bound), Seq("tier", "bkt"))
+          .withColumn("cum", sum(col("toks")).over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cb") + col("cum") <= col("target"))
+          .select("doc_id", "tier", "toks")
+        d.join(broadcast(whole), Seq("tier", "bkt"))
+          .select("doc_id", "tier", "toks")
+          .unionByName(boundDocs)
+          .orderBy("doc_id")
+      }),
+
+    // 41g3. EPOCH (REPEAT) PLANNING — the data-constrained-scaling table
+    // (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    // Models"): when the training budget exceeds the corpus, sources
+    // REPEAT — but repeating past ~4 epochs stops helping. For budget
+    // B = 2× the corpus's unique tokens split by the mixture shares:
+    // per tier, the unique tokens, the share's target, the epochs that
+    // target implies (milli), the capped epochs actually served, served
+    // tokens, and the shortfall the cap leaves unfilled — the number a
+    // team uses to decide between scraping more tail data or re-weighting
+    // the mixture. Pure integer arithmetic over ONE tier aggregate + a
+    // broadcast total; hash-exact.
+    Q("q_epoch_plan", {
+      val tier = MixTierSql
+      val share = MixShareSql
+      s"""WITH d AS (
+         |  SELECT $tier AS tier,
+         |    CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |g AS (SELECT tier, CAST(SUM(toks) AS BIGINT) AS unique_tokens,
+         |    ($share) AS share_milli FROM d GROUP BY tier),
+         |b AS (SELECT SUM(unique_tokens) * $EpochBudgetX AS budget FROM g),
+         |p AS (
+         |  SELECT tier, unique_tokens,
+         |    CAST(share_milli AS BIGINT) AS share_milli,
+         |    budget * share_milli // 1000 AS target_tokens
+         |  FROM g, b)
+         |SELECT tier, unique_tokens, share_milli,
+         |  CAST(target_tokens AS BIGINT) AS target_tokens,
+         |  CAST(target_tokens * 1000 // unique_tokens AS BIGINT) AS epochs_milli,
+         |  CAST(LEAST(target_tokens * 1000 // unique_tokens, $MaxEpochsMilli) AS BIGINT) AS epochs_capped_milli,
+         |  CAST(LEAST(target_tokens, unique_tokens * $MaxEpochsMilli // 1000) AS BIGINT) AS served_tokens,
+         |  CAST(target_tokens - LEAST(target_tokens, unique_tokens * $MaxEpochsMilli // 1000) AS BIGINT) AS shortfall_tokens
+         |FROM p ORDER BY tier""".stripMargin
+    })(
+      (s, dir) => {
+        val toksC = size(split(lower(trim(
+          regexp_replace(col("text"), "\\s+", " "))), " ")).cast("long")
+        val g = t(s, dir, "documents")
+          .select(expr(MixTierSql).as("tier"), toksC.as("toks"))
+          .groupBy("tier").agg(sum(col("toks")).as("unique_tokens"))
+          .withColumn("share_milli", expr(MixShareSql).cast("long"))
+        val b = g.agg((sum(col("unique_tokens")) * EpochBudgetX).as("budget"))
+        g.crossJoin(broadcast(b))
+          .withColumn("target_tokens",
+            expr("budget * share_milli div 1000"))
+          .withColumn("epochs_milli",
+            expr("target_tokens * 1000 div unique_tokens"))
+          .withColumn("epochs_capped_milli",
+            expr(s"LEAST(epochs_milli, ${MaxEpochsMilli}L)"))
+          .withColumn("served_tokens", expr(
+            s"LEAST(target_tokens, unique_tokens * $MaxEpochsMilli div 1000)"))
+          .withColumn("shortfall_tokens",
+            expr("target_tokens - served_tokens"))
+          .select("tier", "unique_tokens", "share_milli", "target_tokens",
+            "epochs_milli", "epochs_capped_milli", "served_tokens",
+            "shortfall_tokens")
           .orderBy("tier")
       }),
 

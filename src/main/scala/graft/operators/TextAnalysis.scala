@@ -390,6 +390,63 @@ object TextAnalysis {
       .drop("__nb", "__ss")
   }
 
+  /** Per-doc merged duplicated-gram spans (doc_id, s, e) in 1-based token
+    * coordinates — the gaps-and-islands frame shared by q_dup_spans
+    * (reporting) and q_span_scrub (removal). Hit positions come from the
+    * standing dup-gram index probe; the window runs per document over the
+    * doc's own hits only.
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.spread(docs(s, dir))
+      .select(col("doc_id"), posexplode(
+        wordNgrams(split(normText(col("text")), " "), 5)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        md5(col("col").cast("binary")).as("gh"))
+    val dup = corpusDupGrams(s, dir).filter(col("nd") >= 2).select("gh")
+    val hits = pos.join(dup, "gh").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("b", when(lag(col("pos"), 1).over(w).isNull ||
+        col("pos") > lag(col("pos"), 1).over(w) + 5, 1).otherwise(0))
+      .withColumn("island", sum(col("b")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 4).as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  /** Oracle-SQL CTE chain deriving the same spans table (doc_id, s, e)
+    * from `documents` — interpolate into a WITH list; expects nothing
+    * predefined. Ends with the CTE named `spans`.
+    */
+  def dupSpansSqlCtes: String = {
+    val g5 = (0 until 5).map(k => if (k == 0) "l[i]" else s"l[i + $k]")
+      .mkString(" || ' ' || ")
+    s"""tok AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 4),
+       |    i -> {'pos': i, 'gram': $g5})) AS u
+       |  FROM tok WHERE len(l) >= 5),
+       |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
+       |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+       |  GROUP BY gram HAVING count(*) >= 2),
+       |hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+       |      THEN 1 ELSE 0 END AS b
+       |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl AS (
+       |  SELECT doc_id, pos, sum(b) OVER
+       |    (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM brk),
+       |spans AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+       |  FROM isl GROUP BY 1, 2)""".stripMargin
+  }
+
   def corpusDupGrams(s: SparkSession, dir: String): DataFrame = {
     def counts(d: DataFrame) = d
       .select(col("doc_id"), explode(gramSet(col("text"), 5)).as("gram"))
@@ -903,31 +960,7 @@ object TextAnalysis {
     // (bounded by doc length, never corpus-wide). Output is all-integer
     // token counts, so it hash-checks cross-engine.
     Q("q_dup_spans", {
-      val g5 = (0 until 5).map(k => if (k == 0) "l[i]" else s"l[i + $k]")
-        .mkString(" || ' ' || ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
-         |g0 AS (
-         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 4),
-         |    i -> {'pos': i, 'gram': $g5})) AS u
-         |  FROM tok WHERE len(l) >= 5),
-         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
-         |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
-         |  GROUP BY gram HAVING count(*) >= 2),
-         |hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
-         |brk AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
-         |      THEN 1 ELSE 0 END AS b
-         |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |isl AS (
-         |  SELECT doc_id, pos, sum(b) OVER
-         |    (PARTITION BY doc_id ORDER BY pos
-         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM brk),
-         |spans AS (
-         |  SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
-         |  FROM isl GROUP BY 1, 2),
+      s"""WITH $dupSpansSqlCtes,
          |per AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
@@ -941,25 +974,7 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin
     })(
       (s, dir) => {
-        val pos = Tables.spread(docs(s, dir))
-          .select(col("doc_id"), posexplode(
-            wordNgrams(split(normText(col("text")), " "), 5)))
-          // oracle positions are 1-based (generate_series); posexplode is
-          // 0-based — aligned here so span endpoints agree by value, not
-          // just by length
-          .select(col("doc_id"), (col("pos") + 1).as("pos"),
-            md5(col("col").cast("binary")).as("gh"))
-        val dup = corpusDupGrams(s, dir).filter(col("nd") >= 2).select("gh")
-        val hits = pos.join(dup, "gh").select("doc_id", "pos")
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val isl = hits
-          .withColumn("b", when(lag(col("pos"), 1).over(w).isNull ||
-            col("pos") > lag(col("pos"), 1).over(w) + 5, 1).otherwise(0))
-          .withColumn("island", sum(col("b")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val spans = isl.groupBy("doc_id", "island")
-          .agg(min(col("pos")).as("s"), (max(col("pos")) + 4).as("e"))
-        val per = spans.groupBy("doc_id")
+        val per = dupSpans(s, dir).groupBy("doc_id")
           .agg(count(lit(1)).as("n_spans"),
             sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"),
             max(col("e") - col("s") + 1).cast("long").as("longest_span"))
@@ -969,6 +984,65 @@ object TextAnalysis {
             coalesce(col("n_spans"), lit(0L)).as("n_spans"),
             coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
             coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+          .orderBy("doc_id")
+      }),
+
+    // 41m3. SPAN SCRUB — the transformation 41m2 reports on: REMOVE each
+    // doc's corpus-duplicated spans and emit the cleaned text's identity
+    // (token counts before/after + md5 of the reassembled text). This is
+    // the actual Lee-et-al.-2022 dedup output: the corpus keeps every
+    // document, shorn of its duplicated passages. Cross-engine the
+    // surgery is ROW-level (token positions anti-joined against the span
+    // ranges, ordered reassembly per doc) — no nested array lambdas, so
+    // both engines run the identical relational shape. Scale: covered
+    // positions ∝ duplicated text volume; the anti join keys on
+    // (doc, pos); reassembly is per-doc bounded (same contract as 34d's
+    // chunk rebuild).
+    Q("q_span_scrub", {
+      s"""WITH $dupSpansSqlCtes,
+         |toksp AS (SELECT doc_id, unnest(l) AS w,
+         |    generate_subscripts(l, 1) AS pos FROM tok),
+         |covered AS (
+         |  SELECT DISTINCT t.doc_id, t.pos FROM toksp t
+         |  JOIN spans sp ON t.doc_id = sp.doc_id AND t.pos BETWEEN sp.s AND sp.e),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.w FROM toksp t LEFT JOIN covered c
+         |  ON t.doc_id = c.doc_id AND t.pos = c.pos WHERE c.pos IS NULL),
+         |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+         |  FROM kept GROUP BY 1),
+         |ta AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+         |  FROM toksp GROUP BY 1)
+         |SELECT doc_id, n_toks,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(clean_md5, md5('')) AS clean_md5
+         |FROM ta LEFT JOIN ka USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })(
+      (s, dir) => {
+        val toksp = Tables.spread(docs(s, dir))
+          .select(col("doc_id"),
+            posexplode(split(normText(col("text")), " ")))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"),
+            col("col").as("w"))
+        val spans = dupSpans(s, dir)
+        val covered = toksp.join(spans,
+            toksp("doc_id") === spans("doc_id") &&
+              toksp("pos").between(spans("s"), spans("e")))
+          .select(toksp("doc_id").as("doc_id"), toksp("pos").as("pos"))
+          .distinct()
+        val kept = toksp.join(covered, Seq("doc_id", "pos"), "left_anti")
+        val ka = kept.groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ").cast("binary")).as("clean_md5"))
+        val ta = toksp.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+        ta.join(ka, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_toks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("clean_md5"),
+              md5(lit("").cast("binary"))).as("clean_md5"))
           .orderBy("doc_id")
       }),
 

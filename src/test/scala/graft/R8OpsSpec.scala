@@ -160,6 +160,57 @@ class R8OpsSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 10L, 10L)), s"doc 2: ${out(2L)}")
     assert(out(3L) == ((1L, 7L, 7L)), s"doc 3: ${out(3L)}")
     assert(out(4L) == ((0L, 0L, 0L)), "an all-unique doc has no spans")
+
+    // the scrub applies exactly those spans: kept = toks − dup_tokens,
+    // and doc 2's cleaned text is its unique tail verbatim
+    val scrub = SparkEntry.queries("q_span_scrub")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_md5"))).toMap
+    for ((id, (_, dup, _)) <- out)
+      assert(scrub(id)._2 == scrub(id)._1 - dup,
+        s"doc $id: kept ${scrub(id)._2} != toks ${scrub(id)._1} - dup $dup")
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("v1 v2 v3 v4 v5".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(scrub(2L)._3 == expectMd5,
+      "doc 2's cleaned text must be exactly its unique tail")
+  }
+
+  test("mixture selection is the greedy md5-prefix and respects every tier budget") {
+    import org.apache.spark.sql.expressions.Window
+    val plan = SparkEntry.queries("q_mixture_plan")(spark, TestSpark.sf)
+      .select("tier", "target_tokens").as[(String, Long)].collect().toMap
+    val sel = SparkEntry.queries("q_mixture_select")(spark, TestSpark.sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tier"),
+        r.getAs[Long]("toks")))
+    // (a) budgets respected, every tier fills
+    val byTier = sel.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    for ((tier, target) <- plan) {
+      assert(byTier.getOrElse(tier, 0L) <= target,
+        s"$tier overfills: ${byTier.get(tier)} > $target")
+      assert(byTier.getOrElse(tier, 0L) > 0L, s"$tier selected nothing")
+    }
+    // (b) the two-level bucket refinement == the naive per-tier window
+    // (the oracle proves this cross-engine; this pins it inside Spark
+    // against future refactors of either half)
+    val d = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"),
+        expr(graft.operators.Analytic.MixTierSql).as("tier"),
+        size(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+          " ")).cast("long").as("toks"),
+        md5(col("doc_id").cast("string").cast("binary")).as("r"))
+    val w = Window.partitionBy("tier").orderBy("r", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d.withColumn("cum", sum(col("toks")).over(w))
+      .collect().filter(r => r.getAs[Long]("cum") <=
+        plan(r.getAs[String]("tier")))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tier"),
+        r.getAs[Long]("toks"))).toSet
+    assert(sel.toSet == naive,
+      s"refined selection drifted from the naive greedy prefix " +
+        s"(only-refined=${(sel.toSet -- naive).take(3)}, " +
+        s"only-naive=${(naive -- sel.toSet).take(3)})")
   }
 
   test("DSIR weights rank target-like docs above target-absent docs") {
