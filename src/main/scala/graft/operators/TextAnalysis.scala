@@ -1003,16 +1003,14 @@ object TextAnalysis {
          |toksp AS (SELECT doc_id, unnest(l) AS w,
          |    generate_subscripts(l, 1) AS pos FROM tok),
          |covered AS (
-         |  SELECT DISTINCT t.doc_id, t.pos FROM toksp t
-         |  JOIN spans sp ON t.doc_id = sp.doc_id AND t.pos BETWEEN sp.s AND sp.e),
+         |  SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans),
          |kept AS (
          |  SELECT t.doc_id, t.pos, t.w FROM toksp t LEFT JOIN covered c
          |  ON t.doc_id = c.doc_id AND t.pos = c.pos WHERE c.pos IS NULL),
          |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
          |    md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
          |  FROM kept GROUP BY 1),
-         |ta AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
-         |  FROM toksp GROUP BY 1)
+         |ta AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_toks FROM tok)
          |SELECT doc_id, n_toks,
          |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(clean_md5, md5('')) AS clean_md5
@@ -1025,19 +1023,19 @@ object TextAnalysis {
             posexplode(split(normText(col("text")), " ")))
           .select(col("doc_id"), (col("pos") + 1).as("pos"),
             col("col").as("w"))
-        val spans = dupSpans(s, dir)
-        val covered = toksp.join(spans,
-            toksp("doc_id") === spans("doc_id") &&
-              toksp("pos").between(spans("s"), spans("e")))
-          .select(toksp("doc_id").as("doc_id"), toksp("pos").as("pos"))
-          .distinct()
+        // covered positions come straight off the (disjoint) span ranges
+        // — a bounded explode, never a corpus × spans range join
+        val covered = dupSpans(s, dir)
+          .select(col("doc_id"),
+            explode(sequence(col("s"), col("e"))).as("pos"))
         val kept = toksp.join(covered, Seq("doc_id", "pos"), "left_anti")
         val ka = kept.groupBy("doc_id").agg(
           count(lit(1)).as("n_kept"),
           md5(array_join(transform(
             array_sort(collect_list(struct(col("pos"), col("w")))),
             x => x.getField("w")), " ").cast("binary")).as("clean_md5"))
-        val ta = toksp.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+        val ta = docs(s, dir).select(col("doc_id"),
+          size(split(normText(col("text")), " ")).cast("long").as("n_toks"))
         ta.join(ka, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_toks"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
