@@ -920,6 +920,56 @@ object Similarity {
             min(col("cm")).as("min_cos_micros"),
             max(col("cm")).as("max_cos_micros"))
           .orderBy("label")
+      }),
+
+    // 35e. LABEL AFFINITY MAP — pairwise cosine between label centroids:
+    // the domain-similarity matrix data-selection work reads to pick
+    // auxiliary domains nearest a target (and the confusion map for
+    // "which classes will semantic dedup blur together"). Same exactness
+    // trick as 35d: centroids are per-component floored-micros LONG sums
+    // (fold-order-free), the pair cosine is one fixed-order double fold
+    // over those exact integers — bit-identical cross-engine. Scale: the
+    // centroid table is |labels| rows, so the pair join is a broadcast
+    // nested loop over a TINY square (10×10 here) — never the corpus;
+    // everything corpus-sized is the one 64×n posexplode aggregate 35d
+    // already pays.
+    Q("q_label_affinity",
+      s"""WITH u AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) / ${duckNorm("embedding")}) AS unit
+         |  FROM embeddings),
+         |comp AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(floor(unit[i] * 1000000) AS BIGINT)) AS BIGINT) AS sm
+         |  FROM u, UNNEST(range(1, 65)) AS t(i) GROUP BY label, i),
+         |cent AS (
+         |  SELECT label, list(CAST(sm AS DOUBLE) ORDER BY i) AS cvec
+         |  FROM comp GROUP BY label)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  CAST(floor(${duckDot("a.cvec", "b.cvec")} /
+         |    (${duckNorm("a.cvec")} * ${duckNorm("b.cvec")}) * 1000000) AS BIGINT)
+         |    AS cos_micros
+         |FROM cent a JOIN cent b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin)(
+      (s, dir) => {
+        val u = emb(s, dir).select(col("label"),
+          expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
+            .as("unit"))
+        val cent = u.select(col("label"), posexplode(col("unit")).as(Seq("i", "x")))
+          .select(col("label"), col("i"),
+            floor(col("x") * lit(1000000L)).cast("long").as("m"))
+          .groupBy("label", "i").agg(sum(col("m")).as("sm"))
+          .groupBy("label")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(i, sm))), p -> CAST(p.sm AS DOUBLE))")
+            .as("cvec"))
+        val a = cent.select(col("label").as("label_a"), col("cvec").as("ca"))
+        val b = cent.select(col("label").as("label_b"), col("cvec").as("cb"))
+        a.join(broadcast(b), col("label_a") < col("label_b"))
+          .select(col("label_a"), col("label_b"),
+            floor(expr("vec_cosine(ca, cb)") * lit(1000000L)).cast("long")
+              .as("cos_micros"))
+          .orderBy("label_a", "label_b")
       })
   )
 }

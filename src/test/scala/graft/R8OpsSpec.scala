@@ -177,6 +177,25 @@ class R8OpsSpec extends AnyFunSuite {
       "doc 2's cleaned text must be exactly its unique tail")
   }
 
+  test("label affinity: parallel centroids max out, orthogonal ones read zero") {
+    // labels 1 and 2 point along axis 0 (different magnitudes — unit
+    // normalization must erase that); label 3 is orthogonal on axis 1
+    val e0a = Array.tabulate(64)(j => if (j == 0) 2.0f else 0.0f)
+    val e0b = Array.tabulate(64)(j => if (j == 0) 0.5f else 0.0f)
+    val e1 = Array.tabulate(64)(j => if (j == 1) 1.0f else 0.0f)
+    val rows = Seq((1L, e0a, 1), (2L, e0a, 1), (3L, e0b, 2), (4L, e1, 3))
+    val dir = java.nio.file.Files.createTempDirectory("r8aff").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_label_affinity")(spark, dir)
+      .collect().map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) ->
+        r.getAs[Long]("cos_micros")).toMap
+    assert(out.keySet == Set((1, 2), (1, 3), (2, 3)), s"pairs: ${out.keySet}")
+    assert(out((1, 2)) >= 999998L, s"parallel centroids: ${out((1, 2))}")
+    assert(out((1, 3)) == 0L && out((2, 3)) == 0L,
+      s"orthogonal centroids must read 0: $out")
+  }
+
   test("mixture selection is the greedy md5-prefix and respects every tier budget") {
     import org.apache.spark.sql.expressions.Window
     val plan = SparkEntry.queries("q_mixture_plan")(spark, TestSpark.sf)
