@@ -2029,6 +2029,71 @@ object Dedup {
           .orderBy("source")
       }),
 
+    // §2d.32o — PER-DOCUMENT SELECTION EXPLAIN: the decision audit trail
+    // behind q_pipeline_select / q_dedup_funnel. For EVERY document, each
+    // stage's flag (language, quality floor, exact-copy keeper, near-dup
+    // cluster keeper) and the verdict = the FIRST failing stage — the
+    // row a data team pulls when asking "why was doc X dropped?" and the
+    // input to filtering-ablation studies (rerun selection with any one
+    // rule lifted by recomputing one flag product). Same standing
+    // keeper/label indexes and flag frame as the funnel — the funnel IS
+    // this table's per-source rollup; per-run cost is one corpus scan +
+    // two skinny index joins, no pair joins.
+    Q("q_select_explain",
+      s"""$lshLabelsCtes,
+         |exact_drops AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS keeper
+         |    FROM (SELECT doc_id, $normSql AS s FROM documents))
+         |  WHERE doc_id <> keeper),
+         |cc_drops AS (SELECT doc_id FROM labels WHERE doc_id <> rep),
+         |f AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lang_ok,
+         |    CASE WHEN length(text) >= 100
+         |      AND len(string_split($normSql, ' ')) >= 20 THEN 1 ELSE 0 END AS quality_ok,
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM exact_drops) THEN 0 ELSE 1 END AS exact_keeper,
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM cc_drops) THEN 0 ELSE 1 END AS cluster_keeper
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CAST(lang_ok AS BIGINT) AS lang_ok,
+         |  CAST(quality_ok AS BIGINT) AS quality_ok,
+         |  CAST(exact_keeper AS BIGINT) AS exact_keeper,
+         |  CAST(cluster_keeper AS BIGINT) AS cluster_keeper,
+         |  CASE WHEN lang_ok = 0 THEN 'lang'
+         |       WHEN quality_ok = 0 THEN 'quality'
+         |       WHEN exact_keeper = 0 THEN 'exact_dup'
+         |       WHEN cluster_keeper = 0 THEN 'near_dup'
+         |       ELSE 'selected' END AS verdict
+         |FROM f ORDER BY doc_id""".stripMargin)(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val exactKeep = corpusKeepers(s, dir)
+          .select(col("doc_id"),
+            when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("ek"))
+        val ccDrop = corpusClusterLabels(s, dir)
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("doc_id"), lit(0L).as("ckdrop"))
+        d.select(col("doc_id"), col("source"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("lang_ok"),
+            when(length(col("text")) >= 100 &&
+              size(split(normText(col("text")), " ")) >= 20, 1L)
+              .otherwise(0L).as("quality_ok"))
+          .join(exactKeep, Seq("doc_id"), "left")
+          .join(ccDrop, Seq("doc_id"), "left")
+          .withColumn("exact_keeper", coalesce(col("ek"), lit(1L)))
+          .withColumn("cluster_keeper", coalesce(col("ckdrop"), lit(1L)))
+          .withColumn("verdict",
+            when(col("lang_ok") === 0, "lang")
+              .when(col("quality_ok") === 0, "quality")
+              .when(col("exact_keeper") === 0, "exact_dup")
+              .when(col("cluster_keeper") === 0, "near_dup")
+              .otherwise("selected"))
+          .select("doc_id", "source", "lang_ok", "quality_ok",
+            "exact_keeper", "cluster_keeper", "verdict")
+          .orderBy("doc_id")
+      }),
+
     // §2d.34f — winnowing-fingerprint dedup (MOSS): candidate pairs
     // sharing any winnowed substring fingerprint. Third dedup family
     // beside MinHash (set similarity) and SimHash (bag distance): the

@@ -177,6 +177,39 @@ class R8OpsSpec extends AnyFunSuite {
       "doc 2's cleaned text must be exactly its unique tail")
   }
 
+  test("select-explain verdicts tie exactly to the capstone and the funnel") {
+    val ex = SparkEntry.queries("q_select_explain")(spark, TestSpark.sf).collect()
+    val selected = ex.filter(_.getAs[String]("verdict") == "selected")
+      .map(_.getAs[Long]("doc_id")).toSet
+    val capstone = SparkEntry.queries("q_pipeline_select")(spark, TestSpark.sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(selected == capstone,
+      s"explain 'selected' set != capstone (only-explain=" +
+        s"${(selected -- capstone).take(3)}, only-capstone=" +
+        s"${(capstone -- selected).take(3)})")
+    // verdict is the FIRST failing stage: flags downstream of the verdict
+    // stage may be anything, flags upstream must all pass
+    for (r <- ex) {
+      val flags = Seq("lang_ok", "quality_ok", "exact_keeper",
+        "cluster_keeper").map(r.getAs[Long](_))
+      r.getAs[String]("verdict") match {
+        case "selected" => assert(flags.forall(_ == 1L))
+        case "lang" => assert(flags(0) == 0L)
+        case "quality" => assert(flags(0) == 1L && flags(1) == 0L)
+        case "exact_dup" => assert(flags.take(2).forall(_ == 1L) && flags(2) == 0L)
+        case "near_dup" => assert(flags.take(3).forall(_ == 1L) && flags(3) == 0L)
+      }
+    }
+    // and the funnel is this table's per-source rollup
+    val funnel = SparkEntry.queries("q_dedup_funnel")(spark, TestSpark.sf)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("n_selected")).toMap
+    val bySrc = ex.filter(_.getAs[String]("verdict") == "selected")
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length.toLong).toMap
+    for ((src, n) <- funnel)
+      assert(bySrc.getOrElse(src, 0L) == n, s"funnel mismatch for $src")
+  }
+
   test("label affinity: parallel centroids max out, orthogonal ones read zero") {
     // labels 1 and 2 point along axis 0 (different magnitudes — unit
     // normalization must erase that); label 3 is orthogonal on axis 1
