@@ -396,13 +396,21 @@ object TextAnalysis {
     * standing dup-gram index probe; the window runs per document over the
     * doc's own hits only.
     */
-  def dupSpans(s: SparkSession, dir: String): DataFrame = {
-    val pos = Tables.spread(docs(s, dir))
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansOf(Tables.spread(docs(s, dir)),
+      corpusDupGrams(s, dir).filter(col("nd") >= 2).select("gh"))
+
+  /** [[dupSpans]] generalized over any (doc_id, text) frame and any
+    * duplicated-gram-hash set — a span depends only on the document's own
+    * grams plus the frozen `dup` set, so the same code scores a batch
+    * corpus and a streaming micro-batch (Docs.spanScrubSink).
+    */
+  def dupSpansOf(d: DataFrame, dup: DataFrame): DataFrame = {
+    val pos = d
       .select(col("doc_id"), posexplode(
         wordNgrams(split(normText(col("text")), " "), 5)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
         md5(col("col").cast("binary")).as("gh"))
-    val dup = corpusDupGrams(s, dir).filter(col("nd") >= 2).select("gh")
     val hits = pos.join(dup, "gh").select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     hits
@@ -413,6 +421,33 @@ object TextAnalysis {
       .groupBy("doc_id", "island")
       .agg(min(col("pos")).as("s"), (max(col("pos")) + 4).as("e"))
       .select("doc_id", "s", "e")
+  }
+
+  /** Per-doc span-scrub result (doc_id, n_toks, n_kept, clean_md5) of any
+    * (doc_id, text) frame against a frozen duplicated-gram-hash set — the
+    * surgery half shared by q_span_scrub and the streaming twin.
+    */
+  def spanScrubScore(d: DataFrame, dup: DataFrame): DataFrame = {
+    val toksp = d
+      .select(col("doc_id"), posexplode(split(normText(col("text")), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+    // covered positions come straight off the (disjoint) span ranges —
+    // a bounded explode, never a corpus × spans range join
+    val covered = dupSpansOf(d, dup)
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
+    val kept = toksp.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val ka = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").cast("binary")).as("clean_md5"))
+    d.select(col("doc_id"),
+        size(split(normText(col("text")), " ")).cast("long").as("n_toks"))
+      .join(ka, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"),
+          md5(lit("").cast("binary"))).as("clean_md5"))
   }
 
   /** Oracle-SQL CTE chain deriving the same spans table (doc_id, s, e)
@@ -1017,32 +1052,10 @@ object TextAnalysis {
          |FROM ta LEFT JOIN ka USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     })(
-      (s, dir) => {
-        val toksp = Tables.spread(docs(s, dir))
-          .select(col("doc_id"),
-            posexplode(split(normText(col("text")), " ")))
-          .select(col("doc_id"), (col("pos") + 1).as("pos"),
-            col("col").as("w"))
-        // covered positions come straight off the (disjoint) span ranges
-        // — a bounded explode, never a corpus × spans range join
-        val covered = dupSpans(s, dir)
-          .select(col("doc_id"),
-            explode(sequence(col("s"), col("e"))).as("pos"))
-        val kept = toksp.join(covered, Seq("doc_id", "pos"), "left_anti")
-        val ka = kept.groupBy("doc_id").agg(
-          count(lit(1)).as("n_kept"),
-          md5(array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("w")))),
-            x => x.getField("w")), " ").cast("binary")).as("clean_md5"))
-        val ta = docs(s, dir).select(col("doc_id"),
-          size(split(normText(col("text")), " ")).cast("long").as("n_toks"))
-        ta.join(ka, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_toks"),
-            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-            coalesce(col("clean_md5"),
-              md5(lit("").cast("binary"))).as("clean_md5"))
-          .orderBy("doc_id")
-      }),
+      (s, dir) =>
+        spanScrubScore(Tables.spread(docs(s, dir)),
+            corpusDupGrams(s, dir).filter(col("nd") >= 2).select("gh"))
+          .orderBy("doc_id")),
 
     // 41p. DSIR IMPORTANCE WEIGHTS — data-selection scoring per Xie et
     // al. 2023 ("Data Selection for Language Models via Importance

@@ -213,6 +213,22 @@ object Docs {
     scoredSink(docs, outPath, checkpointDir)(
       TextAnalysis.dsirScore(_, feat))
 
+  /** Streaming span scrub — arriving documents shorn of passages the
+    * STANDING duplicated-gram index already knows (frozen at sink
+    * construction): the live face of q_span_scrub, cleaning an ingest
+    * feed against the corpus's accumulated duplication before the docs
+    * land. A span depends only on the document's own grams plus the
+    * frozen set, so micro-batch boundaries cannot change any result —
+    * the parity with the batch query is exact by construction (pinned in
+    * StreamBatchParitySpec). Same foreachBatch join-sink shape
+    * (batchId-keyed output, idempotent replay).
+    */
+  def spanScrubSink(docs: DataFrame, dupGrams: DataFrame,
+                    outPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scoredSink(docs, outPath, checkpointDir)(
+      TextAnalysis.spanScrubScore(_, dupGrams))
+
   /** One micro-batch of token-distribution DRIFT monitoring: the
     * total-variation distance between this batch's unigram distribution
     * and the STANDING corpus distribution

@@ -207,6 +207,40 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming span scrub equals the batch surgery exactly") {
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .orderBy("doc_id").as[Doc].collect().toSeq
+    val dup = graft.operators.TextAnalysis
+      .corpusDupGrams(spark, TestSpark.sf)
+      .filter(col("nd") >= 2).select("gh")
+
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_scrub_out").toString
+    val input = MemoryStream[Doc]
+    val q = Docs.spanScrubSink(input.toDF(), dup, out,
+      java.nio.file.Files.createTempDirectory("graft_scrub_ckpt").toString)
+    try {
+      docs.grouped(math.max(docs.size / 3, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "n_toks", "n_kept", "clean_md5")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("q_span_scrub")(spark, TestSpark.sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      // the stream actually scrubbed something somewhere
+      assert(streamed.exists(r => r(2) != r(1)),
+        "no doc lost any token — dup set unused?")
+    } finally q.stop()
+  }
+
   test("streaming token-drift monitor: corpus replay is zero, alien batch alarms") {
     import graft.streaming.Docs
     import graft.streaming.Docs.Doc
