@@ -1324,6 +1324,47 @@ object TextAnalysis {
           .orderBy("doc_id")
       }),
 
+    // 41h3. EPOCH-SALTED SHUFFLE PLAN — the reproducible data order a
+    // multi-epoch training run needs: per epoch, every document lands in
+    // an md5("e<epoch>:"+doc_id)-derived shard and position, so epochs
+    // see DIFFERENT permutations (repeat exposure decorrelates — the
+    // point of reshuffling between epochs) while any worker can
+    // recompute its exact slice from (epoch, doc_id) alone: no shuffle
+    // service state, no saved permutation files, crash-recoverable
+    // mid-epoch. Composes with q_seq_pack (the shard is the packing
+    // unit) and q_epoch_plan (which says HOW MANY epochs). Scale: the
+    // rank is a pure map; the only shuffle is the per-(epoch, shard)
+    // position window — shards are the parallelism unit, never a global
+    // order. Hash-exact (md5 rank, row_number on a total order).
+    Q("q_epoch_shuffle", {
+      val rank = "md5('e' || CAST(e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))"
+      val duckB = (0 until 2).map { d =>
+        s"(strpos('0123456789abcdef', substr($rank, ${d + 1}, 1)) - 1) * ${math.pow(16, 1 - d).toInt}"
+      }.mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, unnest([0, 1]) AS e FROM documents),
+         |r AS (
+         |  SELECT doc_id, CAST(e AS BIGINT) AS epoch,
+         |    CAST(($duckB) % $PackShards AS BIGINT) AS shard, $rank AS rk
+         |  FROM d)
+         |SELECT doc_id, epoch, shard,
+         |  CAST(row_number() OVER (PARTITION BY epoch, shard
+         |    ORDER BY rk, doc_id) AS BIGINT) AS pos
+         |FROM r ORDER BY doc_id, epoch""".stripMargin
+    })(
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"))
+          .withColumn("epoch", explode(array(lit(0L), lit(1L))))
+          .withColumn("rk", md5(concat(lit("e"), col("epoch").cast("string"),
+            lit(":"), col("doc_id").cast("string")).cast("binary")))
+          .withColumn("shard", expr(
+            s"CAST(conv(substr(rk, 1, 2), 16, 10) AS BIGINT) % $PackShards"))
+        val w = Window.partitionBy("epoch", "shard").orderBy("rk", "doc_id")
+        d.withColumn("pos", row_number().over(w).cast("long"))
+          .select("doc_id", "epoch", "shard", "pos")
+          .orderBy("doc_id", "epoch")
+      }),
+
     // 41i. Unigram-LM surprisal scoring — the CCNet-style language-model
     // quality filter: score each document by the mean information content
     // of its tokens under the corpus's OWN unigram model, then bucket into

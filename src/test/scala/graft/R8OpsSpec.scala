@@ -177,6 +177,26 @@ class R8OpsSpec extends AnyFunSuite {
       "doc 2's cleaned text must be exactly its unique tail")
   }
 
+  test("epoch shuffle: each epoch is a full permutation and epochs differ") {
+    val out = SparkEntry.queries("q_epoch_shuffle")(spark, TestSpark.sf)
+      .collect().map(r => (r.getAs[Long]("epoch"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    val n = out.map(_._2).distinct.length
+    for (e <- Seq(0L, 1L)) {
+      val ep = out.filter(_._1 == e)
+      assert(ep.length == n, s"epoch $e lost documents")
+      // positions within each shard are exactly 1..k (a permutation, no
+      // gaps or collisions)
+      for ((_, rows) <- ep.groupBy(_._3))
+        assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the two epochs must not produce the same (shard, pos) for every doc
+    val k0 = out.filter(_._1 == 0L).map(r => r._2 -> ((r._3, r._4))).toMap
+    val k1 = out.filter(_._1 == 1L).map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(k0.count { case (d, sp) => k1(d) == sp } < n / 2,
+      "epoch 1's order barely differs from epoch 0 — salt not applied?")
+  }
+
   test("select-explain verdicts tie exactly to the capstone and the funnel") {
     val ex = SparkEntry.queries("q_select_explain")(spark, TestSpark.sf).collect()
     val selected = ex.filter(_.getAs[String]("verdict") == "selected")
