@@ -2094,6 +2094,90 @@ object Dedup {
           .orderBy("doc_id")
       }),
 
+    // §2d.32p — FILTER ABLATION: what each selection rule costs,
+    // read straight off the explain flags. Per stage: how many documents
+    // (and tokens) fail ONLY that stage — i.e. what lifting that one rule
+    // would add back to the training set — plus how many it rejects
+    // overall. The standard filtering-ablation table (DataComp/RefinedWeb
+    // style) a team reads before tightening or dropping a rule; docs
+    // failing two or more stages appear in no only_-row, which is the
+    // point (lifting one rule would not recover them). Same one corpus
+    // scan + standing-index probes as the explain; output is 4 rows.
+    Q("q_select_ablation",
+      s"""$lshLabelsCtes,
+         |exact_drops AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS keeper
+         |    FROM (SELECT doc_id, $normSql AS s FROM documents))
+         |  WHERE doc_id <> keeper),
+         |cc_drops AS (SELECT doc_id FROM labels WHERE doc_id <> rep),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS toks,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f1,
+         |    CASE WHEN length(text) >= 100
+         |      AND len(string_split($normSql, ' ')) >= 20 THEN 1 ELSE 0 END AS f2,
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM exact_drops) THEN 0 ELSE 1 END AS f3,
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM cc_drops) THEN 0 ELSE 1 END AS f4
+         |  FROM documents),
+         |s AS (
+         |  SELECT 'lang' AS stage, CAST(SUM(1 - f1) AS BIGINT) AS n_rejected,
+         |    CAST(SUM(CASE WHEN f1 = 0 AND f2 = 1 AND f3 = 1 AND f4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_only,
+         |    CAST(SUM(CASE WHEN f1 = 0 AND f2 = 1 AND f3 = 1 AND f4 = 1 THEN toks ELSE 0 END) AS BIGINT) AS toks_only
+         |  FROM f
+         |  UNION ALL SELECT 'quality', CAST(SUM(1 - f2) AS BIGINT),
+         |    CAST(SUM(CASE WHEN f2 = 0 AND f1 = 1 AND f3 = 1 AND f4 = 1 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(CASE WHEN f2 = 0 AND f1 = 1 AND f3 = 1 AND f4 = 1 THEN toks ELSE 0 END) AS BIGINT)
+         |  FROM f
+         |  UNION ALL SELECT 'exact_dup', CAST(SUM(1 - f3) AS BIGINT),
+         |    CAST(SUM(CASE WHEN f3 = 0 AND f1 = 1 AND f2 = 1 AND f4 = 1 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(CASE WHEN f3 = 0 AND f1 = 1 AND f2 = 1 AND f4 = 1 THEN toks ELSE 0 END) AS BIGINT)
+         |  FROM f
+         |  UNION ALL SELECT 'near_dup', CAST(SUM(1 - f4) AS BIGINT),
+         |    CAST(SUM(CASE WHEN f4 = 0 AND f1 = 1 AND f2 = 1 AND f3 = 1 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(CASE WHEN f4 = 0 AND f1 = 1 AND f2 = 1 AND f3 = 1 THEN toks ELSE 0 END) AS BIGINT)
+         |  FROM f)
+         |SELECT stage, n_rejected, n_only, toks_only FROM s
+         |ORDER BY stage""".stripMargin)(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val exactKeep = corpusKeepers(s, dir)
+          .select(col("doc_id"),
+            when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("ek"))
+        val ccDrop = corpusClusterLabels(s, dir)
+          .filter(col("doc_id") =!= col("rep"))
+          .select(col("doc_id"), lit(0L).as("ckdrop"))
+        val flags = d.select(col("doc_id"),
+            size(split(normText(col("text")), " ")).cast("long").as("toks"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("f1"),
+            when(length(col("text")) >= 100 &&
+              size(split(normText(col("text")), " ")) >= 20, 1L)
+              .otherwise(0L).as("f2"))
+          .join(exactKeep, Seq("doc_id"), "left")
+          .join(ccDrop, Seq("doc_id"), "left")
+          .withColumn("f3", coalesce(col("ek"), lit(1L)))
+          .withColumn("f4", coalesce(col("ckdrop"), lit(1L)))
+        // ALL twelve statistics from ONE corpus-scan aggregate, then a
+        // stack to rows — never one pass per stage
+        val stages = Seq("lang" -> "f1", "quality" -> "f2",
+          "exact_dup" -> "f3", "near_dup" -> "f4")
+        val aggs = stages.flatMap { case (name, fc) =>
+          val others = stages.map(_._2).filterNot(_ == fc)
+          val only = col(fc) === 0L &&
+            others.map(col(_) === 1L).reduce(_ && _)
+          Seq(sum(lit(1L) - col(fc)).as(s"r_$name"),
+            sum(when(only, 1L).otherwise(0L)).as(s"o_$name"),
+            sum(when(only, col("toks")).otherwise(0L)).as(s"t_$name"))
+        }
+        val wide = flags.agg(aggs.head, aggs.tail: _*)
+        val cells = stages.map { case (name, _) =>
+          s"'$name', r_$name, o_$name, t_$name"
+        }.mkString(", ")
+        wide.select(expr(
+          s"stack(4, $cells) AS (stage, n_rejected, n_only, toks_only)"))
+          .orderBy("stage")
+      }),
+
     // §2d.34f — winnowing-fingerprint dedup (MOSS): candidate pairs
     // sharing any winnowed substring fingerprint. Third dedup family
     // beside MinHash (set similarity) and SimHash (bag distance): the

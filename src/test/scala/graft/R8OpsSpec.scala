@@ -177,6 +177,27 @@ class R8OpsSpec extends AnyFunSuite {
       "doc 2's cleaned text must be exactly its unique tail")
   }
 
+  test("ablation rows recompute from the explain table exactly") {
+    val ex = SparkEntry.queries("q_select_explain")(spark, TestSpark.sf)
+      .collect().map(r => (r.getAs[Long]("lang_ok"), r.getAs[Long]("quality_ok"),
+        r.getAs[Long]("exact_keeper"), r.getAs[Long]("cluster_keeper")))
+    val ab = SparkEntry.queries("q_select_ablation")(spark, TestSpark.sf)
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_rejected"), r.getAs[Long]("n_only"))).toMap
+    def flags(t: (Long, Long, Long, Long)) = Seq(t._1, t._2, t._3, t._4)
+    val names = Seq("lang", "quality", "exact_dup", "near_dup")
+    for ((name, i) <- names.zipWithIndex) {
+      val rejected = ex.count(t => flags(t)(i) == 0L).toLong
+      val only = ex.count(t => flags(t)(i) == 0L &&
+        flags(t).zipWithIndex.forall { case (f, j) => j == i || f == 1L }).toLong
+      assert(ab(name) == ((rejected, only)), s"$name: ${ab(name)} vs " +
+        s"($rejected, $only)")
+    }
+    // every stage rejects someone on the synthetic corpus, or the
+    // ablation has nothing to say
+    assert(ab.values.map(_._1).sum > 0L)
+  }
+
   test("epoch shuffle: each epoch is a full permutation and epochs differ") {
     val out = SparkEntry.queries("q_epoch_shuffle")(spark, TestSpark.sf)
       .collect().map(r => (r.getAs[Long]("epoch"),
