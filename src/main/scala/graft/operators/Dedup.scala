@@ -125,6 +125,54 @@ object Dedup {
        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep FROM reach GROUP BY src)""".stripMargin
   }
 
+  /** Selection-stage flag frame (doc_id, source, toks, f1 language, f2
+    * quality floor, f3 exact-copy keeper, f4 near-dup cluster keeper) —
+    * ONE definition shared by q_pipeline_select, q_dedup_funnel,
+    * q_select_explain and q_select_ablation, so the capstone, its
+    * per-source rollup, the per-doc explain and the ablation can never
+    * drift apart. SQL mirror: [[selectionFlagsCtes]].
+    */
+  private[operators] def selectionFlags(s: SparkSession, dir: String): DataFrame = {
+    val exactKeep = corpusKeepers(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("ek"))
+    val ccDrop = corpusClusterLabels(s, dir)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"), lit(0L).as("ckdrop"))
+    docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(normText(col("text")), " ")).cast("long").as("toks"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("f1"),
+        when(length(col("text")) >= 100 &&
+          size(split(normText(col("text")), " ")) >= 20, 1L)
+          .otherwise(0L).as("f2"))
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(ccDrop, Seq("doc_id"), "left")
+      .withColumn("f3", coalesce(col("ek"), lit(1L)))
+      .withColumn("f4", coalesce(col("ckdrop"), lit(1L)))
+      .drop("ek", "ckdrop")
+  }
+
+  /** DuckDB mirror of [[selectionFlags]]: embeds [[lshLabelsCtes]] and
+    * ends with CTE `f` carrying the same seven columns.
+    */
+  private[operators] def selectionFlagsCtes: String =
+    s"""$lshLabelsCtes,
+       |exact_drops AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS keeper
+       |    FROM (SELECT doc_id, $normSql AS s FROM documents))
+       |  WHERE doc_id <> keeper),
+       |cc_drops AS (SELECT doc_id FROM labels WHERE doc_id <> rep),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS toks,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f1,
+       |    CASE WHEN length(text) >= 100
+       |      AND len(string_split($normSql, ' ')) >= 20 THEN 1 ELSE 0 END AS f2,
+       |    CASE WHEN doc_id IN (SELECT doc_id FROM exact_drops) THEN 0 ELSE 1 END AS f3,
+       |    CASE WHEN doc_id IN (SELECT doc_id FROM cc_drops) THEN 0 ELSE 1 END AS f4
+       |  FROM documents)""".stripMargin
+
   /** Whole-corpus DuckDB CTE chain `reps → toks → sh → sigs → bands0 →
     * bands` (capped) — ONE definition shared by every minhash oracle
     * (q_dedup_minhash, q_jaccard_minhash_est, q_dedup_edit,
@@ -646,12 +694,17 @@ object Dedup {
     // place atomically, so a markerless occupant is garbage — e.g. a
     // pre-two-phase crashed direct flush, which parquet would silently
     // serve PARTIAL rows from forever while every rebuild concedes to
-    // it. Evict it and retry once. (Two builders both evicting the same
-    // garbage can briefly tear a reader mid-replace — acceptable: that
-    // reader was scanning wrong data either way, and the end state is a
-    // complete equivalent index.)
+    // it. Evict by ATOMIC RENAME-ASIDE, never delete: if a complete
+    // index was in fact published between the marker check and the
+    // evict (ms-scale race), it moves aside INTACT — nothing is ever
+    // half-deleted at the final path under a reader, and the end state
+    // is this builder's equivalent (same content key) index. The
+    // dot-named trash dir is reclaimed by the same idle-keyed sweep
+    // that handles crashed builds (vacuumIndexes).
     if (!won && !fs.exists(new org.apache.hadoop.fs.Path(root, marker))) {
-      fs.delete(root, true)
+      val trash = new org.apache.hadoop.fs.Path(root.getParent,
+        s".build_evicted_${java.util.UUID.randomUUID.toString.take(8)}")
+      fs.rename(root, trash)
       won = moveOnce()
     }
     if (!won) fs.delete(tmp, true)
@@ -826,13 +879,31 @@ object Dedup {
       // the grace here. Unlike published dirs, an IN-FLIGHT build may be
       // writing right now and grace=0 callers (tests, single-process
       // CLI) cannot know about OTHER corpora's builders sharing the
-      // root — so the sweep keeps a one-hour floor regardless of grace.
+      // root — so the sweep keeps a one-hour floor regardless of grace,
+      // measured as IDLENESS: the top dir's mtime freezes at job start
+      // while Spark writes into the nested _temporary subtree, so a
+      // long-running legitimate build would look hours old by top mtime
+      // alone. A dir is swept only when its entire SUBTREE has gone
+      // quiet past the floor (recursive max-mtime — bounded: only
+      // top-mtime-stale candidates pay the listing, and crashed trees
+      // stop changing, so repeated vacuums converge on the same answer).
       val buildCutoff = System.currentTimeMillis() -
         math.max(math.max(0L, graceMs), 3600L * 1000)
+      def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+        val kids = try fs.listStatus(p) catch {
+          case _: java.io.FileNotFoundException => Array.empty[
+            org.apache.hadoop.fs.FileStatus]
+        }
+        kids.foldLeft(fs.getFileStatus(p).getModificationTime) { (m, st) =>
+          math.max(m, if (st.isDirectory) newestMtime(st.getPath)
+            else st.getModificationTime)
+        }
+      }
       fs.listStatus(idxRoot).toSeq
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith(".build_") &&
-          st.getModificationTime <= buildCutoff)
+          st.getModificationTime <= buildCutoff &&
+          newestMtime(st.getPath) <= buildCutoff)
         .map { st => fs.delete(st.getPath, true); st.getPath.toString }
         .sorted
     }
@@ -1939,41 +2010,19 @@ object Dedup {
     // one anti-join. Every stage is deterministic, so the whole
     // composition hash-checks end to end.
     Q("q_pipeline_select",
-      s"""$lshLabelsCtes,
-         |exact_drops AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS keeper
-         |    FROM (SELECT doc_id, $normSql AS s FROM documents))
-         |  WHERE doc_id <> keeper),
-         |drops AS (
-         |  SELECT doc_id FROM labels WHERE doc_id <> rep
-         |  UNION SELECT doc_id FROM exact_drops)
-         |SELECT doc_id, source,
-         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_words
-         |FROM documents
-         |WHERE lang = 'en' AND length(text) >= 100
-         |  AND len(string_split($normSql, ' ')) >= 20
-         |  AND doc_id NOT IN (SELECT doc_id FROM drops)
+      s"""$selectionFlagsCtes
+         |SELECT doc_id, source, toks AS n_words
+         |FROM f WHERE f1 = 1 AND f2 = 1 AND f3 = 1 AND f4 = 1
          |ORDER BY doc_id""".stripMargin)(
-      (s, dir) => {
-        val d = docs(s, dir)
-        val ccDrops = corpusClusterLabels(s, dir)
-          .filter(col("doc_id") =!= col("rep")).select("doc_id")
-        // byte-identical copies never reach the LSH graph (the exact-dedup
-        // pre-pass keeps only each text's min-doc_id representative), so
-        // they form their own drop set: every doc that is NOT its
-        // normalized text's keeper
-        val exactDrops = corpusKeepers(s, dir)
-          .filter(col("doc_id") =!= col("keeper"))
-          .select("doc_id")
-        val drops = ccDrops.unionByName(exactDrops).distinct()
-        val nWords = size(split(normText(col("text")), " ")).cast("long")
-        d.filter(col("lang") === "en" && length(col("text")) >= 100 &&
-            size(split(normText(col("text")), " ")) >= 20)
-          .join(drops, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("source"), nWords.as("n_words"))
-          .orderBy("doc_id")
-      }),
+      (s, dir) =>
+        // a keep = every stage flag passes — the SAME shared flag frame
+        // the funnel/explain/ablation read, so the four stay tied by
+        // construction, not by test alone
+        selectionFlags(s, dir)
+          .filter(col("f1") === 1L && col("f2") === 1L &&
+            col("f3") === 1L && col("f4") === 1L)
+          .select(col("doc_id"), col("source"), col("toks").as("n_words"))
+          .orderBy("doc_id")),
 
     // PIPELINE OBSERVABILITY — the per-source dedup FUNNEL a data team
     // reads before believing any selection run: how many documents each
@@ -1985,49 +2034,23 @@ object Dedup {
     // keeper and cluster-label indexes + ONE source-keyed rollup —
     // per-run shuffle is the corpus scan once; no pair joins, no CC.
     Q("q_dedup_funnel",
-      s"""$lshLabelsCtes,
-         |exact_drops AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS keeper
-         |    FROM (SELECT doc_id, $normSql AS s FROM documents))
-         |  WHERE doc_id <> keeper),
-         |cc_drops AS (SELECT doc_id FROM labels WHERE doc_id <> rep),
-         |f AS (
-         |  SELECT doc_id, source,
-         |    CASE WHEN lang = 'en' AND length(text) >= 100
-         |      AND len(string_split($normSql, ' ')) >= 20 THEN 1 ELSE 0 END AS q,
-         |    CASE WHEN doc_id IN (SELECT doc_id FROM exact_drops) THEN 0 ELSE 1 END AS ek,
-         |    CASE WHEN doc_id IN (SELECT doc_id FROM cc_drops) THEN 0 ELSE 1 END AS ck
-         |  FROM documents)
+      s"""$selectionFlagsCtes
          |SELECT source,
          |  CAST(COUNT(*) AS BIGINT) AS n_raw,
-         |  CAST(SUM(q) AS BIGINT) AS n_quality,
-         |  CAST(SUM(q * ek) AS BIGINT) AS n_exact_kept,
-         |  CAST(SUM(q * ek * ck) AS BIGINT) AS n_selected
+         |  CAST(SUM(f1 * f2) AS BIGINT) AS n_quality,
+         |  CAST(SUM(f1 * f2 * f3) AS BIGINT) AS n_exact_kept,
+         |  CAST(SUM(f1 * f2 * f3 * f4) AS BIGINT) AS n_selected
          |FROM f GROUP BY source
          |ORDER BY source""".stripMargin)(
-      (s, dir) => {
-        val d = docs(s, dir)
-        val exactKeep = corpusKeepers(s, dir)
-          .select(col("doc_id"),
-            when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("ek"))
-        val ccDrop = corpusClusterLabels(s, dir)
-          .filter(col("doc_id") =!= col("rep"))
-          .select(col("doc_id"), lit(0L).as("ckdrop"))
-        val q = when(col("lang") === "en" && length(col("text")) >= 100 &&
-          size(split(normText(col("text")), " ")) >= 20, 1L).otherwise(0L)
-        d.select(col("doc_id"), col("source"), q.as("q"))
-          .join(exactKeep, Seq("doc_id"), "left")
-          .join(ccDrop, Seq("doc_id"), "left")
-          .withColumn("ek", coalesce(col("ek"), lit(1L)))
-          .withColumn("ck", coalesce(col("ckdrop"), lit(1L)))
+      (s, dir) =>
+        selectionFlags(s, dir)
           .groupBy("source")
           .agg(count(lit(1)).as("n_raw"),
-            sum(col("q")).as("n_quality"),
-            sum(col("q") * col("ek")).as("n_exact_kept"),
-            sum(col("q") * col("ek") * col("ck")).as("n_selected"))
-          .orderBy("source")
-      }),
+            sum(col("f1") * col("f2")).as("n_quality"),
+            sum(col("f1") * col("f2") * col("f3")).as("n_exact_kept"),
+            sum(col("f1") * col("f2") * col("f3") * col("f4"))
+              .as("n_selected"))
+          .orderBy("source")),
 
     // §2d.32o — PER-DOCUMENT SELECTION EXPLAIN: the decision audit trail
     // behind q_pipeline_select / q_dedup_funnel. For EVERY document, each
@@ -2040,59 +2063,30 @@ object Dedup {
     // this table's per-source rollup; per-run cost is one corpus scan +
     // two skinny index joins, no pair joins.
     Q("q_select_explain",
-      s"""$lshLabelsCtes,
-         |exact_drops AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS keeper
-         |    FROM (SELECT doc_id, $normSql AS s FROM documents))
-         |  WHERE doc_id <> keeper),
-         |cc_drops AS (SELECT doc_id FROM labels WHERE doc_id <> rep),
-         |f AS (
-         |  SELECT doc_id, source,
-         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lang_ok,
-         |    CASE WHEN length(text) >= 100
-         |      AND len(string_split($normSql, ' ')) >= 20 THEN 1 ELSE 0 END AS quality_ok,
-         |    CASE WHEN doc_id IN (SELECT doc_id FROM exact_drops) THEN 0 ELSE 1 END AS exact_keeper,
-         |    CASE WHEN doc_id IN (SELECT doc_id FROM cc_drops) THEN 0 ELSE 1 END AS cluster_keeper
-         |  FROM documents)
+      s"""$selectionFlagsCtes
          |SELECT doc_id, source,
-         |  CAST(lang_ok AS BIGINT) AS lang_ok,
-         |  CAST(quality_ok AS BIGINT) AS quality_ok,
-         |  CAST(exact_keeper AS BIGINT) AS exact_keeper,
-         |  CAST(cluster_keeper AS BIGINT) AS cluster_keeper,
-         |  CASE WHEN lang_ok = 0 THEN 'lang'
-         |       WHEN quality_ok = 0 THEN 'quality'
-         |       WHEN exact_keeper = 0 THEN 'exact_dup'
-         |       WHEN cluster_keeper = 0 THEN 'near_dup'
+         |  CAST(f1 AS BIGINT) AS lang_ok,
+         |  CAST(f2 AS BIGINT) AS quality_ok,
+         |  CAST(f3 AS BIGINT) AS exact_keeper,
+         |  CAST(f4 AS BIGINT) AS cluster_keeper,
+         |  CASE WHEN f1 = 0 THEN 'lang'
+         |       WHEN f2 = 0 THEN 'quality'
+         |       WHEN f3 = 0 THEN 'exact_dup'
+         |       WHEN f4 = 0 THEN 'near_dup'
          |       ELSE 'selected' END AS verdict
          |FROM f ORDER BY doc_id""".stripMargin)(
-      (s, dir) => {
-        val d = docs(s, dir)
-        val exactKeep = corpusKeepers(s, dir)
-          .select(col("doc_id"),
-            when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("ek"))
-        val ccDrop = corpusClusterLabels(s, dir)
-          .filter(col("doc_id") =!= col("rep"))
-          .select(col("doc_id"), lit(0L).as("ckdrop"))
-        d.select(col("doc_id"), col("source"),
-            when(col("lang") === "en", 1L).otherwise(0L).as("lang_ok"),
-            when(length(col("text")) >= 100 &&
-              size(split(normText(col("text")), " ")) >= 20, 1L)
-              .otherwise(0L).as("quality_ok"))
-          .join(exactKeep, Seq("doc_id"), "left")
-          .join(ccDrop, Seq("doc_id"), "left")
-          .withColumn("exact_keeper", coalesce(col("ek"), lit(1L)))
-          .withColumn("cluster_keeper", coalesce(col("ckdrop"), lit(1L)))
+      (s, dir) =>
+        selectionFlags(s, dir)
           .withColumn("verdict",
-            when(col("lang_ok") === 0, "lang")
-              .when(col("quality_ok") === 0, "quality")
-              .when(col("exact_keeper") === 0, "exact_dup")
-              .when(col("cluster_keeper") === 0, "near_dup")
+            when(col("f1") === 0, "lang")
+              .when(col("f2") === 0, "quality")
+              .when(col("f3") === 0, "exact_dup")
+              .when(col("f4") === 0, "near_dup")
               .otherwise("selected"))
-          .select("doc_id", "source", "lang_ok", "quality_ok",
-            "exact_keeper", "cluster_keeper", "verdict")
-          .orderBy("doc_id")
-      }),
+          .select(col("doc_id"), col("source"), col("f1").as("lang_ok"),
+            col("f2").as("quality_ok"), col("f3").as("exact_keeper"),
+            col("f4").as("cluster_keeper"), col("verdict"))
+          .orderBy("doc_id")),
 
     // §2d.32p — FILTER ABLATION: what each selection rule costs,
     // read straight off the explain flags. Per stage: how many documents
@@ -2104,22 +2098,7 @@ object Dedup {
     // point (lifting one rule would not recover them). Same one corpus
     // scan + standing-index probes as the explain; output is 4 rows.
     Q("q_select_ablation",
-      s"""$lshLabelsCtes,
-         |exact_drops AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS keeper
-         |    FROM (SELECT doc_id, $normSql AS s FROM documents))
-         |  WHERE doc_id <> keeper),
-         |cc_drops AS (SELECT doc_id FROM labels WHERE doc_id <> rep),
-         |f AS (
-         |  SELECT doc_id,
-         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS toks,
-         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f1,
-         |    CASE WHEN length(text) >= 100
-         |      AND len(string_split($normSql, ' ')) >= 20 THEN 1 ELSE 0 END AS f2,
-         |    CASE WHEN doc_id IN (SELECT doc_id FROM exact_drops) THEN 0 ELSE 1 END AS f3,
-         |    CASE WHEN doc_id IN (SELECT doc_id FROM cc_drops) THEN 0 ELSE 1 END AS f4
-         |  FROM documents),
+      s"""$selectionFlagsCtes,
          |s AS (
          |  SELECT 'lang' AS stage, CAST(SUM(1 - f1) AS BIGINT) AS n_rejected,
          |    CAST(SUM(CASE WHEN f1 = 0 AND f2 = 1 AND f3 = 1 AND f4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_only,
@@ -2140,23 +2119,7 @@ object Dedup {
          |SELECT stage, n_rejected, n_only, toks_only FROM s
          |ORDER BY stage""".stripMargin)(
       (s, dir) => {
-        val d = docs(s, dir)
-        val exactKeep = corpusKeepers(s, dir)
-          .select(col("doc_id"),
-            when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("ek"))
-        val ccDrop = corpusClusterLabels(s, dir)
-          .filter(col("doc_id") =!= col("rep"))
-          .select(col("doc_id"), lit(0L).as("ckdrop"))
-        val flags = d.select(col("doc_id"),
-            size(split(normText(col("text")), " ")).cast("long").as("toks"),
-            when(col("lang") === "en", 1L).otherwise(0L).as("f1"),
-            when(length(col("text")) >= 100 &&
-              size(split(normText(col("text")), " ")) >= 20, 1L)
-              .otherwise(0L).as("f2"))
-          .join(exactKeep, Seq("doc_id"), "left")
-          .join(ccDrop, Seq("doc_id"), "left")
-          .withColumn("f3", coalesce(col("ek"), lit(1L)))
-          .withColumn("f4", coalesce(col("ckdrop"), lit(1L)))
+        val flags = selectionFlags(s, dir)
         // ALL twelve statistics from ONE corpus-scan aggregate, then a
         // stack to rows — never one pass per stage
         val stages = Seq("lang" -> "f1", "quality" -> "f2",

@@ -43,6 +43,49 @@ object Similarity {
   private def norm(v: String): String = s"sqrt(${dotExpr(v, v)})"
   private def duckNorm(v: String): String = s"sqrt(${duckDot(v, v)})"
 
+  /** Unit-normalized embeddings (vec_id, label, unit) — the shared front
+    * half of the label-centroid queries.
+    */
+  private def unitVecs(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), col("label"),
+      expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
+        .as("unit"))
+
+  /** Exact integer label centroids (label, cvec): per-component
+    * floor-micros BEFORE the per-label LONG sum — associative, so any
+    * partition/fold order gives identical bits — reassembled in component
+    * order. The sum vector stands in for the mean (cosine needs only
+    * direction). ONE definition shared by q_embed_cohesion and
+    * q_label_affinity so the exactness trick can never drift between
+    * them; SQL mirror: [[labelCentroidCtes]].
+    */
+  private def labelCentroids(u: DataFrame): DataFrame =
+    u.select(col("label"), posexplode(col("unit")).as(Seq("i", "x")))
+      .select(col("label"), col("i"),
+        floor(col("x") * lit(1000000L)).cast("long").as("m"))
+      .groupBy("label", "i").agg(sum(col("m")).as("sm"))
+      .groupBy("label")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(i, sm))), p -> CAST(p.sm AS DOUBLE))")
+        .as("cvec"))
+
+  /** DuckDB mirror of [[unitVecs]] + [[labelCentroids]]: CTEs `u`
+    * (vec_id, label, unit) and `cent` (label, cvec). Embed as
+    * `WITH $labelCentroidCtes, ...`.
+    */
+  private def labelCentroidCtes: String =
+    s"""u AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / ${duckNorm("embedding")}) AS unit
+       |  FROM embeddings),
+       |comp AS (
+       |  SELECT label, i,
+       |    CAST(sum(CAST(floor(unit[i] * 1000000) AS BIGINT)) AS BIGINT) AS sm
+       |  FROM u, UNNEST(range(1, 65)) AS t(i) GROUP BY label, i),
+       |cent AS (
+       |  SELECT label, list(CAST(sm AS DOUBLE) ORDER BY i) AS cvec
+       |  FROM comp GROUP BY label)""".stripMargin
+
   val NumQueries = 5
   val TopK = 10
   val HardK = 5 // hard negatives mined per anchor (q_hard_negatives)
@@ -878,17 +921,7 @@ object Similarity {
     // per-label rollup is again all-long. Scale: one 64×n posexplode
     // (map-side combined) + a broadcast centroid join; no pair joins.
     Q("q_embed_cohesion",
-      s"""WITH u AS (
-         |  SELECT vec_id, label,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE) / ${duckNorm("embedding")}) AS unit
-         |  FROM embeddings),
-         |comp AS (
-         |  SELECT label, i,
-         |    CAST(sum(CAST(floor(unit[i] * 1000000) AS BIGINT)) AS BIGINT) AS sm
-         |  FROM u, UNNEST(range(1, 65)) AS t(i) GROUP BY label, i),
-         |cent AS (
-         |  SELECT label, list(CAST(sm AS DOUBLE) ORDER BY i) AS cvec
-         |  FROM comp GROUP BY label),
+      s"""WITH $labelCentroidCtes,
          |sc AS (
          |  SELECT u.label,
          |    CAST(floor(${duckDot("unit", "cvec")} /
@@ -900,17 +933,8 @@ object Similarity {
          |  CAST(max(cm) AS BIGINT) AS max_cos_micros
          |FROM sc GROUP BY label ORDER BY label""".stripMargin)(
       (s, dir) => {
-        val u = emb(s, dir).select(col("vec_id"), col("label"),
-          expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
-            .as("unit"))
-        val comp = u.select(col("label"), posexplode(col("unit")).as(Seq("i", "x")))
-          .select(col("label"), col("i"),
-            floor(col("x") * lit(1000000L)).cast("long").as("m"))
-          .groupBy("label", "i").agg(sum(col("m")).as("sm"))
-        val cent = comp.groupBy("label")
-          .agg(expr(
-            "transform(array_sort(collect_list(struct(i, sm))), p -> CAST(p.sm AS DOUBLE))")
-            .as("cvec"))
+        val u = unitVecs(s, dir)
+        val cent = labelCentroids(u)
         u.join(broadcast(cent), "label")
           .withColumn("cm",
             floor(expr("vec_cosine(unit, cvec)") * lit(1000000L)).cast("long"))
@@ -934,17 +958,7 @@ object Similarity {
     // everything corpus-sized is the one 64×n posexplode aggregate 35d
     // already pays.
     Q("q_label_affinity",
-      s"""WITH u AS (
-         |  SELECT vec_id, label,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE) / ${duckNorm("embedding")}) AS unit
-         |  FROM embeddings),
-         |comp AS (
-         |  SELECT label, i,
-         |    CAST(sum(CAST(floor(unit[i] * 1000000) AS BIGINT)) AS BIGINT) AS sm
-         |  FROM u, UNNEST(range(1, 65)) AS t(i) GROUP BY label, i),
-         |cent AS (
-         |  SELECT label, list(CAST(sm AS DOUBLE) ORDER BY i) AS cvec
-         |  FROM comp GROUP BY label)
+      s"""WITH $labelCentroidCtes
          |SELECT a.label AS label_a, b.label AS label_b,
          |  CAST(floor(${duckDot("a.cvec", "b.cvec")} /
          |    (${duckNorm("a.cvec")} * ${duckNorm("b.cvec")}) * 1000000) AS BIGINT)
@@ -952,17 +966,7 @@ object Similarity {
          |FROM cent a JOIN cent b ON a.label < b.label
          |ORDER BY label_a, label_b""".stripMargin)(
       (s, dir) => {
-        val u = emb(s, dir).select(col("label"),
-          expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
-            .as("unit"))
-        val cent = u.select(col("label"), posexplode(col("unit")).as(Seq("i", "x")))
-          .select(col("label"), col("i"),
-            floor(col("x") * lit(1000000L)).cast("long").as("m"))
-          .groupBy("label", "i").agg(sum(col("m")).as("sm"))
-          .groupBy("label")
-          .agg(expr(
-            "transform(array_sort(collect_list(struct(i, sm))), p -> CAST(p.sm AS DOUBLE))")
-            .as("cvec"))
+        val cent = labelCentroids(unitVecs(s, dir))
         val a = cent.select(col("label").as("label_a"), col("cvec").as("ca"))
         val b = cent.select(col("label").as("label_b"), col("cvec").as("cb"))
         a.join(broadcast(b), col("label_a") < col("label_b"))

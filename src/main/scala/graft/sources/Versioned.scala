@@ -232,14 +232,23 @@ object Versioned {
                  replacedDirs: Set[String], replacedRows: Long,
                  epochId: Option[Long] = None, appId: Option[String] = None,
                  bucketCol: Option[String] = None,
-                 nBuckets: Option[Int] = None): Int = {
+                 nBuckets: Option[Int] = None,
+                 baseVersion: Option[Int] = None): Int = {
     val f = fs(spark, dir)
     f.mkdirs(new Path(s"$dir/_commits"))
     val token = java.util.UUID.randomUUID.toString.take(8)
     var v = versions(spark, dir).lastOption.getOrElse(0) + 1
-    // the merge in newDirs was computed against THIS parent's state; on a
-    // lost publish race the retry re-validates the new parent against it
-    val base = if (v == 1) None else Some(readManifest(spark, dir, v - 1))
+    // the merge in newDirs was computed against the BASE manifest, which
+    // the CALLER names (baseVersion; 0 = the table was empty) — a commit
+    // that lands between the caller's manifest read and this point must
+    // hit the same conflict rule as one landing during the publish loop.
+    // Legacy callers omit it and the manifest at entry is assumed, which
+    // re-opens that window; every merging path should pass it.
+    val base = baseVersion match {
+      case Some(0) => None
+      case Some(b) => Some(readManifest(spark, dir, b))
+      case None => if (v == 1) None else Some(readManifest(spark, dir, v - 1))
+    }
     val touchedBuckets =
       (replacedDirs.toSeq ++ newDirs).flatMap(bucketOf).toSet
     var committed = -1
@@ -476,7 +485,8 @@ object Versioned {
         val newDirs = writeBucketed(read(spark, dir), dataDir, bc, n)
         val newRows = newDirs.map(graft.Tables.footerRowCount(spark, _)).sum
         commitDirs(spark, dir, newDirs, newRows,
-          m.dataDirs.toSet, m.nRows, bucketCol = Some(bc), nBuckets = Some(n))
+          m.dataDirs.toSet, m.nRows, bucketCol = Some(bc), nBuckets = Some(n),
+          baseVersion = Some(m.version))
       case _ =>
         commit(read(spark, dir).repartition(parts), dir)
     }

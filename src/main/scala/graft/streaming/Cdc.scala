@@ -192,7 +192,8 @@ object Cdc {
           touchedDirs.map(graft.Tables.footerRowCount(spark, _)).sum
         Versioned.commitDirs(spark, tableDir, newDirs, newRows,
           touchedDirs.toSet, replacedRows, epochId, appId,
-          bucketCol = Some(key), nBuckets = Some(n))
+          bucketCol = Some(key), nBuckets = Some(n),
+          baseVersion = Some(m.version))
       case None =>
         val base = parentM match {
           case None =>
@@ -211,7 +212,8 @@ object Cdc {
         Versioned.commitDirs(spark, tableDir, newDirs, newRows,
           parentM.map(_.dataDirs.toSet).getOrElse(Set.empty),
           parentM.map(_.nRows).getOrElse(0L), epochId, appId,
-          bucketCol = Some(key), nBuckets = Some(nBuckets))
+          bucketCol = Some(key), nBuckets = Some(nBuckets),
+          baseVersion = Some(parentM.map(_.version).getOrElse(0)))
     }
     for (e <- epochId; a <- appId) bump((tableDir, a), e)
   }

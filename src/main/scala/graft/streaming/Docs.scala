@@ -491,14 +491,40 @@ object Docs {
           val batchKey = s"${lineage}_$batchId"
           val withH = batch0.withColumn("__h",
             md5(TextAnalysis.normText(col("text")).cast("binary")))
-          // reps fence INCLUDES this batch's own prior attempt: a crash
-          // after the reps write replays as a fully-empty batch (all its
-          // sigs/bands/reps partitions already landed — nothing rewrites)
-          val batch = Dedup.minhashIndexTable(s, root, "reps") match {
+          // TWO fences, each EXCLUDING this batch's own prior attempt
+          // (like the bands occupancy read below), so a same-lineage
+          // replay recomputes every decision from the PRE-batch state and
+          // overwrites its own partitions byte-identically:
+          //  - content fence (reps, by norm-hash): a byte-copy of an
+          //    already-indexed text never re-indexes;
+          //  - identity fence (sigs, by doc_id): a doc already signed
+          //    under ANY other batch — including a DEAD lineage whose
+          //    partitions a recreated checkpoint can never overwrite —
+          //    never re-indexes, so a cross-lineage restart cannot
+          //    duplicate rows.
+          // A fence reading the batch's OWN attempt would be cheaper on a
+          // clean replay (fully-fenced ⇒ no rewrites) but is unsafe under
+          // a PARTIAL commit: a crash mid-write can leave some rows
+          // visible, and believing them would shrink the replay and
+          // overwrite sigs/bands WITHOUT the partially-fenced docs —
+          // silent index loss. Residual wart, accepted: a dead lineage
+          // that crashed between its sigs and reps writes leaves those
+          // docs reps-less forever (the sigs fence keeps them indexed
+          // exactly once; only future byte-copy dedup of those texts is
+          // weakened).
+          val afterReps = Dedup.minhashIndexTable(s, root, "reps",
+              excludeBatch = Some(batchKey)) match {
             case Some(reps) =>
               withH.join(reps.select(col("h").as("__h")), Seq("__h"),
                 "left_anti")
             case None => withH
+          }
+          val batch = Dedup.minhashIndexTable(s, root, "sigs",
+              excludeBatch = Some(batchKey)) match {
+            case Some(sigs0) =>
+              afterReps.join(sigs0.select("doc_id").distinct(),
+                Seq("doc_id"), "left_anti")
+            case None => afterReps
           }
           if (!batch.isEmpty) {
             val stamp = new org.apache.hadoop.fs.Path(s"$root/_GRAFT_STAMP")

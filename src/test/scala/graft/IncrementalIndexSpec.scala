@@ -435,13 +435,27 @@ class IncrementalIndexSpec extends AnyFunSuite {
     val live = new org.apache.hadoop.fs.Path(
       s"$idxRoot/.build_tsweep_live_ffff")
     fs.mkdirs(live)
+    // ...and an old-looking top dir whose NESTED subtree is still being
+    // written (Spark writes under _temporary without touching the top
+    // dir's mtime — a >1h legitimate build): must be spared too
+    val busy = new org.apache.hadoop.fs.Path(
+      s"$idxRoot/.build_tsweep_busy_gggg")
+    val busyTmp = new org.apache.hadoop.fs.Path(busy, "_temporary")
+    fs.mkdirs(busyTmp)
+    fs.create(new org.apache.hadoop.fs.Path(busyTmp, "part-0")).close()
+    fs.setTimes(busy, System.currentTimeMillis() - 8L * 24 * 3600 * 1000, -1)
+    fs.setTimes(busyTmp, System.currentTimeMillis() - 8L * 24 * 3600 * 1000, -1)
     val gone = Dedup.vacuumIndexes(spark, corpus, graceMs = 0)
     assert(gone.exists(_.contains(".build_tsweep_stale")),
       s"aged temp dir not swept: $gone")
     assert(!fs.exists(stale))
     assert(fs.exists(live),
       "sweep deleted an in-flight build dir inside the one-hour floor")
+    assert(fs.exists(busy),
+      "sweep keyed on the frozen top mtime and deleted a dir whose " +
+        "subtree is still being written")
     fs.delete(live, true): Unit
+    fs.delete(busy, true): Unit
   }
 
   test("vacuum never deletes the live index after an in-place corpus shrink") {

@@ -579,6 +579,27 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(table(sub("bands"), "doc_id", "band", "bkey") == bandsBefore)
     assert(sub("bands").count() == nBandRows)
 
+    // (b2) PARTIAL reps commit: a crash mid-way through the reps parquet
+    // job can leave SOME of the batch's reps rows visible. A SAME-lineage
+    // replay must not believe its own partial attempt (a fence reading it
+    // would shrink the replay and overwrite sigs/bands without the
+    // partially-fenced docs — silent index loss); a CROSS-lineage restart
+    // (this replayAll: fresh checkpoint) must not re-index the docs whose
+    // sigs already landed under the dead lineage either — the identity
+    // fence keeps them indexed exactly once. Truncate the last batch's
+    // reps to one row, replay, and require the index unchanged.
+    val repsDir = lastBatchDirs("reps")
+    assert(repsDir.nonEmpty)
+    val repsPath = repsDir.head.toString
+    val half = spark.read.parquet(repsPath).limit(1).localCheckpoint()
+    fsys.delete(repsDir.head, true)
+    half.write.parquet(repsPath)
+    replayAll()
+    assert(table(sub("sigs"), sigCols: _*) == sigsBefore,
+      "partial reps commit dropped signature rows on replay")
+    assert(table(sub("bands"), "doc_id", "band", "bkey") == bandsBefore)
+    assert(sub("bands").count() == nBandRows)
+
     // (c) LINEAGE SAFETY: a wiped-and-recreated checkpoint restarts batch
     // ids at 0 over a GROWN source. Batch 0 now has a DIFFERENT (superset)
     // composition — under bare batchId-keyed overwrite it would clobber

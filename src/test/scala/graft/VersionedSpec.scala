@@ -434,6 +434,37 @@ class VersionedSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq == Seq((3L, "c")))
   }
 
+  test("a commit landing BEFORE commitDirs entry still conflicts via the caller's base") {
+    import spark.implicits._
+    val dir = tmp("cbase")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    Cdc.applyBatch(batch((0L until 8L).map(k => (k, "U", s"v$k", 1L)): _*),
+      dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 4)
+    // a merge is computed against v1...
+    val m = Versioned.manifest(spark, dir)
+    val replaced = m.dataDirs.take(1).toSet
+    // ...then ANOTHER writer plain-appends (non-bucketed dir, may hold
+    // any key) before commitDirs is even entered
+    Versioned.commit(Seq((5L, "stale-shadow")).toDF("k", "v"), dir,
+      append = true)
+    val v2 = Versioned.manifest(spark, dir)
+    assert(v2.version == m.version + 1)
+    // publishing the stale merge must conflict, not silently shadow the
+    // appended row — the caller's base (m.version), not the manifest at
+    // entry, is what the merge assumed
+    val fresh = Seq((0L, "merged")).toDF("k", "v")
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val newDirs = Versioned.writeBucketed(fresh,
+      s"$dir/data/v99999-$token", "k", 4)
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.commitDirs(spark, dir, newDirs, 1L, replaced, 2L,
+        bucketCol = Some("k"), nBuckets = Some(4),
+        baseVersion = Some(m.version))
+    }
+  }
+
   test("retry conflict rule: plain appends and touched-bucket collisions block, disjoint buckets pass") {
     import Versioned.{Manifest, retryConflict}
     def bdir(v: Int, b: Long) = s"/t/data/v0000$v-x/__bucket=$b"
