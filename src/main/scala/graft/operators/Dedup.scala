@@ -704,8 +704,21 @@ object Dedup {
     if (!won && !fs.exists(new org.apache.hadoop.fs.Path(root, marker))) {
       val trash = new org.apache.hadoop.fs.Path(root.getParent,
         s".build_evicted_${java.util.UUID.randomUUID.toString.take(8)}")
-      fs.rename(root, trash)
+      val evicted = fs.rename(root, trash)
       won = moveOnce()
+      // an eviction that failed with the markerless occupant STILL in
+      // place must be loud: conceding here would let parquet serve the
+      // partial occupant's rows forever with no error. (rename also
+      // returns false when a racing winner published first — then the
+      // marker exists and the normal concede path is correct.)
+      if (!evicted && !won &&
+          !fs.exists(new org.apache.hadoop.fs.Path(root, marker))) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"standing-index publish: could not evict the incomplete " +
+            s"occupant at $root (rename to $trash failed) and no complete " +
+            "publish appeared — refusing to leave partial data live")
+      }
     }
     if (!won) fs.delete(tmp, true)
     won
@@ -889,13 +902,17 @@ object Dedup {
       // stop changing, so repeated vacuums converge on the same answer).
       val buildCutoff = System.currentTimeMillis() -
         math.max(math.max(0L, graceMs), 3600L * 1000)
-      def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
-        val kids = try fs.listStatus(p) catch {
+      // seeded from the PARENT's listing entry and guarded throughout:
+      // the walked tree belongs to a possibly-LIVE job (or a concurrent
+      // vacuum's victim) and may vanish mid-walk — a vanished subtree
+      // reads as "no younger writes there", never as a sweep abort
+      def newestMtime(st0: org.apache.hadoop.fs.FileStatus): Long = {
+        val kids = try fs.listStatus(st0.getPath) catch {
           case _: java.io.FileNotFoundException => Array.empty[
             org.apache.hadoop.fs.FileStatus]
         }
-        kids.foldLeft(fs.getFileStatus(p).getModificationTime) { (m, st) =>
-          math.max(m, if (st.isDirectory) newestMtime(st.getPath)
+        kids.foldLeft(st0.getModificationTime) { (m, st) =>
+          math.max(m, if (st.isDirectory) newestMtime(st)
             else st.getModificationTime)
         }
       }
@@ -903,7 +920,7 @@ object Dedup {
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith(".build_") &&
           st.getModificationTime <= buildCutoff &&
-          newestMtime(st.getPath) <= buildCutoff)
+          newestMtime(st) <= buildCutoff)
         .map { st => fs.delete(st.getPath, true); st.getPath.toString }
         .sorted
     }

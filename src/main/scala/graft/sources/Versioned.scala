@@ -246,7 +246,18 @@ object Versioned {
     // re-opens that window; every merging path should pass it.
     val base = baseVersion match {
       case Some(0) => None
-      case Some(b) => Some(readManifest(spark, dir, b))
+      case Some(b) =>
+        // the base manifest can be vacuumed away in exactly the
+        // concurrent-commit window this parameter exists for — surface
+        // that as the documented conflict (recompute and retry), not a
+        // raw missing-file error
+        try Some(readManifest(spark, dir, b)) catch {
+          case _: java.io.FileNotFoundException =>
+            throw new java.util.ConcurrentModificationException(
+              s"replace commit at $dir conflicts with concurrent history: " +
+                s"base manifest v$b was vacuumed while the merge ran — " +
+                "recompute the merge against the current version and retry")
+        }
       case None => if (v == 1) None else Some(readManifest(spark, dir, v - 1))
     }
     val touchedBuckets =

@@ -507,11 +507,12 @@ object Docs {
           // a PARTIAL commit: a crash mid-write can leave some rows
           // visible, and believing them would shrink the replay and
           // overwrite sigs/bands WITHOUT the partially-fenced docs —
-          // silent index loss. Residual wart, accepted: a dead lineage
-          // that crashed between its sigs and reps writes leaves those
-          // docs reps-less forever (the sigs fence keeps them indexed
-          // exactly once; only future byte-copy dedup of those texts is
-          // weakened).
+          // silent index loss. Docs a dead lineage signed but never
+          // fenced (crash between its sigs and reps writes) are ORPHANS:
+          // identity-fenced from re-signing, then explicitly COMPLETED
+          // below (bands/reps backfilled from the standing sig rows), so
+          // a mid-protocol crash plus checkpoint recreation still
+          // converges to a fully-indexed, duplicate-free table.
           val afterReps = Dedup.minhashIndexTable(s, root, "reps",
               excludeBatch = Some(batchKey)) match {
             case Some(reps) =>
@@ -519,25 +520,45 @@ object Docs {
                 "left_anti")
             case None => withH
           }
-          val batch = Dedup.minhashIndexTable(s, root, "sigs",
-              excludeBatch = Some(batchKey)) match {
+          val standingSigs = Dedup.minhashIndexTable(s, root, "sigs",
+            excludeBatch = Some(batchKey))
+          val batch = standingSigs match {
             case Some(sigs0) =>
               afterReps.join(sigs0.select("doc_id").distinct(),
                 Seq("doc_id"), "left_anti")
             case None => afterReps
           }
-          if (!batch.isEmpty) {
+          // ORPHANS: docs a dead lineage SIGNED (identity-fenced out of
+          // `batch` above) whose protocol never completed — their content
+          // hash reached no reps partition (reps is written LAST), so
+          // their bands/reps rows may be missing and a recreated
+          // checkpoint can never overwrite the dead partitions. Complete
+          // them from the STANDING sig rows instead of re-signing (sigs
+          // stay exactly-once): recompute their band keys, admit under
+          // current occupancy, drop any keys they already hold, and fold
+          // their reps rows into this batch's.
+          val orphanIds = standingSigs match {
+            case Some(sigs0) =>
+              afterReps.join(sigs0.select("doc_id").distinct(),
+                Seq("doc_id"), "left_semi").select(col("doc_id"), col("__h"))
+            case None => afterReps.limit(0).select(col("doc_id"), col("__h"))
+          }
+          if (!batch.isEmpty || !orphanIds.isEmpty) {
             val stamp = new org.apache.hadoop.fs.Path(s"$root/_GRAFT_STAMP")
             stamp.getFileSystem(conf).delete(stamp, false): Unit
             val sigs = Dedup.minhashSignatures(batch.drop("__h"))
               .localCheckpoint()
             sigs.write.mode("overwrite")
               .parquet(s"$root/sigs_m/batch=$batchKey")
-            val newKeys = Dedup.bandKeys(sigs)
+            val orphanSigs = standingSigs.map(_.join(
+                orphanIds.select("doc_id"), Seq("doc_id"), "left_semi"))
+              .getOrElse(sigs.limit(0))
+            val newKeys = Dedup.bandKeys(sigs.unionByName(orphanSigs))
             val w = Window.partitionBy(col("band"), col("bkey"))
               .orderBy(col("doc_id"))
-            val admitted = Dedup.minhashIndexTable(s, root, "bands",
-                excludeBatch = Some(batchKey)) match {
+            val bandsOpt = Dedup.minhashIndexTable(s, root, "bands",
+              excludeBatch = Some(batchKey))
+            val admitted0 = bandsOpt match {
               case Some(bands) =>
                 val occupancy = bands.groupBy(col("band"), col("bkey"))
                   .agg(count(lit(1)).as("n0"))
@@ -552,6 +573,14 @@ object Docs {
                   .filter(col("rn") <= cap)
                   .select("doc_id", "band", "bkey")
             }
+            // an orphan whose bands DID land (dead lineage crashed
+            // between its bands and reps writes) must not duplicate them
+            val admitted = bandsOpt match {
+              case Some(bands) => admitted0.join(
+                bands.select("doc_id", "band", "bkey"),
+                Seq("doc_id", "band", "bkey"), "left_anti")
+              case None => admitted0
+            }
             admitted.write.mode("overwrite")
               .parquet(s"$root/bands_m/batch=$batchKey")
             // reps LAST: it is the fence, so it must only admit a batch
@@ -559,6 +588,7 @@ object Docs {
             // point replays the batch, which OVERWRITES those partitions
             // with identical content instead of double-appending
             batch.select(col("__h").as("h"), col("doc_id"))
+              .unionByName(orphanIds.select(col("__h").as("h"), col("doc_id")))
               .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
               .write.mode("overwrite")
               .parquet(s"$root/reps_m/batch=$batchKey")

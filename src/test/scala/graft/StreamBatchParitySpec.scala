@@ -512,8 +512,9 @@ class StreamBatchParitySpec extends AnyFunSuite {
       Dedup.minhashIndexTable(spark, root, name).get
     val chunks = feed.grouped(math.max(feed.size / 4, 1)).toSeq
     val input = MemoryStream[Doc]
-    val q = Docs.maintainMinhashIndex(input.toDF(), root,
-      java.nio.file.Files.createTempDirectory("graft_stream_idx_ckpt").toString)
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx_ckpt").toString
+    val q = Docs.maintainMinhashIndex(input.toDF(), root, ckptDir)
     try {
       // doc_id-ascending feed in 4 micro-batches
       chunks.foreach { chunk =>
@@ -562,6 +563,27 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(table(sub("bands"), "doc_id", "band", "bkey") == bandsBefore)
     assert(sub("bands").count() == nBandRows,
       "replay re-spent cap slots (duplicate band rows)")
+
+    // (a2) SAME-LINEAGE replay WITH DATA BEHIND IT: resume the ORIGINAL
+    // checkpoint with its last two commits (and the final offset entry)
+    // removed — Structured Streaming re-executes batch 3 under the SAME
+    // lineage and batchId, so the fences exclude the batch's own standing
+    // partitions, every doc comes back unfenced, and the recomputation
+    // must OVERWRITE lineage1_3 byte-identically (this is the crash-replay
+    // path the own-attempt exclusion exists for; a fence reading its own
+    // rows would turn this into an empty batch and a partial one into
+    // silent loss).
+    val ckfs = new org.apache.hadoop.fs.Path(ckptDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("commits/3", "commits/4", "offsets/4").foreach(f =>
+      assert(ckfs.delete(new org.apache.hadoop.fs.Path(s"$ckptDir/$f"), false)))
+    val q1b = Docs.maintainMinhashIndex(input.toDF(), root, ckptDir)
+    try q1b.processAllAvailable() finally q1b.stop()
+    assert(table(sub("sigs"), sigCols: _*) == sigsBefore,
+      "same-lineage replay changed sigs")
+    assert(table(sub("bands"), "doc_id", "band", "bkey") == bandsBefore)
+    assert(sub("bands").count() == nBandRows,
+      "same-lineage replay duplicated band rows")
     // (b) crash at batch start: drop the LAST batch's partitions (its
     // rows now exist nowhere) and replay — the un-fenced docs re-index
     // under the replaying lineage and the tables converge to the same
@@ -599,6 +621,32 @@ class StreamBatchParitySpec extends AnyFunSuite {
       "partial reps commit dropped signature rows on replay")
     assert(table(sub("bands"), "doc_id", "band", "bkey") == bandsBefore)
     assert(sub("bands").count() == nBandRows)
+
+    // (b3) ORPHAN COMPLETION: a dead lineage that crashed AFTER its sigs
+    // write but before bands/reps leaves docs signed yet unreachable by
+    // LSH (no band rows) and unfenced (no reps rows). A cross-lineage
+    // restart must complete them from the standing sig rows — bands and
+    // reps restored, sigs NOT duplicated.
+    Seq("reps", "bands").foreach(sn =>
+      lastBatchDirs(sn).foreach(p => assert(fsys.delete(p, true))))
+    replayAll()
+    assert(table(sub("sigs"), sigCols: _*) == sigsBefore,
+      "orphan completion re-signed docs (duplicate sig rows)")
+    assert(table(sub("bands"), "doc_id", "band", "bkey") == bandsBefore,
+      "orphaned docs' band rows were not backfilled exactly")
+    assert(sub("bands").count() == nBandRows)
+    // the content fence works again: a byte-copy of an orphaned doc's
+    // text arriving later must be dropped by the restored reps rows
+    val orphanCopy = chunks.last.head.copy(doc_id = 1999998L)
+    val in4 = MemoryStream[Doc]
+    val q4 = Docs.maintainMinhashIndex(in4.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_orphan_ckpt").toString)
+    try {
+      in4.addData(Seq(orphanCopy))
+      q4.processAllAvailable()
+    } finally q4.stop()
+    assert(sub("sigs").filter(col("doc_id") === 1999998L).count() == 0,
+      "byte-copy of an orphan-completed doc was re-indexed")
 
     // (c) LINEAGE SAFETY: a wiped-and-recreated checkpoint restarts batch
     // ids at 0 over a GROWN source. Batch 0 now has a DIFFERENT (superset)
