@@ -925,6 +925,53 @@ object Analytic {
           .orderBy("tier")
       }),
 
+    // 41g4. TEMPERATURE-SCALED MIXTURE — the α-sampling rule multilingual
+    // and multi-source training uses (weights ∝ tokens^α, α = 1/2 here):
+    // flattens the head sources and up-weights the tail relative to
+    // proportional sampling, without the cliff of uniform. Exactness:
+    // sqrt of an exact BIGINT token count is correctly rounded IEEE on
+    // both engines (inputs < 2^53), so floor(sqrt(·)) is engine-identical
+    // and every share/boost derives from integer arithmetic on those
+    // floors. Per source: tokens, raw share, temperature weight, scaled
+    // share, and the boost ratio vs proportional (micro fixed-point).
+    // One source agg + a broadcast 1-row total — the q_mixture_plan shape.
+    Q("q_mixture_temperature",
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |g AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS tokens,
+         |    CAST(floor(sqrt(CAST(SUM(toks) AS DOUBLE))) AS BIGINT) AS w
+         |  FROM d GROUP BY source),
+         |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot,
+         |    CAST(SUM(w) AS BIGINT) AS wtot FROM g)
+         |SELECT source, tokens,
+         |  CAST(tokens * 1000000 // tot AS BIGINT) AS raw_share_micro,
+         |  w,
+         |  CAST(w * 1000000 // wtot AS BIGINT) AS temp_share_micro,
+         |  CAST((w * 1000000 // wtot) * 1000000
+         |    // NULLIF(tokens * 1000000 // tot, 0) AS BIGINT) AS boost_micro
+         |FROM g, t ORDER BY source""".stripMargin)(
+      (s, dir) => {
+        val toksC = size(split(lower(trim(
+          regexp_replace(col("text"), "\\s+", " "))), " ")).cast("long")
+        val g = t(s, dir, "documents")
+          .select(col("source"), toksC.as("toks"))
+          .groupBy("source").agg(sum(col("toks")).as("tokens"))
+          .withColumn("w",
+            floor(sqrt(col("tokens").cast("double"))).cast("long"))
+        val tot = g.agg(sum(col("tokens")).as("tot"),
+          sum(col("w")).as("wtot"))
+        g.crossJoin(broadcast(tot))
+          .withColumn("raw_share_micro", expr("tokens * 1000000 div tot"))
+          .withColumn("temp_share_micro", expr("w * 1000000 div wtot"))
+          .withColumn("boost_micro", expr(
+            "temp_share_micro * 1000000 div NULLIF(raw_share_micro, 0)"))
+          .select("source", "tokens", "raw_share_micro", "w",
+            "temp_share_micro", "boost_micro")
+          .orderBy("source")
+      }),
+
     // 24p. Grouped least-squares regression of extendedprice-cents on quantity,
     // computed FROM EXACT INTEGER SUMS: per group one pass accumulates
     // n, Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0) (overflow-free at any

@@ -198,6 +198,30 @@ class R8OpsSpec extends AnyFunSuite {
     assert(ab.values.map(_._1).sum > 0L)
   }
 
+  test("temperature mixture boosts the tail and damps the head") {
+    // head source: one 2500-token doc; tail source: one 100-token doc.
+    // α = 1/2 weights are 50 vs 10, so the tail's share rises from
+    // 100/2600 to 10/60 (boost > 1) and the head's falls (boost < 1).
+    val head = (1 to 2500).map(i => s"h$i").mkString(" ")
+    val tail = (1 to 100).map(i => s"t$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, head, "en", "big", head.length.toLong),
+      (2L, tail, "en", "small", tail.length.toLong)))
+    val out = SparkEntry.queries("q_mixture_temperature")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tokens"), r.getAs[Long]("w"),
+          r.getAs[Long]("raw_share_micro"), r.getAs[Long]("temp_share_micro"),
+          r.getAs[Long]("boost_micro"))).toMap
+    assert(out("big")._1 == 2500L && out("small")._1 == 100L)
+    assert(out("big")._2 == 50L && out("small")._2 == 10L,
+      s"floor-sqrt weights: $out")
+    assert(out("small")._5 > 1000000L, "tail source must be up-weighted")
+    assert(out("big")._5 < 1000000L, "head source must be damped")
+    // shares still form a distribution (micro truncation leaves ≤ n slack)
+    val shareSum = out.values.map(_._4).sum
+    assert(shareSum > 1000000L - out.size && shareSum <= 1000000L)
+  }
+
   test("epoch shuffle: each epoch is a full permutation and epochs differ") {
     val out = SparkEntry.queries("q_epoch_shuffle")(spark, TestSpark.sf)
       .collect().map(r => (r.getAs[Long]("epoch"),
