@@ -57,28 +57,34 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Queries that took >2s get a second run and report the min: the first
-    // run pays codegen compilation and is exposed to transient environment
-    // stalls, and sustainable throughput is what baseline comparisons
-    // should see. Fast queries keep their single measurement — re-running
-    // everything would double the bench's own load for no signal.
+    // Each query runs `reps` times back-to-back and publishes the MEDIAN
+    // (plus the min): a single measurement exposes the artifact to cold-JIT
+    // outliers — the r8 artifact showed three phantom 5-7× "regressions"
+    // whose warm steady state was at or below the prior round. With three
+    // back-to-back reps the first pays codegen compilation and the median
+    // lands on a warm rep, which is the sustainable-throughput number a
+    // baseline comparison should see.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = names.map { n =>
-      val a = run(n)
-      n -> (if (a > 2.0) { val b = run(n); if (b < 0) a else math.min(a, b) }
-            else a)
+      val ts = (1 to reps).map(_ => run(n)).filter(_ >= 0).sorted
+      val med = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
+      val min = if (ts.isEmpty) -1.0 else ts.head
+      (n, med, min)
     }
     // Locale.ROOT formatting throughout: the line is machine-parsed JSON,
     // and a decimal-comma default locale (de_DE etc.) would corrupt it
     def n3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + n3(v) }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + n3(med) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qmin = results.map { case (k, _, min) => "\"" + k + "\":" + n3(min) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, med, _) if med >= 0 => med }.sum
     val calLast = calibrate()
     val drift = math.max(calFirst, calLast) / math.min(calFirst, calLast)
     val contended = drift > 1.5
     val cal = s""""calibration":{"first_sec":${n3(calFirst)},"last_sec":${n3(calLast)},"drift":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(drift))},"contended":$contended}"""
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","queries":$qs,$cal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qmin,$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -123,26 +123,28 @@ object Tables {
         // refused) — an unrelated task failure quoting a bad DATA path
         // that happens to contain one of these phrases must pass through
         // as itself, not as index-root guidance masking the real cause
+        // match ONLY the root itself plus the child names index writes
+        // actually create under it ("<root>/graft_…" index dirs,
+        // "<root>/.build…" temp dirs). Ancestors are deliberately NOT
+        // candidates: with the default co-located layout the index root
+        // is `<destDir>/_graft_index`, so every ancestor is also a
+        // prefix of sibling DATA paths under the destination — matching
+        // them would rewrite unrelated data-write failures into
+        // index-root guidance, the exact masking this scoping prevents.
+        // Mkdirs/permission errors that blame an ancestor still name the
+        // full path they tried to create ("Mkdirs failed to create
+        // <root>/graft_…"), which the root candidate catches. The bare
+        // root is skipped only when it is a DEPTH-1 schemeless generic
+        // prefix (the local default: java.io.tmpdir = "/tmp"), which
+        // would match any scratch path — the child patterns keep the
+        // guidance alive there.
         val rootPath = new org.apache.hadoop.fs.Path(root)
-        val rootAndAncestors = Iterator.iterate(rootPath)(_.getParent)
-          // stop before generic prefixes: a bare "/tmp" would match any
-          // scratch path; URI paths keep authority-anchored specificity
-          // one level longer (s3a://bucket/corpus)
-          .takeWhile(p => p != null && (p.depth() >= 2 ||
-            (p.depth() >= 1 && p.toUri.getScheme != null)))
-          .map(_.toString).take(6).toSeq
-        // a DEPTH-1 schemeless root (the local default: indexRoot falls
-        // back to java.io.tmpdir = "/tmp") yields NO candidates above and
-        // the guidance goes dead on the most common configuration. Keep
-        // specificity by matching the names index writes actually create
-        // under such a root ("<root>/graft_…" index dirs, "<root>/.build…"
-        // temp dirs) instead of the bare root
+        val rootSpecific = rootPath.depth() >= 2 ||
+          (rootPath.depth() >= 1 && rootPath.toUri.getScheme != null)
+        val r = root.stripSuffix("/")
         val candidates =
-          if (rootAndAncestors.nonEmpty) rootAndAncestors
-          else {
-            val r = root.stripSuffix("/")
+          (if (rootSpecific) Seq(r) else Seq.empty) ++
             Seq(s"$r/graft_", s"$r/.build")
-          }
         val scoped = chain.exists { t =>
           val msg = String.valueOf(t.getMessage)
           candidates.exists(msg.contains) &&

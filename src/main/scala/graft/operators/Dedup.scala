@@ -706,18 +706,20 @@ object Dedup {
         s".build_evicted_${java.util.UUID.randomUUID.toString.take(8)}")
       val evicted = fs.rename(root, trash)
       won = moveOnce()
-      // an eviction that failed with the markerless occupant STILL in
-      // place must be loud: conceding here would let parquet serve the
-      // partial occupant's rows forever with no error. (rename also
-      // returns false when a racing winner published first — then the
-      // marker exists and the normal concede path is correct.)
-      if (!evicted && !won &&
-          !fs.exists(new org.apache.hadoop.fs.Path(root, marker))) {
+      // conceding is only correct when the marker PROVES a complete
+      // publish. Losing the retried move with the marker still absent
+      // must be loud whatever happened to the eviction: either the
+      // markerless occupant is still in place (rename failed), or the
+      // eviction succeeded and a SECOND markerless writer recreated the
+      // root inside the window — both leave partial parquet live, which
+      // readers would silently serve forever. (A racing WINNER losing us
+      // the retry is the one benign case, and then the marker exists.)
+      if (!won && !fs.exists(new org.apache.hadoop.fs.Path(root, marker))) {
         fs.delete(tmp, true)
         throw new java.io.IOException(
-          s"standing-index publish: could not evict the incomplete " +
-            s"occupant at $root (rename to $trash failed) and no complete " +
-            "publish appeared — refusing to leave partial data live")
+          s"standing-index publish: no complete publish exists at $root " +
+            s"after eviction (evicted=$evicted to $trash) and the retried " +
+            "move lost — refusing to leave partial data live")
       }
     }
     if (!won) fs.delete(tmp, true)
@@ -1136,9 +1138,14 @@ object Dedup {
                         excludeBatch: Option[String] = None)
       : Option[DataFrame] = {
     val conf = s.sessionState.newHadoopConf()
+    // an EMPTY directory counts as absent: a crash (or crash simulation)
+    // can delete every batch partition under `<sub>_m/` while the parent
+    // dir survives, and parquet schema inference on it would fail the
+    // whole read instead of falling back to the other side
     def existing(p: String): Option[String] = {
       val hp = new org.apache.hadoop.fs.Path(p)
-      if (hp.getFileSystem(conf).exists(hp)) Some(p) else None
+      val f = hp.getFileSystem(conf)
+      if (f.exists(hp) && f.listStatus(hp).nonEmpty) Some(p) else None
     }
     val base = existing(s"$root/$sub").map(s.read.parquet(_))
     val maintained = existing(s"$root/${sub}_m").map { p =>
@@ -1148,10 +1155,34 @@ object Dedup {
       excludeBatch.map(b => d.filter(col("batch").cast("string") =!= b))
         .getOrElse(d).drop("batch")
     }
-    (base, maintained) match {
+    val combined = (base, maintained) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
       case (a, b) => a.orElse(b)
     }
+    // RETIRED doc_ids are subtracted from the doc-keyed views: a dead
+    // lineage can leave a doc SIGNED whose content later gets repped
+    // under a different doc_id (byte-copy arrival) — its standing sig
+    // rows live in a partition no live lineage can overwrite, so the
+    // maintainer writes a retirement tombstone instead
+    // (Docs.maintainMinhashIndex). Subtracting here restores the static
+    // build's "sigs/bands describe reps only" invariant for every
+    // reader; `reps` itself is content-keyed and never dangles. The
+    // retirement read honors `excludeBatch` like the maintained rows, so
+    // a replaying batch recomputes its decisions from the pre-batch
+    // state.
+    if (sub == "sigs" || sub == "bands")
+      combined.map { d =>
+        existing(s"$root/sigs_retired_m") match {
+          case Some(p) =>
+            val r0 = s.read.parquet(p)
+            val r = excludeBatch
+              .map(b => r0.filter(col("batch").cast("string") =!= b))
+              .getOrElse(r0).select("doc_id")
+            d.join(r, Seq("doc_id"), "left_anti")
+          case None => d
+        }
+      }
+    else combined
   }
 
   val SimhashBits = 64

@@ -165,6 +165,34 @@ object Versioned {
     val f = fs(spark, dir)
     f.mkdirs(new Path(s"$dir/_commits"))
     var v = versions(spark, dir).lastOption.getOrElse(0) + 1
+    // an APPEND to a bucketed table carries the layout: the appended rows
+    // are written as `__bucket=N` dirs under the parent's (bucketCol,
+    // nBuckets) and the manifest keeps the layout — a plain append here
+    // would silently drop it, degrading the NEXT CDC batch to a
+    // full-table re-migration (the pre-r9 surprise for teams mixing
+    // appends with a CDC stream). Appended dirs coexist with the base's
+    // per-bucket dirs (the apply path groups dirs by bucket;
+    // compactCommit folds them back to one). A SNAPSHOT commit
+    // (append=false) deliberately installs a fresh un-bucketed layout —
+    // it replaces the whole table, so re-migration is the honest cost.
+    if (append && v > 1) {
+      val parent = readManifest(spark, dir, v - 1)
+      (parent.bucketCol, parent.nBuckets) match {
+        case (Some(bc), Some(n))
+            if parent.dataDirs.forall(d => bucketOf(d).isDefined) =>
+          require(df.columns.contains(bc),
+            s"append to bucketed table $dir must carry its bucket column " +
+              s"'$bc' (layout installed by the CDC apply path)")
+          val token = java.util.UUID.randomUUID.toString.take(8)
+          val dataDir = f"$dir/data/v$v%05d-$token"
+          val newDirs = writeBucketed(df, dataDir, bc, n)
+          val newRows = newDirs.map(graft.Tables.footerRowCount(spark, _)).sum
+          return commitDirs(spark, dir, newDirs, newRows, Set.empty, 0L,
+            epochId, appId, Some(bc), Some(n),
+            baseVersion = Some(parent.version), pureAppend = true)
+        case _ =>
+      }
+    }
     // unique data-dir AND temp-manifest names (not keyed to the version):
     // two writers racing to the same version number must never collide on
     // anything they write — only the manifest publish decides the race
@@ -233,7 +261,8 @@ object Versioned {
                  epochId: Option[Long] = None, appId: Option[String] = None,
                  bucketCol: Option[String] = None,
                  nBuckets: Option[Int] = None,
-                 baseVersion: Option[Int] = None): Int = {
+                 baseVersion: Option[Int] = None,
+                 pureAppend: Boolean = false): Int = {
     val f = fs(spark, dir)
     f.mkdirs(new Path(s"$dir/_commits"))
     val token = java.util.UUID.randomUUID.toString.take(8)
@@ -272,7 +301,7 @@ object Versioned {
             " — recompute the merge against the current version and retry")
       parent.orElse(Some(Manifest(0, Seq.empty, 0L)))
         .flatMap(p => retryConflict(base, p, replacedDirs, touchedBuckets,
-          bucketCol, nBuckets))
+          bucketCol, nBuckets, pureAppend))
         .foreach(why => conflict(why))
       val dirs = parentDirs.filterNot(replacedDirs) ++ newDirs
       val nRows = parent.map(_.nRows).getOrElse(0L) - replacedRows + newRows
@@ -302,7 +331,9 @@ object Versioned {
                                    replacedDirs: Set[String],
                                    touchedBuckets: Set[Long],
                                    bucketCol: Option[String],
-                                   nBuckets: Option[Int]): Option[String] = {
+                                   nBuckets: Option[Int],
+                                   pureAppend: Boolean = false)
+      : Option[String] = {
     val parentDirs = parent.dataDirs
     val baseDirs = base.map(_.dataDirs).getOrElse(Seq.empty)
     // the layout the merge ASSUMED is the base's (this commit's own
@@ -321,6 +352,13 @@ object Versioned {
         s"(${parent.bucketCol}, ${parent.nBuckets}) from " +
         s"($baseCol, $baseN)")
     else if (parentDirs == baseDirs) None
+    // a PURE APPEND read nothing and replaced nothing — its new rows are
+    // valid against ANY parent that kept the layout (checked above), so
+    // interleaved commits never conflict with it. This is declared by
+    // the caller, not inferred from replacedDirs.isEmpty: a first CDC
+    // batch also replaces nothing, yet its merge DID assume an empty
+    // base and must conflict with a concurrently-landed snapshot.
+    else if (pureAppend) None
     else {
       val added = parentDirs.toSet -- baseDirs.toSet
       added.find(d => bucketOf(d).isEmpty)
@@ -537,7 +575,12 @@ object Versioned {
     // (and the CDC stream's empty-batch path through read().limit(0))
     // wedges permanently on "no retained ancestor carries a schema"
     val schemaAnchor =
-      if (windowKeep.exists(v => readManifest(spark, dir, v).dataDirs.nonEmpty))
+      // zero committed versions (a janitorial vacuum racing the table's
+      // FIRST in-flight commit): nothing to anchor — fall through to the
+      // grace-fenced sweep, which tombstones the in-flight data dir and
+      // only deletes it after a full grace period still unreferenced
+      if (windowKeep.isEmpty ||
+          windowKeep.exists(v => readManifest(spark, dir, v).dataDirs.nonEmpty))
         None
       else vs.filter(_ < windowKeep.min).reverseIterator
         .find(v => readManifest(spark, dir, v).dataDirs.nonEmpty)

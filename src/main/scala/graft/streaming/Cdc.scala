@@ -172,9 +172,16 @@ object Cdc {
         val bexpr = pmod(xxhash64(col(key)), lit(n.toLong))
         val touched = compacted.select(bexpr.as("__b")).distinct()
           .collect().map(_.getLong(0)).toSet
+        // a bucket can be backed by SEVERAL dirs (the migrated base plus
+        // bucketed plain appends since) — group, don't .toMap, which
+        // would keep one dir per bucket and silently drop the others
+        // from the merge while the manifest still replaces only the kept
+        // one (stale keys resurface)
         val byBucket = m.dataDirs
-          .flatMap(d => Versioned.bucketOf(d).map(_ -> d)).toMap
-        val touchedDirs = touched.toSeq.sorted.flatMap(byBucket.get)
+          .flatMap(d => Versioned.bucketOf(d).map(_ -> d))
+          .groupMap(_._1)(_._2)
+        val touchedDirs = touched.toSeq.sorted
+          .flatMap(b => byBucket.getOrElse(b, Seq.empty))
         val base =
           if (touchedDirs.nonEmpty)
             spark.read.option("mergeSchema", "true").parquet(touchedDirs: _*)

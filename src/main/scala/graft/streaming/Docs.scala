@@ -447,6 +447,28 @@ object Docs {
     * maintained index leaves the stamp economy: it is the database of
     * record for its streamed documents, never a predecessor and never a
     * vacuum victim.
+    *
+    * CONTRACT: `doc_id` identifies IMMUTABLE content — a doc_id must
+    * never re-arrive with different text. The fences key on doc_id and
+    * normalized-content hash independently, so a mutated re-arrival is
+    * indistinguishable from a mid-protocol crash: its new content hash
+    * would be repped while the standing signature still describes the
+    * old text (the sigs tables store no content hash to compare
+    * against). Feeds that mutate documents must assign a fresh doc_id
+    * per revision (the CDC layer's key-version pattern).
+    *
+    * RETIREMENT: a doc a dead lineage SIGNED whose content later arrives
+    * as a byte-copy under a different doc_id can never be completed (the
+    * copy's rep content-fences it out of orphan completion) nor
+    * overwritten (its partition belongs to the dead lineage) — its sig
+    * rows would dangle band-less forever, silently relaxing the static
+    * build's "sigs describe reps only" invariant. When such a doc
+    * RE-ARRIVES (identity-signed + content-repped under a different
+    * doc_id), its doc_id is written to a `sigs_retired_m` tombstone
+    * partition and every read through
+    * [[graft.operators.Dedup.minhashIndexTable]] subtracts it from the
+    * sigs/bands views — restoring the invariant without touching the
+    * dead partition.
     */
   def maintainMinhashIndex(docsStream: DataFrame, root: String,
                            checkpointDir: String,
@@ -513,8 +535,9 @@ object Docs {
           // below (bands/reps backfilled from the standing sig rows), so
           // a mid-protocol crash plus checkpoint recreation still
           // converges to a fully-indexed, duplicate-free table.
-          val afterReps = Dedup.minhashIndexTable(s, root, "reps",
-              excludeBatch = Some(batchKey)) match {
+          val repsT = Dedup.minhashIndexTable(s, root, "reps",
+            excludeBatch = Some(batchKey))
+          val afterReps = repsT match {
             case Some(reps) =>
               withH.join(reps.select(col("h").as("__h")), Seq("__h"),
                 "left_anti")
@@ -522,6 +545,25 @@ object Docs {
           }
           val standingSigs = Dedup.minhashIndexTable(s, root, "sigs",
             excludeBatch = Some(batchKey))
+          // RETIREMENT (see the contract above): an arriving doc that is
+          // identity-signed but whose content is repped under a DIFFERENT
+          // doc_id holds dangling sig rows a dead lineage wrote — neither
+          // completable (content-fenced) nor overwritable (dead
+          // partition). Tombstone its doc_id; the read path subtracts it.
+          // standingSigs already excludes previously-retired docs, so a
+          // retirement lands exactly once and a replay (own partition
+          // excluded) recomputes it byte-identically.
+          val retired = (standingSigs, repsT) match {
+            case (Some(sigs0), Some(reps0)) =>
+              withH.join(sigs0.select("doc_id").distinct(),
+                  Seq("doc_id"), "left_semi")
+                .join(reps0.select(col("h").as("__h"),
+                  col("doc_id").as("__rep")), Seq("__h"))
+                .filter(col("__rep") =!= col("doc_id"))
+                .select("doc_id").distinct()
+            case _ => null
+          }
+          val anyRetired = retired != null && !retired.isEmpty
           val batch = standingSigs match {
             case Some(sigs0) =>
               afterReps.join(sigs0.select("doc_id").distinct(),
@@ -543,9 +585,17 @@ object Docs {
                 Seq("doc_id"), "left_semi").select(col("doc_id"), col("__h"))
             case None => afterReps.limit(0).select(col("doc_id"), col("__h"))
           }
-          if (!batch.isEmpty || !orphanIds.isEmpty) {
+          if (!batch.isEmpty || !orphanIds.isEmpty || anyRetired) {
+            // any maintenance action — including a retirement-only batch,
+            // which changes the sigs/bands READ VIEW — leaves the stamp
+            // economy (contract above)
             val stamp = new org.apache.hadoop.fs.Path(s"$root/_GRAFT_STAMP")
             stamp.getFileSystem(conf).delete(stamp, false): Unit
+          }
+          if (anyRetired)
+            retired.write.mode("overwrite")
+              .parquet(s"$root/sigs_retired_m/batch=$batchKey")
+          if (!batch.isEmpty || !orphanIds.isEmpty) {
             val sigs = Dedup.minhashSignatures(batch.drop("__h"))
               .localCheckpoint()
             sigs.write.mode("overwrite")

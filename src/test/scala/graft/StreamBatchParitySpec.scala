@@ -669,4 +669,85 @@ class StreamBatchParitySpec extends AnyFunSuite {
       "the grown source's new doc was not indexed")
     assert(sigsAfter.size == sigsBefore.size + 1)
   }
+
+  test("dead-lineage sigs of a later-repped byte-copy are retired") {
+    import graft.operators.Dedup
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the r8 residue interleave: lineage L1 SIGNS d1..d4 then crashes
+    // before its bands/reps writes (all four orphaned); a recreated
+    // checkpoint later sees d2's text arrive as a byte-copy under doc_id
+    // 100 (indexed + repped), after which d2 itself re-arrives — its
+    // content is now repped under 100, so orphan completion can never
+    // touch it and its dead-lineage sig rows would dangle band-less
+    // forever. Retirement must drop them from the sigs/bands views while
+    // leaving the other orphans (still completable) intact.
+    def doc(id: Long, text: String) =
+      Doc(id, text, "en", "web", text.length.toLong)
+    val d = Seq(
+      doc(1L, "alpha beta gamma delta epsilon zeta"),
+      doc(2L, "one two three four five six seven"),
+      doc(3L, "lorem ipsum dolor sit amet consectetur"),
+      doc(4L, "spark catalyst tungsten codegen shuffle exchange"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_retire_idx").toString
+    def sub(name: String) =
+      Dedup.minhashIndexTable(spark, root, name).get
+    val in1 = MemoryStream[Doc]
+    val q1 = Docs.maintainMinhashIndex(in1.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_retire_ck1").toString)
+    try { in1.addData(d); q1.processAllAvailable() } finally q1.stop()
+    // crash AFTER the sigs write: drop the batch's bands + reps partitions
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("bands", "reps").foreach { sn =>
+      fsys.listStatus(new org.apache.hadoop.fs.Path(s"$root/${sn}_m"))
+        .foreach(st => assert(fsys.delete(st.getPath, true)))
+    }
+    // recreated checkpoint: the byte-copy arrives, then d2 itself
+    val copy = d(1).copy(doc_id = 100L)
+    val in2 = MemoryStream[Doc]
+    val q2 = Docs.maintainMinhashIndex(in2.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_retire_ck2").toString)
+    try {
+      in2.addData(Seq(copy)); q2.processAllAvailable()
+      assert(sub("sigs").filter(col("doc_id") === 100L).count() > 0,
+        "the byte-copy was not indexed (orphan reps never landed)")
+      in2.addData(Seq(d(1))); q2.processAllAvailable()
+    } finally q2.stop()
+    // d2's dangling sigs are retired from every doc-keyed view…
+    assert(sub("sigs").filter(col("doc_id") === 2L).count() == 0,
+      "dead-lineage sigs of the later-repped byte-copy were not retired")
+    assert(sub("bands").filter(col("doc_id") === 2L).count() == 0)
+    // …its content stays reachable through exactly one rep (the copy)…
+    val reps2 = Dedup.minhashIndexTable(spark, root, "reps").get
+      .join(sub("sigs").filter(col("doc_id") === 100L).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    assert(reps2.count() == 1)
+    // …and the OTHER orphans are untouched (still completable later)
+    assert(sub("sigs").filter(col("doc_id").isin(1L, 3L, 4L)).count() == 3,
+      "retirement over-retired orphans whose content is not repped elsewhere")
+    // one of them completing afterwards still works: d1 re-arrives and is
+    // completed (reps restored, no duplicate sig rows)
+    val in3 = MemoryStream[Doc]
+    val q3 = Docs.maintainMinhashIndex(in3.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_retire_ck3").toString)
+    try { in3.addData(Seq(d.head)); q3.processAllAvailable() } finally q3.stop()
+    assert(sub("sigs").filter(col("doc_id") === 1L).count() == 1)
+    assert(Dedup.minhashIndexTable(spark, root, "reps").get
+      .filter(col("doc_id") === 1L).count() == 1,
+      "orphan completion stopped working alongside retirement")
+    // idempotence: d2 re-arriving AGAIN adds nothing (already retired,
+    // already content-fenced)
+    val nSig = sub("sigs").count()
+    val in4 = MemoryStream[Doc]
+    val q4 = Docs.maintainMinhashIndex(in4.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_retire_ck4").toString)
+    try { in4.addData(Seq(d(1))); q4.processAllAvailable() } finally q4.stop()
+    assert(sub("sigs").count() == nSig)
+    assert(sub("sigs").filter(col("doc_id") === 2L).count() == 0)
+  }
 }

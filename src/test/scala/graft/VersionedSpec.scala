@@ -411,6 +411,21 @@ class VersionedSpec extends AnyFunSuite {
     assert(deleted.nonEmpty, "superseded bucket dirs were not reclaimed")
   }
 
+  test("vacuum on a table with zero committed versions is a safe no-op sweep") {
+    import spark.implicits._
+    val dir = tmp("v0vac")
+    // nothing there at all: no crash, nothing deleted
+    assert(Versioned.vacuum(spark, dir) == Seq.empty)
+    // the first commit still IN FLIGHT (data written, manifest not yet
+    // published): a janitorial vacuum must not crash NOR delete the data
+    // dir inside the grace window
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/data/v00001-tok")
+    assert(Versioned.vacuum(spark, dir) == Seq.empty)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/data/v00001-tok")))
+  }
+
   test("a fully-emptied table stays readable after vacuum (schema anchor retained)") {
     import spark.implicits._
     val dir = tmp("evac")
@@ -445,9 +460,10 @@ class VersionedSpec extends AnyFunSuite {
     // a merge is computed against v1...
     val m = Versioned.manifest(spark, dir)
     val replaced = m.dataDirs.take(1).toSet
-    // ...then ANOTHER writer plain-appends (non-bucketed dir, may hold
-    // any key) before commitDirs is even entered
-    Versioned.commit(Seq((5L, "stale-shadow")).toDF("k", "v"), dir,
+    // ...then ANOTHER writer appends a row for key 0 — now written
+    // BUCKETED (layout carried since r9), landing in exactly the bucket
+    // the stale merge is about to write — before commitDirs is entered
+    Versioned.commit(Seq((0L, "stale-shadow")).toDF("k", "v"), dir,
       append = true)
     val v2 = Versioned.manifest(spark, dir)
     assert(v2.version == m.version + 1)
@@ -490,6 +506,73 @@ class VersionedSpec extends AnyFunSuite {
     // our replaced dir no longer referenced: conflict
     assert(check(base.copy(version = 2,
       dataDirs = Seq(bdir(1, 0), bdir(1, 1)))).nonEmpty)
+    // a PURE APPEND (declared, replaces nothing) merges with any parent
+    // that kept the layout — even one that wrote its own bucket…
+    def checkApp(parent: Manifest) = retryConflict(Some(base), parent,
+      Set.empty, Set(2L), Some("k"), Some(8), pureAppend = true)
+    assert(checkApp(base.copy(version = 2,
+      dataDirs = base.dataDirs :+ bdir(2, 2))).isEmpty)
+    assert(checkApp(base.copy(version = 2,
+      dataDirs = base.dataDirs :+ "/t/data/v00002-y")).isEmpty)
+    // …but never with a re-layout (its __bucket dirs assume the modulus)
+    assert(checkApp(base.copy(version = 2, nBuckets = Some(16))).nonEmpty)
+  }
+
+  test("a plain append to a bucketed table carries the layout; CDC stays incremental") {
+    import spark.implicits._
+    val dir = tmp("bapp")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    // born bucketed via CDC (4 buckets, 16 keys)
+    Cdc.applyBatch(batch((0L until 16L).map(k => (k, "U", s"v$k", 1L)): _*),
+      dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 4)
+    val m1 = Versioned.manifest(spark, dir)
+    // pick append keys that deterministically share key 5's bucket (plus
+    // two spares elsewhere), so the multi-dir-per-bucket merge is forced
+    val bOf = (100L until 160L).toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(4L)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val b5 = spark.range(1).select(pmod(xxhash64(lit(5L)), lit(4L)))
+      .first().getLong(0)
+    val sameBucket = bOf.collect { case (k, b) if b == b5 => k }.toSeq.sorted.take(2)
+    val others = bOf.collect { case (k, b) if b != b5 => k }.toSeq.sorted.take(2)
+    val appendKeys = sameBucket ++ others
+    Versioned.commit(appendKeys.map(k => (k, s"v$k")).toDF("k", "v"),
+      dir, append = true)
+    val m2 = Versioned.manifest(spark, dir)
+    assert(m2.bucketCol.contains("k") && m2.nBuckets.contains(4),
+      "plain append dropped the bucket layout")
+    assert(m2.dataDirs.forall(Versioned.bucketOf(_).isDefined),
+      "appended rows were not written bucketed")
+    assert(m1.dataDirs.forall(m2.dataDirs.contains),
+      "append rewrote parent dirs instead of carrying them by reference")
+    assert(m2.nRows == 16 + appendKeys.size)
+    val got = Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 16 + appendKeys.size && got(5L) == "v5" &&
+      appendKeys.forall(k => got(k) == s"v$k"))
+    // next CDC batch updates key 5 — its bucket is now backed by TWO dirs
+    // (migrated base + bucketed append); the merge must read and replace
+    // BOTH (a one-dir-per-bucket map would leave the other referenced and
+    // resurface a duplicate), while every other bucket's dirs — including
+    // appended ones — carry by reference, no full rewrite
+    Cdc.applyBatch(batch((5L, "U", "v5b", 2L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(1L), appId = Some("a"), nBuckets = 4)
+    val m3 = Versioned.manifest(spark, dir)
+    val (touched2, untouched2) =
+      m2.dataDirs.partition(d => Versioned.bucketOf(d).contains(b5))
+    assert(touched2.size >= 2, "test setup: bucket should be multi-dir")
+    assert(untouched2.forall(m3.dataDirs.contains),
+      "untouched dirs were not carried by reference after an append")
+    assert(touched2.forall(d => !m3.dataDirs.contains(d)),
+      "a touched bucket's dir survived the replace (duplicate keys live)")
+    val after = Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect()
+    assert(after.length == after.toMap.size, "duplicate keys after merge")
+    val afterMap = after.toMap
+    assert(afterMap.size == 16 + appendKeys.size && afterMap(5L) == "v5b" &&
+      sameBucket.forall(k => afterMap(k) == s"v$k"))
   }
 
   test("streaming CDC apply commits one merged version per micro-batch") {
