@@ -117,6 +117,69 @@ object Lakehouse {
           .otherwise(lit("")).as("changed_cols"))
   }
 
+  /** Deterministic two-version CDC-maintained [[graft.sources.Versioned]]
+    * table under the JVM temp dir — the fixture behind the change-feed
+    * queries. Version 1 is the q_row_diff "v1" slice of orders
+    * (keys %19≠0, original values), version 2 applies the v1→v2 delta as
+    * ONE CDC batch (inserts %19=0∧%17≠0, deletes %17=0∧%19≠0, updates
+    * %13=0 of the carried keys) through the bucketed incremental apply —
+    * so the feed the queries read really is computed from replaced
+    * bucket dirs, not a synthetic diff. Content is keyed by the orders
+    * files' stamps: regenerated testdata rebuilds the fixture. Build is
+    * idempotent and versioned-commit-atomic, so a killed prior run
+    * resumes at the missing version.
+    */
+  private def cdfTable(s: SparkSession, dir: String): String = synchronized {
+    import graft.sources.Versioned
+    import graft.streaming.Cdc
+    val stamps = Dedup.corpusFiles(s, dir, "orders").map(_._2).mkString("|")
+    val keyH = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cdf1|$dir|$stamps".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val scratch =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cdf_$keyH"
+    val orders = t(s, dir, "orders")
+    val in1 = pmod(col("o_orderkey"), lit(19)) =!= 0
+    val in2 = pmod(col("o_orderkey"), lit(17)) =!= 0
+    val mod13 = pmod(col("o_orderkey"), lit(13)) === 0
+    if (Versioned.versions(s, scratch).isEmpty) {
+      val b1 = orders.filter(in1).select(col("o_orderkey"),
+        lit("U").as("op"),
+        col("o_orderstatus").as("new_o_orderstatus"),
+        micros(col("o_totalprice")).as("new_total_micros"),
+        lit(1L).as("seq"))
+      Cdc.applyBatch(b1, scratch, "o_orderkey",
+        Seq("o_orderstatus", "total_micros"), "seq",
+        epochId = Some(0L), appId = Some("graft-cdf"), nBuckets = 16)
+    }
+    if (Versioned.versions(s, scratch).size < 2) {
+      val b2 = orders
+        .filter((in1 && !in2) || (!in1 && in2) || (in1 && in2 && mod13))
+        .select(col("o_orderkey"),
+          when(in1 && !in2, "D").otherwise("U").as("op"),
+          when(mod13, lit("X")).otherwise(col("o_orderstatus"))
+            .as("new_o_orderstatus"),
+          when(mod13, micros(col("o_totalprice")) + 1000000L)
+            .otherwise(micros(col("o_totalprice"))).as("new_total_micros"),
+          lit(2L).as("seq"))
+      Cdc.applyBatch(b2, scratch, "o_orderkey",
+        Seq("o_orderstatus", "total_micros"), "seq",
+        epochId = Some(1L), appId = Some("graft-cdf"), nBuckets = 16)
+    }
+    scratch
+  }
+
+  /** The logical v2 slice of orders as oracle SQL — shared by the two
+    * change-feed oracles below.
+    */
+  private def cdfV2Sql: String =
+    s"""SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       |    CASE WHEN o_orderkey % 13 = 0
+       |         THEN ${sqlMicros("o_totalprice")} + 1000000
+       |         ELSE ${sqlMicros("o_totalprice")} END AS total_micros
+       |  FROM orders WHERE o_orderkey % 17 <> 0""".stripMargin
+
   val pack: Seq[Q] = Seq(
 
     // §2f.53 — CDC MERGE/upsert. Base and the (already per-key-unique)
@@ -281,6 +344,90 @@ object Lakehouse {
           expr("sum_micros div n_orders").as("avg_micros"),
           col("first_date"), col("last_date"))
         .orderBy("o_orderpriority")
+    }),
+
+    // §2f.59 — CHANGE DATA FEED read (Delta table_changes): the feed
+    // between two committed versions of a real bucketed Versioned table,
+    // computed from the commit's replaced/added bucket dirs ONLY — never
+    // a full-version scan. The oracle derives the same logical diff from
+    // the two version definitions directly; hash equality proves (a) the
+    // manifest-delta read reconstructs the exact row-level changes and
+    // (b) keys carried through a bucket rewrite with identical values are
+    // suppressed (physical rewrites are not logical changes). At 100 TB
+    // a CDC commit touches a handful of ~1 GB buckets, so a feed read
+    // costs those buckets, not the table.
+    Q("q_cdf_changes",
+      s"""WITH v1 AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    ${sqlMicros("o_totalprice")} AS total_micros
+         |  FROM orders WHERE o_orderkey % 19 <> 0),
+         |v2 AS (
+         |  $cdfV2Sql),
+         |j AS (
+         |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+         |    a.o_orderkey IS NOT NULL AS ina, b.o_orderkey IS NOT NULL AS inb,
+         |    a.o_orderstatus AS ast, a.total_micros AS am,
+         |    b.o_orderstatus AS bst, b.total_micros AS bm,
+         |    (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+         |     OR a.total_micros IS DISTINCT FROM b.total_micros) AS chg
+         |  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+         |SELECT * FROM (
+         |  SELECT k AS o_orderkey, ast AS o_orderstatus, am AS total_micros,
+         |    CASE WHEN NOT inb THEN 'delete'
+         |         ELSE 'update_preimage' END AS change_type,
+         |    CAST(2 AS BIGINT) AS commit_version
+         |  FROM j WHERE ina AND (NOT inb OR chg)
+         |  UNION ALL
+         |  SELECT k, bst, bm,
+         |    CASE WHEN NOT ina THEN 'insert' ELSE 'update_postimage' END,
+         |    CAST(2 AS BIGINT)
+         |  FROM j WHERE inb AND (NOT ina OR chg))
+         |ORDER BY o_orderkey, change_type""".stripMargin)((s, dir) => {
+      val scratch = cdfTable(s, dir)
+      graft.sources.Versioned.changes(s, scratch, 1, 2, "o_orderkey",
+          Seq("o_orderstatus", "total_micros"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("total_micros"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").cast("long").as("commit_version"))
+        .orderBy("o_orderkey", "change_type")
+    }),
+
+    // §2f.56b — the incremental MV maintained FROM the change feed: the
+    // standing per-status partials (built once at v1) merge with additive
+    // deltas derived from the subscription (+post/insert images, −pre/
+    // delete images) — no out-of-band partial states, no v2 rescan. The
+    // oracle recomputes the view from scratch at v2; hash equality proves
+    // the feed+algebra maintains it exactly, including groups that only
+    // exist post-feed ('X') and groups whose count moves.
+    Q("q_mv_from_feed",
+      s"""WITH v2 AS (
+         |  $cdfV2Sql)
+         |SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(total_micros) AS BIGINT) AS sum_micros,
+         |  CAST(sum(total_micros) // count(*) AS BIGINT) AS avg_micros
+         |FROM v2 GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin)((s, dir) => {
+      import graft.sources.Versioned
+      val scratch = cdfTable(s, dir)
+      val mv1 = Versioned.read(s, scratch, Some(1))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("total_micros")).as("sum_micros"))
+      val feed = Versioned.changes(s, scratch, 1, 2, "o_orderkey",
+        Seq("o_orderstatus", "total_micros"))
+      val sign = when(col("_change_type").isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      val deltas = feed.groupBy("o_orderstatus")
+        .agg(sum(sign).as("n_orders"),
+          sum(sign * col("total_micros")).as("sum_micros"))
+      mv1.unionByName(deltas).groupBy("o_orderstatus")
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("sum_micros")).as("sum_micros"))
+        .filter(col("n_orders") > 0)
+        .select(col("o_orderstatus"), col("n_orders"), col("sum_micros"),
+          expr("sum_micros div n_orders").as("avg_micros"))
+        .orderBy("o_orderstatus")
     })
   )
 }

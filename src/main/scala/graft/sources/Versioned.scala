@@ -502,6 +502,120 @@ object Versioned {
     graft.operators.Lakehouse.rowDiff(
       read(spark, dir, Some(v1)), read(spark, dir, Some(v2)), key, valueCols)
 
+  /** CHANGE DATA FEED: the row-level changes committed in versions
+    * `(fromV, toV]`, computed from each commit's manifest delta ONLY —
+    * the dirs it removed hold the pre-images, the dirs it added hold the
+    * post-images, and every carried directory is never opened. This is
+    * Delta's `table_changes`: per key one of
+    *   `insert` / `delete` / `update_preimage` / `update_postimage`
+    * in `_change_type`, tagged with the `_commit_version` that produced
+    * it — so any downstream consumer can SUBSCRIBE to a table (the
+    * incremental-MV merge, a replication stream) instead of receiving
+    * partial states out of band or re-diffing two full snapshots
+    * ([[diff]] scans both versions; this scans touched buckets).
+    *
+    * A key the commit rewrote with IDENTICAL values (bucket-granular
+    * replace commits carry every unchanged key of a touched bucket
+    * through the new dir) is suppressed by a null-safe value compare —
+    * the feed reports logical changes, not physical rewrites.
+    *
+    * Cost: per commit ∝ its replaced+added dirs (for CDC commits, the
+    * touched buckets). A SNAPSHOT commit replaces every dir, so its feed
+    * entry degrades to a full two-version diff — correct, and the honest
+    * cost of a full rewrite. Consumers applying the feed must process
+    * commits in `_commit_version` order (a key can change several times
+    * in the span); purely ADDITIVE consumers (count/sum algebras) may
+    * fold the whole span at once — intermediate post-images cancel the
+    * next commit's pre-images exactly.
+    *
+    * Requires every manifest in `(fromV, toV]` retained (vacuum
+    * `keepVersions` bounds the subscription window, like Delta's CDF
+    * retention) and a key-unique table (CDC-maintained tables are; a
+    * plain append duplicating a live key reports an `insert`, faithfully
+    * describing the duplicate row it created).
+    */
+  def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int,
+              key: String, valueCols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    val vs = versions(spark, dir)
+    require(vs.contains(fromV) || fromV == 0,
+      s"version $fromV not committed at $dir (vacuumed?) — widen vacuum " +
+        "retention to cover the subscription window")
+    require(vs.contains(toV), s"version $toV not committed at $dir")
+    require(fromV <= toV, s"empty feed window ($fromV > $toV)")
+    val vcols =
+      if (valueCols.nonEmpty) valueCols
+      else read(spark, dir, Some(toV)).columns.filterNot(_ == key).toSeq
+    def emptyFeed = read(spark, dir, Some(toV))
+      .select(col(key) +: vcols.map(col): _*).limit(0)
+      .withColumn("_change_type", lit(""))
+      .withColumn("_commit_version", lit(0))
+    val perCommit = ((fromV + 1) to toV).flatMap { v =>
+      require(vs.contains(v),
+        s"manifest v$v of $dir is gone (vacuumed?) — the change feed " +
+          s"needs every commit in ($fromV, $toV]; widen vacuum retention " +
+          "to cover the subscription window")
+      val m0 = if (v - 1 == 0) Manifest(0, Seq.empty, 0L)
+               else readManifest(spark, dir, v - 1)
+      val m1 = readManifest(spark, dir, v)
+      val removed = m0.dataDirs.filterNot(m1.dataDirs.toSet)
+      val added = m1.dataDirs.filterNot(m0.dataDirs.toSet)
+      if (removed.isEmpty && added.isEmpty) None
+      else {
+        // schema evolution: a side missing an evolved column reads it as
+        // null, exactly like the table read would
+        def withCols(d: DataFrame): DataFrame =
+          vcols.foldLeft(d)((acc, c) =>
+            if (acc.columns.contains(c)) acc
+            else acc.withColumn(c, lit(null)))
+        def rd(dirs: Seq[String]): Option[DataFrame] =
+          if (dirs.isEmpty) None
+          else if (dirs.length > 1) Some(
+            spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+          else Some(spark.read.parquet(dirs: _*))
+        val beforeRaw = rd(removed)
+        val afterRaw = rd(added)
+        // an absent side (pure append: nothing removed; pure delete that
+        // emptied its buckets: nothing added) is an empty LOCAL relation
+        // with the other side's schema — NOT a limit(0) over the full
+        // version, which would drag every live file into the plan's
+        // listing and break the "reads only this commit's delta" bound
+        def empty(like: DataFrame) = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+        val schemaSrc = afterRaw.orElse(beforeRaw).get
+        val before = withCols(beforeRaw.getOrElse(empty(schemaSrc)))
+        val after = withCols(afterRaw.getOrElse(empty(schemaSrc)))
+        val a = before.select(col(key) +:
+          vcols.map(c => col(c).as(s"a_$c")) :+ lit(1).as("__a"): _*)
+        val b = after.select(col(key) +:
+          vcols.map(c => col(c).as(s"b_$c")) :+ lit(1).as("__b"): _*)
+        val j = a.join(b, Seq(key), "full_outer")
+        val changed = vcols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+          .reduce(_ || _)
+        // ONE pass over the join: each joined row yields up to two images
+        // (pre + post) through an array-explode, so the touched dirs are
+        // scanned once, not once per image side
+        val pre = when(col("__a").isNotNull &&
+            (col("__b").isNull || changed),
+          struct(vcols.map(c => col(s"a_$c").as(c)) :+
+            when(col("__b").isNull, lit("delete"))
+              .otherwise(lit("update_preimage")).as("_change_type"): _*))
+        val post = when(col("__b").isNotNull &&
+            (col("__a").isNull || changed),
+          struct(vcols.map(c => col(s"b_$c").as(c)) :+
+            when(col("__a").isNull, lit("insert"))
+              .otherwise(lit("update_postimage")).as("_change_type"): _*))
+        Some(j.select(col(key), explode(array(pre, post)).as("__img"))
+          .filter(col("__img").isNotNull)
+          .select(col(key) +: vcols.map(c => col(s"__img.$c").as(c)) :+
+            col("__img._change_type").as("_change_type"): _*)
+          .withColumn("_commit_version", lit(v)))
+      }
+    }
+    if (perCommit.isEmpty) emptyFeed
+    else perCommit.reduce(_.unionByName(_))
+  }
+
   /** Fold an append chain back into one directory: commits the current
     * contents as a fresh SNAPSHOT version (one data dir), after which
     * `vacuum` can reclaim the fragment directories once older versions

@@ -142,7 +142,7 @@ object Cdc {
     // contract (byte-identical duplicate version) breaks. Identical-
     // content ties are trivially stable; differing-content ties resolve
     // deterministically by the hash.
-    val tieCols = batch.columns.filterNot(_ == seqCol).sorted.map(col)
+    val tieCols = batch.columns.filterNot(_ == seqCol).sorted.toIndexedSeq.map(col)
     val w = Window.partitionBy(col(key))
       .orderBy(col(seqCol).desc, xxhash64(tieCols: _*))
     val compacted = batch

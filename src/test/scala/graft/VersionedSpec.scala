@@ -575,6 +575,68 @@ class VersionedSpec extends AnyFunSuite {
       sameBucket.forall(k => afterMap(k) == s"v$k"))
   }
 
+  test("change data feed reconstructs versions and reads only commit deltas") {
+    import spark.implicits._
+    val dir = tmp("cdf")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    // v1: 16 keys over 4 buckets
+    Cdc.applyBatch(batch((0L until 16L).map(k => (k, "U", s"v$k", 1L)): _*),
+      dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 4)
+    // v2: one CDC batch — update k=3, delete k=7, insert k=20
+    Cdc.applyBatch(batch((3L, "U", "v3b", 2L), (7L, "D", "", 2L),
+      (20L, "U", "v20", 2L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(1L), appId = Some("a"), nBuckets = 4)
+    // v3: plain append (bucketed since r9) of k=30
+    Versioned.commit(Seq((30L, "v30")).toDF("k", "v"), dir, append = true)
+
+    def feed(a: Int, b: Int) =
+      Versioned.changes(spark, dir, a, b, "k")
+        .select("k", "v", "_change_type", "_commit_version")
+        .as[(Long, String, String, Int)].collect().toSeq
+    // the v1→v2 feed is EXACTLY the logical changes — the rewrite of the
+    // touched buckets carried a dozen other keys verbatim, and none of
+    // them may surface as a change
+    assert(feed(1, 2).toSet == Set(
+      (3L, "v3", "update_preimage", 2), (3L, "v3b", "update_postimage", 2),
+      (7L, "v7", "delete", 2), (20L, "v20", "insert", 2)))
+    // the v2→v3 feed is the appended row, and the PLAN reads only the
+    // appended dir — no file of any carried bucket appears in it
+    assert(feed(2, 3).toSet == Set((30L, "v30", "insert", 3)))
+    val m2 = Versioned.manifest(spark, dir, Some(2))
+    val m3 = Versioned.manifest(spark, dir, Some(3))
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val appended = (m3.dataDirs.toSet -- m2.dataDirs.toSet).map(norm)
+    val readFiles = Versioned.changes(spark, dir, 2, 3, "k")
+      .inputFiles.toSet.map(norm)
+    assert(readFiles.nonEmpty &&
+      readFiles.forall(f => appended.exists(d => f.startsWith(d))),
+      s"feed read files outside the commit delta: $readFiles vs $appended")
+    // read(v1) + changes(1,3) ≡ read(v3), applied per commit in order
+    def snap(v: Int) = Versioned.read(spark, dir, Some(v))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    val applied = feed(1, 3).groupBy(_._4).toSeq.sortBy(_._1)
+      .foldLeft(snap(1)) { case (st, (_, rows)) =>
+        val rm = rows.collect { case (k, _, ct, _)
+          if ct == "delete" || ct == "update_preimage" => k }.toSet
+        val add = rows.collect { case (k, v, ct, _)
+          if ct == "insert" || ct == "update_postimage" => k -> v }
+        (st -- rm) ++ add
+      }
+    assert(applied == snap(3), "read(v1) + changes(1,3) != read(v3)")
+    // a vacuumed intermediate manifest fails loudly instead of silently
+    // skipping its commit's changes
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Versioned.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.changes(spark, dir, 1, 3, "k")
+    }
+    assert(e.getMessage.contains("vacuum"))
+    assert(f.exists(new org.apache.hadoop.fs.Path(dir))) // table intact
+  }
+
   test("streaming CDC apply commits one merged version per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
