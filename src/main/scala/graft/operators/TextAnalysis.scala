@@ -53,6 +53,99 @@ object TextAnalysis {
   private def dsirBucketExpr: String =
     s"CAST(conv(substr(md5(cast(term as binary)), 1, 4), 16, 10) AS INT) % $DsirBuckets"
 
+  /** An ADDITIVE standing count family: `counts` derives the family's
+    * per-batch count rows from any (doc_id, text, …) frame, and merged
+    * counts over DOC-DISJOINT batches equal the one-shot derivation
+    * exactly — keys are per-doc-distinct within a doc (nd, dfw) or pure
+    * occurrence sums (cw, cb, cr, ct), and docs never span batches.
+    * `keyCols`/`sumCols` name the merge: `groupBy(keyCols).sum(sumCols)`.
+    * ONE definition is shared by the batch builders below, their
+    * append-refresh merges, and the streaming maintainer
+    * ([[graft.streaming.Docs.maintainCountsIndex]]) — a maintained table
+    * can never drift from the cold build.
+    */
+  final case class CountFamily(name: String, keyCols: Seq[String],
+                               sumCols: Seq[String],
+                               counts: DataFrame => DataFrame) {
+    /** The additive merge: fold any union of per-batch count frames. */
+    def merge(parts: DataFrame): DataFrame =
+      parts.groupBy(keyCols.map(col): _*)
+        .agg(sum(col(sumCols.head)).as(sumCols.head),
+          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** (gh, nd) — distinct-doc counts per 5-gram hash (§2d.41m). */
+  val DupGramFamily: CountFamily = CountFamily("dupgrams", Seq("gh"),
+    Seq("nd"), d => d
+      .select(col("doc_id"), explode(gramSet(col("text"), 5)).as("gram"))
+      .groupBy(md5(col("gram").cast("binary")).as("gh"))
+      .agg(count(lit(1)).as("nd")))
+
+  /** (term, cw, dfw) — occurrence + doc-frequency per token (§2d.41d). */
+  val UnigramFamily: CountFamily = CountFamily("unigrams", Seq("term"),
+    Seq("cw", "dfw"), d => d
+      .select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cw"), countDistinct("doc_id").as("dfw")))
+
+  /** (w1, bg, cb) — bigram occurrence counts with context word (§2d.41i2). */
+  val BigramFamily: CountFamily = CountFamily("bgmodel", Seq("w1", "bg"),
+    Seq("cb"), d => d
+      .select(col("doc_id"), explode(
+        wordNgrams(split(normText(col("text")), " "), 2)).as("bg"))
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"), col("bg"))
+      .agg(count(lit(1)).as("cb")))
+
+  /** (b, cr, ct) — DSIR hashed-feature raw/target token counts (§2d.41p). */
+  val DsirFamily: CountFamily = CountFamily("dsirfeat", Seq("b"),
+    Seq("cr", "ct"), d => d
+      .select(col("source"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .select(col("source"), expr(dsirBucketExpr).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ct")))
+
+  /** Read a STREAMING-MAINTAINED count-family root: the optional static
+    * base at `root/counts` merged with every maintained batch partition
+    * under `root/counts_m/batch=<lineage>_<batchId>` by the family's
+    * additive algebra. None when neither side exists. The per-batch
+    * partitions are each complete-by-construction (atomic publish with
+    * an `_ids` sidecar — see Docs.maintainCountsIndex), so the merge
+    * never needs a fence; at warehouse scale a periodic compaction folds
+    * the partitions back into `counts` (the same economy as Versioned
+    * compactCommit).
+    */
+  def countsTable(s: SparkSession, root: String,
+                  fam: CountFamily): Option[DataFrame] = {
+    val conf = s.sessionState.newHadoopConf()
+    def existing(p: String): Option[String] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(conf)
+      if (f.exists(hp) && f.listStatus(hp).nonEmpty) Some(p) else None
+    }
+    val cols = (fam.keyCols ++ fam.sumCols).map(col)
+    val base = existing(s"$root/counts")
+      .map(p => s.read.parquet(p).select(cols: _*))
+    val maintained = existing(s"$root/counts_m")
+      .map(p => s.read.parquet(p).select(cols: _*))
+    (base, maintained) match {
+      case (Some(a), Some(b)) => Some(fam.merge(a.unionByName(b)))
+      case (Some(a), None) => Some(a)
+      case (None, Some(b)) => Some(fam.merge(b))
+      case _ => None
+    }
+  }
+
+  /** Seed a maintainable count-family root from the corpus-so-far: the
+    * static build of the family written to `root/counts` — the batch
+    * half of the build-once/maintain-forever lifecycle.
+    */
+  def seedCountsIndex(s: SparkSession, dir: String, fam: CountFamily,
+                      root: String): Unit =
+    graft.sources.Export.flush(
+      fam.counts(Tables.spread(docs(s, dir))), s"$root/counts")
+
   /** Standing DSIR feature table (b, cr, ct) — per-bucket raw-corpus and
     * target-slice token counts over the hashed 4096-wide feature space.
     * Both counts are per-file additive (pure token occurrence sums), so a
@@ -62,17 +155,11 @@ object TextAnalysis {
     * probes it with a broadcast join.
     */
   def corpusDsirFeatures(s: SparkSession, dir: String): DataFrame = {
-    def counts(d: DataFrame) = d
-      .select(col("source"),
-        explode(split(normText(col("text")), " ")).as("term"))
-      .select(col("source"), expr(dsirBucketExpr).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("cr"),
-        sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ct"))
-    graft.operators.Dedup.cachedCorpusTable(s, dir, "dsirfeat",
+    val fam = DsirFamily
+    graft.operators.Dedup.cachedCorpusTable(s, dir, fam.name,
       s"$DsirBuckets|$DsirTarget",
-      incr = (old, newDocs) => old.unionByName(counts(newDocs))
-        .groupBy("b").agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct")))(
-      counts(Tables.spread(docs(s, dir))))
+      incr = (old, newDocs) => fam.merge(old.unionByName(fam.counts(newDocs))))(
+      fam.counts(Tables.spread(docs(s, dir))))
   }
 
   /** Per-doc DSIR importance score against a FROZEN feature table — the
@@ -331,15 +418,10 @@ object TextAnalysis {
     * aggregate) at read time, never from the corpus.
     */
   def corpusBigramModel(s: SparkSession, dir: String): DataFrame = {
-    def counts(d: DataFrame) = d
-      .select(col("doc_id"), explode(
-        wordNgrams(split(normText(col("text")), " "), 2)).as("bg"))
-      .groupBy(substring_index(col("bg"), " ", 1).as("w1"), col("bg"))
-      .agg(count(lit(1)).as("cb"))
-    graft.operators.Dedup.cachedCorpusTable(s, dir, "bgmodel", "2|occ",
-      incr = (old, newDocs) => old.unionByName(counts(newDocs))
-        .groupBy("w1", "bg").agg(sum(col("cb")).as("cb")))(
-      counts(Tables.spread(docs(s, dir))))
+    val fam = BigramFamily
+    graft.operators.Dedup.cachedCorpusTable(s, dir, fam.name, "2|occ",
+      incr = (old, newDocs) => fam.merge(old.unionByName(fam.counts(newDocs))))(
+      fam.counts(Tables.spread(docs(s, dir))))
   }
 
   /** Standing unigram statistics (term, cw occurrences, dfw doc
@@ -350,16 +432,10 @@ object TextAnalysis {
     * so a corpus append merges counts instead of re-tokenizing.
     */
   def corpusUnigramCounts(s: SparkSession, dir: String): DataFrame = {
-    def counts(d: DataFrame) = d
-      .select(col("doc_id"),
-        explode(split(normText(col("text")), " ")).as("term"))
-      .groupBy("term")
-      .agg(count(lit(1)).as("cw"), countDistinct("doc_id").as("dfw"))
-    graft.operators.Dedup.cachedCorpusTable(s, dir, "unigrams", "1|occ+df",
-      incr = (old, newDocs) => old.unionByName(counts(newDocs))
-        .groupBy("term").agg(sum(col("cw")).as("cw"),
-          sum(col("dfw")).as("dfw")))(
-      counts(Tables.spread(docs(s, dir))))
+    val fam = UnigramFamily
+    graft.operators.Dedup.cachedCorpusTable(s, dir, fam.name, "1|occ+df",
+      incr = (old, newDocs) => fam.merge(old.unionByName(fam.counts(newDocs))))(
+      fam.counts(Tables.spread(docs(s, dir))))
   }
 
   /** Per-doc bigram surprisal against a FROZEN (w1, bg, cb) model — the
@@ -483,20 +559,16 @@ object TextAnalysis {
   }
 
   def corpusDupGrams(s: SparkSession, dir: String): DataFrame = {
-    def counts(d: DataFrame) = d
-      .select(col("doc_id"), explode(gramSet(col("text"), 5)).as("gram"))
-      .groupBy(md5(col("gram").cast("binary")).as("gh"))
-      .agg(count(lit(1)).as("nd"))
     // the stored table keeps (gh, nd) for EVERY gram (grams are per-doc
     // distinct, so per-file counts add across disjoint appends): an
     // append-refresh merges the new files' counts into the standing
     // vocabulary instead of re-gramming the corpus, and a gram whose
     // second occurrence arrives in a later file still turns duplicated.
     // The ≥ 2 filter moves to read time (parquet-pushed on nd).
-    graft.operators.Dedup.cachedCorpusTable(s, dir, "dupgrams", "5|all",
-      incr = (old, newDocs) => old.unionByName(counts(newDocs))
-        .groupBy("gh").agg(sum(col("nd")).as("nd")))(
-      counts(Tables.spread(docs(s, dir))))
+    val fam = DupGramFamily
+    graft.operators.Dedup.cachedCorpusTable(s, dir, fam.name, "5|all",
+      incr = (old, newDocs) => fam.merge(old.unionByName(fam.counts(newDocs))))(
+      fam.counts(Tables.spread(docs(s, dir))))
       .filter(col("nd") >= 2).select("gh")
   }
 

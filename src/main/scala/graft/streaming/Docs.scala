@@ -470,6 +470,113 @@ object Docs {
     * sigs/bands views — restoring the invariant without touching the
     * dead partition.
     */
+  /** The stream's LINEAGE — an 8-hex digest of the checkpoint's stream id:
+    * stable across restarts of the same checkpoint, fresh for a recreated
+    * one. Every index maintainer keys its per-batch partitions on it so a
+    * recreated checkpoint (batch ids restart at 0 over a possibly-grown
+    * source) can never clobber a dead lineage's rows.
+    */
+  private def streamLineage(checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val id = try {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(txt).get("id").asText()
+    } catch {
+      // metadata unreadable (exotic checkpoint manager): fall back to
+      // the checkpoint PATH — still distinguishes different checkpoint
+      // locations, just not a wipe-and-recreate at the same path
+      case _: Exception => checkpointDir
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+  }
+
+  /** Streaming MAINTENANCE of an ADDITIVE standing count family
+    * ([[graft.operators.TextAnalysis.CountFamily]]: dup-gram counts,
+    * unigram vocabulary, bigram LM, DSIR features) — the generalization
+    * of [[maintainMinhashIndex]] to the families whose rows are pure
+    * per-doc-disjoint counts. Without it, the 13 streaming twins score
+    * live feeds against a table FROZEN at the last batch refresh — a
+    * pipeline scoring today's crawl against last week's dup-gram counts
+    * under-flags everything that became duplicated this week.
+    *
+    * Per micro-batch (foreachBatch = batch context):
+    *   1. doc_ids already counted by ANY published batch (the `_ids`
+    *      sidecars) fence the arriving rows — a cross-lineage replay
+    *      (recreated checkpoint re-feeding delivered docs) never
+    *      double-counts; same doc_id-immutability contract as the
+    *      MinHash maintainer;
+    *   2. the family's counts over the fenced batch land under
+    *      `root/counts_m/batch=<lineage>_<batchId>` with its `_ids`
+    *      sidecar (underscore name: invisible to parquet reads of the
+    *      counts), built in a dot-named temp and published by ONE atomic
+    *      move ([[graft.operators.Dedup.publishIndexDir]]) — counts and
+    *      ids can never land separately, so there is NO orphan corner:
+    *      membership in `_ids` alone proves the doc's counts are merged,
+    *      and a crash anywhere before the move leaves only invisible
+    *      temp garbage for the idle sweep.
+    *
+    * A published batch dir is never rewritten: a same-lineage replay
+    * skips it by marker (its content is deterministic and already
+    * complete). No caps, no occupancy reads — additivity is the whole
+    * protocol. Readers merge base + batches through
+    * [[graft.operators.TextAnalysis.countsTable]]; the stamp economy
+    * exit mirrors maintainMinhashIndex (a maintained root is never a
+    * predecessor and never a vacuum victim).
+    *
+    * CONTRACT (shared with maintainMinhashIndex): doc_id identifies
+    * immutable content and arrives at most once per lineage offset
+    * range; a mutated re-arrival under the same doc_id is fenced as a
+    * replay, never re-counted.
+    */
+  def maintainCountsIndex(docsStream: DataFrame, root: String,
+                          checkpointDir: String,
+                          family: graft.operators.TextAnalysis.CountFamily)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    lazy val lineage: String = streamLineage(checkpointDir)
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          val s = batch0.sparkSession
+          val conf = s.sessionState.newHadoopConf()
+          val batchKey = s"${lineage}_$batchId"
+          val mRoot = s"$root/counts_m"
+          val target = new org.apache.hadoop.fs.Path(s"$mRoot/batch=$batchKey")
+          val fs = target.getFileSystem(conf)
+          val marker = new org.apache.hadoop.fs.Path(target, "_ids/_SUCCESS")
+          if (!fs.exists(marker)) {
+            val idsGlob = new org.apache.hadoop.fs.Path(s"$mRoot/*/_ids")
+            val seen = Option(fs.globStatus(idsGlob)).filter(_.nonEmpty)
+              .map(_ => s.read.parquet(s"$mRoot/*/_ids")
+                .select("doc_id").distinct())
+            val fresh = seen
+              .map(ids => batch0.join(ids, Seq("doc_id"), "left_anti"))
+              .getOrElse(batch0)
+            // leaves the stamp economy on first maintenance (see
+            // maintainMinhashIndex)
+            val stamp = new org.apache.hadoop.fs.Path(s"$root/_GRAFT_STAMP")
+            fs.delete(stamp, false): Unit
+            val token = java.util.UUID.randomUUID.toString.take(8)
+            val tmp = s"$mRoot/.build_${batchKey}_$token"
+            // one batch-local materialization feeds both writes
+            val fr = fresh.localCheckpoint()
+            family.counts(fr).write.parquet(tmp)
+            fr.select("doc_id").distinct().write.parquet(s"$tmp/_ids")
+            graft.operators.Dedup.publishIndexDir(fs,
+              new org.apache.hadoop.fs.Path(tmp), target,
+              marker = "_ids/_SUCCESS"): Unit
+          }
+        }
+      }
+      .start()
+  }
+
   def maintainMinhashIndex(docsStream: DataFrame, root: String,
                            checkpointDir: String,
                            cap: Int = graft.operators.Dedup.BucketCap)
@@ -481,28 +588,9 @@ object Docs {
     // (offsets are logged there). A recreated checkpoint restarts batch
     // ids at 0 over a GROWN source, and a bare batch=0 overwrite would
     // then clobber the rows the dead lineage's batch 0 indexed — silent
-    // index data loss. The checkpoint's stream id is exactly the lineage:
-    // stable across restarts of the same checkpoint, fresh for a
-    // recreated one. Read lazily — StreamExecution writes the metadata
+    // index data loss. Read lazily — StreamExecution writes the metadata
     // file at query start, before any batch runs.
-    lazy val lineage: String = {
-      val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val id = try {
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(txt).get("id").asText()
-      } catch {
-        // metadata unreadable (exotic checkpoint manager): fall back to
-        // the checkpoint PATH — still distinguishes different checkpoint
-        // locations, just not a wipe-and-recreate at the same path
-        case _: Exception => checkpointDir
-      }
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    }
+    lazy val lineage: String = streamLineage(checkpointDir)
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

@@ -670,6 +670,122 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(sigsAfter.size == sigsBefore.size + 1)
   }
 
+  test("streamed count-family maintenance equals the cold build for all four families") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+    val feed = corpus.orderBy("doc_id").as[Doc].collect().toSeq
+    val chunks = feed.grouped(math.max(feed.size / 3, 1)).toSeq
+
+    for (fam <- Seq(TextAnalysis.DupGramFamily, TextAnalysis.UnigramFamily,
+        TextAnalysis.BigramFamily, TextAnalysis.DsirFamily)) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_cnt_${fam.name}").toString
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory(s"graft_cnt_ck_${fam.name}").toString
+      def maintained() =
+        TextAnalysis.countsTable(spark, root, fam).get
+          .collect().map(_.toSeq).toSet
+      val cold = fam.counts(corpus).collect().map(_.toSeq).toSet
+
+      val input = MemoryStream[Doc]
+      val q = Docs.maintainCountsIndex(input.toDF(), root, ckptDir, fam)
+      try {
+        chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      assert(maintained() == cold,
+        s"${fam.name}: maintained != cold rebuild after 3 batches")
+
+      // cross-lineage replay (recreated checkpoint re-feeding everything):
+      // the _ids fence keeps every count exactly-once
+      val in2 = MemoryStream[Doc]
+      val q2 = Docs.maintainCountsIndex(in2.toDF(), root,
+        java.nio.file.Files.createTempDirectory("graft_cnt_rp").toString, fam)
+      try {
+        chunks.foreach { c => in2.addData(c); q2.processAllAvailable() }
+      } finally q2.stop()
+      assert(maintained() == cold, s"${fam.name}: cross-lineage replay double-counted")
+
+      // same-lineage replay: drop the last commit; the replayed batch
+      // SKIPS by marker (its partition is complete by atomic publish)
+      val ckfs = new org.apache.hadoop.fs.Path(ckptDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val last = chunks.size - 1
+      assert(ckfs.delete(
+        new org.apache.hadoop.fs.Path(s"$ckptDir/commits/$last"), false))
+      val q3 = Docs.maintainCountsIndex(input.toDF(), root, ckptDir, fam)
+      try q3.processAllAvailable() finally q3.stop()
+      assert(maintained() == cold, s"${fam.name}: same-lineage replay drifted")
+
+      // crash recovery: the last batch's partition vanishes entirely (its
+      // docs now counted nowhere) — a cross-lineage re-feed restores it
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val gone = fsys.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/counts_m")).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(s"_$last"))
+      assert(gone.nonEmpty)
+      gone.foreach(p => assert(fsys.delete(p, true)))
+      val in4 = MemoryStream[Doc]
+      val q4 = Docs.maintainCountsIndex(in4.toDF(), root,
+        java.nio.file.Files.createTempDirectory("graft_cnt_cr").toString, fam)
+      try {
+        chunks.foreach { c => in4.addData(c); q4.processAllAvailable() }
+      } finally q4.stop()
+      assert(maintained() == cold, s"${fam.name}: crash recovery did not converge")
+    }
+  }
+
+  test("a seeded counts root maintains on top of its static base; twins read it live") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import org.apache.spark.sql.functions.{col => c}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val fam = TextAnalysis.DupGramFamily
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+    // static base = the corpus-so-far; the stream delivers NEW docs
+    // (clones of existing texts under fresh doc_ids, so dup-gram counts
+    // actually move)
+    val baseDocs = corpus.filter(c("doc_id") % 2 === 0)
+    val newDocs = corpus.filter(c("doc_id") % 2 =!= 0)
+      .orderBy("doc_id").as[Doc].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_seed").toString
+    graft.sources.Export.flush(fam.counts(baseDocs), s"$root/counts")
+
+    val input = MemoryStream[Doc]
+    val q = Docs.maintainCountsIndex(input.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_seed_ck").toString, fam)
+    try {
+      newDocs.grouped(math.max(newDocs.size / 2, 1)).foreach { ch =>
+        input.addData(ch); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val maintained = TextAnalysis.countsTable(spark, root, fam).get
+    val cold = fam.counts(corpus)
+    assert(maintained.collect().map(_.toSeq).toSet ==
+      cold.collect().map(_.toSeq).toSet,
+      "seeded base + streamed batches != cold build over the full corpus")
+
+    // the span-scrub twin scores against the LIVE maintained table: its
+    // duplicated-gram set equals the frozen cold build's, so the scrub
+    // output is identical — but it keeps moving as batches land, which
+    // the frozen table cannot
+    val dupLive = maintained.filter(c("nd") >= 2).select("gh")
+    val dupCold = cold.filter(c("nd") >= 2).select("gh")
+    val live = TextAnalysis.spanScrubScore(corpus, dupLive)
+      .collect().map(_.toSeq).toSet
+    val frozen = TextAnalysis.spanScrubScore(corpus, dupCold)
+      .collect().map(_.toSeq).toSet
+    assert(live == frozen && live.nonEmpty)
+  }
+
   test("dead-lineage sigs of a later-repped byte-copy are retired") {
     import graft.operators.Dedup
     import graft.streaming.Docs
