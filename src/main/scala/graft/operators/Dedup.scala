@@ -556,13 +556,71 @@ object Dedup {
     */
   def corpusTruthPairs(s: SparkSession, dir: String): DataFrame =
     cachedCorpusTable(s, dir, "truth", s"$DfCap|250000|jac") {
-      // truth over the SAME reps domain the signatures cover
-      val reps = docs(s, dir)
-        .select(normText(col("text")).as("s"), col("doc_id"))
-        .groupBy("s").agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"), col("s").as("text"))
-      rareGramJaccard(reps, minJacMicro = 250000L).select("doc_a", "doc_b")
+      rareGramJaccard(truthReps(s, dir), minJacMicro = 250000L)
+        .select("doc_a", "doc_b")
     }
+
+  /** The exact-dedup reps domain both audit sides share. */
+  private def truthReps(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(normText(col("text")).as("s"), col("doc_id"))
+      .groupBy("s").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("s").as("text"))
+
+  /** Deterministic doc_id stratum threshold of the SAMPLED recall audit
+    * (md5-threshold convention shared with q_sample_hash): 16384/65536 =
+    * a ¼ sample. Declared before `pack` (oracle-interpolation init-order
+    * rule).
+    */
+  val TruthSampleThr = 16384
+
+  /** SAMPLED truth pairs: exactly the [[corpusTruthPairs]] rows whose
+    * MIN endpoint (doc_a) falls in the deterministic md5 stratum — the
+    * quadratic verification join runs with only the stratum's postings
+    * on the low side ([[jaccardFromPostingsBetween]]), so each audit run
+    * costs ≈ the sample rate × the full audit while every emitted pair
+    * is verbatim a full-audit row (df economy and sizes stay
+    * corpus-wide). Pairs are sampled BY min-endpoint, so the recall/
+    * precision ratios estimated from the stratum are unbiased for the
+    * full audit's (each pair has exactly one min endpoint; inclusion is
+    * an independent deterministic coin at the sample rate).
+    *
+    * Like the full family, this table REBUILDS on corpus append — the
+    * df-cap non-monotonicity argument (SURVEY §4) applies verbatim to
+    * any stratum — but sampling bounds what a rebuild costs, which is
+    * the 100 TB answer for an audit run per-append: re-verify ¼ (or any
+    * configured rate) of the pair space instead of all of it.
+    */
+  def sampledTruthPairs(s: SparkSession, dir: String,
+                        thr: Int = TruthSampleThr): DataFrame =
+    cachedCorpusTable(s, dir, "truthsmp", s"$DfCap|250000|jac|$thr") {
+      val reps = truthReps(s, dir)
+      val d = reps.select(col("doc_id"),
+        split(normText(col("text")), " ").as("t"))
+      val ng0 = d.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) ELSE array() END"))
+        .as("gram")).distinct()
+      val rare = ng0.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap).select("gram")
+      val ng = ng0.join(rare, Seq("gram"), "left_semi")
+      val ngA = ng.filter(docStratum(col("doc_id")) < thr)
+      jaccardFromPostingsBetween(ngA, ng, minJacMicro = 250000L)
+        .select("doc_a", "doc_b")
+    }
+
+  /** The md5-threshold stratum value of a doc_id — Spark side of the
+    * q_sample_hash convention (big-endian first-4-hex of
+    * md5(doc_id-as-string) in [0, 65536)).
+    */
+  private[graft] def docStratum(docId: Column): Column =
+    conv(substring(md5(docId.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int")
+
+  /** DuckDB mirror of [[docStratum]] over column `c`. */
+  private[operators] def docStratumSql(c: String): String =
+    (0 until 4).map { d =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
+    }.mkString(" + ")
 
   /** The SimHash twin of [[corpusSigs]]: the persisted 64-bit signature
     * table both simhash queries probe (column renamed to `sig`, the index
@@ -1352,9 +1410,20 @@ object Dedup {
     * the per-run gram explode + df prune entirely.
     */
   def jaccardFromPostings(ng: DataFrame,
-                          minJacMicro: Long = 100000L): DataFrame = {
+                          minJacMicro: Long = 100000L): DataFrame =
+    jaccardFromPostingsBetween(ng, ng, minJacMicro)
+
+  /** [[jaccardFromPostings]] with the LOW-side postings restricted to a
+    * subset `ngA` ⊆ `ng`: emits exactly the pairs whose MIN endpoint
+    * (doc_a) is an `ngA` doc — sizes and the df economy stay corpus-wide,
+    * so the emitted pairs are verbatim rows of the full audit, and the
+    * quadratic verification work shrinks by the subset rate. The engine
+    * of the SAMPLED recall audit.
+    */
+  def jaccardFromPostingsBetween(ngA: DataFrame, ng: DataFrame,
+                                 minJacMicro: Long = 100000L): DataFrame = {
     val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = ng.alias("a"); val b = ng.alias("b")
+    val a = ngA.alias("a"); val b = ng.alias("b")
     val inter = a.join(b, col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -2289,6 +2358,63 @@ object Dedup {
           .as("recall_milli"),
         coalesce(expr("n_hit * 1000 div nullif(n_cand, 0)"), lit(0L))
           .as("precision_milli"))
+    }),
+
+    // §2d.32h2 — SAMPLED recall audit (new r9): the per-append answer to
+    // the full audit's rebuild cost. Pairs whose MIN endpoint falls in a
+    // deterministic ¼ md5 stratum are verified verbatim (df economy and
+    // set sizes stay corpus-wide, so a sampled pair is a full-audit row,
+    // never an approximation of one); recall/precision estimated from
+    // the stratum are unbiased for the full numbers — at 100 TB the
+    // quadratic verify join runs at the sample rate, and DedupSpec pins
+    // the estimate against the full audit on the real corpus. The oracle
+    // recomputes the FULL truth/cand sets and applies the same stratum
+    // filter — hash equality proves sampled-verify ≡ filter(full audit).
+    Q("q_lsh_recall_sampled",
+      s"""WITH $corpusBandsCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |ng0 AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS gram
+         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+         |rareg AS (SELECT gram FROM ng0 GROUP BY gram HAVING COUNT(*) <= $DfCap),
+         |ng AS (SELECT ng0.* FROM ng0 JOIN rareg USING (gram)),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ng GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM ng a JOIN ng b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE n_inter * 1000000 // (sa.sz + sb.sz - n_inter) >= 250000),
+         |truth_s AS (SELECT * FROM truth
+         |            WHERE ${docStratumSql("doc_a")} < $TruthSampleThr),
+         |cand_s AS (SELECT * FROM cand
+         |           WHERE ${docStratumSql("doc_a")} < $TruthSampleThr),
+         |hit_s AS (SELECT t.* FROM truth_s t JOIN cand_s c
+         |          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+         |n AS (SELECT
+         |  CAST((SELECT COUNT(*) FROM truth_s) AS BIGINT) AS n_truth_s,
+         |  CAST((SELECT COUNT(*) FROM cand_s) AS BIGINT) AS n_cand_s,
+         |  CAST((SELECT COUNT(*) FROM hit_s) AS BIGINT) AS n_hit_s)
+         |SELECT n_truth_s, n_cand_s, n_hit_s,
+         |  CAST(COALESCE(n_hit_s * 1000 // NULLIF(n_truth_s, 0), 0) AS BIGINT) AS recall_milli_est,
+         |  CAST(COALESCE(n_hit_s * 1000 // NULLIF(n_cand_s, 0), 0) AS BIGINT) AS precision_milli_est
+         |FROM n""".stripMargin)((s, dir) => {
+      val cand = bandPairs(corpusSigs(s, dir))
+        .filter(docStratum(col("doc_a")) < TruthSampleThr)
+      val truthS = sampledTruthPairs(s, dir)
+      val hit = truthS.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      truthS.agg(count(lit(1)).as("n_truth_s"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand_s")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit_s")))
+        .select(col("n_truth_s"), col("n_cand_s"), col("n_hit_s"),
+          coalesce(expr("n_hit_s * 1000 div nullif(n_truth_s, 0)"), lit(0L))
+            .as("recall_milli_est"),
+          coalesce(expr("n_hit_s * 1000 div nullif(n_cand_s, 0)"), lit(0L))
+            .as("precision_milli_est"))
     }),
 
     // §2d.32f — duplication-graph centrality: PageRank (3 rounds, damping

@@ -282,4 +282,39 @@ class DedupSpec extends AnyFunSuite {
     assert(r3(1L) > r3(2L) && r3(2L) == r3(3L))
     assert(r3.values.forall(v => v > 0 && v < 3000000L))
   }
+
+  test("sampled truth audit: exact stratum subset, estimate within CI of full") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // the sampled family must emit VERBATIM full-audit rows — exactly the
+    // full truth pairs whose min endpoint lands in the ¼ md5 stratum
+    // (df economy and sizes stay corpus-wide, so sampling is pure
+    // subsetting, never approximation)
+    val full = Dedup.corpusTruthPairs(spark, TestSpark.sf)
+    val sampled = Dedup.sampledTruthPairs(spark, TestSpark.sf)
+    val expected = full
+      .filter(Dedup.docStratum(col("doc_a")) < Dedup.TruthSampleThr)
+      .collect().map(_.toSeq).toSet
+    val got = sampled.collect().map(_.toSeq).toSet
+    assert(got == expected, "sampled truth != stratum filter of full truth")
+    assert(got.nonEmpty && got.size < full.count(),
+      "test corpus should sample a strict non-empty subset")
+
+    // the recall estimate sits inside a pinned CI of the full audit: with
+    // n_s sampled pairs, a Wilson/binomial 95% half-width is well under
+    // 0.35 for the test corpus's n_s; pin |est − full| ≤ 350 milli (the
+    // observed delta is 0 — both audits measure recall 1.000 here)
+    def recallMilli(truth: org.apache.spark.sql.DataFrame,
+                    strat: Boolean): Long = {
+      var cand = Dedup.bandPairs(Dedup.corpusSigs(spark, TestSpark.sf))
+      if (strat) cand = cand.filter(
+        Dedup.docStratum(col("doc_a")) < Dedup.TruthSampleThr)
+      val nT = truth.count()
+      val nH = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
+      if (nT == 0) 0L else nH * 1000 / nT
+    }
+    val rFull = recallMilli(full, strat = false)
+    val rEst = recallMilli(sampled, strat = true)
+    assert(math.abs(rEst - rFull) <= 350,
+      s"sampled recall estimate $rEst vs full $rFull exceeds the CI")
+  }
 }
