@@ -123,34 +123,42 @@ object Tables {
         // refused) — an unrelated task failure quoting a bad DATA path
         // that happens to contain one of these phrases must pass through
         // as itself, not as index-root guidance masking the real cause
-        // match ONLY the root itself plus the child names index writes
-        // actually create under it ("<root>/graft_…" index dirs,
-        // "<root>/.build…" temp dirs). Ancestors are deliberately NOT
-        // candidates: with the default co-located layout the index root
-        // is `<destDir>/_graft_index`, so every ancestor is also a
-        // prefix of sibling DATA paths under the destination — matching
-        // them would rewrite unrelated data-write failures into
-        // index-root guidance, the exact masking this scoping prevents.
-        // Mkdirs/permission errors that blame an ancestor still name the
-        // full path they tried to create ("Mkdirs failed to create
-        // <root>/graft_…"), which the root candidate catches. The bare
-        // root is skipped only when it is a DEPTH-1 schemeless generic
-        // prefix (the local default: java.io.tmpdir = "/tmp"), which
-        // would match any scratch path — the child patterns keep the
-        // guidance alive there.
+        // match the root itself, the child names index writes actually
+        // create under it ("<root>/graft_…" index dirs, "<root>/.build…"
+        // temp dirs), and the root's PARENT only at an EXACT path
+        // boundary. Deeper ancestor-prefix matching is deliberately
+        // gone: with the default co-located layout the index root is
+        // `<destDir>/_graft_index`, so an ancestor substring is also a
+        // prefix of sibling DATA paths under the destination ("<dest>/
+        // table.parquet/part-0") and matching it would rewrite unrelated
+        // data-write failures into index-root guidance. The boundary
+        // rule keeps the one legitimate ancestor shape — a mkdirs/
+        // permission error quoting exactly the parent that refused
+        // ("AccessDenied: <dest>") — while a sibling data path, which
+        // continues with "/name", never matches. The bare root is
+        // skipped only when it is a DEPTH-1 schemeless generic prefix
+        // (the local default: java.io.tmpdir = "/tmp"), which would
+        // match any scratch path — the child patterns keep the guidance
+        // alive there.
         val rootPath = new org.apache.hadoop.fs.Path(root)
-        val rootSpecific = rootPath.depth() >= 2 ||
-          (rootPath.depth() >= 1 && rootPath.toUri.getScheme != null)
+        def specific(p: org.apache.hadoop.fs.Path) = p.depth() >= 2 ||
+          (p.depth() >= 1 && p.toUri.getScheme != null)
         val r = root.stripSuffix("/")
         val candidates =
-          (if (rootSpecific) Seq(r) else Seq.empty) ++
+          (if (specific(rootPath)) Seq(r) else Seq.empty) ++
             Seq(s"$r/graft_", s"$r/.build")
+        val parentRe = Option(rootPath.getParent).filter(specific).map { p =>
+          java.util.regex.Pattern.compile(
+            java.util.regex.Pattern.quote(p.toString) + "(?![/\\w.-])")
+        }
+        val permShapes = Seq("Permission denied", "Access Denied",
+          "AccessDenied", "Read-only", "read-only", "Mkdirs failed",
+          "not a directory", "Not a directory")
         val scoped = chain.exists { t =>
           val msg = String.valueOf(t.getMessage)
-          candidates.exists(msg.contains) &&
-            Seq("Permission denied", "Access Denied", "AccessDenied",
-              "Read-only", "read-only", "Mkdirs failed",
-              "not a directory", "Not a directory").exists(msg.contains)
+          (candidates.exists(msg.contains) ||
+            parentRe.exists(_.matcher(msg).find())) &&
+            permShapes.exists(msg.contains)
         }
         typed || scoped
       } =>

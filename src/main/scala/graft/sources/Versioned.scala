@@ -377,27 +377,97 @@ object Versioned {
     * file count at one per non-empty bucket.
     */
   def writeBucketed(df: DataFrame, dataDir: String, key: String,
-                    nBuckets: Int): Seq[String] = {
+                    nBuckets: Int, maxRecordsPerFile: Long = 0L): Seq[String] = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     val b = pmod(xxhash64(col(key)), lit(nBuckets.toLong))
-    df.withColumn("__bucket", b)
+    // key-sorted within each bucket: files and row groups carry TIGHT,
+    // DISJOINT key ranges in their footers — what makes file-level
+    // replace pruning (and ordinary key-predicate file skipping)
+    // effective. `maxRecordsPerFile` splits a large bucket into several
+    // files (production: bucket ≈ 1 GB, files ≈ 128 MB) so a later
+    // single-key batch can rewrite one FILE instead of the bucket.
+    val w = df.withColumn("__bucket", b)
       .repartition(nBuckets, col("__bucket"))
+      .sortWithinPartitions(col("__bucket"), col(key))
       .write.partitionBy("__bucket")
-      .mode(SaveMode.ErrorIfExists).parquet(dataDir)
+      .mode(SaveMode.ErrorIfExists)
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(dataDir)
     val f = fs(spark, dataDir)
     f.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
       .map(_.getPath.toString).sorted
   }
 
-  /** Bucket id encoded in a bucketed data directory's name, None for a
-    * plain (unbucketed) directory.
+  /** Bucket id encoded in a bucketed data entry's name — the entry is
+    * either a `__bucket=N` directory or an individual FILE carried by
+    * reference from inside one (sub-bucket file-level replace), whose
+    * PARENT carries the id. None for a plain (unbucketed) directory.
     */
   def bucketOf(dataDir: String): Option[Long] = {
-    val name = new Path(dataDir).getName
-    if (name.startsWith("__bucket=")) name.stripPrefix("__bucket=").toLongOption
-    else None
+    def of(name: String): Option[Long] =
+      if (name.startsWith("__bucket=")) name.stripPrefix("__bucket=").toLongOption
+      else None
+    val p = new Path(dataDir)
+    of(p.getName).orElse(Option(p.getParent).flatMap(pp => of(pp.getName)))
+  }
+
+  /** The parquet data FILES behind a manifest entry — the entry itself
+    * when it is a carried file, its part-files when it is a directory.
+    * Driver-side metadata listing only.
+    */
+  private[graft] def parquetFiles(
+      conf: org.apache.hadoop.conf.Configuration,
+      entry: String): Seq[String] = {
+    val p = new Path(entry)
+    val f = p.getFileSystem(conf)
+    val st = f.getFileStatus(p)
+    if (st.isFile) Seq(entry)
+    else f.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Whether a parquet file MAY contain any of `keys` in column `key`,
+    * decided from footer row-group min/max statistics ONLY — no data
+    * pages are read. Conservative: a missing column, absent statistics,
+    * or an unsupported (key type, stats type) pairing counts as a hit,
+    * so pruning can only ever SKIP files proven key-free; an all-null
+    * row group is proven key-free (keys are non-null).
+    */
+  private[graft] def fileMayContain(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: String, key: String, keys: Seq[Any]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(file), conf))
+    try {
+      rd.getFooter.getBlocks.asScala.exists { blk =>
+        blk.getColumns.asScala.find(_.getPath.toDotString == key) match {
+          case None => true
+          case Some(c) =>
+            val st = c.getStatistics
+            if (st == null || st.isEmpty) true
+            else if (!st.hasNonNullValue) false
+            else keys.exists { k =>
+              (st, k) match {
+                case (s: org.apache.parquet.column.statistics.LongStatistics,
+                      v: Long) => v >= s.getMin && v <= s.getMax
+                case (s: org.apache.parquet.column.statistics.IntStatistics,
+                      v: Int) => v >= s.getMin && v <= s.getMax
+                case (s: org.apache.parquet.column.statistics.BinaryStatistics,
+                      v: String) =>
+                  v >= s.genericGetMin.toStringUsingUTF8 &&
+                    v <= s.genericGetMax.toStringUsingUTF8
+                case _ => true
+              }
+            }
+        }
+      }
+    } finally rd.close()
   }
 
   /** Schemes whose `rename` is atomic and refuses an existing target —

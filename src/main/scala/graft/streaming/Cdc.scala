@@ -64,17 +64,25 @@ object Cdc {
   def applyChanges(changes: DataFrame, tableDir: String, checkpointDir: String,
                    key: String, valueCols: Seq[String], seqCol: String,
                    appId: Option[String] = None,
-                   nBuckets: Int = DefaultBuckets): StreamingQuery = {
+                   nBuckets: Int = DefaultBuckets,
+                   maxRecordsPerFile: Long = 0L): StreamingQuery = {
     val app = appId.getOrElse(s"cdc:$checkpointDir")
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, tableDir, key, valueCols, seqCol,
-          Some(batchId), Some(app), nBuckets)
+          Some(batchId), Some(app), nBuckets, maxRecordsPerFile)
         ()
       }
       .start()
   }
+
+  /** Max distinct batch keys collected driver-side for FILE-level footer
+    * pruning — bounded like Delta's touched-file planning. Batches with
+    * more distinct keys fall back to bucket-level replace (at that
+    * volume whole buckets are genuinely touched anyway).
+    */
+  val KeyPruneCap = 4096
 
   /** Test-scale default; a production table sizes buckets to ≈ the target
     * file size (see the class doc). Only consulted when the table is
@@ -112,7 +120,8 @@ object Cdc {
                  valueCols: Seq[String], seqCol: String,
                  epochId: Option[Long] = None,
                  appId: Option[String] = None,
-                 nBuckets: Int = DefaultBuckets): Unit = {
+                 nBuckets: Int = DefaultBuckets,
+                 maxRecordsPerFile: Long = 0L): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     // one manifest listing per batch (needed below for the empty-base
@@ -166,39 +175,80 @@ object Cdc {
 
     layout match {
       case Some((m, n)) =>
-        // touched buckets: one tiny distinct over the batch's keys —
-        // bounded by min(|batch keys|, nBuckets) driver-side values, the
-        // same order as Delta's touched-file list
+        // distinct (key, bucket) pairs, collected only up to KeyPruneCap —
+        // a batch with few distinct keys (the common CDC shape) enables
+        // FILE-level footer pruning inside its buckets; a bigger batch
+        // falls back to bucket-level replace via a tiny bucket-only
+        // distinct (bounded by nBuckets driver-side values either way)
         val bexpr = pmod(xxhash64(col(key)), lit(n.toLong))
-        val touched = compacted.select(bexpr.as("__b")).distinct()
-          .collect().map(_.getLong(0)).toSet
-        // a bucket can be backed by SEVERAL dirs (the migrated base plus
-        // bucketed plain appends since) — group, don't .toMap, which
-        // would keep one dir per bucket and silently drop the others
-        // from the merge while the manifest still replaces only the kept
-        // one (stale keys resurface)
+        val keyed = compacted.select(col(key).as("__k"), bexpr.as("__b"))
+          .distinct()
+        val cappedKeys = keyed.limit(KeyPruneCap + 1).collect()
+        val exact: Option[Map[Long, Seq[Any]]] =
+          if (cappedKeys.length > KeyPruneCap) None
+          else Some(cappedKeys.groupBy(_.getLong(1))
+            .map { case (b, rows) => b -> rows.toSeq.map(_.get(0)) })
+        val touched: Set[Long] = exact.map(_.keySet)
+          .getOrElse(keyed.select("__b").distinct().collect()
+            .map(_.getLong(0)).toSet)
+        // a bucket can be backed by SEVERAL entries (the migrated base,
+        // bucketed plain appends, files carried by earlier file-level
+        // replaces) — group, don't .toMap, which would keep one entry
+        // per bucket and silently drop the others from the merge while
+        // the manifest still replaces only the kept one (stale keys
+        // resurface)
         val byBucket = m.dataDirs
           .flatMap(d => Versioned.bucketOf(d).map(_ -> d))
           .groupMap(_._1)(_._2)
-        val touchedDirs = touched.toSeq.sorted
-          .flatMap(b => byBucket.getOrElse(b, Seq.empty))
+        // SUB-BUCKET granularity: per touched bucket, its backing files
+        // split into must-merge (footer key range may contain a batch
+        // key) and carried (proven key-free — referenced VERBATIM in the
+        // new manifest, never opened). With key-sorted multi-file
+        // buckets (writeBucketed maxRecordsPerFile) a 1-row update
+        // rewrites one ~file, not one ~bucket. The whole bucket's old
+        // entries are always REPLACED in the manifest (carried files
+        // re-enter as individual file references); compactCommit folds
+        // the file fragments back into one dir per bucket.
+        val hconf = spark.sessionState.newHadoopConf()
+        var replacedEntries = Vector.empty[String]
+        var baseFiles = Vector.empty[String]
+        var carriedFiles = Vector.empty[String]
+        touched.toSeq.sorted.foreach { b =>
+          val entries = byBucket.getOrElse(b, Seq.empty)
+          if (entries.nonEmpty) exact match {
+            case Some(keysByBucket) =>
+              val ks = keysByBucket(b)
+              val files = entries.flatMap(e =>
+                Versioned.parquetFiles(hconf, e))
+              val (hit, miss) = files.partition(f =>
+                Versioned.fileMayContain(hconf, f, key, ks))
+              replacedEntries ++= entries
+              baseFiles ++= hit
+              carriedFiles ++= miss
+            case None =>
+              replacedEntries ++= entries
+              baseFiles ++= entries
+          }
+        }
         val base =
-          if (touchedDirs.nonEmpty)
-            spark.read.option("mergeSchema", "true").parquet(touchedDirs: _*)
+          if (baseFiles.nonEmpty)
+            spark.read.option("mergeSchema", "true").parquet(baseFiles: _*)
           else Versioned.read(spark, tableDir).limit(0)
         val merged = Lakehouse.mergeUpsert(base, compacted, key, valueCols)
           .drop("src")
         val v = tableVersions.last + 1
         val token = java.util.UUID.randomUUID.toString.take(8)
         val dataDir = f"$tableDir/data/v$v%05d-$token"
-        val newDirs = Versioned.writeBucketed(merged, dataDir, key, n)
+        val fresh = Versioned.writeBucketed(merged, dataDir, key, n,
+          maxRecordsPerFile)
+        val newDirs = fresh ++ carriedFiles
         // exact row bookkeeping from parquet FOOTERS — metadata reads,
         // no second scan of the touched data
         val newRows = newDirs.map(graft.Tables.footerRowCount(spark, _)).sum
         val replacedRows =
-          touchedDirs.map(graft.Tables.footerRowCount(spark, _)).sum
+          replacedEntries.map(graft.Tables.footerRowCount(spark, _)).sum
         Versioned.commitDirs(spark, tableDir, newDirs, newRows,
-          touchedDirs.toSet, replacedRows, epochId, appId,
+          replacedEntries.toSet, replacedRows, epochId, appId,
           bucketCol = Some(key), nBuckets = Some(n),
           baseVersion = Some(m.version))
       case None =>
@@ -214,7 +264,8 @@ object Cdc {
         val v = tableVersions.lastOption.getOrElse(0) + 1
         val token = java.util.UUID.randomUUID.toString.take(8)
         val dataDir = f"$tableDir/data/v$v%05d-$token"
-        val newDirs = Versioned.writeBucketed(merged, dataDir, key, nBuckets)
+        val newDirs = Versioned.writeBucketed(merged, dataDir, key, nBuckets,
+          maxRecordsPerFile)
         val newRows = newDirs.map(graft.Tables.footerRowCount(spark, _)).sum
         Versioned.commitDirs(spark, tableDir, newDirs, newRows,
           parentM.map(_.dataDirs.toSet).getOrElse(Set.empty),

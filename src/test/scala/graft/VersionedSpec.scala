@@ -575,6 +575,76 @@ class VersionedSpec extends AnyFunSuite {
       sameBucket.forall(k => afterMap(k) == s"v$k"))
   }
 
+  test("sub-bucket file-level replace: a 1-key batch rewrites one file, carries the rest byte-identical") {
+    import spark.implicits._
+    val dir = tmp("subb")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def fileStamps(paths: Seq[String]): Map[String, (Long, Long)] =
+      paths.map { p =>
+        val st = f.getFileStatus(new org.apache.hadoop.fs.Path(p))
+        p -> (st.getLen, st.getModificationTime)
+      }.toMap
+    // ONE bucket (nBuckets=1), 400 keys, ~50 rows per file → ~8 key-sorted
+    // files with disjoint footer ranges
+    Cdc.applyBatch(batch((0L until 400L).map(k => (k, "U", s"v$k", 1L)): _*),
+      dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 1, maxRecordsPerFile = 50L)
+    val m1 = Versioned.manifest(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val files1 = m1.dataDirs.flatMap(Versioned.parquetFiles(conf, _))
+    assert(files1.size >= 4, s"setup: want a multi-file bucket, got $files1")
+    val stamps1 = fileStamps(files1)
+    // a single-key update: only the ONE file whose footer range holds the
+    // key may be merged; every other file must survive BY REFERENCE,
+    // byte-identical, as an individual manifest entry
+    Cdc.applyBatch(batch((137L, "U", "v137b", 2L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(1L), appId = Some("a"), nBuckets = 1,
+      maxRecordsPerFile = 50L)
+    val m2 = Versioned.manifest(spark, dir)
+    val mustMerge = files1.filter(p =>
+      Versioned.fileMayContain(conf, p, "k", Seq(137L)))
+    assert(mustMerge.size == 1,
+      s"key-sorted files should isolate key 137 to one file: $mustMerge")
+    val carried = files1.filterNot(mustMerge.contains)
+    carried.foreach { p =>
+      assert(m2.dataDirs.contains(p),
+        s"untouched file $p was not carried by reference")
+      assert(fileStamps(Seq(p))(p) == stamps1(p), s"$p was rewritten")
+    }
+    assert(mustMerge.forall(p => !m2.dataDirs.contains(p)),
+      "the touched file should be replaced, not referenced")
+    assert(m2.nRows == 400)
+    // contents are the exact merge; time travel intact
+    val got = Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 400 && got(137L) == "v137b" && got(136L) == "v136")
+    assert(Versioned.read(spark, dir, Some(1)).select("k", "v")
+      .as[(Long, String)].filter(_._1 == 137L).collect().head._2 == "v137")
+    // the change feed off the file-level commit is exactly the one update
+    // (carried files appear on both sides of the manifest delta as
+    // identical rows and are suppressed)
+    val feed = Versioned.changes(spark, dir, 1, 2, "k")
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(feed == Set((137L, "v137", "update_preimage"),
+      (137L, "v137b", "update_postimage")))
+    // a second single-key batch against the file-fragmented manifest
+    // still works (carried file entries re-resolve to their bucket), and
+    // compactCommit folds the fragments back into one dir per bucket
+    Cdc.applyBatch(batch((5L, "D", "", 3L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(2L), appId = Some("a"), nBuckets = 1,
+      maxRecordsPerFile = 50L)
+    assert(Versioned.read(spark, dir).count() == 399)
+    Versioned.compactCommit(spark, dir)
+    val mc = Versioned.manifest(spark, dir)
+    assert(mc.dataDirs.forall(d =>
+      f.getFileStatus(new org.apache.hadoop.fs.Path(d)).isDirectory))
+    assert(Versioned.read(spark, dir).count() == 399)
+  }
+
   test("change data feed reconstructs versions and reads only commit deltas") {
     import spark.implicits._
     val dir = tmp("cdf")
