@@ -431,4 +431,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans.forall(s => !s.contains("lang") && !s.contains("n_chars")),
       s"docs scan reads unused columns:\n${scans.mkString("\n")}")
   }
+
+  test("change feed merges full-outer on the key; MV-from-feed aggregates partially") {
+    val p1 = planOf("q_cdf_changes")
+    assert(p1.contains("FullOuter"),
+      s"the per-commit image diff should be one full-outer key join:\n$p1")
+    assert(!p1.contains("CartesianProduct"),
+      s"feed plan degenerated into a product:\n$p1")
+    val p2 = planOf("q_mv_from_feed")
+    assert(p2.contains("HashAggregate"),
+      s"the partial-state merge should be hash aggregation:\n$p2")
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"),
+      s"MV merge degenerated into a product:\n$p2")
+  }
+
+  test("sampled recall audit: stratum filter reaches the verify join's low side") {
+    val p = planOf("q_lsh_recall_sampled")
+    // the md5-threshold stratum (conv over the doc_id digest) must gate
+    // the postings BEFORE the quadratic gram self-join — that filter IS
+    // the cost bound of the sampled audit
+    assert(p.contains("conv("),
+      s"stratum filter missing from the sampled audit plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"gram verify join lost its equi-join strategy:\n$p")
+  }
 }
