@@ -169,6 +169,61 @@ object Lakehouse {
     scratch
   }
 
+  /** A STANDING materialized view SUBSCRIBED to a Versioned table through
+    * the change feed — the production consumer shape behind
+    * q_mv_from_feed's one-hop proof. The MV is itself a Versioned table
+    * (time travel over view history for free) whose latest commit records
+    * the SOURCE version it reflects as its (appId, epochId) — the CDC
+    * replay-fence fields double as the subscription cursor, so the cursor
+    * is crash-consistent with the MV state by construction: they are one
+    * atomic manifest.
+    *
+    * `refresh` reads `Versioned.changes(cursor → latest)` — cost ∝ the
+    * touched buckets of the commits since the cursor, never a source
+    * rescan — folds the additive images into the standing per-group
+    * partials (+insert/postimage, −delete/preimage; groups whose count
+    * reaches 0 vanish) and commits the new MV state. A crash before the
+    * commit replays identically; after the commit, the advanced cursor
+    * makes the retry a no-op. First refresh on an empty MV bootstraps
+    * from one full aggregate of the source. Single refresher per MV
+    * (concurrent refreshers produce duplicate — identical — versions).
+    * Returns the source version now reflected.
+    */
+  def refreshMvFromFeed(s: SparkSession, srcDir: String, mvDir: String,
+                        key: String, groupCol: String,
+                        sumCol: String): Int = {
+    import graft.sources.Versioned
+    val app = s"mv:$mvDir"
+    val srcLatest = Versioned.versions(s, srcDir).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed versions at $srcDir"))
+    val cursor = Versioned.latestEpochFor(s, mvDir, app)
+      .map(_.toInt).getOrElse(0)
+    if (cursor >= srcLatest) return cursor
+    val state =
+      if (cursor == 0)
+        Versioned.read(s, srcDir, Some(srcLatest))
+          .groupBy(groupCol)
+          .agg(count(lit(1)).as("n_rows"), sum(col(sumCol)).as("sum_val"))
+      else {
+        val feed = Versioned.changes(s, srcDir, cursor, srcLatest, key,
+          Seq(groupCol, sumCol))
+        val sign = when(
+          col("_change_type").isin("insert", "update_postimage"), lit(1L))
+          .otherwise(lit(-1L))
+        val deltas = feed.groupBy(groupCol)
+          .agg(sum(sign).as("n_rows"),
+            sum(sign * col(sumCol)).as("sum_val"))
+        Versioned.read(s, mvDir).unionByName(deltas)
+          .groupBy(groupCol)
+          .agg(sum(col("n_rows")).as("n_rows"),
+            sum(col("sum_val")).as("sum_val"))
+          .filter(col("n_rows") > 0)
+      }
+    Versioned.commit(state, mvDir,
+      epochId = Some(srcLatest.toLong), appId = Some(app))
+    srcLatest
+  }
+
   /** The logical v2 slice of orders as oracle SQL — shared by the two
     * change-feed oracles below.
     */

@@ -707,6 +707,58 @@ class VersionedSpec extends AnyFunSuite {
     assert(f.exists(new org.apache.hadoop.fs.Path(dir))) // table intact
   }
 
+  test("a standing MV subscribes to the table via the change feed") {
+    import spark.implicits._
+    import graft.operators.Lakehouse
+    val src = tmp("mvsrc"); val mv = tmp("mvtab")
+    // change rows carry a GROUP column (g) and an amount; updates can
+    // move a key between groups
+    def batch(rows: (Long, String, Long, Long, Long)*) =
+      rows.toDF("k", "op", "new_g", "new_amt", "seq")
+    def recompute() = Versioned.read(spark, src)
+      .groupBy("g").agg(count(lit(1)).as("n_rows"),
+        sum(col("amt")).as("sum_val"))
+      .as[(Long, Long, Long)].collect().toSet
+    def mvState() = Versioned.read(spark, mv)
+      .as[(Long, Long, Long)].collect().toSet
+
+    // v1: 20 keys, groups k%3, amt = 10k
+    Cdc.applyBatch(batch((0L until 20L).map(k =>
+      (k, "U", k % 3, k * 10, 1L)): _*), src, "k", Seq("g", "amt"), "seq",
+      epochId = Some(0L), appId = Some("a"), nBuckets = 4)
+    // bootstrap refresh: full aggregate, cursor = source v1
+    assert(Lakehouse.refreshMvFromFeed(spark, src, mv, "k", "g", "amt") == 1)
+    assert(mvState() == recompute())
+    // idempotent: nothing new — no version added, cursor unchanged
+    assert(Lakehouse.refreshMvFromFeed(spark, src, mv, "k", "g", "amt") == 1)
+    assert(Versioned.versions(spark, mv) == Seq(1))
+
+    // v2: update k=3 moving it from g=0 to g=2 with a new amount, delete
+    // k=7, insert k=100 into g=1
+    Cdc.applyBatch(batch((3L, "U", 2L, 999L, 2L), (7L, "D", 0L, 0L, 2L),
+      (100L, "U", 1L, 5L, 2L)), src, "k", Seq("g", "amt"), "seq",
+      epochId = Some(1L), appId = Some("a"), nBuckets = 4)
+    // v3: delete EVERY remaining g=0 key — the group must vanish
+    val g0 = Versioned.read(spark, src).filter(col("g") === 0L)
+      .select("k").as[Long].collect().toSeq
+    assert(g0.nonEmpty)
+    Cdc.applyBatch(batch(g0.map(k => (k, "D", 0L, 0L, 3L)): _*),
+      src, "k", Seq("g", "amt"), "seq",
+      epochId = Some(2L), appId = Some("a"), nBuckets = 4)
+
+    // one refresh folds BOTH commits' images (additive algebra spans
+    // commits: v2's post-images cancel v3's pre-images exactly)
+    assert(Lakehouse.refreshMvFromFeed(spark, src, mv, "k", "g", "amt") == 3)
+    assert(mvState() == recompute())
+    assert(!mvState().exists(_._1 == 0L), "emptied group should vanish")
+    // MV history time-travels: the bootstrap state is still readable
+    assert(Versioned.versions(spark, mv) == Seq(1, 2))
+    assert(Versioned.read(spark, mv, Some(1)).count() == 3)
+    // idempotent again after the advance
+    assert(Lakehouse.refreshMvFromFeed(spark, src, mv, "k", "g", "amt") == 3)
+    assert(Versioned.versions(spark, mv) == Seq(1, 2))
+  }
+
   test("streaming CDC apply commits one merged version per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
