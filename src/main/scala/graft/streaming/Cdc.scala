@@ -77,6 +77,75 @@ object Cdc {
       .start()
   }
 
+  /** SUBSCRIBE to a Versioned table's change feed as a Structured
+    * Streaming query (CDC OUT, the streaming face of
+    * [[graft.sources.Versioned.changes]]). Spark's own FileStreamSource
+    * tails the COMMIT LOG — the `.json` manifests under `_commits` are
+    * immutable files published atomically, so they are a perfect file stream:
+    * offsets, replay and exactly-once file discovery are owned by the
+    * checkpoint, no custom source needed. Per micro-batch, the newly
+    * discovered versions are processed IN ORDER: each version's feed is
+    * computed from its own manifest delta (touched dirs only) and handed
+    * to `apply(feed, version)`.
+    *
+    * Bootstrap semantics: starting a fresh subscription on an existing
+    * table delivers its retained history from the oldest version forward
+    * — the oldest retained version arrives as a full `insert`-image
+    * snapshot when its parent manifest was vacuumed away (the honest
+    * initial load), and every later version as its per-commit feed.
+    *
+    * Delivery is at-least-once per version (a crash between `apply` and
+    * the checkpoint commit redelivers the batch): consumers fence on the
+    * version number — [[graft.operators.Lakehouse.refreshMvFromFeed]]'s
+    * manifest-cursor pattern, or any transactional sink keyed on
+    * `_commit_version`.
+    */
+  def followChanges(spark: org.apache.spark.sql.SparkSession,
+                    tableDir: String, checkpointDir: String, key: String,
+                    valueCols: Seq[String] = Seq.empty)(
+                    apply: (DataFrame, Int) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    val schema = new StructType().add("version", IntegerType)
+    spark.readStream.schema(schema).json(s"$tableDir/_commits")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // a batch is a handful of O(100-byte) manifests — the collect is
+        // metadata, never data
+        val vs = b.select("version").collect().map(_.getInt(0)).sorted
+        val retained = Versioned.versions(spark, tableDir).toSet
+        vs.foreach { v =>
+          val feed =
+            if (retained.contains(v - 1) || v == 1)
+              Versioned.changes(spark, tableDir, v - 1, v, key, valueCols)
+            else if (retained.contains(v) && batchId == 0L)
+              // parent vacuumed AT BOOTSTRAP (batch 0 is the initial
+              // file-discovery batch): this is the subscription's oldest
+              // retained version — deliver it as a full snapshot of
+              // insert images (the honest initial load)
+              Versioned.read(spark, tableDir, Some(v))
+                .withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_version", lit(v))
+            else if (retained.contains(v))
+              // parent vacuumed MID-SUBSCRIPTION: retention was cut
+              // below the consumer's lag — delivering a snapshot here
+              // would double-apply everything the consumer already has.
+              // Fail loudly, the Delta CDF rule: widen retention or
+              // re-bootstrap the subscription.
+              throw new IllegalStateException(
+                s"change-feed subscription on $tableDir lost version " +
+                  s"${v - 1} to vacuum while lagging — widen vacuum " +
+                  "retention past the consumer's lag, or re-bootstrap " +
+                  "with a fresh checkpoint")
+            else null // version AND parent vacuumed in the bootstrap
+                      // backlog: history before the retention window —
+                      // nothing to deliver
+          if (feed != null) apply(feed, v)
+        }
+      }
+      .start()
+  }
+
   /** Max distinct batch keys collected driver-side for FILE-level footer
     * pruning — bounded like Delta's touched-file planning. Batches with
     * more distinct keys fall back to bucket-level replace (at that

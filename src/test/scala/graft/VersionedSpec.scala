@@ -759,6 +759,64 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.versions(spark, mv) == Seq(1, 2))
   }
 
+  test("a streaming subscription follows the commit log and replays safely") {
+    import spark.implicits._
+    val src = tmp("fol")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    Cdc.applyBatch(batch((0L until 8L).map(k => (k, "U", s"v$k", 1L)): _*),
+      src, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 2)
+    val got = scala.collection.mutable.Map[Int, Set[(Long, String, String)]]()
+    def sub(ckpt: String) = Cdc.followChanges(spark, src, ckpt, "k",
+      Seq("v")) { (feed, v) =>
+      got(v) = feed.select("k", "v", "_change_type")
+        .as[(Long, String, String)].collect().toSet
+    }
+    val ckpt = tmp("fol_ck")
+    val q = sub(ckpt)
+    try {
+      q.processAllAvailable()
+      // bootstrap: v1 arrives as its own feed (parent = table birth)
+      assert(got.keySet == Set(1))
+      assert(got(1).forall(_._3 == "insert") && got(1).size == 8)
+      // live commits stream through in order, per-commit feeds
+      Cdc.applyBatch(batch((3L, "U", "v3b", 2L)), src, "k", Seq("v"), "seq",
+        epochId = Some(1L), appId = Some("a"), nBuckets = 2)
+      Cdc.applyBatch(batch((5L, "D", "", 3L)), src, "k", Seq("v"), "seq",
+        epochId = Some(2L), appId = Some("a"), nBuckets = 2)
+      q.processAllAvailable()
+      assert(got.keySet == Set(1, 2, 3))
+      assert(got(2) == Set((3L, "v3", "update_preimage"),
+        (3L, "v3b", "update_postimage")))
+      assert(got(3) == Set((5L, "v5", "delete")))
+    } finally q.stop()
+    // restart on the SAME checkpoint: nothing redelivers…
+    got.clear()
+    val q2 = sub(ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(got.isEmpty, s"restart redelivered: ${got.keySet}")
+      // …and a commit after the restart arrives exactly once
+      Cdc.applyBatch(batch((9L, "U", "v9", 4L)), src, "k", Seq("v"), "seq",
+        epochId = Some(3L), appId = Some("a"), nBuckets = 2)
+      q2.processAllAvailable()
+      assert(got.keySet == Set(4))
+      assert(got(4) == Set((9L, "v9", "insert")))
+    } finally q2.stop()
+    // bootstrap on a VACUUMED table (fresh checkpoint): the oldest
+    // retained version arrives as a full insert-image snapshot
+    Versioned.vacuum(spark, src, keepVersions = 1, graceMs = 0L)
+    got.clear()
+    val q3 = sub(tmp("fol_ck3"))
+    try {
+      q3.processAllAvailable()
+      assert(got.keySet == Set(4), s"got ${got.keySet}")
+      assert(got(4).forall(_._3 == "insert") && got(4).size == 8,
+        s"vacuumed-table bootstrap should be the full v4 snapshot: ${got(4)}")
+    } finally q3.stop()
+  }
+
   test("streaming CDC apply commits one merged version per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
