@@ -390,24 +390,31 @@ object Dedup {
     * never a second corpus-wide chunk-df aggregate. Stamp-keyed like
     * every cached corpus table.
     */
-  def corpusDupChunks(s: SparkSession, dir: String): DataFrame = {
-    def counts(d: DataFrame) = d
+  /** (ck, df) — distinct-doc counts per content chunk hash: the FIFTH
+    * additive standing count family (§2d.34d's probe set), maintainable
+    * by the same streaming machinery as the TextAnalysis four
+    * (Docs.maintainCountsIndex).
+    */
+  val ChunkDfFamily: TextAnalysis.CountFamily = TextAnalysis.CountFamily(
+    "chunkdf", Seq("ck"), Seq("df"), d => d
       .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, CAST((size(t) - 1) div $ChunkWidth AS INT)), i -> array_join(slice(t, i * $ChunkWidth + 1, $ChunkWidth), ' '))"))
         .as("chunk"))
       .groupBy(md5s(col("chunk")).as("ck"))
-      .agg(countDistinct("doc_id").as("df"))
+      .agg(countDistinct("doc_id").as("df")))
+
+  def corpusDupChunks(s: SparkSession, dir: String): DataFrame = {
     // the stored table keeps (ck, df) for EVERY chunk hash, not just the
     // duplicated ones: per-file doc-distinct counts add across disjoint
     // appends (doc_ids are corpus-unique), so append-refresh is one
     // counts-merge over the chunk vocabulary — a chunk first seen in an
     // old file and repeated only in a new one still crosses df ≥ 2. The
-    // ≥ 2 filter moves to read time (parquet-pushed on df).
-    cachedCorpusTable(s, dir, "chunkdf", s"$ChunkWidth|all",
-      incr = (old, newDocs) => old.unionByName(counts(newDocs))
-        .groupBy("ck").agg(sum(col("df")).as("df")))(
-      counts(docs(s, dir)))
+    // ≥ 2 filter moves to read time (parquet-pushed on nd).
+    val fam = ChunkDfFamily
+    cachedCorpusTable(s, dir, fam.name, s"$ChunkWidth|all",
+      incr = (old, newDocs) => fam.merge(old.unionByName(fam.counts(newDocs))))(
+      fam.counts(docs(s, dir)))
       .filter(col("df") >= 2).select("ck")
   }
 

@@ -670,7 +670,7 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(sigsAfter.size == sigsBefore.size + 1)
   }
 
-  test("streamed count-family maintenance equals the cold build for all four families") {
+  test("streamed count-family maintenance equals the cold build for all five families") {
     import graft.operators.TextAnalysis
     import graft.streaming.Docs
     import graft.streaming.Docs.Doc
@@ -682,7 +682,8 @@ class StreamBatchParitySpec extends AnyFunSuite {
     val chunks = feed.grouped(math.max(feed.size / 3, 1)).toSeq
 
     for (fam <- Seq(TextAnalysis.DupGramFamily, TextAnalysis.UnigramFamily,
-        TextAnalysis.BigramFamily, TextAnalysis.DsirFamily)) {
+        TextAnalysis.BigramFamily, TextAnalysis.DsirFamily,
+        graft.operators.Dedup.ChunkDfFamily)) {
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_cnt_${fam.name}").toString
       val ckptDir = java.nio.file.Files
