@@ -35,7 +35,8 @@ object Cli {
 
   val CommandNames: Seq[String] =
     Seq("load", "flush", "clear", "inspect", "estimate", "dumpsql", "dumpjson",
-      "dumporc", "models", "snapshot", "vacuum", "check", "purgecache", "index")
+      "dumporc", "models", "snapshot", "changes", "vacuum", "check",
+      "purgecache", "index")
 
   final case class Options(
       configPath: String = "graft.yml",
@@ -406,6 +407,38 @@ object Cli {
             }
           log(s"vacuum (keep 3): ${rows.mkString(", ")} data dirs dropped")
         }
+      case "changes" =>
+        // CDF inspection over the versioned destination tables: the
+        // row-level change feed of the LATEST commit per table
+        // (Versioned.changes — computed from the commit's manifest delta,
+        // never two full-version scans), summarized by change type. The
+        // operational answer to "what did the last snapshot actually
+        // change". Tables with composite PKs point at the API (the feed
+        // keys on one column).
+        val root = Paths.get(s"${cfg.destDir}/versioned")
+        if (!Files.isDirectory(root)) log("changes: no versioned tables")
+        else listDir(root).filter(Files.isDirectory(_))
+          .sortBy(_.getFileName.toString).foreach { p =>
+            val table = p.getFileName.toString
+            val vs = graft.sources.Versioned.versions(spark, p.toString)
+            val pk = graph.tables.get(table).map(_.pk).getOrElse(Nil)
+            if (vs.size < 2)
+              log(s"changes $table: v${vs.lastOption.getOrElse(0)} " +
+                "(no prior version)")
+            else if (pk.size != 1)
+              log(s"changes $table: composite/absent PK " +
+                s"(${pk.mkString(",")}) — use Versioned.changes directly")
+            else {
+              val (a, b) = (vs(vs.size - 2), vs.last)
+              val byType = graft.sources.Versioned
+                .changes(spark, p.toString, a, b, pk.head)
+                .groupBy("_change_type").count()
+                .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+                .sorted
+              log(s"changes $table v$a->v$b: " +
+                (if (byType.isEmpty) "none" else byType.mkString(", ")))
+            }
+          }
       case "check" =>
         // post-load data-quality gate over the DESTINATION: rules derive
         // from the FK graph (PK uniqueness + not-null, FK referential

@@ -119,15 +119,21 @@ object TextAnalysis {
   def countsTable(s: SparkSession, root: String,
                   fam: CountFamily): Option[DataFrame] = {
     val conf = s.sessionState.newHadoopConf()
-    def existing(p: String): Option[String] = {
+    // `visible` requires at least one non-hidden child: a maintained dir
+    // holding only crashed dot-named build attempts (invisible to the
+    // parquet read) would otherwise fail schema inference instead of
+    // falling back to the other side
+    def existing(p: String, visible: Boolean = false): Option[String] = {
       val hp = new org.apache.hadoop.fs.Path(p)
       val f = hp.getFileSystem(conf)
-      if (f.exists(hp) && f.listStatus(hp).nonEmpty) Some(p) else None
+      if (f.exists(hp) && f.listStatus(hp).exists(st => !visible ||
+          !st.getPath.getName.startsWith("."))) Some(p)
+      else None
     }
     val cols = (fam.keyCols ++ fam.sumCols).map(col)
     val base = existing(s"$root/counts")
       .map(p => s.read.parquet(p).select(cols: _*))
-    val maintained = existing(s"$root/counts_m")
+    val maintained = existing(s"$root/counts_m", visible = true)
       .map(p => s.read.parquet(p).select(cols: _*))
     (base, maintained) match {
       case (Some(a), Some(b)) => Some(fam.merge(a.unionByName(b)))

@@ -551,9 +551,23 @@ object Docs {
           val fs = target.getFileSystem(conf)
           val marker = new org.apache.hadoop.fs.Path(target, "_ids/_SUCCESS")
           if (!fs.exists(marker)) {
-            val idsGlob = new org.apache.hadoop.fs.Path(s"$mRoot/*/_ids")
-            val seen = Option(fs.globStatus(idsGlob)).filter(_.nonEmpty)
-              .map(_ => s.read.parquet(s"$mRoot/*/_ids")
+            // the fence reads the _ids of PUBLISHED batch dirs only,
+            // enumerated by their `batch=` names — NOT a `*/_ids` glob:
+            // Hadoop globs match dot-named entries, so a glob would also
+            // read a crashed prior attempt's unpublished `.build_*` temp
+            // (whose counts never landed), fence this batch's docs out,
+            // and silently lose their counts forever
+            val mRootPath = new org.apache.hadoop.fs.Path(mRoot)
+            val idPaths =
+              if (!fs.exists(mRootPath)) Seq.empty
+              else fs.listStatus(mRootPath).toSeq
+                .filter(st => st.isDirectory &&
+                  st.getPath.getName.startsWith("batch="))
+                .map(st => new org.apache.hadoop.fs.Path(st.getPath, "_ids"))
+                .filter(fs.exists(_)).map(_.toString)
+            val seen =
+              if (idPaths.isEmpty) None
+              else Some(s.read.parquet(idPaths: _*)
                 .select("doc_id").distinct())
             val fresh = seen
               .map(ids => batch0.join(ids, Seq("doc_id"), "left_anti"))

@@ -240,6 +240,13 @@ class CliSpec extends AnyFunSuite {
     assert(outV.head.startsWith("vacuum (keep 3): ") &&
       outV.head.contains("region:1"), s"got $outV")
     assert(graft.sources.Versioned.versions(spark, dir) == Seq(2, 3, 4))
+    // the changes command reads the latest commit's feed: two identical
+    // snapshots are a full physical rewrite but NO logical change — the
+    // feed must suppress every carried-identical row
+    val outC = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "changes")))
+    assert(outC.contains("changes region v3->v4: none"), s"got $outC")
+    assert(outC.forall(_.endsWith(": none")), s"got $outC")
   }
 
   test("check derives PK/FK rules from the graph and passes on a clean load") {

@@ -741,6 +741,40 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("a crashed unpublished count attempt never fences its docs out") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // a dead lineage crashed AFTER writing its dot-named temp (counts +
+    // _ids) but BEFORE the atomic publish: its _ids name this batch's
+    // docs, but their counts never landed — the fence must NOT believe
+    // them (a `*/_ids` glob would: Hadoop globs match dot-named dirs)
+    val fam = TextAnalysis.UnigramFamily
+    val d = Seq(
+      Doc(1L, "alpha beta gamma", "en", "web", 16L),
+      Doc(2L, "delta epsilon zeta", "en", "web", 18L))
+    val corpus = d.toDF()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cnt_crash").toString
+    fam.counts(corpus).write.parquet(s"$root/counts_m/.build_dead_x")
+    corpus.select("doc_id").write
+      .parquet(s"$root/counts_m/.build_dead_x/_ids")
+
+    val input = MemoryStream[Doc]
+    val q = Docs.maintainCountsIndex(input.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_cnt_crash_ck").toString,
+      fam)
+    try { input.addData(d); q.processAllAvailable() } finally q.stop()
+    val got = TextAnalysis.countsTable(spark, root, fam).get
+      .collect().map(_.toSeq).toSet
+    val cold = fam.counts(corpus).collect().map(_.toSeq).toSet
+    assert(got == cold,
+      "a crashed unpublished attempt's _ids fenced live docs out of the counts")
+  }
+
   test("a seeded counts root maintains on top of its static base; twins read it live") {
     import graft.operators.TextAnalysis
     import graft.streaming.Docs
