@@ -152,6 +152,46 @@ object TextAnalysis {
     graft.sources.Export.flush(
       fam.counts(Tables.spread(docs(s, dir))), s"$root/counts")
 
+  /** Compact a maintained count-family root into a FRESH root: the merged
+    * counts become the new static base and every published batch's `_ids`
+    * fold into one compact batch partition (zero count rows, full fence),
+    * so a maintainer pointed at the new root keeps exactly-once semantics
+    * against re-fed old docs. A fresh root — never an in-place rewrite —
+    * is the repo's immutable-dir rule: an incomplete `newRoot` is simply
+    * unused (crash-safe by construction), readers switch by path flip,
+    * and the old root stays intact until the operator retires it. Run
+    * with the old root's maintainer STOPPED (a batch landing after the
+    * merge read would be left behind).
+    */
+  def compactCountsIndex(s: SparkSession, root: String, newRoot: String,
+                         fam: CountFamily): Unit = {
+    val merged = countsTable(s, root, fam).getOrElse(
+      throw new IllegalStateException(s"no counts to compact at $root"))
+    graft.sources.Export.flush(merged, s"$newRoot/counts")
+    val conf = s.sessionState.newHadoopConf()
+    val mRootPath = new org.apache.hadoop.fs.Path(s"$root/counts_m")
+    val fs = mRootPath.getFileSystem(conf)
+    val idPaths =
+      if (!fs.exists(mRootPath)) Seq.empty
+      else fs.listStatus(mRootPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(st => new org.apache.hadoop.fs.Path(st.getPath, "_ids"))
+        .filter(fs.exists(_)).map(_.toString)
+    if (idPaths.nonEmpty) {
+      val newM = s"$newRoot/counts_m"
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = s"$newM/.build_compact_$token"
+      merged.limit(0).write.parquet(tmp)
+      s.read.parquet(idPaths: _*).select("doc_id").distinct()
+        .write.parquet(s"$tmp/_ids")
+      val tfs = new org.apache.hadoop.fs.Path(newM).getFileSystem(conf)
+      graft.operators.Dedup.publishIndexDir(tfs,
+        new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$newM/batch=compact_$token"),
+        marker = "_ids/_SUCCESS"): Unit
+    }
+  }
+
   /** Standing DSIR feature table (b, cr, ct) — per-bucket raw-corpus and
     * target-slice token counts over the hashed 4096-wide feature space.
     * Both counts are per-file additive (pure token occurrence sums), so a

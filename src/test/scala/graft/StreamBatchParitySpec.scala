@@ -741,6 +741,42 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("counts compaction folds into a fresh root and keeps the fence") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val fam = TextAnalysis.UnigramFamily
+    def doc(id: Long, text: String) = Doc(id, text, "en", "web", text.length.toLong)
+    val old = Seq(doc(1L, "alpha beta gamma"), doc(2L, "beta gamma delta"),
+      doc(3L, "gamma delta epsilon"))
+    val root1 = java.nio.file.Files.createTempDirectory("graft_cmp1").toString
+    val in1 = MemoryStream[Doc]
+    val q1 = Docs.maintainCountsIndex(in1.toDF(), root1,
+      java.nio.file.Files.createTempDirectory("graft_cmp_ck1").toString, fam)
+    try {
+      old.grouped(2).foreach { c => in1.addData(c); q1.processAllAvailable() }
+    } finally q1.stop()
+
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cmp2").toString
+    TextAnalysis.compactCountsIndex(spark, root1, root2, fam)
+    def tbl(r: String) = TextAnalysis.countsTable(spark, r, fam).get
+      .collect().map(_.toSeq).toSet
+    assert(tbl(root2) == tbl(root1), "compaction changed the merged counts")
+    // maintain ON the compacted root: a re-feed of every old doc plus one
+    // genuinely new doc — the folded fence must drop the old, count the new
+    val extra = doc(9L, "zeta eta theta")
+    val in2 = MemoryStream[Doc]
+    val q2 = Docs.maintainCountsIndex(in2.toDF(), root2,
+      java.nio.file.Files.createTempDirectory("graft_cmp_ck2").toString, fam)
+    try { in2.addData(old :+ extra); q2.processAllAvailable() } finally q2.stop()
+    val want = fam.counts((old :+ extra).toDF()).collect().map(_.toSeq).toSet
+    assert(tbl(root2) == want,
+      "compacted root lost the fence (double-count) or the new doc")
+  }
+
   test("a crashed unpublished count attempt never fences its docs out") {
     import graft.operators.TextAnalysis
     import graft.streaming.Docs
