@@ -629,16 +629,25 @@ object Dedup {
       s"(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), ${d + 1}, 1)) - 1) * ${math.pow(16, 3 - d).toInt}"
     }.mkString(" + ")
 
+  /** (doc_id, sig) — per-doc 64-bit SimHash signatures as a ROW family
+    * (empty sumCols: merge = doc-distinct union), so the same streaming
+    * maintainer that keeps the count families current covers SimHash
+    * (Docs.maintainCountsIndex + TextAnalysis.countsTable).
+    */
+  val SimhashFamily: TextAnalysis.CountFamily = TextAnalysis.CountFamily(
+    "simhash", Seq("doc_id", "sig"), Seq.empty,
+    d => simhashSigs(d).withColumnRenamed("simhash", "sig"))
+
   /** The SimHash twin of [[corpusSigs]]: the persisted 64-bit signature
     * table both simhash queries probe (column renamed to `sig`, the index
     * side's name).
     */
   def corpusSimhashSigs(s: SparkSession, dir: String): DataFrame = {
-    def sigs(d: DataFrame) = simhashSigs(d).withColumnRenamed("simhash", "sig")
     // per-doc rows: append-refresh unions the new files' signatures
-    cachedCorpusTable(s, dir, "simhash", s"$SimhashBits",
-      incr = (old, newDocs) => old.unionByName(sigs(newDocs)))(
-      sigs(Tables.load(s, dir, "documents")))
+    val fam = SimhashFamily
+    cachedCorpusTable(s, dir, fam.name, s"$SimhashBits",
+      incr = (old, newDocs) => fam.merge(old.unionByName(fam.counts(newDocs))))(
+      fam.counts(Tables.load(s, dir, "documents")))
   }
 
   /** Build-once/probe-many materialization of a deterministic corpus

@@ -67,9 +67,14 @@ object TextAnalysis {
   final case class CountFamily(name: String, keyCols: Seq[String],
                                sumCols: Seq[String],
                                counts: DataFrame => DataFrame) {
-    /** The additive merge: fold any union of per-batch count frames. */
+    /** The additive merge: fold any union of per-batch count frames.
+      * An EMPTY `sumCols` declares a per-doc ROW family (e.g. SimHash
+      * signatures): batches are doc-disjoint by the maintainer's fence,
+      * so the merge is a key-distinct union — nothing to sum.
+      */
     def merge(parts: DataFrame): DataFrame =
-      parts.groupBy(keyCols.map(col): _*)
+      if (sumCols.isEmpty) parts.dropDuplicates(keyCols)
+      else parts.groupBy(keyCols.map(col): _*)
         .agg(sum(col(sumCols.head)).as(sumCols.head),
           sumCols.tail.map(c => sum(col(c)).as(c)): _*)
   }

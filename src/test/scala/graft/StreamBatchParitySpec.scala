@@ -670,7 +670,7 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(sigsAfter.size == sigsBefore.size + 1)
   }
 
-  test("streamed count-family maintenance equals the cold build for all five families") {
+  test("streamed count-family maintenance equals the cold build for all six families") {
     import graft.operators.TextAnalysis
     import graft.streaming.Docs
     import graft.streaming.Docs.Doc
@@ -683,7 +683,8 @@ class StreamBatchParitySpec extends AnyFunSuite {
 
     for (fam <- Seq(TextAnalysis.DupGramFamily, TextAnalysis.UnigramFamily,
         TextAnalysis.BigramFamily, TextAnalysis.DsirFamily,
-        graft.operators.Dedup.ChunkDfFamily)) {
+        graft.operators.Dedup.ChunkDfFamily,
+        graft.operators.Dedup.SimhashFamily)) {
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_cnt_${fam.name}").toString
       val ckptDir = java.nio.file.Files
