@@ -294,6 +294,33 @@ object Docs {
     scoredSink(docs, outPath, checkpointDir)(tokenDriftBatch(_, pc, pcTot))
   }
 
+  /** One micro-batch of streaming SimHash near-dup: the batch's 64-bit
+    * signatures (computed with batch semantics — the 64 vote sums need a
+    * groupBy) equi-join the standing signature table on EXACT signature
+    * equality, the q_dedup_simhash bucket rule. Emits one row per
+    * (arriving doc, indexed doc) collision.
+    */
+  def simhashBatch(batch: DataFrame, sigs: DataFrame): DataFrame =
+    graft.operators.Dedup.simhashSigs(batch.select("doc_id", "text"))
+      .withColumnRenamed("simhash", "sig")
+      .join(sigs.select(col("doc_id").as("old_id"), col("sig")), Seq("sig"))
+      .filter(col("doc_id") =!= col("old_id"))
+      .select(col("doc_id"), col("old_id"), col("sig"))
+
+  /** Streaming SimHash near-dup — arriving documents checked against the
+    * STANDING signature table (`Dedup.corpusSimhashSigs`, frozen at sink
+    * construction — or the LIVE maintained view,
+    * `TextAnalysis.countsTable(root, Dedup.SimhashFamily)`, kept current
+    * by `maintainCountsIndex`). Same foreachBatch join-sink shape as the
+    * other scored twins (per-doc signatures need batch semantics;
+    * batchId-keyed output, idempotent replay); the stream side never
+    * holds state.
+    */
+  def simhashSink(docs: DataFrame, sigs: DataFrame,
+                  outPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scoredSink(docs, outPath, checkpointDir)(simhashBatch(_, sigs))
+
   /** Shared foreachBatch wiring for the per-batch document scorers:
     * transform each micro-batch with `score`, overwrite
     * `outPath/batch=<batchId>` (idempotent under replay — Structured

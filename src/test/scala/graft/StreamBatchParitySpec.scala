@@ -241,6 +241,41 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash near-dup equals the standing table's self-join") {
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .orderBy("doc_id").as[Doc].collect().toSeq
+    val sigs = graft.operators.Dedup.corpusSimhashSigs(spark, TestSpark.sf)
+
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sh_out").toString
+    val input = MemoryStream[Doc]
+    val q = Docs.simhashSink(input.toDF(), sigs, out,
+      java.nio.file.Files.createTempDirectory("graft_sh_ckpt").toString)
+    try {
+      docs.grouped(math.max(docs.size / 3, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // replaying the corpus against its own standing table must emit
+      // exactly the table's non-self collision pairs, directed new→old
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "old_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = sigs.alias("a")
+        .join(sigs.alias("b"), col("a.sig") === col("b.sig") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == expected, s"stream=$streamed expected=$expected")
+      assert(streamed.nonEmpty, "corpus should contain simhash collisions")
+    } finally q.stop()
+  }
+
   test("streaming token-drift monitor: corpus replay is zero, alien batch alarms") {
     import graft.streaming.Docs
     import graft.streaming.Docs.Doc
