@@ -321,6 +321,23 @@ object Docs {
       : org.apache.spark.sql.streaming.StreamingQuery =
     scoredSink(docs, outPath, checkpointDir)(simhashBatch(_, sigs))
 
+  /** Public face of [[scoredSink]] for LIVE-probe composition: the named
+    * sinks above capture a probe DataFrame whose parquet FILE LISTING is
+    * frozen at plan construction — correct for a standing table frozen
+    * at index time, but blind to rows a concurrent maintainer
+    * ([[maintainCountsIndex]], [[maintainMinhashIndex]]) publishes while
+    * the sink runs. A caller whose `score` closure REBUILDS its probe
+    * inside the call (e.g. `b => simhashBatch(b,
+    * TextAnalysis.countsTable(s, root, fam).get)`) gets a fresh file
+    * listing every micro-batch, so each batch scores against everything
+    * maintained so far — the maintainer+scorer pair becomes a live
+    * pipeline with no restart.
+    */
+  def scoreEachBatch(docs: DataFrame, outPath: String,
+                     checkpointDir: String)(score: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scoredSink(docs, outPath, checkpointDir)(score)
+
   /** Shared foreachBatch wiring for the per-batch document scorers:
     * transform each micro-batch with `score`, overwrite
     * `outPath/batch=<batchId>` (idempotent under replay — Structured

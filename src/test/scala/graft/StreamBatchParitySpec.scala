@@ -276,6 +276,53 @@ class StreamBatchParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a live scorer follows a maintained table as it grows — no restart") {
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import org.apache.spark.sql.functions.{col => c}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def doc(id: Long, text: String) = Doc(id, text, "en", "web", text.length.toLong)
+    val a = doc(1L, "the quick brown fox jumps over the lazy dog")
+    val b = doc(2L, "entirely different words live in this one here")
+    val root = java.nio.file.Files.createTempDirectory("graft_live").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_live_out").toString
+
+    // stream 1 MAINTAINS the simhash family; stream 2 SCORES live — its
+    // probe re-resolves countsTable per micro-batch, so rows the
+    // maintainer published after the scorer started are still seen
+    val in1 = MemoryStream[Doc]
+    val maintain = Docs.maintainCountsIndex(in1.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_live_ck1").toString,
+      Dedup.SimhashFamily)
+    val in2 = MemoryStream[Doc]
+    val live = Docs.scoreEachBatch(in2.toDF(), out,
+      java.nio.file.Files.createTempDirectory("graft_live_ck2").toString) {
+      batch =>
+        val sigs = TextAnalysis
+          .countsTable(batch.sparkSession, root, Dedup.SimhashFamily)
+          .getOrElse(batch.sparkSession.range(0)
+            .select(c("id").as("doc_id"), c("id").as("sig")))
+        Docs.simhashBatch(batch, sigs)
+    }
+    try {
+      // scorer starts FIRST, on an empty table: nothing to match
+      in2.addData(Seq(doc(10L, "the quick brown fox jumps over the lazy dog")))
+      live.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 0)
+      // the maintainer indexes doc a AFTER the scorer started…
+      in1.addData(Seq(a, b)); maintain.processAllAvailable()
+      // …and a byte-copy arriving NOW matches it — the probe re-resolved
+      in2.addData(Seq(doc(11L, a.text)))
+      live.processAllAvailable()
+      val hits = spark.read.parquet(out).select("doc_id", "old_id")
+        .as[(Long, Long)].collect().toSet
+      assert(hits == Set((11L, 1L)), s"got $hits")
+    } finally { maintain.stop(); live.stop() }
+  }
+
   test("streaming token-drift monitor: corpus replay is zero, alien batch alarms") {
     import graft.streaming.Docs
     import graft.streaming.Docs.Doc
