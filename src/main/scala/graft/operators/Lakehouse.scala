@@ -188,6 +188,13 @@ object Lakehouse {
     * from one full aggregate of the source. Single refresher per MV
     * (concurrent refreshers produce duplicate — identical — versions).
     * Returns the source version now reflected.
+    *
+    * Scope: count/sum algebras only — they are SUBTRACTABLE, so delete
+    * and update pre-images fold as negative contributions. min/max (the
+    * q_mv_incremental partials) are not: a delete of the current group
+    * minimum needs a group rescan no feed can avoid — maintain those by
+    * partial-state merge over append-only sources (§2f.56), or rescan
+    * the touched groups.
     */
   def refreshMvFromFeed(s: SparkSession, srcDir: String, mvDir: String,
                         key: String, groupCol: String,
