@@ -961,45 +961,52 @@ object Dedup {
               o.files.subsetOf(current) && o.mtime <= cutoff)
         }.map { i => fs.delete(i.path, true); i.path.toString }
       }
-    }.sorted ++ {
-      // crashed builders leak full-size ".build_*" temp dirs (a driver
-      // killed between flush and publish — routine with spot instances);
-      // nothing else ever touches dot-named dirs, so sweep the ones past
-      // the grace here. Unlike published dirs, an IN-FLIGHT build may be
-      // writing right now and grace=0 callers (tests, single-process
-      // CLI) cannot know about OTHER corpora's builders sharing the
-      // root — so the sweep keeps a one-hour floor regardless of grace,
-      // measured as IDLENESS: the top dir's mtime freezes at job start
-      // while Spark writes into the nested _temporary subtree, so a
-      // long-running legitimate build would look hours old by top mtime
-      // alone. A dir is swept only when its entire SUBTREE has gone
-      // quiet past the floor (recursive max-mtime — bounded: only
-      // top-mtime-stale candidates pay the listing, and crashed trees
-      // stop changing, so repeated vacuums converge on the same answer).
-      val buildCutoff = System.currentTimeMillis() -
-        math.max(math.max(0L, graceMs), 3600L * 1000)
-      // seeded from the PARENT's listing entry and guarded throughout:
-      // the walked tree belongs to a possibly-LIVE job (or a concurrent
-      // vacuum's victim) and may vanish mid-walk — a vanished subtree
-      // reads as "no younger writes there", never as a sweep abort
-      def newestMtime(st0: org.apache.hadoop.fs.FileStatus): Long = {
-        val kids = try fs.listStatus(st0.getPath) catch {
-          case _: java.io.FileNotFoundException => Array.empty[
-            org.apache.hadoop.fs.FileStatus]
-        }
-        kids.foldLeft(st0.getModificationTime) { (m, st) =>
-          math.max(m, if (st.isDirectory) newestMtime(st)
-            else st.getModificationTime)
-        }
+    }.sorted ++ sweepBuildTemps(fs, idxRoot, graceMs)
+  }
+
+  /** Sweep crashed builders' dot-named `.build_*` temp dirs under `root`
+    * (a driver killed between flush and publish — routine with spot
+    * instances); nothing else ever touches dot-named dirs. Unlike
+    * published dirs, an IN-FLIGHT build may be writing right now and
+    * grace=0 callers (tests, single-process CLI) cannot know about OTHER
+    * builders sharing the root — so the sweep keeps a one-hour floor
+    * regardless of grace, measured as IDLENESS: the top dir's mtime
+    * freezes at job start while Spark writes into the nested _temporary
+    * subtree, so a long-running legitimate build would look hours old by
+    * top mtime alone. A dir is swept only when its entire SUBTREE has
+    * gone quiet past the floor (recursive max-mtime — bounded: only
+    * top-mtime-stale candidates pay the listing, and crashed trees stop
+    * changing, so repeated vacuums converge on the same answer). Shared
+    * by [[vacuumIndexes]] and the maintained count roots' janitor
+    * (TextAnalysis.vacuumCountsIndex).
+    */
+  private[graft] def sweepBuildTemps(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: org.apache.hadoop.fs.Path,
+                                     graceMs: Long): Seq[String] = {
+    if (!fs.exists(root)) return Seq.empty
+    val buildCutoff = System.currentTimeMillis() -
+      math.max(math.max(0L, graceMs), 3600L * 1000)
+    // seeded from the PARENT's listing entry and guarded throughout:
+    // the walked tree belongs to a possibly-LIVE job (or a concurrent
+    // vacuum's victim) and may vanish mid-walk — a vanished subtree
+    // reads as "no younger writes there", never as a sweep abort
+    def newestMtime(st0: org.apache.hadoop.fs.FileStatus): Long = {
+      val kids = try fs.listStatus(st0.getPath) catch {
+        case _: java.io.FileNotFoundException => Array.empty[
+          org.apache.hadoop.fs.FileStatus]
       }
-      fs.listStatus(idxRoot).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(".build_") &&
-          st.getModificationTime <= buildCutoff &&
-          newestMtime(st) <= buildCutoff)
-        .map { st => fs.delete(st.getPath, true); st.getPath.toString }
-        .sorted
+      kids.foldLeft(st0.getModificationTime) { (m, st) =>
+        math.max(m, if (st.isDirectory) newestMtime(st)
+          else st.getModificationTime)
+      }
     }
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".build_") &&
+        st.getModificationTime <= buildCutoff &&
+        newestMtime(st) <= buildCutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+      .sorted
   }
 
   private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,

@@ -157,6 +157,20 @@ object TextAnalysis {
     graft.sources.Export.flush(
       fam.counts(Tables.spread(docs(s, dir))), s"$root/counts")
 
+  /** Janitor for a maintained count-family root: a maintainer killed
+    * between its temp write and the atomic publish leaks a dot-named
+    * `.build_*` dir under `counts_m` (invisible to every reader and
+    * fence — see maintainCountsIndex — but full-size on disk). Sweeps
+    * the ones whose whole subtree has been idle past
+    * max(graceMs, 1 hour); returns the deleted paths.
+    */
+  def vacuumCountsIndex(s: SparkSession, root: String,
+                        graceMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/counts_m")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    graft.operators.Dedup.sweepBuildTemps(fs, p, graceMs)
+  }
+
   /** Compact a maintained count-family root into a FRESH root: the merged
     * counts become the new static base and every published batch's `_ids`
     * fold into one compact batch partition (zero count rows, full fence),

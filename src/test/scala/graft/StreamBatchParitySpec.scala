@@ -892,6 +892,26 @@ class StreamBatchParitySpec extends AnyFunSuite {
     val cold = fam.counts(corpus).collect().map(_.toSeq).toSet
     assert(got == cold,
       "a crashed unpublished attempt's _ids fenced live docs out of the counts")
+
+    // the janitor reclaims the dead temp once its subtree is idle past
+    // the floor — and never touches a fresh (possibly-live) one
+    val fs2 = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(TextAnalysis.vacuumCountsIndex(spark, root, graceMs = 0L).isEmpty,
+      "a fresh temp was swept inside the idle floor")
+    val dead = new org.apache.hadoop.fs.Path(s"$root/counts_m/.build_dead_x")
+    val old = System.currentTimeMillis() - 2L * 3600 * 1000
+    def ageTree(p: org.apache.hadoop.fs.Path): Unit = {
+      fs2.listStatus(p).foreach(st => if (st.isDirectory) ageTree(st.getPath)
+        else fs2.setTimes(st.getPath, old, old))
+      fs2.setTimes(p, old, old)
+    }
+    ageTree(dead)
+    val swept = TextAnalysis.vacuumCountsIndex(spark, root, graceMs = 0L)
+    assert(swept.exists(_.endsWith(".build_dead_x")) && !fs2.exists(dead),
+      s"idle dead temp not swept: $swept")
+    assert(TextAnalysis.countsTable(spark, root, fam).get
+      .collect().map(_.toSeq).toSet == cold, "sweep touched live data")
   }
 
   test("a seeded counts root maintains on top of its static base; twins read it live") {
