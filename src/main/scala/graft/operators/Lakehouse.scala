@@ -39,11 +39,23 @@ object Lakehouse {
     * is a window row_number the caller runs first). At scale this is ONE
     * exchange on the key for any base size; no driver round-trips, no
     * per-row writes.
+    *
+    * Base columns OUTSIDE `valueCols` are CARRIED — the Delta MERGE rule
+    * (an UPDATE SET names the columns it changes; the rest keep their
+    * base values, and inserts take null). Dropping them instead would
+    * make a bucket-granular rewrite destructive under schema evolution:
+    * a widened append's extra column would silently vanish from every
+    * bucket the next CDC batch touches.
     */
   def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
                   valueCols: Seq[String]): DataFrame = {
     require(!valueCols.contains("op") && !valueCols.contains("__in_base"),
       "'op' and '__in_base' are reserved by the merge")
+    val extraCols = base.columns.toSeq
+      .filterNot(c => c == key || valueCols.contains(c))
+    require(extraCols.intersect(changes.columns.toSeq).isEmpty,
+      s"carried base columns collide with change columns: " +
+        extraCols.intersect(changes.columns.toSeq).mkString(", "))
     val merged = base.withColumn("__in_base", lit(1))
       .join(changes, Seq(key), "full_outer")
     val kept = merged.filter(col("op").isNull || col("op") =!= "D")
@@ -51,7 +63,7 @@ object Lakehouse {
       when(col("op").isNotNull, col(s"new_$c")).otherwise(col(c)).as(c)
     }
     kept.select(
-      (col(key) +: outCols) :+
+      (col(key) +: outCols) ++ extraCols.map(col) :+
         when(col("op").isNull, lit("base"))
           .when(col("__in_base").isNotNull, lit("upd"))
           .otherwise(lit("ins")).as("src"): _*)

@@ -645,6 +645,41 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, dir).count() == 399)
   }
 
+  test("a schema-widened append survives the next CDC bucket rewrite") {
+    import spark.implicits._
+    val dir = tmp("widen")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    Cdc.applyBatch(batch((0L until 8L).map(k => (k, "U", s"v$k", 1L)): _*),
+      dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 2)
+    // widened bucketed append: rows carry an extra column w
+    Versioned.commit(Seq((100L, "x", "wide"), (101L, "y", "wider"))
+      .toDF("k", "v", "w"), dir, append = true)
+    // update a base key sharing key 100's bucket, so the rewrite reads
+    // BOTH the un-widened base file and the widened append file
+    val b100 = spark.range(1).select(pmod(xxhash64(lit(100L)), lit(2L)))
+      .first().getLong(0)
+    val victim = (0L until 8L).find { k =>
+      spark.range(1).select(pmod(xxhash64(lit(k)), lit(2L)))
+        .first().getLong(0) == b100
+    }.get
+    Cdc.applyBatch(batch((victim, "U", "vNEW", 2L)), dir, "k", Seq("v"),
+      "seq", epochId = Some(1L), appId = Some("a"), nBuckets = 2)
+    val got = Versioned.read(spark, dir)
+      .select(col("k"), col("v"), col("w"))
+      .as[(Long, String, Option[String])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // the extra column is CARRIED through the merge (Delta MERGE rule),
+    // not dropped by the bucket rewrite
+    assert(got.size == 10)
+    assert(got(100L) == ("x", Some("wide")) &&
+      got(101L) == ("y", Some("wider")),
+      s"widened rows lost their extra column: $got")
+    assert(got(victim)._1 == "vNEW" && got(victim)._2.isEmpty)
+    assert(got((victim + 1) % 8)._2.isEmpty)
+  }
+
   test("change data feed reconstructs versions and reads only commit deltas") {
     import spark.implicits._
     val dir = tmp("cdf")
