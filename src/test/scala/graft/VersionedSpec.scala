@@ -678,6 +678,39 @@ class VersionedSpec extends AnyFunSuite {
       s"widened rows lost their extra column: $got")
     assert(got(victim)._1 == "vNEW" && got(victim)._2.isEmpty)
     assert(got((victim + 1) % 8)._2.isEmpty)
+    // the change feed under schema evolution: default value columns come
+    // from the LATEST schema, pre-images from un-widened dirs null-fill w,
+    // and the widened append's rows arrive as inserts WITH w
+    val f23 = Versioned.changes(spark, dir, 2, 3, "k")
+      .select("k", "v", "w", "_change_type")
+      .as[(Long, String, Option[String], String)].collect().toSet
+    assert(f23.filter(_._4 == "update_postimage") ==
+      Set((victim, "vNEW", None, "update_postimage")), s"got $f23")
+    assert(f23.filter(_._4 == "update_preimage") ==
+      Set((victim, s"v$victim", None, "update_preimage")))
+    val f12 = Versioned.changes(spark, dir, 1, 2, "k")
+      .select("k", "v", "w", "_change_type")
+      .as[(Long, String, Option[String], String)].collect().toSet
+    assert(f12 == Set((100L, "x", Some("wide"), "insert"),
+      (101L, "y", Some("wider"), "insert")), s"got $f12")
+  }
+
+  test("a snapshot commit's feed degrades to an exact full diff") {
+    import spark.implicits._
+    val dir = tmp("snapfeed")
+    Versioned.commit((0L until 10L).map(k => (k, s"v$k")).toDF("k", "v"), dir)
+    // full snapshot: one value changed, one key dropped, one added — every
+    // dir is replaced, yet the feed must report ONLY the logical changes
+    Versioned.commit(((0L until 9L).filterNot(_ == 4L)
+      .map(k => (k, if (k == 2L) "v2b" else s"v$k")) :+ (20L, "v20"))
+      .toDF("k", "v"), dir)
+    val feed = Versioned.changes(spark, dir, 1, 2, "k")
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(feed == Set(
+      (2L, "v2", "update_preimage"), (2L, "v2b", "update_postimage"),
+      (4L, "v4", "delete"), (9L, "v9", "delete"),
+      (20L, "v20", "insert")), s"got $feed")
   }
 
   test("change data feed reconstructs versions and reads only commit deltas") {
