@@ -885,6 +885,44 @@ class VersionedSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("a retention cut below a lagging subscription fails loudly, never double-applies") {
+    import spark.implicits._
+    val src = tmp("lagf")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    Cdc.applyBatch(batch((0L until 4L).map(k => (k, "U", s"v$k", 1L)): _*),
+      src, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 2)
+    val seen = scala.collection.mutable.Set[Int]()
+    val ckpt = tmp("lagf_ck")
+    def sub() = Cdc.followChanges(spark, src, ckpt, "k", Seq("v")) {
+      (_, v) => seen += v; ()
+    }
+    val q = sub()
+    try { q.processAllAvailable(); assert(seen.toSet == Set(1)) }
+    finally q.stop()
+    // the consumer is DOWN while two commits land and retention is cut
+    // to 1 — v3's parent manifest is gone, and a snapshot on resume
+    // would re-deliver everything the consumer already has. The
+    // resumed subscription (same checkpoint — NOT bootstrap batch 0)
+    // must die loudly instead.
+    Cdc.applyBatch(batch((1L, "U", "v1b", 2L)), src, "k", Seq("v"),
+      "seq", epochId = Some(1L), appId = Some("a"), nBuckets = 2)
+    Cdc.applyBatch(batch((2L, "U", "v2b", 3L)), src, "k", Seq("v"),
+      "seq", epochId = Some(2L), appId = Some("a"), nBuckets = 2)
+    Versioned.vacuum(spark, src, keepVersions = 1, graceMs = 0L)
+    val q2 = sub()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .take(8).exists(t => String.valueOf(t.getMessage)
+          .contains("re-bootstrap")), s"got ${e.getMessage}")
+      assert(!seen.contains(3), "a post-cut version was applied anyway")
+    } finally q2.stop()
+  }
+
   test("streaming CDC apply commits one merged version per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
