@@ -493,12 +493,19 @@ object Cli {
           "winnow_postings" -> (() => Dedup.corpusWinnowPostings(spark, srcDir).count()),
           "keepers" -> (() => Dedup.corpusKeepers(spark, srcDir).count()),
           "truth_pairs" -> (() => Dedup.corpusTruthPairs(spark, srcDir).count()),
+          "truth_sampled" -> (() => Dedup.sampledTruthPairs(spark, srcDir).count()),
           "dup_chunks" -> (() => Dedup.corpusDupChunks(spark, srcDir).count()),
           "substr_postings" -> (() => Dedup.corpusSubstrPostings(spark, srcDir).count()),
           "rare_grams" -> (() => Dedup.corpusRareGramPostings(spark, srcDir).count()),
           "dup_grams" -> (() => TextAnalysis.corpusDupGrams(spark, srcDir).count()),
           "bigram_model" -> (() => TextAnalysis.corpusBigramModel(spark, srcDir).count()),
           "unigrams" -> (() => TextAnalysis.corpusUnigramCounts(spark, srcDir).count()),
+          "dsir_features" -> (() =>
+            TextAnalysis.corpusDsirFeatures(spark, srcDir).count()),
+          "embed_buckets" -> (() =>
+            Similarity.corpusEmbedBuckets(spark, srcDir).count()),
+          "embed_pairs" -> (() =>
+            Similarity.corpusEmbedPairs(spark, srcDir).count()),
           "minhash_incr" -> (() =>
             Dedup.buildMinhashIndex(spark, srcDir, Dedup.IncrMod): Unit),
           "ivf" -> (() => Similarity.buildIvfIndex(spark, srcDir): Unit),
