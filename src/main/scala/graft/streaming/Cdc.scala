@@ -106,6 +106,13 @@ object Cdc {
                     apply: (DataFrame, Int) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{IntegerType, StructType}
     val schema = new StructType().add("version", IntegerType)
+    // a subscription may legitimately start BEFORE the table's first
+    // commit (the consumer waits for the producer); FileStreamSource
+    // requires the path to exist, and commit() mkdirs the same dir, so
+    // pre-creating it is safe whichever side wins
+    val commitsDir = new org.apache.hadoop.fs.Path(s"$tableDir/_commits")
+    commitsDir.getFileSystem(spark.sessionState.newHadoopConf())
+      .mkdirs(commitsDir): Unit
     spark.readStream.schema(schema).json(s"$tableDir/_commits")
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -923,6 +923,49 @@ class VersionedSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("end to end: CDC stream in, subscription out, MV follows with no rescans") {
+    import spark.implicits._
+    import graft.operators.Lakehouse
+    implicit val sqlCtx = spark.sqlContext
+    val src = tmp("e2e"); val mv = tmp("e2e_mv")
+    // IN: a CDC stream continuously merges change rows into the table
+    val input = MemoryStream[(Long, String, Long, Long, Long)]
+    val changes = input.toDF().toDF("k", "op", "new_g", "new_amt", "seq")
+    val in = Cdc.applyChanges(changes, src, tmp("e2e_ckin"),
+      "k", Seq("g", "amt"), "seq", nBuckets = 4)
+    // OUT: the commit-log subscription TRIGGERS the MV refresh — the
+    // refresher is cursor-fenced, so at-least-once delivery is safe and
+    // each refresh reads only the feed since its cursor, never the table
+    @volatile var refreshes = 0
+    val out = Cdc.followChanges(spark, src, tmp("e2e_ckout"), "k",
+      Seq("g", "amt")) { (_, _) =>
+      Lakehouse.refreshMvFromFeed(spark, src, mv, "k", "g", "amt")
+      refreshes += 1
+    }
+    def mvState() = Versioned.read(spark, mv)
+      .as[(Long, Long, Long)].collect().toSet
+    def recompute() = Versioned.read(spark, src)
+      .groupBy("g").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum(col("amt")).as("sum_val"))
+      .as[(Long, Long, Long)].collect().toSet
+    try {
+      input.addData((0L until 12L).map(k => (k, "U", k % 3, k * 10, 1L)))
+      in.processAllAvailable(); out.processAllAvailable()
+      assert(mvState() == recompute())
+      // live updates flow through: group move + delete + insert
+      input.addData(Seq((3L, "U", 2L, 999L, 2L), (7L, "D", 0L, 0L, 2L),
+        (100L, "U", 1L, 5L, 2L)))
+      in.processAllAvailable(); out.processAllAvailable()
+      assert(mvState() == recompute())
+      assert(refreshes >= 2)
+      // the MV's cursor equals the source's latest version — nothing lags
+      assert(graft.sources.Versioned.latestEpochFor(spark, mv, s"mv:$mv")
+        .map(_.toInt).contains(
+          graft.sources.Versioned.versions(spark, src).last))
+    } finally { in.stop(); out.stop() }
+  }
+
   test("streaming CDC apply commits one merged version per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
