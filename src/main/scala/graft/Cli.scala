@@ -410,11 +410,12 @@ object Cli {
       case "changes" =>
         // CDF inspection over the versioned destination tables: the
         // row-level change feed of the LATEST commit per table
-        // (Versioned.changes — computed from the commit's manifest delta,
-        // never two full-version scans), summarized by change type. The
-        // operational answer to "what did the last snapshot actually
-        // change". Tables with composite PKs point at the API (the feed
-        // keys on one column).
+        // (Versioned.changesKeyed — computed from the commit's manifest
+        // delta, never two full-version scans), summarized by change
+        // type. The operational answer to "what did the last snapshot
+        // actually change". Composite PKs feed the multi-key form; only
+        // a table with NO declared PK points at the API (no key to merge
+        // images on).
         val root = Paths.get(s"${cfg.destDir}/versioned")
         if (!Files.isDirectory(root)) log("changes: no versioned tables")
         else listDir(root).filter(Files.isDirectory(_))
@@ -425,13 +426,13 @@ object Cli {
             if (vs.size < 2)
               log(s"changes $table: v${vs.lastOption.getOrElse(0)} " +
                 "(no prior version)")
-            else if (pk.size != 1)
-              log(s"changes $table: composite/absent PK " +
-                s"(${pk.mkString(",")}) — use Versioned.changes directly")
+            else if (pk.isEmpty)
+              log(s"changes $table: no declared PK — no key to merge " +
+                "images on; use Versioned.changesKeyed with your own key")
             else {
               val (a, b) = (vs(vs.size - 2), vs.last)
               val byType = graft.sources.Versioned
-                .changes(spark, p.toString, a, b, pk.head)
+                .changesKeyed(spark, p.toString, a, b, pk)
                 .groupBy("_change_type").count()
                 .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
                 .sorted

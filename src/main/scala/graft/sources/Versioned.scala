@@ -430,6 +430,20 @@ object Versioned {
       .map(_.getPath.toString).sorted
   }
 
+  /** Lexicographic comparison of byte arrays as UNSIGNED bytes — the
+    * ordering parquet defines for BINARY/UTF8 column statistics.
+    */
+  private[graft] def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Whether a parquet file MAY contain any of `keys` in column `key`,
     * decided from footer row-group min/max statistics ONLY — no data
     * pages are read. Conservative: a missing column, absent statistics,
@@ -460,8 +474,18 @@ object Versioned {
                       v: Int) => v >= s.getMin && v <= s.getMax
                 case (s: org.apache.parquet.column.statistics.BinaryStatistics,
                       v: String) =>
-                  v >= s.genericGetMin.toStringUsingUTF8 &&
-                    v <= s.genericGetMax.toStringUsingUTF8
+                  // Parquet string min/max are UTF-8 bytes ordered as
+                  // UNSIGNED byte sequences. Comparing decoded
+                  // java.lang.Strings instead ranks by UTF-16 code unit,
+                  // and the two orders diverge for supplementary-plane
+                  // characters (surrogates 0xD800+ sort below 0xE000+ in
+                  // UTF-16 but their UTF-8 encodings 0xF0… sort ABOVE
+                  // 0xE…) — a file CONTAINING the key could be pruned,
+                  // i.e. silent row loss. Compare in the stats' own
+                  // domain: unsigned UTF-8 bytes.
+                  val kb = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  unsignedCompare(kb, s.genericGetMin.getBytes) >= 0 &&
+                    unsignedCompare(kb, s.genericGetMax.getBytes) <= 0
                 case _ => true
               }
             }
@@ -605,8 +629,20 @@ object Versioned {
     * describing the duplicate row it created).
     */
   def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int,
-              key: String, valueCols: Seq[String] = Seq.empty): DataFrame = {
+              key: String, valueCols: Seq[String] = Seq.empty): DataFrame =
+    changesKeyed(spark, dir, fromV, toV, Seq(key), valueCols)
+
+  /** [[changes]] generalized to a COMPOSITE key: the pre/post-image merge
+    * joins on all `keys` (full-outer with using-columns, so each key
+    * column coalesces across the two sides). Row-uniqueness must hold on
+    * the key TUPLE; everything else — manifest-delta-only reads, carried
+    * dirs never opened, identical-rewrite suppression — is unchanged.
+    */
+  def changesKeyed(spark: SparkSession, dir: String, fromV: Int, toV: Int,
+                   keys: Seq[String],
+                   valueCols: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    require(keys.nonEmpty, "change feed needs at least one key column")
     val vs = versions(spark, dir)
     require(vs.contains(fromV) || fromV == 0,
       s"version $fromV not committed at $dir (vacuumed?) — widen vacuum " +
@@ -615,9 +651,9 @@ object Versioned {
     require(fromV <= toV, s"empty feed window ($fromV > $toV)")
     val vcols =
       if (valueCols.nonEmpty) valueCols
-      else read(spark, dir, Some(toV)).columns.filterNot(_ == key).toSeq
+      else read(spark, dir, Some(toV)).columns.filterNot(keys.contains).toSeq
     def emptyFeed = read(spark, dir, Some(toV))
-      .select(col(key) +: vcols.map(col): _*).limit(0)
+      .select((keys.map(col) ++ vcols.map(col)): _*).limit(0)
       .withColumn("_change_type", lit(""))
       .withColumn("_commit_version", lit(0))
     val perCommit = ((fromV + 1) to toV).flatMap { v =>
@@ -655,11 +691,11 @@ object Versioned {
         val schemaSrc = afterRaw.orElse(beforeRaw).get
         val before = withCols(beforeRaw.getOrElse(empty(schemaSrc)))
         val after = withCols(afterRaw.getOrElse(empty(schemaSrc)))
-        val a = before.select(col(key) +:
+        val a = before.select(keys.map(col) ++
           vcols.map(c => col(c).as(s"a_$c")) :+ lit(1).as("__a"): _*)
-        val b = after.select(col(key) +:
+        val b = after.select(keys.map(col) ++
           vcols.map(c => col(c).as(s"b_$c")) :+ lit(1).as("__b"): _*)
-        val j = a.join(b, Seq(key), "full_outer")
+        val j = a.join(b, keys, "full_outer")
         val changed = vcols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
           .reduce(_ || _)
         // ONE pass over the join: each joined row yields up to two images
@@ -675,9 +711,10 @@ object Versioned {
           struct(vcols.map(c => col(s"b_$c").as(c)) :+
             when(col("__a").isNull, lit("insert"))
               .otherwise(lit("update_postimage")).as("_change_type"): _*))
-        Some(j.select(col(key), explode(array(pre, post)).as("__img"))
+        Some(j.select(keys.map(col) :+
+            explode(array(pre, post)).as("__img"): _*)
           .filter(col("__img").isNotNull)
-          .select(col(key) +: vcols.map(c => col(s"__img.$c").as(c)) :+
+          .select(keys.map(col) ++ vcols.map(c => col(s"__img.$c").as(c)) :+
             col("__img._change_type").as("_change_type"): _*)
           .withColumn("_commit_version", lit(v)))
       }

@@ -100,9 +100,52 @@ object Cdc {
     * manifest-cursor pattern, or any transactional sink keyed on
     * `_commit_version`.
     */
+  /** Whether THIS subscription (identified by its checkpoint) has ever
+    * delivered a version before the given batch. Bootstrap-vs-lag is
+    * decided by this, NOT by `batchId == 0`: with `maxFilesPerTrigger`
+    * set (or an empty first poll on a not-yet-committed table) the
+    * initial backlog legitimately spans several batches, and the oldest
+    * retained version can surface in batch 1+ while still being the
+    * subscription's honest initial load. Durable across restarts: the
+    * file-source metadata log under `sources/0` records every discovered
+    * manifest with the batch that planned it, and structured streaming
+    * only plans batch N after N-1 committed — so "some entry carries a
+    * batchId below the current one" ⟺ "a prior batch delivered". A
+    * replayed batch reads entries strictly BELOW its own id, so it
+    * reaches the same bootstrap decision as its original run.
+    */
+  private val everDelivered =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[graft] def deliveredBefore(spark: org.apache.spark.sql.SparkSession,
+                                     checkpointDir: String, batchId: Long): Boolean = {
+    if (batchId == 0L) return false
+    if (Option(everDelivered.get(checkpointDir)).exists(_.booleanValue))
+      return true
+    val dir = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/0")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // each log file is "v1" + one JSON entry per discovered manifest,
+    // each entry carrying the batchId that planned it (compact files
+    // fold history but keep original batchIds) — metadata-sized reads
+    val prior = fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      st.isFile &&
+        st.getPath.getName.stripSuffix(".compact").toLongOption.isDefined && {
+          val in = fs.open(st.getPath)
+          try {
+            val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            """"batchId"\s*:\s*(\d+)""".r.findAllMatchIn(txt)
+              .exists(_.group(1).toLong < batchId)
+          } finally in.close()
+        }
+    }
+    if (prior) everDelivered.put(checkpointDir, java.lang.Boolean.TRUE): Unit
+    prior
+  }
+
   def followChanges(spark: org.apache.spark.sql.SparkSession,
                     tableDir: String, checkpointDir: String, key: String,
-                    valueCols: Seq[String] = Seq.empty)(
+                    valueCols: Seq[String] = Seq.empty,
+                    sourceOptions: Map[String, String] = Map.empty)(
                     apply: (DataFrame, Int) => Unit): StreamingQuery = {
     import org.apache.spark.sql.types.{IntegerType, StructType}
     val schema = new StructType().add("version", IntegerType)
@@ -113,7 +156,8 @@ object Cdc {
     val commitsDir = new org.apache.hadoop.fs.Path(s"$tableDir/_commits")
     commitsDir.getFileSystem(spark.sessionState.newHadoopConf())
       .mkdirs(commitsDir): Unit
-    spark.readStream.schema(schema).json(s"$tableDir/_commits")
+    spark.readStream.schema(schema).options(sourceOptions)
+      .json(s"$tableDir/_commits")
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -121,15 +165,18 @@ object Cdc {
         // metadata, never data
         val vs = b.select("version").collect().map(_.getInt(0)).sorted
         val retained = Versioned.versions(spark, tableDir).toSet
+        val bootstrap = !deliveredBefore(spark, checkpointDir, batchId)
         vs.foreach { v =>
           val feed =
             if (retained.contains(v - 1) || v == 1)
               Versioned.changes(spark, tableDir, v - 1, v, key, valueCols)
-            else if (retained.contains(v) && batchId == 0L)
-              // parent vacuumed AT BOOTSTRAP (batch 0 is the initial
-              // file-discovery batch): this is the subscription's oldest
-              // retained version — deliver it as a full snapshot of
-              // insert images (the honest initial load)
+            else if (retained.contains(v) && bootstrap)
+              // parent vacuumed AT BOOTSTRAP (nothing delivered yet on
+              // this checkpoint — which may be batch 1+ when
+              // maxFilesPerTrigger splits the initial backlog or the
+              // first poll raced an empty table): this is the
+              // subscription's oldest retained version — deliver it as a
+              // full snapshot of insert images (the honest initial load)
               Versioned.read(spark, tableDir, Some(v))
                 .withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(v))
@@ -147,7 +194,14 @@ object Cdc {
             else null // version AND parent vacuumed in the bootstrap
                       // backlog: history before the retention window —
                       // nothing to deliver
-          if (feed != null) apply(feed, v)
+          if (feed != null) {
+            apply(feed, v)
+            // later batches in THIS run must see the subscription as
+            // live even before their own metadata-log read — a vacuum
+            // racing between batches must hit the loud path, not a
+            // second "bootstrap" snapshot (= double-apply)
+            everDelivered.put(checkpointDir, java.lang.Boolean.TRUE): Unit
+          }
         }
       }
       .start()

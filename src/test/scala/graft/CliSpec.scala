@@ -249,6 +249,46 @@ class CliSpec extends AnyFunSuite {
     assert(outC.forall(_.endsWith(": none")), s"got $outC")
   }
 
+  test("changes summarizes composite-PK tables through the multi-key feed") {
+    val work = tmp()
+    val cfgPath = writeConfig(work,
+      s"""databases:
+         |  source_dir: ${TestSpark.sf}
+         |  destination_dir: $work/dest
+         |queries:
+         |  - from: lineitem
+         |    limit: 30
+         |    join_depth: 0
+         |    backref_depth: 0
+         |""".stripMargin)
+    val args = Cli.parseArgs(Seq("-c", cfgPath, "--quiet", "snapshot"))
+    Cli.run(spark, args); Cli.run(spark, args)
+    // lineitem's PK is composite — the command must key the feed on the
+    // full tuple (changesKeyed), not deflect to the API: two identical
+    // snapshots are a pure physical rewrite, so the feed suppresses all
+    val outC = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "changes")))
+    assert(outC.contains("changes lineitem v1->v2: none"), s"got $outC")
+    // and a real change shows up with its type counted: commit a v3 with
+    // one line's quantity bumped
+    val dir = s"$work/dest/versioned/lineitem"
+    val cur = graft.sources.Versioned.read(spark, dir)
+    val bumped = cur.withColumn("l_quantity",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions
+          .row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("l_orderkey", "l_linenumber", "l_partkey",
+              "l_suppkey", "l_extendedprice")) === 1,
+        org.apache.spark.sql.functions.col("l_quantity") + 1)
+        .otherwise(org.apache.spark.sql.functions.col("l_quantity")))
+    graft.sources.Versioned.commit(bumped, dir)
+    val outC2 = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "changes")))
+    assert(outC2.contains(
+      "changes lineitem v2->v3: update_postimage=1, update_preimage=1"),
+      s"got $outC2")
+  }
+
   test("check derives PK/FK rules from the graph and passes on a clean load") {
     val work = tmp()
     val cfgPath = writeConfig(work,

@@ -991,4 +991,139 @@ class VersionedSpec extends AnyFunSuite {
       assert(Versioned.versions(spark, dir) == Seq(1, 2))
     } finally q.stop()
   }
+
+  test("string footer pruning orders UTF-8 bytes, never UTF-16 code units") {
+    import spark.implicits._
+    val dir = tmp("utf8prune")
+    // U+1F600 (😀) encodes as a UTF-16 surrogate pair starting 0xD83D,
+    // which sorts BELOW U+E000 in UTF-16 — but its UTF-8 bytes F0 9F 98 80
+    // sort ABOVE U+E000's EE 80 80. A java.lang.String comparison against
+    // the footer min ("x") would call the 😀 key out-of-range and
+    // prune the file that CONTAINS it: silent row loss in a CDC apply.
+    val smiley = new String(Character.toChars(0x1F600))
+    Seq(("x", 1L), (smiley, 2L)).toDF("k", "v")
+      .coalesce(1).write.parquet(dir + "/d")
+    val conf = spark.sessionState.newHadoopConf()
+    val file = Versioned.parquetFiles(conf, dir + "/d").head
+    assert(Versioned.fileMayContain(conf, file, "k", Seq(smiley)),
+      "file containing the supplementary-plane key was pruned")
+    assert(Versioned.fileMayContain(conf, file, "k", Seq("x")))
+    // pruning still prunes: an ASCII key below the min is proven absent
+    assert(!Versioned.fileMayContain(conf, file, "k", Seq("zzz")),
+      "ASCII key below the UTF-8 min should prune")
+    // and the comparator itself: unsigned bytes, not signed
+    assert(Versioned.unsignedCompare(
+      Array(0xF0.toByte), Array(0x7A.toByte)) > 0,
+      "0xF0 must sort above 0x7A as an unsigned byte")
+  }
+
+  test("bootstrap is decided by delivery history, not batchId") {
+    val f = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def mkLog(ck: String, name: String, lines: String*): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$ck/sources/0")
+      f.mkdirs(dir)
+      val out = f.create(new org.apache.hadoop.fs.Path(dir, name))
+      out.write(("v1" +: lines).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+    def entry(b: Long) =
+      s"""{"path":"file:///x/_commits/v0000$b.json","timestamp":1,"batchId":$b}"""
+    // batch 0 is always bootstrap
+    assert(!Cdc.deliveredBefore(spark, tmp("db0"), 0L))
+    // an EMPTY committed batch 0 (subscription started before the first
+    // commit) leaves batch 1 still in bootstrap — the exact corner the
+    // batchId==0 rule got wrong
+    val ckEmpty = tmp("db_empty"); mkLog(ckEmpty, "0")
+    assert(!Cdc.deliveredBefore(spark, ckEmpty, 1L),
+      "an empty batch 0 must not end bootstrap")
+    // a prior batch that DID discover a manifest ends bootstrap
+    val ckPrior = tmp("db_prior"); mkLog(ckPrior, "0", entry(0))
+    assert(Cdc.deliveredBefore(spark, ckPrior, 1L))
+    // a replayed batch reads strictly BELOW its own id: its own entries
+    // do not count as prior delivery
+    val ckSelf = tmp("db_self"); mkLog(ckSelf, "1", entry(1))
+    assert(!Cdc.deliveredBefore(spark, ckSelf, 1L),
+      "a batch's own planned files are not prior delivery")
+    // compacted logs keep original batchIds and still count
+    val ckComp = tmp("db_comp"); mkLog(ckComp, "9.compact", entry(0), entry(9))
+    assert(Cdc.deliveredBefore(spark, ckComp, 10L))
+  }
+
+  test("a backlog split across batches still bootstraps a vacuumed table") {
+    import spark.implicits._
+    val src = tmp("mbboot")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    val got = scala.collection.mutable.Map[Int, Set[(Long, String, String)]]()
+    val ckpt = tmp("mbboot_ck")
+    def sub() = Cdc.followChanges(spark, src, ckpt, "k", Seq("v"),
+      sourceOptions = Map("maxFilesPerTrigger" -> "1")) { (feed, v) =>
+      got(v) = feed.select("k", "v", "_change_type")
+        .as[(Long, String, String)].collect().toSet
+    }
+    // the subscription opens BEFORE the table's first commit and polls an
+    // empty commit log — whatever batches that plans, nothing is delivered,
+    // so the subscription must still be in bootstrap afterwards
+    val q0 = sub()
+    try { q0.processAllAvailable(); assert(got.isEmpty) } finally q0.stop()
+    // three commits land and retention cuts to 1 while the consumer is
+    // down — the oldest retained version's parent manifest is gone
+    Cdc.applyBatch(batch((0L until 6L).map(k => (k, "U", s"v$k", 1L)): _*),
+      src, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 2)
+    Cdc.applyBatch(batch((1L, "U", "v1b", 2L)), src, "k", Seq("v"), "seq",
+      epochId = Some(1L), appId = Some("a"), nBuckets = 2)
+    Cdc.applyBatch(batch((2L, "U", "v2b", 3L)), src, "k", Seq("v"), "seq",
+      epochId = Some(2L), appId = Some("a"), nBuckets = 2)
+    Versioned.vacuum(spark, src, keepVersions = 2, graceMs = 0L)
+    // resume on the SAME checkpoint with maxFilesPerTrigger=1: the two
+    // retained manifests arrive in SEPARATE micro-batches, and the oldest
+    // (v2, parent vacuumed) may land in a batch with id > 0 — it must
+    // still take the bootstrap-snapshot path, and v3 the normal feed
+    val q = sub()
+    try {
+      q.processAllAvailable()
+      assert(got.keySet == Set(2, 3), s"got ${got.keySet}")
+      assert(got(2).forall(_._3 == "insert") && got(2).size == 6,
+        s"oldest retained version should arrive as a snapshot: ${got(2)}")
+      assert(got(3) == Set((2L, "v2", "update_preimage"),
+        (2L, "v2b", "update_postimage")))
+    } finally q.stop()
+    // …and once versions HAVE been delivered, a later retention cut on
+    // this checkpoint is still the loud path, not a second snapshot
+    Cdc.applyBatch(batch((3L, "U", "v3b", 4L)), src, "k", Seq("v"), "seq",
+      epochId = Some(3L), appId = Some("a"), nBuckets = 2)
+    Cdc.applyBatch(batch((4L, "U", "v4b", 5L)), src, "k", Seq("v"), "seq",
+      epochId = Some(4L), appId = Some("a"), nBuckets = 2)
+    Versioned.vacuum(spark, src, keepVersions = 1, graceMs = 0L)
+    val q2 = sub()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .take(8).exists(t => String.valueOf(t.getMessage)
+          .contains("re-bootstrap")), s"got ${e.getMessage}")
+    } finally q2.stop()
+  }
+
+  test("the change feed merges images on a composite key") {
+    import spark.implicits._
+    val dir = tmp("compk")
+    // two-column key (ord, ln): ord alone is NOT unique, so a single-key
+    // feed would mis-pair pre/post images across line numbers
+    Versioned.commit(Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c"))
+      .toDF("ord", "ln", "v"), dir)
+    Versioned.commit(Seq((1L, 1L, "a"), (1L, 2L, "B2"), (3L, 1L, "d"))
+      .toDF("ord", "ln", "v"), dir)
+    val feed = Versioned.changesKeyed(spark, dir, 1, 2, Seq("ord", "ln"))
+      .select("ord", "ln", "v", "_change_type")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(feed == Set(
+      (1L, 2L, "b", "update_preimage"), (1L, 2L, "B2", "update_postimage"),
+      (2L, 1L, "c", "delete"), (3L, 1L, "d", "insert")),
+      s"composite-key feed wrong: $feed")
+  }
 }
