@@ -296,11 +296,207 @@ object Dedup {
     * time, so the persisted table is the already-bounded join input.
     */
   def corpusSubstrPostings(s: SparkSession, dir: String): DataFrame =
-    cachedPostingsIndex(s, dir, "substr8", s"8|$DfCap|df", DfCap)(d =>
+    cachedPostingsIndex(s, dir, SubstrPostingsFamily.name, s"8|$DfCap|df",
+      DfCap)(SubstrPostingsFamily.post)
+
+  /** A DF-CAPPED standing postings family — the shared algebra behind the
+    * substring-overlap and rare-gram-Jaccard probe tables, and the
+    * streaming maintainer's unit of work
+    * ([[graft.streaming.Docs.maintainPostingsIndex]]). `post` derives the
+    * family's per-doc-DISTINCT (doc_id, gram) rows from any (doc_id,
+    * text, …) frame, so a gram's row count IS its document frequency.
+    *
+    * Stored-part schema is uniform — (doc_id nullable, gram, df) — under
+    * ONE accounting invariant: a gram's TRUE df over any set of parts =
+    * count of its live (non-null doc_id) rows + sum of its tombstone
+    * (null doc_id) rows' df values. Everything follows from it:
+    *  - a batch part may EAGERLY drop postings of any gram it can PROVE
+    *    saturated (known total + batch count > cap), collapsing them to
+    *    one tombstone carrying the batch count — a storage/shuffle
+    *    optimization that can never change the read result, because
+    *  - the read view ([[live]]) recomputes every gram's true df from
+    *    the invariant and keeps only df ≤ cap postings — byte-equivalent
+    *    to a cold tombstoned rebuild whatever drops individual parts
+    *    took, which is what makes the streaming maintainer's protocol
+    *    the SIMPLE additive one (counts-style atomic publish + `_ids`
+    *    fence) instead of the MinHash occupancy/orphan machinery:
+    *    admission is deferred to read time, so batches stay
+    *    order-independent and replay-deterministic.
+    */
+  final case class PostingsFamily(name: String, cap: Int,
+                                  post: DataFrame => DataFrame) {
+    /** One stored part from a batch's raw rows. `known` — optional
+      * (gram, known) df totals already on disk (base + published parts)
+      * — only widens the eager drop; pass None for a cold build.
+      */
+    def part(rawRows: DataFrame, known: Option[DataFrame]): DataFrame = {
+      val cnt = rawRows.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      val tot = known match {
+        case Some(t) => cnt.join(t, Seq("gram"), "left")
+          .select(col("gram"), col("cnt"),
+            (col("cnt") + coalesce(col("known"), lit(0L))).as("tot"))
+        case None => cnt.select(col("gram"), col("cnt"),
+          col("cnt").as("tot"))
+      }
+      val sat = tot.filter(col("tot") > cap)
+      rawRows.join(sat.select("gram"), Seq("gram"), "left_anti")
+        .select(col("doc_id"), col("gram"), lit(1L).as("df"))
+        .unionByName(sat.select(lit(null).cast("long").as("doc_id"),
+          col("gram"), col("cnt").as("df")))
+    }
+
+    /** Per-gram TRUE df over a union of stored parts (the invariant). */
+    def totals(parts: DataFrame): DataFrame =
+      parts.groupBy("gram").agg(
+        sum(when(col("doc_id").isNull, col("df")).otherwise(lit(1L)))
+          .as("known"))
+
+    /** The reader's live (doc_id, gram) postings over a union of stored
+      * parts: every posting of every gram whose true df ≤ cap.
+      */
+    def live(parts: DataFrame): DataFrame =
+      parts.filter(col("doc_id").isNotNull)
+        .join(totals(parts).filter(col("known") <= cap).select("gram"),
+          Seq("gram"), "left_semi")
+        .select("doc_id", "gram")
+
+    /** Fold parts into the compact stored form (the cachedPostingsIndex
+      * layout): live grams keep their full postings with the gram df
+      * attached; saturated grams collapse to one tombstone carrying the
+      * full df. Compaction and seeding both land here.
+      */
+    def compactForm(parts: DataFrame): DataFrame = {
+      val t = totals(parts)
+      parts.filter(col("doc_id").isNotNull)
+        .join(t.filter(col("known") <= cap), Seq("gram"))
+        .select(col("doc_id"), col("gram"), col("known").as("df"))
+        .unionByName(t.filter(col("known") > cap)
+          .select(lit(null).cast("long").as("doc_id"), col("gram"),
+            col("known").as("df")))
+    }
+  }
+
+  /** Df-capped 8-gram md5-prefix postings (§2d.34c's probe table). */
+  val SubstrPostingsFamily: PostingsFamily = PostingsFamily(
+    "substr8", DfCap, d =>
       d.select(col("doc_id"),
         explode(array_distinct(transform(
           graft.operators.TextAnalysis.gramSet(col("text"), 8),
           g => substring(md5(g.cast("binary")), 1, 16)))).as("gram")))
+
+  /** Df-capped rare word-2-gram postings over the 'en' slice (§2d.34's
+    * probe table) — raw grams, matching the oracle's keys.
+    */
+  val RareGramPostingsFamily: PostingsFamily = PostingsFamily(
+    "engram2", DfCap, d =>
+      d.filter(col("lang") === "en")
+        .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) ELSE array() END"))
+          .as("gram"))
+        .distinct())
+
+  /** Read a STREAMING-MAINTAINED postings-family root: the optional
+    * compact base at `root/postings` merged with every maintained batch
+    * part under `root/postings_m/batch=<lineage>_<batchId>` through the
+    * family's df invariant — the reader sees exactly the live postings a
+    * cold tombstoned rebuild of (base corpus + streamed docs) would
+    * produce. None when neither side exists. Same fence economics as
+    * [[graft.operators.TextAnalysis.countsTable]]: each published part is
+    * complete by atomic publish, so the merge needs no fence.
+    */
+  def postingsTable(s: SparkSession, root: String,
+                    fam: PostingsFamily): Option[DataFrame] = {
+    val conf = s.sessionState.newHadoopConf()
+    def existing(p: String, visible: Boolean = false): Option[String] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(conf)
+      if (f.exists(hp) && f.listStatus(hp).exists(st => !visible ||
+          !st.getPath.getName.startsWith("."))) Some(p)
+      else None
+    }
+    val cols = Seq(col("doc_id"), col("gram"), col("df"))
+    val base = existing(s"$root/postings")
+      .map(p => s.read.parquet(p).select(cols: _*))
+    val maintained = existing(s"$root/postings_m", visible = true)
+      .map(p => s.read.parquet(p).select(cols: _*))
+    (base, maintained) match {
+      case (Some(a), Some(b)) => Some(fam.live(a.unionByName(b)))
+      case (Some(a), None) => Some(fam.live(a))
+      case (None, Some(b)) => Some(fam.live(b))
+      case _ => None
+    }
+  }
+
+  /** Seed a maintainable postings root from the corpus-so-far: the cold
+    * tombstoned build written to `root/postings` (the batch half of
+    * build-once/maintain-forever, like TextAnalysis.seedCountsIndex).
+    */
+  def seedPostingsIndex(s: SparkSession, dir: String, fam: PostingsFamily,
+                        root: String): Unit =
+    graft.sources.Export.flush(
+      fam.compactForm(fam.post(Tables.spread(docs(s, dir)))
+        .withColumn("df", lit(1L))),
+      s"$root/postings")
+
+  /** Janitor for a maintained postings root (counterpart of
+    * TextAnalysis.vacuumCountsIndex): sweeps crashed dot-named build
+    * temps under `postings_m` once idle past max(graceMs, 1 hour).
+    */
+  def vacuumPostingsIndex(s: SparkSession, root: String,
+                          graceMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/postings_m")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    sweepBuildTemps(fs, p, graceMs)
+  }
+
+  /** Compact a maintained postings root into a FRESH root: base + parts
+    * fold to the compact stored form (saturated grams' accumulated
+    * postings finally leave disk — the storage half of the tombstone
+    * economy the eager per-batch drops only approximate), and every
+    * published part's `_ids` fold into one zero-row batch part so the
+    * fence survives re-fed old docs. Immutable-dir rule throughout
+    * (crash-safe: an incomplete newRoot is simply unused); run with the
+    * old root's maintainer stopped.
+    */
+  def compactPostingsIndex(s: SparkSession, root: String, newRoot: String,
+                           fam: PostingsFamily): Unit = {
+    val conf = s.sessionState.newHadoopConf()
+    def existing(p: String): Option[String] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(conf)
+      if (f.exists(hp) && f.listStatus(hp).nonEmpty) Some(p) else None
+    }
+    val cols = Seq(col("doc_id"), col("gram"), col("df"))
+    val parts = (existing(s"$root/postings") ++
+      existing(s"$root/postings_m")).toSeq
+      .map(p => s.read.parquet(p).select(cols: _*))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(throw new IllegalStateException(
+        s"no postings to compact at $root"))
+    graft.sources.Export.flush(fam.compactForm(parts), s"$newRoot/postings")
+    val mRootPath = new org.apache.hadoop.fs.Path(s"$root/postings_m")
+    val fs = mRootPath.getFileSystem(conf)
+    val idPaths =
+      if (!fs.exists(mRootPath)) Seq.empty
+      else fs.listStatus(mRootPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(st => new org.apache.hadoop.fs.Path(st.getPath, "_ids"))
+        .filter(fs.exists(_)).map(_.toString)
+    if (idPaths.nonEmpty) {
+      val newM = s"$newRoot/postings_m"
+      val token = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = s"$newM/.build_compact_$token"
+      parts.limit(0).write.parquet(tmp)
+      s.read.parquet(idPaths: _*).select("doc_id").distinct()
+        .write.parquet(s"$tmp/_ids")
+      val tfs = new org.apache.hadoop.fs.Path(newM).getFileSystem(conf)
+      publishIndexDir(tfs,
+        new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$newM/batch=compact_$token"),
+        marker = "_ids/_SUCCESS"): Unit
+    }
+  }
 
   /** Standing df-capped postings table over (doc_id, gram) rows from
     * `post`. Stored layout: (doc_id, gram, df) postings for live
@@ -352,13 +548,8 @@ object Dedup {
     * the 16-hex digests the other families key on.
     */
   def corpusRareGramPostings(s: SparkSession, dir: String): DataFrame =
-    cachedPostingsIndex(s, dir, "engram2", s"2|en|$DfCap", DfCap)(d =>
-      d.filter(col("lang") === "en")
-        .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) ELSE array() END"))
-          .as("gram"))
-        .distinct())
+    cachedPostingsIndex(s, dir, RareGramPostingsFamily.name, s"2|en|$DfCap",
+      DfCap)(RareGramPostingsFamily.post)
 
   /** Scored containment pair frame shared by q_ngram_containment and
     * q_containment_hubs: the SAME df-capped standing-postings pair join
@@ -2634,13 +2825,26 @@ object Dedup {
     * twin (Docs.winnowAgainstIndex).
     */
   def corpusWinnowPostings(s: SparkSession, dir: String): DataFrame = {
-    def post(d: DataFrame) = winnowFingerprints(d)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
     // per-doc rows: append-refresh unions the new files' fingerprints
-    cachedCorpusTable(s, dir, "winnow", s"$WinnowK|$WinnowW",
-      incr = (old, newDocs) => old.unionByName(post(newDocs)))(
-      post(Tables.load(s, dir, "documents")))
+    val fam = WinnowFamily
+    cachedCorpusTable(s, dir, fam.name, s"$WinnowK|$WinnowW",
+      incr = (old, newDocs) => old.unionByName(fam.counts(newDocs)))(
+      fam.counts(Tables.load(s, dir, "documents")))
   }
+
+  /** (doc_id, fp) — per-doc winnowing fingerprints as a ROW family
+    * (WinnowFps emits per-doc-DISTINCT fps, so doc-disjoint batches make
+    * the key-distinct union a no-op merge): the same streaming maintainer
+    * that keeps the count families current keeps the winnow postings
+    * current (Docs.maintainCountsIndex + TextAnalysis.countsTable). The
+    * df cap of this family is applied at PROBE time
+    * (Docs.winnowAgainstIndex counts df over the table), so the stored
+    * rows are uncapped and purely additive — no tombstone economy needed.
+    */
+  val WinnowFamily: TextAnalysis.CountFamily = TextAnalysis.CountFamily(
+    "winnow", Seq("doc_id", "fp"), Seq.empty,
+    d => winnowFingerprints(d)
+      .select(col("doc_id"), explode(col("fps")).as("fp")))
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     * MOSS algorithm): hash every k-word gram, keep the minimum hash of

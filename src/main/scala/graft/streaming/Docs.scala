@@ -635,6 +635,109 @@ object Docs {
       .start()
   }
 
+  /** Streaming MAINTENANCE of a DF-CAPPED standing postings family
+    * ([[graft.operators.Dedup.PostingsFamily]]: the substring-overlap and
+    * rare-gram-Jaccard probe tables) — the last standing-index tier that
+    * staled against a live feed. The family's df invariant (true df =
+    * live rows + tombstone dfs, capping applied by the READ view —
+    * `Dedup.postingsTable`) is what keeps this the SIMPLE additive
+    * protocol instead of the MinHash occupancy/orphan machinery: a batch
+    * part is order-independent and replay-deterministic whatever the
+    * interleaving, because admission is not decided at write time.
+    *
+    * Per micro-batch (foreachBatch = batch context):
+    *   1. `_ids` of published parts fence the arriving docs (exactly
+    *      [[maintainCountsIndex]] — cross-lineage replays never
+    *      double-post);
+    *   2. the batch's per-doc-distinct (doc_id, gram) rows become a
+    *      stored part. Grams PROVABLY saturated — base + published-part
+    *      totals plus this batch's count exceed the cap — drop their
+    *      postings eagerly and land as (null, gram, batch-count)
+    *      tombstones, so a hot gram ("the cold") stops accumulating
+    *      postings the moment it is proven hot: per-gram stored rows
+    *      stay ≤ cap + one batch's arrivals until compaction
+    *      ([[graft.operators.Dedup.compactPostingsIndex]]) folds the
+    *      stragglers. The eager drop reads only PUBLISHED state, so a
+    *      same-lineage replay (marker-skipped anyway) and a concurrent
+    *      reader both see deterministic parts;
+    *   3. part + `_ids` publish in ONE atomic move — no orphan corner.
+    *
+    * A gram crossing the cap mid-stream: its early parts keep ≤ cap
+    * postings (admitted while under), the crossing batch tombstones its
+    * own arrivals once the known total proves saturation, and the read
+    * view drops the early postings too — identical to a cold rebuild of
+    * the grown corpus, spec-pinned in StreamBatchParitySpec. Same
+    * doc_id-immutability contract as every maintainer here.
+    */
+  def maintainPostingsIndex(docsStream: DataFrame, root: String,
+                            checkpointDir: String,
+                            family: graft.operators.Dedup.PostingsFamily)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    lazy val lineage: String = streamLineage(checkpointDir)
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          val s = batch0.sparkSession
+          val conf = s.sessionState.newHadoopConf()
+          val batchKey = s"${lineage}_$batchId"
+          val mRoot = s"$root/postings_m"
+          val target = new org.apache.hadoop.fs.Path(s"$mRoot/batch=$batchKey")
+          val fs = target.getFileSystem(conf)
+          val marker = new org.apache.hadoop.fs.Path(target, "_ids/_SUCCESS")
+          if (!fs.exists(marker)) {
+            // fence from published `batch=` dirs only (never a `*/_ids`
+            // glob — the crashed-temp rule, see maintainCountsIndex)
+            val mRootPath = new org.apache.hadoop.fs.Path(mRoot)
+            def publishedDirs() =
+              if (!fs.exists(mRootPath)) Seq.empty[org.apache.hadoop.fs.Path]
+              else fs.listStatus(mRootPath).toSeq
+                .filter(st => st.isDirectory &&
+                  st.getPath.getName.startsWith("batch="))
+                .map(_.getPath)
+            val published = publishedDirs()
+            val idPaths = published
+              .map(p => new org.apache.hadoop.fs.Path(p, "_ids"))
+              .filter(fs.exists(_)).map(_.toString)
+            val seen =
+              if (idPaths.isEmpty) None
+              else Some(s.read.parquet(idPaths: _*)
+                .select("doc_id").distinct())
+            val fresh = seen
+              .map(ids => batch0.join(ids, Seq("doc_id"), "left_anti"))
+              .getOrElse(batch0)
+            val stamp = new org.apache.hadoop.fs.Path(s"$root/_GRAFT_STAMP")
+            fs.delete(stamp, false): Unit
+            // saturation evidence: compact base + published parts. An
+            // optimization only (a gram is dropped solely when PROVEN
+            // over-cap); the read view re-filters, so skipping this read
+            // entirely would still be correct — just fatter parts.
+            val basePath = new org.apache.hadoop.fs.Path(s"$root/postings")
+            val evidencePaths =
+              (if (fs.exists(basePath) &&
+                fs.listStatus(basePath).nonEmpty) Seq(basePath) else Seq.empty) ++
+                published
+            val known =
+              if (evidencePaths.isEmpty) None
+              else Some(family.totals(
+                s.read.parquet(evidencePaths.map(_.toString): _*)
+                  .select(col("doc_id"), col("gram"), col("df"))))
+            val token = java.util.UUID.randomUUID.toString.take(8)
+            val tmp = s"$mRoot/.build_${batchKey}_$token"
+            // one batch-local materialization feeds both writes
+            val fr = fresh.localCheckpoint()
+            family.part(family.post(fr), known).write.parquet(tmp)
+            fr.select("doc_id").distinct().write.parquet(s"$tmp/_ids")
+            graft.operators.Dedup.publishIndexDir(fs,
+              new org.apache.hadoop.fs.Path(tmp), target,
+              marker = "_ids/_SUCCESS"): Unit
+          }
+        }
+      }
+      .start()
+  }
+
   def maintainMinhashIndex(docsStream: DataFrame, root: String,
                            checkpointDir: String,
                            cap: Int = graft.operators.Dedup.BucketCap)

@@ -1040,4 +1040,286 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(sub("sigs").count() == nSig)
     assert(sub("sigs").filter(col("doc_id") === 2L).count() == 0)
   }
+
+  test("streamed postings maintenance equals the cold build for both df-capped families") {
+    import graft.operators.Dedup
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+    val feed = corpus.orderBy("doc_id").as[Doc].collect().toSeq
+    val chunks = feed.grouped(math.max(feed.size / 3, 1)).toSeq
+
+    for (fam <- Seq(Dedup.SubstrPostingsFamily, Dedup.RareGramPostingsFamily)) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_pst_${fam.name}").toString
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory(s"graft_pst_ck_${fam.name}").toString
+      def maintained() = Dedup.postingsTable(spark, root, fam).get
+        .collect().map(_.toSeq).toSet
+      // cold = the live view of a one-part tombstoned build of the whole
+      // corpus — exactly what cachedPostingsIndex's reader serves
+      val cold = fam.live(fam.post(corpus).withColumn("df", lit(1L)))
+        .collect().map(_.toSeq).toSet
+      assert(cold.nonEmpty, s"${fam.name}: test corpus produced no postings")
+
+      val input = MemoryStream[Doc]
+      val q = Docs.maintainPostingsIndex(input.toDF(), root, ckptDir, fam)
+      try {
+        chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      assert(maintained() == cold,
+        s"${fam.name}: maintained != cold rebuild after 3 batches")
+
+      // cross-lineage replay: the _ids fence keeps every posting exactly-once
+      val in2 = MemoryStream[Doc]
+      val q2 = Docs.maintainPostingsIndex(in2.toDF(), root,
+        java.nio.file.Files.createTempDirectory("graft_pst_rp").toString, fam)
+      try {
+        chunks.foreach { c => in2.addData(c); q2.processAllAvailable() }
+      } finally q2.stop()
+      assert(maintained() == cold,
+        s"${fam.name}: cross-lineage replay double-posted")
+
+      // same-lineage replay: drop the last commit; the replayed batch
+      // skips by marker (its part is complete by atomic publish)
+      val ckfs = new org.apache.hadoop.fs.Path(ckptDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val last = chunks.size - 1
+      assert(ckfs.delete(
+        new org.apache.hadoop.fs.Path(s"$ckptDir/commits/$last"), false))
+      val q3 = Docs.maintainPostingsIndex(input.toDF(), root, ckptDir, fam)
+      try q3.processAllAvailable() finally q3.stop()
+      assert(maintained() == cold, s"${fam.name}: same-lineage replay drifted")
+
+      // crash recovery: the last batch's part vanishes entirely — a
+      // cross-lineage re-feed restores it
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val gone = fsys.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/postings_m")).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(s"_$last"))
+      assert(gone.nonEmpty)
+      gone.foreach(p => assert(fsys.delete(p, true)))
+      val in4 = MemoryStream[Doc]
+      val q4 = Docs.maintainPostingsIndex(in4.toDF(), root,
+        java.nio.file.Files.createTempDirectory("graft_pst_cr").toString, fam)
+      try {
+        chunks.foreach { c => in4.addData(c); q4.processAllAvailable() }
+      } finally q4.stop()
+      assert(maintained() == cold,
+        s"${fam.name}: crash recovery did not converge")
+    }
+  }
+
+  test("a gram crossing the df cap mid-stream tombstones; df keeps counting") {
+    import graft.operators.Dedup
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // surgical family: unigram postings, cap 3 — "hot" crosses the cap in
+    // batch 2 and keeps arriving in batch 3
+    val fam = Dedup.PostingsFamily("unitest", 3, d => d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("gram"))
+      .distinct())
+    def doc(id: Long, text: String) = Doc(id, text, "en", "web", text.length.toLong)
+    val batches = Seq(
+      Seq(doc(1L, "hot a1"), doc(2L, "hot a2")),        // hot df: 2 (live)
+      Seq(doc(3L, "hot b1"), doc(4L, "hot b2")),        // hot df: 4 (crosses)
+      Seq(doc(5L, "hot c1")))                           // hot df: 5 (stays dropped)
+    val all = batches.flatten
+    val root = java.nio.file.Files.createTempDirectory("graft_cross").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cross_ck").toString
+    val input = MemoryStream[Doc]
+    val q = Docs.maintainPostingsIndex(input.toDF(), root, ckpt, fam)
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val live = Dedup.postingsTable(spark, root, fam).get
+      .as[(Long, String)].collect().toSet
+    val cold = fam.live(fam.post(all.toDF()).withColumn("df", lit(1L)))
+      .as[(Long, String)].collect().toSet
+    assert(live == cold, s"crossing drifted: live=$live cold=$cold")
+    assert(!live.exists(_._2 == "hot"),
+      "a gram over the cap leaked into the live view")
+    assert(live.exists(_._2 == "a1") && live.exists(_._2 == "c1"))
+
+    // df kept counting across the crossing: the stored parts' totals see
+    // all 5 occurrences, so a hypothetical cap-5 reader would resurrect
+    val parts = spark.read.parquet(s"$root/postings_m")
+      .select("doc_id", "gram", "df")
+    val hotDf = fam.totals(parts).filter(col("gram") === "hot")
+      .select("known").as[Long].collect()
+    assert(hotDf.toSeq == Seq(5L), s"hot df lost count: ${hotDf.toSeq}")
+    // the crossing batch TOMBSTONED its own arrivals (postings dropped at
+    // write time, not just filtered at read time)…
+    val tomb = parts.filter(col("doc_id").isNull && col("gram") === "hot")
+      .select("df").as[Long].collect().toSeq.sorted
+    assert(tomb == Seq(1L, 2L), s"expected batch-2 and batch-3 tombstones: $tomb")
+    // …and batch 3, with saturation PROVEN by published evidence, stored
+    // no hot postings at all
+    assert(parts.filter(col("doc_id") === 5L && col("gram") === "hot")
+      .isEmpty, "a proven-saturated gram's postings were stored anyway")
+
+    // compaction folds the straggler postings batch 1 admitted: the new
+    // root stores ONE hot tombstone carrying df=5 and no hot postings,
+    // the live view is unchanged, and the folded fence still drops a
+    // re-feed while counting a genuinely new doc
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cross2").toString
+    Dedup.compactPostingsIndex(spark, root, root2, fam)
+    val base2 = spark.read.parquet(s"$root2/postings")
+    assert(base2.filter(col("gram") === "hot").collect().toSeq.map(r =>
+      (r.isNullAt(0), r.getLong(2))) == Seq((true, 5L)),
+      "compaction did not fold the saturated gram to one full-df tombstone")
+    assert(Dedup.postingsTable(spark, root2, fam).get
+      .as[(Long, String)].collect().toSet == cold)
+    val extra = doc(9L, "hot z9")
+    val in2 = MemoryStream[Doc]
+    val q2 = Docs.maintainPostingsIndex(in2.toDF(), root2,
+      java.nio.file.Files.createTempDirectory("graft_cross_ck2").toString, fam)
+    try { in2.addData(all :+ extra); q2.processAllAvailable() } finally q2.stop()
+    val want = fam.live(fam.post((all :+ extra).toDF())
+      .withColumn("df", lit(1L))).as[(Long, String)].collect().toSet
+    assert(Dedup.postingsTable(spark, root2, fam).get
+      .as[(Long, String)].collect().toSet == want,
+      "compacted root lost the fence or the new doc")
+
+    // a crashed unpublished attempt's _ids never fence docs out (the
+    // counts-maintainer rule, same enumeration)
+    val root3 = java.nio.file.Files.createTempDirectory("graft_cross3").toString
+    fam.part(fam.post(all.take(2).toDF()), None)
+      .write.parquet(s"$root3/postings_m/.build_dead_x")
+    all.take(2).toDF().select("doc_id").write
+      .parquet(s"$root3/postings_m/.build_dead_x/_ids")
+    val in3 = MemoryStream[Doc]
+    val q3 = Docs.maintainPostingsIndex(in3.toDF(), root3,
+      java.nio.file.Files.createTempDirectory("graft_cross_ck3").toString, fam)
+    try { in3.addData(all.take(2)); q3.processAllAvailable() } finally q3.stop()
+    assert(Dedup.postingsTable(spark, root3, fam).get
+      .as[(Long, String)].collect().toSet ==
+      fam.live(fam.post(all.take(2).toDF()).withColumn("df", lit(1L)))
+        .as[(Long, String)].collect().toSet,
+      "a crashed unpublished attempt's _ids fenced live docs out")
+    assert(Dedup.vacuumPostingsIndex(spark, root3, graceMs = 0L).isEmpty,
+      "a fresh temp was swept inside the idle floor")
+  }
+
+  test("a seeded postings root maintains on top of its compact base") {
+    import graft.operators.Dedup
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the rare-gram family at a TIGHTENED cap (the sf0.001 corpus never
+    // crosses the production DfCap=50; max en-bigram df is 26), so the
+    // seeded base genuinely holds tombstones
+    val fam = Dedup.RareGramPostingsFamily.copy(name = "engram2lo", cap = 10)
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_pseed").toString
+    Dedup.seedPostingsIndex(spark, TestSpark.sf, fam, root)
+    // the seeded base alone reads as the cold build
+    val cold = fam.live(fam.post(corpus).withColumn("df", lit(1L)))
+      .collect().map(_.toSeq).toSet
+    assert(Dedup.postingsTable(spark, root, fam).get
+      .collect().map(_.toSeq).toSet == cold)
+    // …and the base is COMPACT: saturated grams hold no postings rows
+    val base = spark.read.parquet(s"$root/postings")
+    assert(base.filter(col("doc_id").isNull).count() > 0,
+      "test corpus saturates no gram — the base-tombstone path is untested")
+    // stream a tail whose grams include copies of an already-saturated
+    // gram: base evidence must tombstone them eagerly AND the read view
+    // must equal the cold rebuild of the grown corpus
+    val satGram = base.filter(col("doc_id").isNull)
+      .select("gram").as[String].head()
+    val maxId = corpus.agg(max("doc_id")).collect()(0).getLong(0)
+    val tail = (1 to 3).map(i =>
+      Doc(maxId + i, s"$satGram fresh$i tail", "en", "web", 20L))
+    val in = MemoryStream[Doc]
+    val q = Docs.maintainPostingsIndex(in.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_pseed_ck").toString, fam)
+    try { in.addData(tail); q.processAllAvailable() } finally q.stop()
+    val grown = corpus.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(tail.toDF().select("doc_id", "text", "lang", "source",
+        "n_chars"))
+    val want = fam.live(fam.post(grown).withColumn("df", lit(1L)))
+      .collect().map(_.toSeq).toSet
+    assert(Dedup.postingsTable(spark, root, fam).get
+      .collect().map(_.toSeq).toSet == want,
+      "seeded base + streamed tail != cold rebuild of the grown corpus")
+    // the tail's part stored NO postings for the base-saturated gram —
+    // base evidence proved saturation, so the arrivals landed as a
+    // tombstone only
+    val parts = spark.read.parquet(s"$root/postings_m")
+    assert(parts.filter(col("doc_id").isNotNull &&
+      col("gram") === satGram).isEmpty,
+      "a base-saturated gram's new postings were stored instead of tombstoned")
+    assert(parts.filter(col("doc_id").isNull && col("gram") === satGram)
+      .count() == 1)
+  }
+
+  test("winnow postings maintain as a row family; the live twin sees new rows") {
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val fam = Dedup.WinnowFamily
+    val corpus = Tables.load(spark, TestSpark.sf, "documents")
+    val feed = corpus.orderBy("doc_id").as[Doc].collect().toSeq
+    val chunks = feed.grouped(math.max(feed.size / 3, 1)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_winm").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_winm_ck").toString
+    val input = MemoryStream[Doc]
+    val q = Docs.maintainCountsIndex(input.toDF(), root, ckpt, fam)
+    val outPath = java.nio.file.Files.createTempDirectory("graft_winm_out").toString
+    // the LIVE twin: probe re-resolves the maintained table per
+    // micro-batch (scoreEachBatch), so rows the maintainer published
+    // between probe batches are visible to the next probe
+    val probeIn = MemoryStream[Doc]
+    val probe = Docs.scoreEachBatch(probeIn.toDF(), outPath,
+      java.nio.file.Files.createTempDirectory("graft_winm_pck").toString) {
+      b => Docs.winnowAgainstIndex(b,
+        TextAnalysis.countsTable(spark, root, fam).get)
+    }
+    try {
+      // victims must own at least one RARE fingerprint (df ≤ cap): a
+      // byte-copy of such a doc is guaranteed a probe hit
+      val coldPosts = fam.counts(corpus)
+      val rareDocs = coldPosts.join(
+          coldPosts.groupBy("fp").agg(count(lit(1)).as("c"))
+            .filter(col("c") <= graft.operators.Dedup.DfCap).select("fp"),
+          Seq("fp"), "left_semi")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      // maintain the first two chunks, then probe with a byte-copy of a
+      // chunk-1 doc: hits prove the probe reads the maintained table
+      chunks.take(2).foreach { c => input.addData(c); q.processAllAvailable() }
+      val victim = chunks.head.find(d => rareDocs.contains(d.doc_id)).get
+      probeIn.addData(Seq(victim.copy(doc_id = 900001L)))
+      probe.processAllAvailable()
+      def hits() = spark.read.parquet(outPath)
+        .select("doc_id", "old_id").as[(Long, Long)].collect().toSet
+      assert(hits().contains((900001L, victim.doc_id)),
+        "live twin missed a maintained chunk-1 fingerprint")
+      // maintain the remaining chunks, probe a byte-copy of a chunk-3
+      // doc: the SAME running probe must see the newly maintained rows
+      chunks.drop(2).foreach { c => input.addData(c); q.processAllAvailable() }
+      val victim3 = chunks(2).find(d => rareDocs.contains(d.doc_id)).get
+      probeIn.addData(Seq(victim3.copy(doc_id = 900002L)))
+      probe.processAllAvailable()
+      assert(hits().contains((900002L, victim3.doc_id)),
+        "live twin is frozen: it missed rows maintained after probe start")
+    } finally { q.stop(); probe.stop() }
+    // and the maintained row family equals the cold postings build
+    val maintainedSet = TextAnalysis.countsTable(spark, root, fam).get
+      .collect().map(_.toSeq).toSet
+    val coldSet = fam.counts(corpus).collect().map(_.toSeq).toSet
+    assert(maintainedSet == coldSet, "winnow row family drifted from cold")
+  }
 }
