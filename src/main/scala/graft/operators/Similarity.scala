@@ -195,6 +195,30 @@ object Similarity {
     * READ the tables. Returns the index root; skips the build when the
     * index already exists (parquet _SUCCESS marker).
     */
+  /** (vec_id, unit) — unit-normalized vectors of any (vec_id, embedding)
+    * frame; the shared front half of every build/assign/encode path.
+    */
+  private[graft] def unitizeVecs(d: DataFrame): DataFrame =
+    d.select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
+        .as("unit"))
+
+  /** FROZEN-centroid IVF assignment — each vector joins its argmax-dot
+    * cell (deterministic tie: highest cell wins via the max-struct).
+    * Model state is an argument, never retrained here: the batch
+    * append-refresh and the streaming assigner
+    * ([[graft.streaming.Docs.maintainIvfIndex]]) share this exact
+    * function, so maintained ≡ append-refresh by construction.
+    */
+  private[graft] def ivfAssign(u: DataFrame, cents: DataFrame): DataFrame =
+    u.crossJoin(broadcast(cents))
+      .withColumn("cdot", expr(dotExpr("unit", "cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cdot"), col("cell"))).as("m"),
+        first(col("unit")).as("unit"))
+      .select(col("vec_id").as("c_id"), col("unit").as("ce"),
+        col("m.cell").as("cell"))
+
   def buildIvfIndex(s: SparkSession, dir: String, k: Int = IvfK,
                     iters: Int = IvfIters): String = synchronized {
     graft.functions.VectorOps.register(s)
@@ -203,18 +227,9 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/lists/_SUCCESS")))
       return root
-    def unitize(d: org.apache.spark.sql.DataFrame) = d.select(col("vec_id"),
-      expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
-        .as("unit"))
+    def unitize(d: org.apache.spark.sql.DataFrame) = unitizeVecs(d)
     def assign(u: org.apache.spark.sql.DataFrame,
-               cents: org.apache.spark.sql.DataFrame) =
-      u.crossJoin(broadcast(cents))
-        .withColumn("cdot", expr(dotExpr("unit", "cvec")))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("cdot"), col("cell"))).as("m"),
-          first(col("unit")).as("unit"))
-        .select(col("vec_id").as("c_id"), col("unit").as("ce"),
-          col("m.cell").as("cell"))
+               cents: org.apache.spark.sql.DataFrame) = ivfAssign(u, cents)
     val corpus = Tables.path(dir, "embeddings")
     val entries = Dedup.corpusFiles(s, dir, "embeddings")
     val params = s"$k|$iters"
@@ -325,6 +340,28 @@ object Similarity {
     cbDf(cb)
   }
 
+  /** (vec_id, sub, sv) — the m subvectors of each unit-normalized vector. */
+  private[graft] def pqSubvecs(d: DataFrame): DataFrame = {
+    val sub = 64 / PqM
+    unitizeVecs(d).select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> slice(unit, j * $sub + 1, $sub))"))
+        .as(Seq("sub", "sv")))
+  }
+
+  /** FROZEN-codebook PQ encoding — each subvector takes its argmin-L2
+    * code (deterministic tie: lowest code). Shared by the batch
+    * append-refresh and the streaming encoder
+    * ([[graft.streaming.Docs.maintainPqIndex]]), same frozen-model rule
+    * as [[ivfAssign]].
+    */
+  private[graft] def pqEncode(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), "sub")
+      .withColumn("dist", expr(l2Expr("sv", "cvec")))
+      .groupBy(col("vec_id").as("c_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code"))).as("mn"))
+      .select(col("c_id"), col("sub"), col("mn.code").as("code"))
+
   /** Location of the persisted PQ index — same stamp rules as
     * [[ivfIndexDir]].
     */
@@ -355,22 +392,9 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes/_SUCCESS")))
       return root
-    val sub = 64 / PqM
-    def subvecsOf(d: org.apache.spark.sql.DataFrame) = d
-      .select(col("vec_id"),
-        expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / ${norm("embedding")})")
-          .as("unit"))
-      .select(col("vec_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${PqM - 1}), j -> slice(unit, j * $sub + 1, $sub))"))
-          .as(Seq("sub", "sv")))
+    def subvecsOf(d: org.apache.spark.sql.DataFrame) = pqSubvecs(d)
     def encode(sv: org.apache.spark.sql.DataFrame,
-               cb: org.apache.spark.sql.DataFrame) =
-      sv.join(broadcast(cb), "sub")
-        .withColumn("dist", expr(l2Expr("sv", "cvec")))
-        .groupBy(col("vec_id").as("c_id"), col("sub"))
-        .agg(min(struct(col("dist"), col("code"))).as("mn"))
-        .select(col("c_id"), col("sub"), col("mn.code").as("code"))
+               cb: org.apache.spark.sql.DataFrame) = pqEncode(sv, cb)
     val corpus = Tables.path(dir, "embeddings")
     val entries = Dedup.corpusFiles(s, dir, "embeddings")
     val params = s"$PqM|$PqK|$PqIters"
@@ -406,6 +430,94 @@ object Similarity {
         entries.map(_._2))
     }
     root
+  }
+
+  /** Seed a MAINTAINABLE IVF root from the corpus-so-far: centroids
+    * trained here become the root's FROZEN model state, the corpus's
+    * inverted-file rows its static base — the vector counterpart of
+    * TextAnalysis.seedCountsIndex. A maintainer
+    * ([[graft.streaming.Docs.maintainIvfIndex]]) then assigns arriving
+    * vectors against the frozen centroids, exactly the batch
+    * append-refresh rule.
+    */
+  def seedIvfIndex(s: SparkSession, dir: String, root: String,
+                   k: Int = IvfK, iters: Int = IvfIters): Unit = {
+    graft.functions.VectorOps.register(s)
+    val unitized = unitizeVecs(emb(s, dir))
+    val cents = kmeansCentroids(unitized, k, iters)
+    graft.sources.Export.flush(cents, s"$root/centroids")
+    graft.sources.Export.flush(ivfAssign(unitized, cents), s"$root/lists")
+  }
+
+  /** Seed a MAINTAINABLE PQ root: codebook = frozen model state,
+    * corpus codes = static base (see [[seedIvfIndex]]).
+    */
+  def seedPqIndex(s: SparkSession, dir: String, root: String): Unit = {
+    graft.functions.VectorOps.register(s)
+    val subvecs = pqSubvecs(emb(s, dir))
+    val cb = pqCodebooks(subvecs, PqM, PqK, PqIters).persist()
+    graft.sources.Export.flush(cb, s"$root/codebook")
+    graft.sources.Export.flush(pqEncode(subvecs, cb), s"$root/codes")
+    cb.unpersist(blocking = false): Unit
+  }
+
+  /** Read a STREAMING-MAINTAINED vector-index row table: the static base
+    * at `root/<sub>` merged with every maintained batch part under
+    * `root/<sub>_m/batch=*` — plain union (list/code rows are per-vector,
+    * batches vec-disjoint by the maintainer's `_ids` fence). None when
+    * neither side exists. Same economics as TextAnalysis.countsTable.
+    */
+  private def derivedRowsTable(s: SparkSession, root: String, sub: String,
+                               cols: Seq[String]): Option[DataFrame] = {
+    val conf = s.sessionState.newHadoopConf()
+    def existing(p: String, visible: Boolean = false): Option[String] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(conf)
+      if (f.exists(hp) && f.listStatus(hp).exists(st => !visible ||
+          !st.getPath.getName.startsWith("."))) Some(p)
+      else None
+    }
+    val cs = cols.map(col)
+    val base = existing(s"$root/$sub").map(p => s.read.parquet(p).select(cs: _*))
+    val maintained = existing(s"$root/${sub}_m", visible = true)
+      .map(p => s.read.parquet(p).select(cs: _*))
+    (base, maintained) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** The live inverted file of a maintainable IVF root. */
+  def ivfListsTable(s: SparkSession, root: String): Option[DataFrame] =
+    derivedRowsTable(s, root, "lists", Seq("c_id", "ce", "cell"))
+
+  /** The live code table of a maintainable PQ root. */
+  def pqCodesTable(s: SparkSession, root: String): Option[DataFrame] =
+    derivedRowsTable(s, root, "codes", Seq("c_id", "sub", "code"))
+
+  /** IVF search over any (centroids, lists) pair — the q_knn_ivf plan
+    * factored so batch indexes and streaming-MAINTAINED roots probe
+    * through one definition: nprobe highest-dot cells per query, exact
+    * cosine within the probed lists, bounded top-k window.
+    */
+  def ivfSearch(cents: DataFrame, lists: DataFrame, qs: DataFrame,
+                nprobe: Int = IvfNprobe, topK: Int = TopK): DataFrame = {
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdot").desc, col("cell"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("cdot", expr(dotExpr("qe", "cvec")))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cell"))
+    val scored = lists.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", expr(dotExpr("qe", "ce")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select("q_id", "c_id", "rn", "cosine")
+      .orderBy("q_id", "rn")
   }
 
   /** Candidate-bucketed embedding near-dup pairs (§2d.35's core): sign-
@@ -723,22 +835,7 @@ object Similarity {
         // queries come from the index itself (unit vectors already stored)
         val qs = lists.filter(col("c_id") < NumQueries)
           .select(col("c_id").as("q_id"), col("ce").as("qe"))
-        // probe cells: the nprobe highest-dot centroids per query
-        val pw = Window.partitionBy(col("q_id"))
-          .orderBy(col("cdot").desc, col("cell"))
-        val probes = qs.crossJoin(broadcast(cents))
-          .withColumn("cdot", expr(dotExpr("qe", "cvec")))
-          .withColumn("rn", row_number().over(pw))
-          .filter(col("rn") <= IvfNprobe)
-          .select(col("q_id"), col("qe"), col("cell"))
-        val scored = lists.join(broadcast(probes), Seq("cell"))
-          .filter(col("q_id") =!= col("c_id"))
-          .withColumn("cosine", expr(dotExpr("qe", "ce")))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-        scored.withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= TopK)
-          .select("q_id", "c_id", "rn", "cosine")
-          .orderBy("q_id", "rn")
+        ivfSearch(cents, lists, qs)
       }),
 
     // 37c. PQ-compressed ANN (rows-only), build/search split like IVF —

@@ -580,9 +580,25 @@ object Docs {
   def maintainCountsIndex(docsStream: DataFrame, root: String,
                           checkpointDir: String,
                           family: graft.operators.TextAnalysis.CountFamily)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainDerivedRows(docsStream, root, "counts", checkpointDir,
+      "doc_id")(family.counts)
+
+  /** The shared ADDITIVE maintenance protocol: per fenced micro-batch,
+    * `derive`'s rows land under `root/<sub>_m/batch=<lineage>_<batchId>`
+    * with their `_ids` sidecar in ONE atomic publish. Factored out of
+    * maintainCountsIndex so the vector-index maintainers below run the
+    * IDENTICAL protocol (fence enumeration rule, crashed-temp
+    * invisibility, marker-skip replay, stamp-economy exit) — a protocol
+    * fix lands everywhere at once.
+    */
+  private def maintainDerivedRows(stream: DataFrame, root: String,
+                                  sub: String, checkpointDir: String,
+                                  idCol: String)(
+                                  derive: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     lazy val lineage: String = streamLineage(checkpointDir)
-    docsStream.writeStream
+    stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
@@ -590,7 +606,7 @@ object Docs {
           val s = batch0.sparkSession
           val conf = s.sessionState.newHadoopConf()
           val batchKey = s"${lineage}_$batchId"
-          val mRoot = s"$root/counts_m"
+          val mRoot = s"$root/${sub}_m"
           val target = new org.apache.hadoop.fs.Path(s"$mRoot/batch=$batchKey")
           val fs = target.getFileSystem(conf)
           val marker = new org.apache.hadoop.fs.Path(target, "_ids/_SUCCESS")
@@ -599,8 +615,8 @@ object Docs {
             // enumerated by their `batch=` names — NOT a `*/_ids` glob:
             // Hadoop globs match dot-named entries, so a glob would also
             // read a crashed prior attempt's unpublished `.build_*` temp
-            // (whose counts never landed), fence this batch's docs out,
-            // and silently lose their counts forever
+            // (whose rows never landed), fence this batch's ids out,
+            // and silently lose their rows forever
             val mRootPath = new org.apache.hadoop.fs.Path(mRoot)
             val idPaths =
               if (!fs.exists(mRootPath)) Seq.empty
@@ -612,9 +628,9 @@ object Docs {
             val seen =
               if (idPaths.isEmpty) None
               else Some(s.read.parquet(idPaths: _*)
-                .select("doc_id").distinct())
+                .select(idCol).distinct())
             val fresh = seen
-              .map(ids => batch0.join(ids, Seq("doc_id"), "left_anti"))
+              .map(ids => batch0.join(ids, Seq(idCol), "left_anti"))
               .getOrElse(batch0)
             // leaves the stamp economy on first maintenance (see
             // maintainMinhashIndex)
@@ -624,8 +640,8 @@ object Docs {
             val tmp = s"$mRoot/.build_${batchKey}_$token"
             // one batch-local materialization feeds both writes
             val fr = fresh.localCheckpoint()
-            family.counts(fr).write.parquet(tmp)
-            fr.select("doc_id").distinct().write.parquet(s"$tmp/_ids")
+            derive(fr).write.parquet(tmp)
+            fr.select(idCol).distinct().write.parquet(s"$tmp/_ids")
             graft.operators.Dedup.publishIndexDir(fs,
               new org.apache.hadoop.fs.Path(tmp), target,
               marker = "_ids/_SUCCESS"): Unit
@@ -633,6 +649,57 @@ object Docs {
         }
       }
       .start()
+  }
+
+  /** Streaming IVF assigner — the embedding half of live ingestion: new
+    * vectors become searchable as they arrive instead of waiting for the
+    * next batch append-refresh. The root's `centroids` are FROZEN model
+    * state (the batch rule, [[graft.operators.Similarity.buildIvfIndex]]:
+    * retraining would shift every assignment and invalidate the whole
+    * inverted file); per micro-batch, arriving vectors are `_ids`-fenced,
+    * assigned with the SAME [[graft.operators.Similarity.ivfAssign]] the
+    * batch refresh uses, and their list rows publish atomically under
+    * `root/lists_m` — maintained ≡ batch append-refresh by construction
+    * (StreamBatchParitySpec pins it). Readers probe
+    * [[graft.operators.Similarity.ivfListsTable]]; the staleness trade is
+    * the batch one verbatim: recall on streamed vectors is bounded by how
+    * well the frozen centroids still cover the drifted distribution —
+    * re-seed (retrain) when the streamed fraction grows large.
+    * CONTRACT: vec_id identifies immutable content, at most once per
+    * lineage (the doc_id rule).
+    */
+  def maintainIvfIndex(vecsStream: DataFrame, root: String,
+                       checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    maintainDerivedRows(vecsStream, root, "lists", checkpointDir,
+      "vec_id") { b =>
+      graft.functions.VectorOps.register(b.sparkSession)
+      // frozen model state read per batch: immutable files, so the read
+      // is deterministic across replays (and a re-seeded root would be a
+      // NEW root per the immutable-dir rule)
+      val cents = b.sparkSession.read.parquet(s"$root/centroids")
+      Similarity.ivfAssign(Similarity.unitizeVecs(b), cents)
+    }
+  }
+
+  /** Streaming PQ encoder — [[maintainIvfIndex]]'s memory-path twin: the
+    * root's `codebook` is frozen model state, arriving vectors encode
+    * through the batch [[graft.operators.Similarity.pqEncode]] and their
+    * code rows publish under `root/codes_m`. Readers:
+    * [[graft.operators.Similarity.pqCodesTable]]. Same staleness trade,
+    * same vec_id contract.
+    */
+  def maintainPqIndex(vecsStream: DataFrame, root: String,
+                      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    maintainDerivedRows(vecsStream, root, "codes", checkpointDir,
+      "vec_id") { b =>
+      graft.functions.VectorOps.register(b.sparkSession)
+      val cb = b.sparkSession.read.parquet(s"$root/codebook")
+      Similarity.pqEncode(Similarity.pqSubvecs(b), cb)
+    }
   }
 
   /** Streaming MAINTENANCE of a DF-CAPPED standing postings family

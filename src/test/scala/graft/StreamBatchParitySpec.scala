@@ -1263,6 +1263,89 @@ class StreamBatchParitySpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("streamed IVF/PQ assignment equals the batch append-refresh; search probes the live table") {
+    import graft.operators.Similarity
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Vec
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.VectorOps.register(spark)
+
+    // base half of the embeddings seeds the roots (frozen model state +
+    // static lists/codes); the other half arrives as a stream
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val cut = 250L
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_vecbase").toString
+    emb.filter(col("vec_id") < cut)
+      .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    val tail = emb.filter(col("vec_id") >= cut)
+    val tailRows = tail.as[Vec].collect().toSeq
+    val tailChunks = tailRows.grouped(math.max(tailRows.size / 2, 1)).toSeq
+
+    // ---- IVF ----
+    val ivfRoot = java.nio.file.Files.createTempDirectory("graft_ivfm").toString
+    Similarity.seedIvfIndex(spark, baseDir, ivfRoot)
+    val cents = spark.read.parquet(s"$ivfRoot/centroids")
+    val input = MemoryStream[Vec]
+    val q = Docs.maintainIvfIndex(input.toDF(), ivfRoot,
+      java.nio.file.Files.createTempDirectory("graft_ivfm_ck").toString)
+    try {
+      tailChunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    def listSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("c_id", "ce", "cell").collect().map(_.toSeq).toSet
+    val maintainedLists = Similarity.ivfListsTable(spark, ivfRoot).get
+    // the batch append-refresh rule, computed directly: frozen centroids,
+    // assign ONLY the new vectors, union the base lists
+    val batchLists = spark.read.parquet(s"$ivfRoot/lists").unionByName(
+      Similarity.ivfAssign(Similarity.unitizeVecs(tail), cents))
+    assert(listSet(maintainedLists) == listSet(batchLists),
+      "streamed IVF assignment != batch append-refresh")
+    // the q_knn_ivf probe over the MAINTAINED table: same plan, and the
+    // query set deliberately includes STREAMED vectors — they are
+    // searchable (and search identically to the batch-refreshed index)
+    val qs = maintainedLists
+      .filter(col("c_id").isin(0L, 1L, cut, cut + 1L))
+      .select(col("c_id").as("q_id"), col("ce").as("qe"))
+    val gotSearch = Similarity.ivfSearch(cents, maintainedLists, qs)
+      .collect().map(_.toSeq).toSet
+    val wantSearch = Similarity.ivfSearch(cents, batchLists, qs)
+      .collect().map(_.toSeq).toSet
+    assert(gotSearch == wantSearch && gotSearch.nonEmpty,
+      "IVF search over the maintained table drifted from the batch index")
+    assert(gotSearch.exists(r => r.head.asInstanceOf[Long] >= cut),
+      "no streamed vector was searchable as a query")
+    assert(Similarity.ivfSearch(cents, maintainedLists, qs)
+      .filter(col("c_id") >= cut).count() > 0,
+      "no streamed vector surfaced as a neighbor")
+    // cross-lineage re-feed: the _ids fence keeps list rows exactly-once
+    val in2 = MemoryStream[Vec]
+    val q2 = Docs.maintainIvfIndex(in2.toDF(), ivfRoot,
+      java.nio.file.Files.createTempDirectory("graft_ivfm_rp").toString)
+    try { in2.addData(tailRows); q2.processAllAvailable() } finally q2.stop()
+    assert(listSet(Similarity.ivfListsTable(spark, ivfRoot).get) ==
+      listSet(batchLists), "cross-lineage replay duplicated list rows")
+
+    // ---- PQ ----
+    val pqRoot = java.nio.file.Files.createTempDirectory("graft_pqm").toString
+    Similarity.seedPqIndex(spark, baseDir, pqRoot)
+    val cb = spark.read.parquet(s"$pqRoot/codebook")
+    val pin = MemoryStream[Vec]
+    val pq = Docs.maintainPqIndex(pin.toDF(), pqRoot,
+      java.nio.file.Files.createTempDirectory("graft_pqm_ck").toString)
+    try {
+      tailChunks.foreach { c => pin.addData(c); pq.processAllAvailable() }
+    } finally pq.stop()
+    val maintainedCodes = Similarity.pqCodesTable(spark, pqRoot).get
+      .collect().map(_.toSeq).toSet
+    val batchCodes = spark.read.parquet(s"$pqRoot/codes").unionByName(
+      Similarity.pqEncode(Similarity.pqSubvecs(tail), cb))
+      .collect().map(_.toSeq).toSet
+    assert(maintainedCodes == batchCodes,
+      "streamed PQ encoding != batch append-refresh")
+    assert(maintainedCodes.exists(_.head.asInstanceOf[Long] >= cut))
+  }
+
   test("winnow postings maintain as a row family; the live twin sees new rows") {
     import graft.operators.{Dedup, TextAnalysis}
     import graft.streaming.Docs
