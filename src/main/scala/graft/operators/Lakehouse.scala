@@ -243,6 +243,94 @@ object Lakehouse {
     srcLatest
   }
 
+  /** One feed-span fold of (group, n_rows, sum_val, min_val, max_val)
+    * partials — the NON-subtractable half of the MV-from-feed story.
+    * Counts and sums fold subtractively as in [[refreshMvFromFeed]];
+    * min/max fold MONOTONICALLY from insert/post-images (a new value can
+    * only extend an extreme without rescanning), and a group rescans
+    * ONLY when a delete/pre-image could have removed its current
+    * extreme: the removed value ≤ the tentative min or ≥ the tentative
+    * max (which also covers a value inserted AND deleted within the
+    * span — its insert image is in the tentative extreme, its delete
+    * image trips the rule). Benign updates and inserts never rescan.
+    *
+    * `rescan` receives the single-column frame of groups needing a
+    * rescan and must return their partials recomputed at the feed's end
+    * version — the feed NAMES the groups, so the standard
+    * materialized-view fallback reads only those groups' rows
+    * ([[graft.sources.Versioned.readPruned]]: bucket-pruned when the
+    * source is bucketed on the group, a pushed IN-filter scan
+    * otherwise). Groups must be non-null (the full-outer group merge,
+    * like every key here).
+    */
+  def applyMinMaxFeed(state: DataFrame, feed: DataFrame, groupCol: String,
+                      valCol: String)(
+                      rescan: DataFrame => DataFrame): DataFrame = {
+    val isAdd = col("_change_type").isin("insert", "update_postimage")
+    val deltas = feed.groupBy(groupCol).agg(
+      sum(when(isAdd, 1L).otherwise(-1L)).as("n_d"),
+      sum(when(isAdd, col(valCol)).otherwise(-col(valCol))).as("s_d"),
+      min(when(isAdd, col(valCol))).as("add_min"),
+      max(when(isAdd, col(valCol))).as("add_max"),
+      min(when(!isAdd, col(valCol))).as("del_min"),
+      max(when(!isAdd, col(valCol))).as("del_max"))
+    val folded = state.join(deltas, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("sum_val"), lit(0L)) + coalesce(col("s_d"), lit(0L)))
+          .as("sum_val"),
+        least(col("min_val"), col("add_min")).as("min_val"),
+        greatest(col("max_val"), col("add_max")).as("max_val"),
+        (coalesce(col("del_min") <= least(col("min_val"), col("add_min")),
+          lit(false)) ||
+          coalesce(col("del_max") >= greatest(col("max_val"), col("add_max")),
+            lit(false))).as("__rescan"))
+      .filter(col("n_rows") > 0)
+    folded.filter(!col("__rescan")).drop("__rescan")
+      .unionByName(rescan(folded.filter(col("__rescan")).select(groupCol)))
+  }
+
+  /** [[refreshMvFromFeed]] extended to the q_mv_incremental algebra
+    * (count + sum + MIN + MAX): the subscription cursor, bootstrap and
+    * commit protocol are identical; the fold is [[applyMinMaxFeed]],
+    * whose touched-group rescan reads the source through
+    * [[graft.sources.Versioned.readPruned]] — cost ∝ feed + the
+    * rescanned groups' rows (their buckets, when the source is bucketed
+    * on the group), never a full source rescan. The rescanned group set
+    * is collected driver-side: it is bounded by the groups the span's
+    * DELETES touched, the same order as the feed itself.
+    */
+  def refreshMvMinMaxFromFeed(s: SparkSession, srcDir: String, mvDir: String,
+                              key: String, groupCol: String,
+                              valCol: String): Int = {
+    import graft.sources.Versioned
+    val app = s"mvx:$mvDir"
+    val srcLatest = Versioned.versions(s, srcDir).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed versions at $srcDir"))
+    val cursor = Versioned.latestEpochFor(s, mvDir, app)
+      .map(_.toInt).getOrElse(0)
+    if (cursor >= srcLatest) return cursor
+    def fullAgg(d: DataFrame): DataFrame = d.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"), sum(col(valCol)).as("sum_val"),
+        min(col(valCol)).as("min_val"), max(col(valCol)).as("max_val"))
+    val state =
+      if (cursor == 0) fullAgg(Versioned.read(s, srcDir, Some(srcLatest)))
+      else {
+        val feed = Versioned.changes(s, srcDir, cursor, srcLatest, key,
+          Seq(groupCol, valCol))
+        applyMinMaxFeed(Versioned.read(s, mvDir), feed, groupCol, valCol) {
+          gs =>
+            val groups = gs.collect().map(_.get(0)).toSeq
+            fullAgg(Versioned.readPruned(s, srcDir, groupCol, groups,
+              Some(srcLatest)))
+        }
+      }
+    Versioned.commit(state, mvDir,
+      epochId = Some(srcLatest.toLong), appId = Some(app))
+    srcLatest
+  }
+
   /** The logical v2 slice of orders as oracle SQL — shared by the two
     * change-feed oracles below.
     */
@@ -501,6 +589,49 @@ object Lakehouse {
         .filter(col("n_orders") > 0)
         .select(col("o_orderstatus"), col("n_orders"), col("sum_micros"),
           expr("sum_micros div n_orders").as("avg_micros"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // §2f.56c — the MIN/MAX MV maintained FROM the change feed: the
+    // non-subtractable algebra the count/sum subscription could not
+    // cover. Extremes fold monotonically from insert/post-images; a
+    // group rescans ONLY when a delete/pre-image could have removed its
+    // current extreme (applyMinMaxFeed), and the rescan reads JUST the
+    // named groups' rows (Versioned.readPruned — bucket-pruned when the
+    // source is bucketed on the group; here the CDC fixture buckets on
+    // the key, so it is the pushed IN-filter scan). The oracle
+    // recomputes the view from the v2 definition; hash equality proves
+    // feed + algebra + touched-group rescan reproduce it exactly —
+    // including the 'X' group born post-feed and groups whose extremes
+    // the %13 update and %17 delete moved.
+    Q("q_mv_minmax_feed",
+      s"""WITH v2 AS (
+         |  $cdfV2Sql)
+         |SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(total_micros) AS BIGINT) AS sum_micros,
+         |  CAST(min(total_micros) AS BIGINT) AS min_micros,
+         |  CAST(max(total_micros) AS BIGINT) AS max_micros
+         |FROM v2 GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin)((s, dir) => {
+      import graft.sources.Versioned
+      val scratch = cdfTable(s, dir)
+      def agg(d: DataFrame): DataFrame = d.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("total_micros")).as("sum_val"),
+          min(col("total_micros")).as("min_val"),
+          max(col("total_micros")).as("max_val"))
+      val mv1 = agg(Versioned.read(s, scratch, Some(1)))
+      val feed = Versioned.changes(s, scratch, 1, 2, "o_orderkey",
+        Seq("o_orderstatus", "total_micros"))
+      applyMinMaxFeed(mv1, feed, "o_orderstatus", "total_micros") { gs =>
+        val groups = gs.collect().map(_.get(0)).toSeq
+        agg(Versioned.readPruned(s, scratch, "o_orderstatus", groups,
+          Some(2)))
+      }
+        .select(col("o_orderstatus"), col("n_rows").as("n_orders"),
+          col("sum_val").as("sum_micros"), col("min_val").as("min_micros"),
+          col("max_val").as("max_micros"))
         .orderBy("o_orderstatus")
     })
   )

@@ -430,6 +430,61 @@ object Versioned {
       .map(_.getPath.toString).sorted
   }
 
+  /** Read only the rows whose `column` value is in `values`, pruning at
+    * MANIFEST level when the table is bucketed ON that column: the
+    * values' hash buckets are computed driver-side (the applyBatch
+    * bucketing expression) and only those buckets' data entries are
+    * opened — cost ∝ touched buckets, never table size. Any other layout
+    * falls back to a full read with the IN filter pushed to the parquet
+    * scan. The semantic filter is applied in BOTH paths, so callers get
+    * exactly the selected rows either way. `values` is a driver-side
+    * list — callers bound it (the touched-group rescans that motivate
+    * this read collect at most the feed's group set).
+    */
+  def readPruned(spark: SparkSession, dir: String, column: String,
+                 values: Seq[Any], version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val m = version.map(v => readManifest(spark, dir, v))
+      .getOrElse(manifest(spark, dir))
+    def full = read(spark, dir, version).filter(col(column).isin(values: _*))
+    if (values.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, dir, version).schema)
+    (m.bucketCol, m.nBuckets) match {
+      case (Some(bc), Some(n)) if bc == column &&
+          m.dataDirs.forall(d => bucketOf(d).isDefined) =>
+        // one tiny local job computes the values' bucket ids with the
+        // EXACT on-disk bucketing expression (drift here would silently
+        // read the wrong buckets, so it is the same Column expr, not a
+        // JVM reimplementation)
+        val ids = values.map { v =>
+          spark.range(1)
+            .select(pmod(xxhash64(lit(v)), lit(n.toLong))).first().getLong(0)
+        }.toSet
+        val dirs = m.dataDirs.filter(d => bucketOf(d).exists(ids.contains))
+        if (dirs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            read(spark, dir, version).schema)
+        else {
+          val raw =
+            if (dirs.length > 1)
+              spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+            else spark.read.parquet(dirs.head)
+          // schema-evolution parity with the full read: an evolved column
+          // absent from every touched bucket's files still reads as null
+          val padded = read(spark, dir, version).schema.fields
+            .foldLeft(raw)((acc, f) =>
+              if (acc.columns.contains(f.name)) acc
+              else acc.withColumn(f.name,
+                org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+          padded.filter(col(column).isin(values: _*))
+        }
+      case _ => full
+    }
+  }
+
   /** Lexicographic comparison of byte arrays as UNSIGNED bytes — the
     * ordering parquet defines for BINARY/UTF8 column statistics.
     */
