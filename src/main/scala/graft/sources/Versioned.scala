@@ -55,11 +55,24 @@ object Versioned {
     * those keys' bucket directories and re-references the rest (see
     * [[commitDirs]]), the Delta/Iceberg file-level MERGE granularity.
     */
+  /** A DELETION VECTOR sidecar: `path` is a tiny parquet of the KEYS
+    * deleted from data entry `entry` (one column, named after the
+    * table's bucket column), `n` the exact count of rows it hides —
+    * recorded so logical row bookkeeping never rescans. Key-based (not
+    * positional like Delta's bitmaps) because this format's reads are
+    * already keyed: the anti-join costs one broadcast of a tiny key
+    * list. An entry carries at most ONE Dv (re-deletes fold old ∪ new
+    * into a fresh sidecar); a rewrite of the entry drops it (the
+    * rewrite materializes the deletes).
+    */
+  final case class Dv(entry: String, path: String, n: Long)
+
   final case class Manifest(version: Int, dataDirs: Seq[String], nRows: Long,
                             epochId: Option[Long] = None,
                             appId: Option[String] = None,
                             bucketCol: Option[String] = None,
-                            nBuckets: Option[Int] = None)
+                            nBuckets: Option[Int] = None,
+                            dvs: Seq[Dv] = Seq.empty)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -97,7 +110,10 @@ object Versioned {
       Option(node.get("epochId")).filter(!_.isNull).map(_.asLong()),
       Option(node.get("appId")).filter(!_.isNull).map(_.asText()),
       Option(node.get("bucketCol")).filter(!_.isNull).map(_.asText()),
-      Option(node.get("nBuckets")).filter(!_.isNull).map(_.asInt()))
+      Option(node.get("nBuckets")).filter(!_.isNull).map(_.asInt()),
+      Option(node.get("dvs")).filter(!_.isNull).map(_.elements().asScala
+        .map(d => Dv(d.get("entry").asText(), d.get("path").asText(),
+          d.get("n").asLong())).toSeq).getOrElse(Seq.empty))
   }
 
   /** The committed manifest of version `v` (latest when omitted) — public
@@ -208,7 +224,12 @@ object Versioned {
       val dirs = parent.map(_.dataDirs).getOrElse(Seq.empty) :+ dataDir
       val nRows = parent.map(_.nRows).getOrElse(0L) + (
         if (append) nNew else 0L)
-      val m = Manifest(v, dirs, if (append) nRows else nNew, epochId, appId)
+      // an append keeps every parent dir, so their deletion vectors
+      // carry verbatim; a snapshot replaces everything — DVs fold away
+      val dvs =
+        if (append) parent.map(_.dvs).getOrElse(Seq.empty) else Seq.empty
+      val m = Manifest(v, dirs, if (append) nRows else nNew, epochId, appId,
+        dvs = dvs)
       // atomic publish: put-if-absent fails if the version already
       // exists — a concurrent writer won; retry as v+1 with the SAME
       // data dir
@@ -231,6 +252,14 @@ object Versioned {
     m.appId.foreach(a => payload.put("appId", a))
     m.bucketCol.foreach(c => payload.put("bucketCol", c))
     m.nBuckets.foreach(n => payload.put("nBuckets", Int.box(n)))
+    if (m.dvs.nonEmpty) {
+      val dvList = m.dvs.map { d =>
+        val o = new java.util.LinkedHashMap[String, Object]()
+        o.put("entry", d.entry); o.put("path", d.path)
+        o.put("n", Long.box(d.n)); o
+      }
+      payload.put("dvs", java.util.List.of(dvList: _*))
+    }
     val out = f.create(tmp, true)
     try out.write(json.writeValueAsBytes(payload))
     finally out.close()
@@ -305,7 +334,13 @@ object Versioned {
         .foreach(why => conflict(why))
       val dirs = parentDirs.filterNot(replacedDirs) ++ newDirs
       val nRows = parent.map(_.nRows).getOrElse(0L) - replacedRows + newRows
-      val m = Manifest(v, dirs, nRows, epochId, appId, bucketCol, nBuckets)
+      // kept entries carry their deletion vectors; replaced entries'
+      // DVs drop (the rewrite materialized the deletes) — the rule that
+      // makes compactCommit fold DVs away with no special casing
+      val dvs = parent.map(_.dvs).getOrElse(Seq.empty)
+        .filter(d => dirs.contains(d.entry))
+      val m = Manifest(v, dirs, nRows, epochId, appId, bucketCol, nBuckets,
+        dvs)
       if (writeAndPublish(spark, f, dir, m, token)) committed = v
       else v += 1
     }
@@ -472,10 +507,21 @@ object Versioned {
             if (dirs.length > 1)
               spark.read.option("mergeSchema", "true").parquet(dirs: _*)
             else spark.read.parquet(dirs.head)
+          // deletion vectors of the selected entries apply here too —
+          // the raw dir read bypasses read()'s masking
+          val dvPaths = m.dvs.filter(d => dirs.contains(d.entry)).map(_.path)
+          val masked =
+            if (dvPaths.isEmpty) raw
+            else {
+              val ks = spark.read.parquet(dvPaths: _*)
+              raw.join(org.apache.spark.sql.functions.broadcast(
+                ks.select(ks.columns.head).distinct()),
+                Seq(ks.columns.head), "left_anti")
+            }
           // schema-evolution parity with the full read: an evolved column
           // absent from every touched bucket's files still reads as null
           val padded = read(spark, dir, version).schema.fields
-            .foldLeft(raw)((acc, f) =>
+            .foldLeft(masked)((acc, f) =>
               if (acc.columns.contains(f.name)) acc
               else acc.withColumn(f.name,
                 org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
@@ -483,6 +529,114 @@ object Versioned {
         }
       case _ => full
     }
+  }
+
+  /** Delete rows by key WITHOUT rewriting any data file — the deletion-
+    * vector commit, the granularity rung under sub-bucket file-level
+    * replace: a 1-row delete previously rewrote one ~128 MB file; now it
+    * writes a key-list sidecar (O(batch) bytes) and a manifest. Per
+    * touched entry (bucket-pruned, then footer-pruned like the CDC
+    * apply), the keys PRESENT in it (one narrow key-column scan of the
+    * touched entries only) fold with any prior DV into a fresh sidecar
+    * under `data/dv<v>-<token>/`; the commit keeps every data entry
+    * by reference and records the sidecars in the manifest. Readers
+    * anti-join them ([[read]]); the next rewrite of an entry
+    * materializes and drops its DV; [[compactCommit]] folds them all
+    * away. Requires the bucketed layout (the key IS the bucket column).
+    * Keys absent from the table are no-ops (the commit still lands, so
+    * a CDC epoch fence advances). Returns the committed version.
+    *
+    * Concurrency: the same optimistic rule as replace commits — the
+    * touched entries must still be referenced and their buckets
+    * untouched by interleaved commits — plus a DV-specific check: a
+    * concurrent DV landed on a touched entry conflicts (folding from a
+    * stale base would silently drop its keys).
+    */
+  def deleteKeys(spark: SparkSession, dir: String, keys: Seq[Any],
+                 epochId: Option[Long] = None,
+                 appId: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(keys.nonEmpty, "deleteKeys: empty key set")
+    val base = manifest(spark, dir)
+    val (bc, n) = (base.bucketCol, base.nBuckets) match {
+      case (Some(b), Some(nn))
+          if base.dataDirs.forall(d => bucketOf(d).isDefined) => (b, nn)
+      case _ => throw new IllegalStateException(
+        s"deletion vectors need the bucketed layout at $dir (bucketCol + " +
+          "per-bucket dirs, installed by the CDC apply path) — use a " +
+          "snapshot commit to delete from an unbucketed table")
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val f = fs(spark, dir)
+    val byBucket: Map[Long, Seq[Any]] = keys.distinct.groupBy { v =>
+      spark.range(1)
+        .select(pmod(xxhash64(lit(v)), lit(n.toLong))).first().getLong(0)
+    }
+    val dvByEntry = base.dvs.map(d => d.entry -> d).toMap
+    // touched = entries that MAY hold a key (footer-pruned); an entry
+    // whose files all prove key-free keeps its prior DV untouched
+    val touched = base.dataDirs.flatMap { e =>
+      bucketOf(e).flatMap(byBucket.get).flatMap { ks =>
+        val mayHold = parquetFiles(conf, e)
+          .exists(p => fileMayContain(conf, p, bc, ks))
+        if (mayHold) Some(e -> ks) else None
+      }
+    }
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val dvRoot = f"$dir/data/dv${base.version + 1}%05d-$token"
+    val newDvs = touched.zipWithIndex.flatMap { case ((e, ks), i) =>
+      val prior = dvByEntry.get(e)
+      val ksDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          ks.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(bc,
+            spark.read.parquet(e).schema(bc).dataType))))
+      val priorKeys = prior.map(d => spark.read.parquet(d.path))
+      // rows newly hidden: present in the entry, named by this batch,
+      // not already deleted — a narrow key-column scan of ONE entry
+      var present = spark.read.parquet(e).select(col(bc))
+        .join(ksDf, Seq(bc), "left_semi")
+      priorKeys.foreach(pk => present =
+        present.join(pk, Seq(bc), "left_anti"))
+      val nNew = present.count()
+      if (nNew == 0 && prior.isEmpty) None
+      else if (nNew == 0) prior // nothing new: keep the prior DV record
+      else {
+        val path = s"$dvRoot/e$i"
+        val folded = priorKeys
+          .map(_.unionByName(present.distinct()).distinct())
+          .getOrElse(present.distinct())
+        folded.coalesce(1).write.parquet(path)
+        Some(Dv(e, path, prior.map(_.n).getOrElse(0L) + nNew))
+      }
+    }
+    val nRemoved = newDvs.map(_.n).sum -
+      touched.flatMap { case (e, _) => dvByEntry.get(e) }.map(_.n).sum
+    val touchedSet = touched.map(_._1).toSet
+    val touchedBuckets = touchedSet.flatMap(bucketOf)
+    var committed = -1
+    var v = versions(spark, dir).last + 1
+    while (committed < 0) {
+      val parent = readManifest(spark, dir, v - 1)
+      def conflict(why: String): Nothing =
+        throw new java.util.ConcurrentModificationException(
+          s"deletion-vector commit at $dir conflicts with a concurrent " +
+            s"commit: $why — recompute against the current version and retry")
+      retryConflict(Some(base), parent, touchedSet, touchedBuckets,
+        Some(bc), Some(n)).foreach(conflict)
+      parent.dvs.filter(d => touchedSet.contains(d.entry))
+        .find(d => dvByEntry.get(d.entry) != Some(d))
+        .foreach(d => conflict(
+          s"a concurrent deletion vector landed on ${d.entry}"))
+      val dvs = parent.dvs.filterNot(d => touchedSet.contains(d.entry)) ++
+        newDvs
+      val m = Manifest(v, parent.dataDirs, parent.nRows - nRemoved,
+        epochId, appId, Some(bc), Some(n), dvs)
+      if (writeAndPublish(spark, f, dir, m, token)) committed = v
+      else v += 1
+    }
+    committed
   }
 
   /** Lexicographic comparison of byte arrays as UNSIGNED bytes — the
@@ -637,9 +791,27 @@ object Versioned {
         .parquet(anc.dataDirs: _*).limit(0)
     }
     // mergeSchema only matters (and only costs footer reads) with >1 dir
-    if (m.dataDirs.length > 1)
-      spark.read.option("mergeSchema", "true").parquet(m.dataDirs: _*)
-    else spark.read.parquet(m.dataDirs: _*)
+    def rd(dirs: Seq[String]) =
+      if (dirs.length > 1)
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      else spark.read.parquet(dirs: _*)
+    if (m.dvs.isEmpty) rd(m.dataDirs)
+    else {
+      // deletion vectors: entries with a DV read through one anti-join
+      // against the (tiny, broadcast) union of deleted keys — the key
+      // lives in exactly the buckets the DVs were recorded on, and CDC
+      // delete semantics remove the key from the table, so the union
+      // join is exact. DV-free entries read untouched.
+      import org.apache.spark.sql.functions.broadcast
+      val dvd = m.dvs.map(_.entry).toSet
+      val plain = m.dataDirs.filterNot(dvd)
+      val keys = spark.read.parquet(m.dvs.map(_.path): _*)
+      val kc = keys.columns.head
+      val masked = rd(m.dataDirs.filter(dvd))
+        .join(broadcast(keys.select(kc).distinct()), Seq(kc), "left_anti")
+      if (plain.isEmpty) masked
+      else masked.unionByName(rd(plain), allowMissingColumns = true)
+    }
   }
 
   /** Row-level diff between two committed versions — time travel composed
@@ -721,7 +893,16 @@ object Versioned {
       val m1 = readManifest(spark, dir, v)
       val removed = m0.dataDirs.filterNot(m1.dataDirs.toSet)
       val added = m1.dataDirs.filterNot(m0.dataDirs.toSet)
-      if (removed.isEmpty && added.isEmpty) None
+      // deletion-vector delta: entries carried across the commit whose
+      // DV grew — the newly-listed keys are this commit's deletes, read
+      // as pre-images from the entry itself (cost ∝ that entry, the DV
+      // commit's own footprint)
+      val dv0 = m0.dvs.map(d => d.entry -> d).toMap
+      val dv1 = m1.dvs.map(d => d.entry -> d).toMap
+      val dvGrown = m1.dvs.filter(d =>
+        m0.dataDirs.contains(d.entry) && m1.dataDirs.contains(d.entry) &&
+          !dv0.get(d.entry).contains(d))
+      if (removed.isEmpty && added.isEmpty && dvGrown.isEmpty) None
       else {
         // schema evolution: a side missing an evolved column reads it as
         // null, exactly like the table read would
@@ -734,44 +915,86 @@ object Versioned {
           else if (dirs.length > 1) Some(
             spark.read.option("mergeSchema", "true").parquet(dirs: _*))
           else Some(spark.read.parquet(dirs: _*))
-        val beforeRaw = rd(removed)
-        val afterRaw = rd(added)
-        // an absent side (pure append: nothing removed; pure delete that
-        // emptied its buckets: nothing added) is an empty LOCAL relation
-        // with the other side's schema — NOT a limit(0) over the full
-        // version, which would drag every live file into the plan's
-        // listing and break the "reads only this commit's delta" bound
-        def empty(like: DataFrame) = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
-        val schemaSrc = afterRaw.orElse(beforeRaw).get
-        val before = withCols(beforeRaw.getOrElse(empty(schemaSrc)))
-        val after = withCols(afterRaw.getOrElse(empty(schemaSrc)))
-        val a = before.select(keys.map(col) ++
-          vcols.map(c => col(c).as(s"a_$c")) :+ lit(1).as("__a"): _*)
-        val b = after.select(keys.map(col) ++
-          vcols.map(c => col(c).as(s"b_$c")) :+ lit(1).as("__b"): _*)
-        val j = a.join(b, keys, "full_outer")
-        val changed = vcols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
-          .reduce(_ || _)
-        // ONE pass over the join: each joined row yields up to two images
-        // (pre + post) through an array-explode, so the touched dirs are
-        // scanned once, not once per image side
-        val pre = when(col("__a").isNotNull &&
-            (col("__b").isNull || changed),
-          struct(vcols.map(c => col(s"a_$c").as(c)) :+
-            when(col("__b").isNull, lit("delete"))
-              .otherwise(lit("update_preimage")).as("_change_type"): _*))
-        val post = when(col("__b").isNotNull &&
-            (col("__a").isNull || changed),
-          struct(vcols.map(c => col(s"b_$c").as(c)) :+
-            when(col("__a").isNull, lit("insert"))
-              .otherwise(lit("update_postimage")).as("_change_type"): _*))
-        Some(j.select(keys.map(col) :+
-            explode(array(pre, post)).as("__img"): _*)
-          .filter(col("__img").isNotNull)
-          .select(keys.map(col) ++ vcols.map(c => col(s"__img.$c").as(c)) :+
-            col("__img._change_type").as("_change_type"): _*)
-          .withColumn("_commit_version", lit(v)))
+        // each side reads through ITS version's deletion vectors, so a
+        // rewrite that materializes a DV away suppresses exactly (the
+        // deleted rows are invisible on both sides)
+        def mask(raw: Option[DataFrame], dirs: Seq[String],
+                 dvs: Map[String, Dv]): Option[DataFrame] = {
+          val paths = dirs.flatMap(dvs.get).map(_.path)
+          if (paths.isEmpty) raw
+          else raw.map { d =>
+            val ks = spark.read.parquet(paths: _*)
+            d.join(org.apache.spark.sql.functions.broadcast(
+              ks.select(ks.columns.head).distinct()),
+              Seq(ks.columns.head), "left_anti")
+          }
+        }
+        val imgJoin: Option[DataFrame] =
+          if (removed.isEmpty && added.isEmpty) None
+          else {
+            val beforeRaw = mask(rd(removed), removed, dv0)
+            val afterRaw = mask(rd(added), added, dv1)
+            // an absent side (pure append: nothing removed; pure delete
+            // that emptied its buckets: nothing added) is an empty LOCAL
+            // relation with the other side's schema — NOT a limit(0) over
+            // the full version, which would drag every live file into the
+            // plan's listing and break the "reads only this commit's
+            // delta" bound
+            def empty(like: DataFrame) = spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              like.schema)
+            val schemaSrc = afterRaw.orElse(beforeRaw).get
+            val before = withCols(beforeRaw.getOrElse(empty(schemaSrc)))
+            val after = withCols(afterRaw.getOrElse(empty(schemaSrc)))
+            val a = before.select(keys.map(col) ++
+              vcols.map(c => col(c).as(s"a_$c")) :+ lit(1).as("__a"): _*)
+            val b = after.select(keys.map(col) ++
+              vcols.map(c => col(c).as(s"b_$c")) :+ lit(1).as("__b"): _*)
+            val j = a.join(b, keys, "full_outer")
+            val changed = vcols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+              .reduce(_ || _)
+            // ONE pass over the join: each joined row yields up to two
+            // images (pre + post) through an array-explode, so the touched
+            // dirs are scanned once, not once per image side
+            val pre = when(col("__a").isNotNull &&
+                (col("__b").isNull || changed),
+              struct(vcols.map(c => col(s"a_$c").as(c)) :+
+                when(col("__b").isNull, lit("delete"))
+                  .otherwise(lit("update_preimage")).as("_change_type"): _*))
+            val post = when(col("__b").isNotNull &&
+                (col("__a").isNull || changed),
+              struct(vcols.map(c => col(s"b_$c").as(c)) :+
+                when(col("__a").isNull, lit("insert"))
+                  .otherwise(lit("update_postimage")).as("_change_type"): _*))
+            Some(j.select(keys.map(col) :+
+                explode(array(pre, post)).as("__img"): _*)
+              .filter(col("__img").isNotNull)
+              .select(keys.map(col) ++
+                vcols.map(c => col(s"__img.$c").as(c)) :+
+                col("__img._change_type").as("_change_type"): _*)
+              .withColumn("_commit_version", lit(v)))
+          }
+        val dvImages: Option[DataFrame] = dvGrown.map { d =>
+          val newKeys = {
+            val k1 = spark.read.parquet(d.path)
+            dv0.get(d.entry) match {
+              case Some(p) => k1.join(spark.read.parquet(p.path),
+                Seq(k1.columns.head), "left_anti")
+              case None => k1
+            }
+          }
+          val kc = newKeys.columns.head
+          withCols(spark.read.parquet(d.entry))
+            .join(org.apache.spark.sql.functions.broadcast(
+              newKeys.select(kc).distinct()), Seq(kc), "left_semi")
+            .select(keys.map(col) ++ vcols.map(col): _*)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v))
+        }.reduceOption(_.unionByName(_))
+        (imgJoin, dvImages) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        }
       }
     }
     if (perCommit.isEmpty) emptyFeed
@@ -861,7 +1084,12 @@ object Versioned {
       else vs.filter(_ < windowKeep.min).reverseIterator
         .find(v => readManifest(spark, dir, v).dataDirs.nonEmpty)
     val keep = schemaAnchor.toSeq ++ windowKeep
-    val referenced = keep.flatMap(v => readManifest(spark, dir, v).dataDirs)
+    // deletion-vector sidecars live under data/ too — referenced while
+    // any retained manifest lists them, swept by the same grace fence
+    val referenced = keep.flatMap { v =>
+      val m = readManifest(spark, dir, v)
+      m.dataDirs ++ m.dvs.map(_.path)
+    }
     vs.filterNot(keep.contains).foreach(v => f.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(s"$dir/data")
     if (!f.exists(dataRoot)) return Seq.empty

@@ -340,6 +340,11 @@ object Cdc {
         // re-enter as individual file references); compactCommit folds
         // the file fragments back into one dir per bucket.
         val hconf = spark.sessionState.newHadoopConf()
+        // entries carrying a deletion vector always rewrite WHOLE (no
+        // file carry): the rewrite materializes the DV away, so DVs
+        // never propagate through replaces and per-file row bookkeeping
+        // stays footer-exact
+        val dvByEntry = m.dvs.map(d => d.entry -> d).toMap
         var replacedEntries = Vector.empty[String]
         var baseFiles = Vector.empty[String]
         var carriedFiles = Vector.empty[String]
@@ -348,22 +353,36 @@ object Cdc {
           if (entries.nonEmpty) exact match {
             case Some(keysByBucket) =>
               val ks = keysByBucket(b)
-              val files = entries.flatMap(e =>
+              val (dvd, free) = entries.partition(dvByEntry.contains)
+              val files = free.flatMap(e =>
                 Versioned.parquetFiles(hconf, e))
               val (hit, miss) = files.partition(f =>
                 Versioned.fileMayContain(hconf, f, key, ks))
               replacedEntries ++= entries
-              baseFiles ++= hit
+              baseFiles ++= hit ++ dvd.flatMap(e =>
+                Versioned.parquetFiles(hconf, e))
               carriedFiles ++= miss
             case None =>
               replacedEntries ++= entries
               baseFiles ++= entries
           }
         }
-        val base =
+        val base0 =
           if (baseFiles.nonEmpty)
             spark.read.option("mergeSchema", "true").parquet(baseFiles: _*)
           else Versioned.read(spark, tableDir).limit(0)
+        // a replaced entry's DV keys must stay deleted through the merge
+        // — reading its files raw would RESURRECT them
+        val replacedDvPaths = replacedEntries.flatMap(dvByEntry.get)
+          .map(_.path)
+        val base =
+          if (replacedDvPaths.isEmpty) base0
+          else {
+            val ks = spark.read.parquet(replacedDvPaths: _*)
+            base0.join(org.apache.spark.sql.functions.broadcast(
+              ks.select(ks.columns.head).distinct()),
+              Seq(ks.columns.head), "left_anti")
+          }
         val merged = Lakehouse.mergeUpsert(base, compacted, key, valueCols)
           .drop("src")
         val v = tableVersions.last + 1
@@ -375,8 +394,11 @@ object Cdc {
         // exact row bookkeeping from parquet FOOTERS — metadata reads,
         // no second scan of the touched data
         val newRows = newDirs.map(graft.Tables.footerRowCount(spark, _)).sum
+        // logical rows of a replaced entry = its footer rows minus the
+        // rows its deletion vector hid
         val replacedRows =
-          replacedEntries.map(graft.Tables.footerRowCount(spark, _)).sum
+          replacedEntries.map(graft.Tables.footerRowCount(spark, _)).sum -
+            replacedEntries.flatMap(dvByEntry.get).map(_.n).sum
         Versioned.commitDirs(spark, tableDir, newDirs, newRows,
           replacedEntries.toSet, replacedRows, epochId, appId,
           bucketCol = Some(key), nBuckets = Some(n),

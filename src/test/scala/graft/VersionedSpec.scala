@@ -1094,6 +1094,102 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.readPruned(spark, dir, "g", Seq.empty).isEmpty)
   }
 
+  test("deletion vectors: a small delete rewrites nothing; reads, feed, merge, compaction stay exact") {
+    import spark.implicits._
+    val dir = tmp("dv")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def fileStamps(paths: Seq[String]): Map[String, (Long, Long)] =
+      paths.map { p =>
+        val st = f.getFileStatus(new org.apache.hadoop.fs.Path(p))
+        p -> (st.getLen, st.getModificationTime)
+      }.toMap
+    Cdc.applyBatch(batch((0L until 16L).map(k => (k, "U", s"v$k", 1L)): _*),
+      dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 2)
+    val m1 = Versioned.manifest(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val files1 = m1.dataDirs.flatMap(Versioned.parquetFiles(conf, _))
+    val stamps1 = fileStamps(files1)
+    def bucketOfKey(k: Long) = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(2L))).first().getLong(0)
+    // two victims in DIFFERENT buckets
+    val kA = (0L until 16L).find(bucketOfKey(_) == 0L).get
+    val kB = (0L until 16L).find(bucketOfKey(_) == 1L).get
+    val v2 = Versioned.deleteKeys(spark, dir, Seq(kA, kB))
+    assert(v2 == 2)
+    val m2 = Versioned.manifest(spark, dir)
+    // NOTHING rewritten: same data entries, byte-identical files, plus
+    // one DV sidecar per touched entry
+    assert(m2.dataDirs.toSet == m1.dataDirs.toSet)
+    files1.foreach(p => assert(fileStamps(Seq(p))(p) == stamps1(p),
+      s"deleteKeys rewrote $p"))
+    assert(m2.dvs.size == 2 &&
+      m2.dvs.forall(d => m1.dataDirs.contains(d.entry)) &&
+      m2.dvs.forall(_.n == 1L), s"got ${m2.dvs}")
+    assert(m2.nRows == 14)
+    // reads anti-join the DV; time travel still sees the rows
+    def state() = Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(state().keySet == (0L until 16L).toSet -- Set(kA, kB))
+    assert(Versioned.read(spark, dir, Some(1)).count() == 16)
+    // the change feed of a DV commit = exactly the delete pre-images
+    val feed = Versioned.changes(spark, dir, 1, 2, "k")
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(feed == Set((kA, s"v$kA", "delete"), (kB, s"v$kB", "delete")),
+      s"got $feed")
+    // a second delete on an already-DV'd bucket FOLDS into one sidecar
+    val kA2 = (0L until 16L).find(k => k != kA && bucketOfKey(k) == 0L).get
+    Versioned.deleteKeys(spark, dir, Seq(kA2))
+    val m3 = Versioned.manifest(spark, dir)
+    assert(m3.dvs.size == 2 && m3.dvs.map(_.n).sum == 3, s"got ${m3.dvs}")
+    assert(m3.nRows == 13 && state().size == 13)
+    assert(Versioned.changes(spark, dir, 2, 3, "k")
+      .select("k").as[Long].collect().toSeq == Seq(kA2))
+    // deleting an ABSENT key is a no-op commit: version bumps (epoch
+    // fences advance), nothing else moves, the feed is empty
+    Versioned.deleteKeys(spark, dir, Seq(999L))
+    val m4 = Versioned.manifest(spark, dir)
+    assert(m4.version == 4 && m4.nRows == 13 && m4.dvs == m3.dvs)
+    assert(Versioned.changes(spark, dir, 3, 4, "k").isEmpty)
+    // a later CDC merge on a DV'd bucket must NOT resurrect deleted keys:
+    // update a live key in kA's bucket — that bucket rewrites (its DV
+    // materializes away), the other bucket's DV carries
+    val kC = (0L until 16L).find(k =>
+      k != kA && k != kA2 && bucketOfKey(k) == 0L).get
+    Cdc.applyBatch(batch((kC, "U", "vNEW", 2L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(1L), appId = Some("a"), nBuckets = 2)
+    val m5 = Versioned.manifest(spark, dir)
+    assert(m5.nRows == 13, s"nRows drifted: ${m5.nRows}")
+    val s5 = state()
+    assert(!s5.contains(kA) && !s5.contains(kA2) && !s5.contains(kB),
+      "a CDC rewrite resurrected DV-deleted keys")
+    assert(s5(kC) == "vNEW" && s5.size == 13)
+    assert(m5.dvs.size == 1 && m5.dvs.head.n == 1L,
+      s"rewritten bucket kept its DV / carried bucket lost it: ${m5.dvs}")
+    // the rewrite commit's feed: the update images only — DV'd keys are
+    // invisible on BOTH sides (carried-identical suppression intact)
+    val feed5 = Versioned.changes(spark, dir, 4, 5, "k")
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(feed5 == Set((kC, s"v$kC", "update_preimage"),
+      (kC, "vNEW", "update_postimage")), s"got $feed5")
+    // compactCommit folds the remaining DV away
+    Versioned.compactCommit(spark, dir)
+    val m6 = Versioned.manifest(spark, dir)
+    assert(m6.dvs.isEmpty && m6.nRows == 13 && state().size == 13)
+    // …and vacuum reclaims the now-unreferenced sidecars with the data
+    val dvPaths = m3.dvs.map(_.path)
+    Versioned.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    dvPaths.foreach(p => assert(
+      !f.exists(new org.apache.hadoop.fs.Path(p)),
+      s"vacuum left an unreferenced DV sidecar: $p"))
+    assert(state().size == 13)
+  }
+
   test("string footer pruning orders UTF-8 bytes, never UTF-16 code units") {
     import spark.implicits._
     val dir = tmp("utf8prune")
