@@ -495,6 +495,44 @@ object Similarity {
   def pqCodesTable(s: SparkSession, root: String): Option[DataFrame] =
     derivedRowsTable(s, root, "codes", Seq("c_id", "sub", "code"))
 
+  /** The RE-SEED TRIGGER for a maintained IVF root — the measurable half
+    * of the frozen-model staleness trade: per cohort (the static `base`
+    * vs the `maintained` streamed parts), the count, mean and p10 of
+    * each listed vector's fit to its OWN centroid (best-cell cosine —
+    * the quantity IVF recall degrades through). A maintained cohort
+    * whose fit sits well below the base's means the frozen centroids no
+    * longer cover the arriving distribution: re-seed (retrain) the root
+    * and re-assign. One scan of the lists + a broadcast of k centroids;
+    * no pairwise work, so it can run on every maintenance shift.
+    */
+  def ivfDriftStats(s: SparkSession, root: String): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val cents = s.read.parquet(s"$root/centroids")
+    val conf = s.sessionState.newHadoopConf()
+    def existing(p: String, visible: Boolean = false): Option[String] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(conf)
+      if (f.exists(hp) && f.listStatus(hp).exists(st => !visible ||
+          !st.getPath.getName.startsWith("."))) Some(p)
+      else None
+    }
+    def fit(lists: DataFrame, origin: String): DataFrame =
+      lists.join(broadcast(cents), "cell")
+        .withColumn("fit", expr(dotExpr("ce", "cvec")))
+        .groupBy(lit(origin).as("origin"))
+        .agg(count(lit(1)).as("n_vectors"),
+          avg(col("fit")).as("mean_fit"),
+          expr("percentile_approx(fit, 0.1)").as("p10_fit"))
+    val parts = Seq(
+      existing(s"$root/lists").map(p =>
+        fit(s.read.parquet(p).select("c_id", "ce", "cell"), "base")),
+      existing(s"$root/lists_m", visible = true).map(p =>
+        fit(s.read.parquet(p).select("c_id", "ce", "cell"), "maintained")))
+      .flatten
+    require(parts.nonEmpty, s"no IVF lists at $root")
+    parts.reduce(_.unionByName(_))
+  }
+
   /** IVF search over any (centroids, lists) pair — the q_knn_ivf plan
     * factored so batch indexes and streaming-MAINTAINED roots probe
     * through one definition: nprobe highest-dot cells per query, exact

@@ -568,9 +568,29 @@ object Versioned {
     }
     val conf = spark.sessionState.newHadoopConf()
     val f = fs(spark, dir)
-    val byBucket: Map[Long, Seq[Any]] = keys.distinct.groupBy { v =>
-      spark.range(1)
-        .select(pmod(xxhash64(lit(v)), lit(n.toLong))).first().getLong(0)
+    if (base.dataDirs.isEmpty) {
+      // fully-emptied table: nothing to delete from, but the commit
+      // still lands so a CDC epoch fence advances
+      var v0 = versions(spark, dir).last + 1
+      val tk = java.util.UUID.randomUUID.toString.take(8)
+      while (!writeAndPublish(spark, f, dir,
+        Manifest(v0, Seq.empty, 0L, epochId, appId, Some(bc), Some(n)),
+        tk)) v0 += 1
+      return v0
+    }
+    // all bucket ids in ONE local job (not one per key — a 4096-key
+    // CDC delete batch would otherwise pay 4096 driver-side jobs), with
+    // the EXACT on-disk bucketing expression
+    val byBucket: Map[Long, Seq[Any]] = {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val kt = spark.read.parquet(base.dataDirs.head).schema(bc).dataType
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          keys.distinct.map(org.apache.spark.sql.Row(_)), 1),
+        StructType(Seq(StructField(bc, kt))))
+      df.select(col(bc), pmod(xxhash64(col(bc)), lit(n.toLong)).as("__b"))
+        .collect().toSeq
+        .groupBy(_.getLong(1)).map { case (b, rs) => b -> rs.map(_.get(0)) }
     }
     val dvByEntry = base.dvs.map(d => d.entry -> d).toMap
     // touched = entries that MAY hold a key (footer-pruned); an entry

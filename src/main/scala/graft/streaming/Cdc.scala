@@ -321,6 +321,19 @@ object Cdc {
         val touched: Set[Long] = exact.map(_.keySet)
           .getOrElse(keyed.select("__b").distinct().collect()
             .map(_.getLong(0)).toSet)
+        // PURE-DELETE fast path: a small all-'D' batch needs no merge —
+        // a deletion-vector commit hides the keys behind per-entry
+        // sidecars and rewrites NOTHING (Versioned.deleteKeys, the
+        // granularity rung under file-level replace: retention/GDPR
+        // deletes arriving on the stream stop costing a file rewrite
+        // each). The epoch/appId ride the DV commit's manifest, so the
+        // replay fence is the same one every apply path uses.
+        if (exact.isDefined && compacted.filter(col("op") =!= "D").isEmpty) {
+          Versioned.deleteKeys(spark, tableDir,
+            cappedKeys.toSeq.map(_.get(0)), epochId, appId)
+          for (e <- epochId; a <- appId) bump((tableDir, a), e)
+          return
+        }
         // a bucket can be backed by SEVERAL entries (the migrated base,
         // bucketed plain appends, files carried by earlier file-level
         // replaces) — group, don't .toMap, which would keep one entry

@@ -457,4 +457,35 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"),
       s"gram verify join lost its equi-join strategy:\n$p")
   }
+
+  test("min/max MV-from-feed: feed fold + rescan stay hash joins, no product") {
+    val p = planOf("q_mv_minmax_feed")
+    assert(p.contains("HashAggregate"),
+      s"the min/max fold should be hash aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the feed fold or the touched-group rescan degenerated:\n$p")
+    // the state ⋈ deltas group merge is the full-outer the algebra needs
+    assert(p.contains("FullOuter"),
+      s"the group merge lost its full-outer join:\n$p")
+  }
+
+  test("deletion-vector masking is one broadcast anti-join, never a shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.Versioned
+    import graft.streaming.Cdc
+    val dir = java.nio.file.Files.createTempDirectory("graft_dvplan").toString
+    Cdc.applyBatch(
+      (0L until 32L).map(k => (k, "U", s"v$k", 1L))
+        .toDF("k", "op", "new_v", "seq"),
+      dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 2)
+    Versioned.deleteKeys(spark, dir, Seq(3L, 17L))
+    val p = Versioned.read(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV masking should be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"DV masking shuffled the table to subtract a tiny key list:\n$p")
+  }
 }

@@ -1346,6 +1346,58 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(maintainedCodes.exists(_.head.asInstanceOf[Long] >= cut))
   }
 
+  test("ivfDriftStats flags a drifted stream cohort and clears a faithful one") {
+    import graft.operators.Similarity
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Vec
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.VectorOps.register(spark)
+    // controlled geometry: the base corpus is two tight axis clusters, so
+    // the trained centroids sit on those axes with near-perfect fit; a
+    // faithful stream lands on the same axes (fit ≈ 1), a drifted stream
+    // on an ORTHOGONAL axis the frozen centroids cannot cover (fit ≈ 0)
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(axis) = 1.0f
+      a((axis + 1) % 64) = 0.02f * ((i % 5) + 1) // tiny jitter: distinct rows
+      a
+    }
+    val base = (0L until 20L).map(i => (i, vec(0, i.toInt), 0)) ++
+      (20L until 40L).map(i => (i, vec(7, i.toInt), 1))
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    base.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$baseDir/embeddings.parquet")
+    def streamInto(root: String, rows: Seq[(Long, Array[Float], Int)]): Unit = {
+      val in = MemoryStream[Vec]
+      val q = Docs.maintainIvfIndex(in.toDF(), root,
+        java.nio.file.Files.createTempDirectory("graft_drift_ck").toString)
+      try {
+        in.addData(rows.map(r => Vec(r._1, r._2, r._3)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    def stats(root: String): Map[String, (Long, Double)] =
+      Similarity.ivfDriftStats(spark, root).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // faithful cohort: same axes as the base
+    val rootA = java.nio.file.Files.createTempDirectory("graft_driftA").toString
+    Similarity.seedIvfIndex(spark, baseDir, rootA, k = 2, iters = 2)
+    streamInto(rootA, (100L until 110L).map(i => (i, vec(0, i.toInt), 0)))
+    val a = stats(rootA)
+    assert(a("base")._1 == 40 && a("maintained")._1 == 10)
+    assert(a("base")._2 > 0.9, s"base centroids should fit tightly: $a")
+    assert(a("maintained")._2 > 0.9 * a("base")._2,
+      s"a faithful cohort was flagged as drift: $a")
+    // drifted cohort: an axis orthogonal to every trained centroid
+    val rootB = java.nio.file.Files.createTempDirectory("graft_driftB").toString
+    Similarity.seedIvfIndex(spark, baseDir, rootB, k = 2, iters = 2)
+    streamInto(rootB, (200L until 210L).map(i => (i, vec(33, i.toInt), 2)))
+    val b = stats(rootB)
+    assert(b("maintained")._2 < 0.5 * b("base")._2,
+      s"an orthogonal cohort was not flagged: $b")
+  }
+
   test("winnow postings maintain as a row family; the live twin sees new rows") {
     import graft.operators.{Dedup, TextAnalysis}
     import graft.streaming.Docs

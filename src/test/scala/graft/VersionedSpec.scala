@@ -435,6 +435,14 @@ class VersionedSpec extends AnyFunSuite {
       "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"), nBuckets = 2)
     Cdc.applyBatch(batch((1L, "D", "", 2L), (2L, "D", "", 2L)), dir,
       "k", Seq("v"), "seq", epochId = Some(1L), appId = Some("a"), nBuckets = 2)
+    // since r10 a pure-delete batch empties the table LOGICALLY through
+    // deletion vectors (dirs stay, rows hidden, nRows 0)…
+    val mDel = Versioned.manifest(spark, dir)
+    assert(mDel.dataDirs.nonEmpty && mDel.dvs.nonEmpty && mDel.nRows == 0)
+    assert(Versioned.read(spark, dir).count() == 0)
+    // …and compaction materializes that into the empty-dataDirs manifest
+    // whose vacuum corner this test pins
+    Versioned.compactCommit(spark, dir)
     assert(Versioned.manifest(spark, dir).dataDirs.isEmpty)
     Versioned.vacuum(spark, dir, keepVersions = 1, graceMs = 0)
     // the pre-fix vacuum deleted the only schema-bearing ancestor and
@@ -966,6 +974,48 @@ class VersionedSpec extends AnyFunSuite {
     } finally { in.stop(); out.stop() }
   }
 
+  test("end to end: the min/max MV subscribes through the feed and survives extreme deletes") {
+    import spark.implicits._
+    import graft.operators.Lakehouse
+    implicit val sqlCtx = spark.sqlContext
+    val src = tmp("e2ex"); val mv = tmp("e2ex_mv")
+    val input = MemoryStream[(Long, String, String, Long, Long)]
+    val changes = input.toDF().toDF("k", "op", "new_g", "new_v", "seq")
+    val in = Cdc.applyChanges(changes, src, tmp("e2ex_ckin"),
+      "k", Seq("g", "v"), "seq", nBuckets = 4)
+    val out = Cdc.followChanges(spark, src, tmp("e2ex_ckout"), "k",
+      Seq("g", "v")) { (_, _) =>
+      Lakehouse.refreshMvMinMaxFromFeed(spark, src, mv, "k", "g", "v")
+      ()
+    }
+    def mvState() = Versioned.read(spark, mv)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    def recompute() = Versioned.read(spark, src).groupBy("g")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum(col("v")).as("sum_val"),
+        org.apache.spark.sql.functions.min(col("v")).as("min_val"),
+        org.apache.spark.sql.functions.max(col("v")).as("max_val"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    try {
+      input.addData((0L until 12L).map(k => (k, "U", s"g${k % 3}", k * 10L, 1L)))
+      in.processAllAvailable(); out.processAllAvailable()
+      assert(mvState() == recompute())
+      // benign update (no extreme), then a delete of a group's MAXIMUM —
+      // the touched-group rescan path runs inside the live subscription
+      input.addData(Seq((4L, "U", "g1", 45L, 2L), (11L, "D", "", 0L, 2L)))
+      in.processAllAvailable(); out.processAllAvailable()
+      assert(mvState() == recompute())
+      // a delete-only batch takes the deletion-vector fast path upstream;
+      // the MV still follows through the feed it emits
+      input.addData(Seq((0L, "D", "", 0L, 3L), (3L, "D", "", 0L, 3L)))
+      in.processAllAvailable(); out.processAllAvailable()
+      assert(mvState() == recompute())
+      assert(Versioned.manifest(spark, src).dvs.nonEmpty,
+        "the delete-only batch should have committed deletion vectors")
+    } finally { in.stop(); out.stop() }
+  }
+
   test("streaming CDC apply commits one merged version per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1188,6 +1238,53 @@ class VersionedSpec extends AnyFunSuite {
       !f.exists(new org.apache.hadoop.fs.Path(p)),
       s"vacuum left an unreferenced DV sidecar: $p"))
     assert(state().size == 13)
+  }
+
+  test("a pure-delete CDC batch commits a deletion vector, not a rewrite") {
+    import spark.implicits._
+    val dir = tmp("dvcdc")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Cdc.applyBatch(batch((0L until 8L).map(k => (k, "U", s"v$k", 1L)): _*),
+      dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 2)
+    val m1 = Versioned.manifest(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val files1 = m1.dataDirs.flatMap(Versioned.parquetFiles(conf, _))
+    val stamps1 = files1.map { p =>
+      val st = f.getFileStatus(new org.apache.hadoop.fs.Path(p))
+      p -> (st.getLen, st.getModificationTime)
+    }.toMap
+    // an all-'D' batch takes the deletion-vector fast path: same data
+    // entries, byte-identical files, keys hidden behind sidecars
+    Cdc.applyBatch(batch((2L, "D", "", 2L), (5L, "D", "", 2L)), dir, "k",
+      Seq("v"), "seq", epochId = Some(1L), appId = Some("a"), nBuckets = 2)
+    val m2 = Versioned.manifest(spark, dir)
+    assert(m2.dataDirs.toSet == m1.dataDirs.toSet && m2.dvs.nonEmpty,
+      s"pure-delete batch did not take the DV path: ${m2.dvs}")
+    files1.foreach { p =>
+      val st = f.getFileStatus(new org.apache.hadoop.fs.Path(p))
+      assert((st.getLen, st.getModificationTime) == stamps1(p),
+        s"pure-delete batch rewrote $p")
+    }
+    assert(m2.nRows == 6)
+    assert(Versioned.read(spark, dir).select("k").as[Long].collect().toSet ==
+      Set(0L, 1L, 3L, 4L, 6L, 7L))
+    // the replay fence rides the DV commit: the same epoch re-applied is
+    // a no-op, a later mixed batch continues normally
+    Cdc.applyBatch(batch((2L, "D", "", 2L), (5L, "D", "", 2L)), dir, "k",
+      Seq("v"), "seq", epochId = Some(1L), appId = Some("a"), nBuckets = 2)
+    assert(Versioned.versions(spark, dir) == Seq(1, 2))
+    Cdc.applyBatch(batch((9L, "U", "v9", 3L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(2L), appId = Some("a"), nBuckets = 2)
+    assert(Versioned.read(spark, dir).count() == 7)
+    // and the feed across the DV + mixed commits is the honest sequence
+    val feed = Versioned.changes(spark, dir, 1, 3, "k")
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(feed == Set((2L, "delete"), (5L, "delete"), (9L, "insert")),
+      s"got $feed")
   }
 
   test("string footer pruning orders UTF-8 bytes, never UTF-16 code units") {
