@@ -503,21 +503,32 @@ object Versioned {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             read(spark, dir, version).schema)
         else {
-          val raw =
-            if (dirs.length > 1)
-              spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-            else spark.read.parquet(dirs.head)
-          // deletion vectors of the selected entries apply here too —
-          // the raw dir read bypasses read()'s masking
-          val dvPaths = m.dvs.filter(d => dirs.contains(d.entry)).map(_.path)
-          val masked =
-            if (dvPaths.isEmpty) raw
+          // deletion vectors of the selected entries apply here too (the
+          // raw dir read bypasses read()'s masking) — and ONLY to the
+          // DV'd entries' rows: a key deleted from an old entry and
+          // re-inserted by a later append lives in a DV-FREE entry, and
+          // masking the whole frame would hide the live copy
+          val dvByEntry = m.dvs.map(d => d.entry -> d).toMap
+          val (dvd, free) = dirs.partition(dvByEntry.contains)
+          def rdDirs(ds: Seq[String]) =
+            if (ds.length > 1)
+              spark.read.option("mergeSchema", "true").parquet(ds: _*)
+            else spark.read.parquet(ds.head)
+          val maskedDvd =
+            if (dvd.isEmpty) None
             else {
-              val ks = spark.read.parquet(dvPaths: _*)
-              raw.join(org.apache.spark.sql.functions.broadcast(
-                ks.select(ks.columns.head).distinct()),
-                Seq(ks.columns.head), "left_anti")
+              val ks = spark.read.parquet(dvd.map(dvByEntry(_).path): _*)
+              Some(rdDirs(dvd).join(
+                org.apache.spark.sql.functions.broadcast(
+                  ks.select(ks.columns.head).distinct()),
+                Seq(ks.columns.head), "left_anti"))
             }
+          val freeRaw = if (free.isEmpty) None else Some(rdDirs(free))
+          val masked = (maskedDvd, freeRaw) match {
+            case (Some(a), Some(b)) =>
+              a.unionByName(b, allowMissingColumns = true)
+            case (a, b) => a.orElse(b).get
+          }
           // schema-evolution parity with the full read: an evolved column
           // absent from every touched bucket's files still reads as null
           val padded = read(spark, dir, version).schema.fields
@@ -937,23 +948,29 @@ object Versioned {
           else Some(spark.read.parquet(dirs: _*))
         // each side reads through ITS version's deletion vectors, so a
         // rewrite that materializes a DV away suppresses exactly (the
-        // deleted rows are invisible on both sides)
-        def mask(raw: Option[DataFrame], dirs: Seq[String],
-                 dvs: Map[String, Dv]): Option[DataFrame] = {
-          val paths = dirs.flatMap(dvs.get).map(_.path)
-          if (paths.isEmpty) raw
-          else raw.map { d =>
-            val ks = spark.read.parquet(paths: _*)
+        // deleted rows are invisible on both sides). Masking applies
+        // ONLY to the DV'd entries' rows — a key deleted from one entry
+        // and re-inserted by a later append lives in a DV-free entry,
+        // whose image must survive
+        def mask(dirs: Seq[String], dvs: Map[String, Dv]): Option[DataFrame] = {
+          val (dvd, free) = dirs.partition(dvs.contains)
+          val maskedDvd = rd(dvd).map { d =>
+            val ks = spark.read.parquet(dvd.map(dvs(_).path): _*)
             d.join(org.apache.spark.sql.functions.broadcast(
               ks.select(ks.columns.head).distinct()),
               Seq(ks.columns.head), "left_anti")
+          }
+          (maskedDvd, rd(free)) match {
+            case (Some(a), Some(b)) =>
+              Some(a.unionByName(b, allowMissingColumns = true))
+            case (a, b) => a.orElse(b)
           }
         }
         val imgJoin: Option[DataFrame] =
           if (removed.isEmpty && added.isEmpty) None
           else {
-            val beforeRaw = mask(rd(removed), removed, dv0)
-            val afterRaw = mask(rd(added), added, dv1)
+            val beforeRaw = mask(removed, dv0)
+            val afterRaw = mask(added, dv1)
             // an absent side (pure append: nothing removed; pure delete
             // that emptied its buckets: nothing added) is an empty LOCAL
             // relation with the other side's schema — NOT a limit(0) over

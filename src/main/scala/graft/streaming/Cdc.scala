@@ -360,42 +360,54 @@ object Cdc {
         val dvByEntry = m.dvs.map(d => d.entry -> d).toMap
         var replacedEntries = Vector.empty[String]
         var baseFiles = Vector.empty[String]
+        var dvdBaseFiles = Vector.empty[String]
+        var dvdPaths = Vector.empty[String]
         var carriedFiles = Vector.empty[String]
         touched.toSeq.sorted.foreach { b =>
           val entries = byBucket.getOrElse(b, Seq.empty)
-          if (entries.nonEmpty) exact match {
-            case Some(keysByBucket) =>
-              val ks = keysByBucket(b)
-              val (dvd, free) = entries.partition(dvByEntry.contains)
-              val files = free.flatMap(e =>
-                Versioned.parquetFiles(hconf, e))
-              val (hit, miss) = files.partition(f =>
-                Versioned.fileMayContain(hconf, f, key, ks))
-              replacedEntries ++= entries
-              baseFiles ++= hit ++ dvd.flatMap(e =>
-                Versioned.parquetFiles(hconf, e))
-              carriedFiles ++= miss
-            case None =>
-              replacedEntries ++= entries
-              baseFiles ++= entries
+          if (entries.nonEmpty) {
+            val (dvd, free) = entries.partition(dvByEntry.contains)
+            replacedEntries ++= entries
+            dvdBaseFiles ++= dvd.flatMap(e =>
+              Versioned.parquetFiles(hconf, e))
+            dvdPaths ++= dvd.map(e => dvByEntry(e).path)
+            exact match {
+              case Some(keysByBucket) =>
+                val ks = keysByBucket(b)
+                val files = free.flatMap(e =>
+                  Versioned.parquetFiles(hconf, e))
+                val (hit, miss) = files.partition(f =>
+                  Versioned.fileMayContain(hconf, f, key, ks))
+                baseFiles ++= hit
+                carriedFiles ++= miss
+              case None =>
+                baseFiles ++= free
+            }
           }
         }
-        val base0 =
-          if (baseFiles.nonEmpty)
-            spark.read.option("mergeSchema", "true").parquet(baseFiles: _*)
-          else Versioned.read(spark, tableDir).limit(0)
+        def rdFiles(fsq: Seq[String]) =
+          spark.read.option("mergeSchema", "true").parquet(fsq: _*)
         // a replaced entry's DV keys must stay deleted through the merge
-        // — reading its files raw would RESURRECT them
-        val replacedDvPaths = replacedEntries.flatMap(dvByEntry.get)
-          .map(_.path)
-        val base =
-          if (replacedDvPaths.isEmpty) base0
+        // (reading its files raw would RESURRECT them) — but the mask
+        // applies ONLY to the DV'd entries' rows: a key deleted there
+        // and re-inserted by a later append lives in a DV-FREE entry of
+        // the same bucket, and masking the whole base would silently
+        // drop the live copy from the rewrite
+        val maskedDvd =
+          if (dvdBaseFiles.isEmpty) None
           else {
-            val ks = spark.read.parquet(replacedDvPaths: _*)
-            base0.join(org.apache.spark.sql.functions.broadcast(
-              ks.select(ks.columns.head).distinct()),
-              Seq(ks.columns.head), "left_anti")
+            val ks = spark.read.parquet(dvdPaths: _*)
+            Some(rdFiles(dvdBaseFiles).join(
+              org.apache.spark.sql.functions.broadcast(
+                ks.select(ks.columns.head).distinct()),
+              Seq(ks.columns.head), "left_anti"))
           }
+        val freeBase = if (baseFiles.isEmpty) None else Some(rdFiles(baseFiles))
+        val base = (maskedDvd, freeBase) match {
+          case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+          case (a, b) => a.orElse(b)
+            .getOrElse(Versioned.read(spark, tableDir).limit(0))
+        }
         val merged = Lakehouse.mergeUpsert(base, compacted, key, valueCols)
           .drop("src")
         val v = tableVersions.last + 1

@@ -1287,6 +1287,54 @@ class VersionedSpec extends AnyFunSuite {
       s"got $feed")
   }
 
+  test("a key deleted by DV and re-inserted by an append survives the next rewrite") {
+    import spark.implicits._
+    val dir = tmp("dvre")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    Cdc.applyBatch(batch((0L until 8L).map(k => (k, "U", s"v$k", 1L)): _*),
+      dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 2)
+    def bucketOfKey(k: Long) = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(2L))).first().getLong(0)
+    val kA = (0L until 8L).find(bucketOfKey(_) == 0L).get
+    // delete kA (DV commit), then RE-INSERT it through a bucketed append
+    // that also carries a fresh key kD into the same bucket — the
+    // re-inserted copy lives in a DV-FREE entry whose file the next
+    // rewrite WILL read (kD's presence defeats footer pruning)
+    Cdc.applyBatch(batch((kA, "D", "", 2L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(1L), appId = Some("a"), nBuckets = 2)
+    assert(Versioned.manifest(spark, dir).dvs.nonEmpty)
+    val kD = (100L until 200L).find(bucketOfKey(_) == 0L).get
+    Versioned.commit(Seq((kA, "back"), (kD, "fresh")).toDF("k", "v"),
+      dir, append = true)
+    def state() = Versioned.read(spark, dir).select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(state().get(kA).contains("back") && state().size == 9)
+    assert(Versioned.changes(spark, dir, 2, 3, "k")
+      .select("k", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSet == Set((kA, "back", "insert"), (kD, "fresh", "insert")))
+    // a CDC update of kD rewrites the bucket: the base read must mask
+    // the DV'd entry's rows ONLY — a union mask over the whole base
+    // would silently drop the live re-inserted kA from the rewrite
+    Cdc.applyBatch(batch((kD, "U", "dNEW", 3L)), dir, "k", Seq("v"), "seq",
+      epochId = Some(2L), appId = Some("a"), nBuckets = 2)
+    val s4 = state()
+    assert(s4.get(kA).contains("back"),
+      "the rewrite dropped a re-inserted key masked by a stale DV")
+    assert(s4.get(kD).contains("dNEW") && s4.size == 9)
+    assert(Versioned.manifest(spark, dir).nRows == 9)
+    // the feed shows ONLY kD's update: kA carried with identical value
+    // (no spurious delete OR insert from the masking split)
+    val feed = Versioned.changes(spark, dir, 3, 4, "k")
+      .select("k", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(feed == Set((kD, "fresh", "update_preimage"),
+      (kD, "dNEW", "update_postimage")), s"got $feed")
+    // read(v3) + feed ≡ read(v4): the standard subscription apply closes
+    assert(Versioned.read(spark, dir, Some(4)).count() == 9)
+  }
+
   test("string footer pruning orders UTF-8 bytes, never UTF-16 code units") {
     import spark.implicits._
     val dir = tmp("utf8prune")
