@@ -533,6 +533,31 @@ object Similarity {
     parts.reduce(_.unionByName(_))
   }
 
+  /** [[ivfDriftStats]]'s memory-path twin — the PQ re-seed trigger. PQ
+    * codes store no original vectors (that is the point), so drift is
+    * measured on a cohort the CALLER supplies (the latest arrivals, or
+    * a base-corpus sample for the reference band): per vector, the
+    * total squared quantization error of its best-code assignment under
+    * the root's frozen codebook. One row out (n_vectors, mean_err,
+    * p90_err); a recent cohort whose error sits well above the base
+    * sample's means the codebook stopped covering the distribution —
+    * re-seed and re-encode. Cost: one encode-shaped pass over the
+    * cohort + a broadcast of the m·k codebook.
+    */
+  def pqDriftStats(s: SparkSession, root: String,
+                   vecs: DataFrame): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val cb = s.read.parquet(s"$root/codebook")
+    pqSubvecs(vecs).join(broadcast(cb), "sub")
+      .withColumn("dist", expr(l2Expr("sv", "cvec")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dist")).as("d"))
+      .groupBy("vec_id").agg(sum(col("d")).as("err"))
+      .agg(count(lit(1)).as("n_vectors"),
+        avg(col("err")).as("mean_err"),
+        expr("percentile_approx(err, 0.9)").as("p90_err"))
+  }
+
   /** IVF search over any (centroids, lists) pair — the q_knn_ivf plan
     * factored so batch indexes and streaming-MAINTAINED roots probe
     * through one definition: nprobe highest-dot cells per query, exact

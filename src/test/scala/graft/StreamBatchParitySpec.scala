@@ -1396,6 +1396,17 @@ class StreamBatchParitySpec extends AnyFunSuite {
     val b = stats(rootB)
     assert(b("maintained")._2 < 0.5 * b("base")._2,
       s"an orthogonal cohort was not flagged: $b")
+
+    // the PQ twin: quantization error of a cohort vs the frozen codebook
+    val pqRoot = java.nio.file.Files.createTempDirectory("graft_driftPQ").toString
+    Similarity.seedPqIndex(spark, baseDir, pqRoot)
+    def pqErr(rows: Seq[(Long, Array[Float], Int)]): Double =
+      Similarity.pqDriftStats(spark, pqRoot,
+        rows.toDF("vec_id", "embedding", "label")).collect()(0).getDouble(1)
+    val faithfulErr = pqErr((300L until 310L).map(i => (i, vec(0, i.toInt), 0)))
+    val driftedErr = pqErr((400L until 410L).map(i => (i, vec(33, i.toInt), 2)))
+    assert(driftedErr > 3 * math.max(faithfulErr, 1e-9),
+      s"PQ drift not flagged: faithful=$faithfulErr drifted=$driftedErr")
   }
 
   test("winnow postings maintain as a row family; the live twin sees new rows") {
