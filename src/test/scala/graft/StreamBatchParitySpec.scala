@@ -1114,6 +1114,48 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("a postings batch deriving zero rows publishes an empty fenced part") {
+    import graft.operators.Dedup
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Doc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fam = Dedup.RareGramPostingsFamily // en-filtered: non-en docs derive nothing
+    val root = java.nio.file.Files.createTempDirectory("graft_pempty").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pempty_ck").toString
+    val xx = Seq(Doc(1L, "uno dos tres cuatro", "xx", "web", 19L),
+      Doc(2L, "cinco seis siete", "xx", "web", 16L))
+    val en = Seq(Doc(3L, "alpha beta gamma delta", "en", "web", 22L),
+      Doc(4L, "beta gamma delta epsilon", "en", "web", 24L))
+    val input = MemoryStream[Doc]
+    val q = Docs.maintainPostingsIndex(input.toDF(), root, ckpt, fam)
+    try {
+      // batch 0: nothing derivable — the part publishes EMPTY but its
+      // _ids still fence the docs; batch 1's evidence read over that
+      // empty part must not trip schema inference
+      input.addData(xx); q.processAllAvailable()
+      input.addData(en); q.processAllAvailable()
+    } finally q.stop()
+    val got = Dedup.postingsTable(spark, root, fam).get
+      .collect().map(_.toSeq).toSet
+    val cold = fam.live(fam.post((xx ++ en).toDF())
+      .withColumn("df", lit(1L))).collect().map(_.toSeq).toSet
+    assert(got == cold && got.nonEmpty,
+      s"empty-part interleave drifted: got=${got.size} cold=${cold.size}")
+    // the empty part is still a fence: a cross-lineage re-feed of the
+    // xx docs (now claiming lang=en!) is dropped by doc_id — the
+    // immutability contract, not re-derived under the new lang
+    val in2 = MemoryStream[Doc]
+    val q2 = Docs.maintainPostingsIndex(in2.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_pempty_rp").toString, fam)
+    try {
+      in2.addData(xx.map(_.copy(lang = "en"))); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(Dedup.postingsTable(spark, root, fam).get
+      .collect().map(_.toSeq).toSet == cold,
+      "a re-fed doc slipped past an empty part's fence")
+  }
+
   test("a gram crossing the df cap mid-stream tombstones; df keeps counting") {
     import graft.operators.Dedup
     import graft.streaming.Docs
