@@ -533,6 +533,32 @@ object Similarity {
     parts.reduce(_.unionByName(_))
   }
 
+  /** RE-SEED a drifted IVF root INTO A FRESH ROOT — the actuator behind
+    * [[ivfDriftStats]], and the closing move of the frozen-model trade:
+    * the inverted lists already store each vector AS its unit vector, so
+    * retraining reads the index itself (base + maintained parts), never
+    * the original corpus — at 100 TB that is the difference between a
+    * k-means over the (already unitized, already columnar) lists and a
+    * full embedding-table re-scan + re-normalize. Centroids retrain over
+    * EVERYTHING listed so far, every vector re-assigns, and the result
+    * lands in `newRoot` under the immutable-dir rule: an incomplete new
+    * root is simply unused, readers/maintainers switch by path flip, the
+    * old root serves until retired. Run with the old root's maintainer
+    * stopped (a part landing after the lists read would be left behind —
+    * the compaction rule). PQ has no such shortcut (codes cannot
+    * reconstruct vectors): re-seed PQ from the corpus via [[seedPqIndex]].
+    */
+  def reseedIvfIndex(s: SparkSession, oldRoot: String, newRoot: String,
+                     k: Int = IvfK, iters: Int = IvfIters): Unit = {
+    graft.functions.VectorOps.register(s)
+    val lists = ivfListsTable(s, oldRoot).getOrElse(
+      throw new IllegalStateException(s"no IVF lists at $oldRoot"))
+    val unitized = lists.select(col("c_id").as("vec_id"), col("ce").as("unit"))
+    val cents = kmeansCentroids(unitized, k, iters)
+    graft.sources.Export.flush(cents, s"$newRoot/centroids")
+    graft.sources.Export.flush(ivfAssign(unitized, cents), s"$newRoot/lists")
+  }
+
   /** [[ivfDriftStats]]'s memory-path twin — the PQ re-seed trigger. PQ
     * codes store no original vectors (that is the point), so drift is
     * measured on a cohort the CALLER supplies (the latest arrivals, or

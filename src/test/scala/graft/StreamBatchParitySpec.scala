@@ -1439,6 +1439,28 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(b("maintained")._2 < 0.5 * b("base")._2,
       s"an orthogonal cohort was not flagged: $b")
 
+    // the ACTUATOR: re-seed the drifted root into a fresh one FROM THE
+    // LISTS THEMSELVES (unit vectors already stored — no corpus re-read);
+    // with k=3 the orthogonal cohort earns its own centroid
+    val rootB2 = java.nio.file.Files.createTempDirectory("graft_driftB2").toString
+    Similarity.reseedIvfIndex(spark, rootB, rootB2, k = 3, iters = 3)
+    val lists2 = Similarity.ivfListsTable(spark, rootB2).get
+    assert(lists2.count() == 50, "re-seed lost vectors")
+    val s2 = stats(rootB2)
+    assert(s2.keySet == Set("base") && s2("base")._1 == 50)
+    assert(s2("base")._2 > b("maintained")._2 + 0.3,
+      s"re-seed did not restore fit: before=${b("maintained")._2} after=$s2")
+    // the previously-drifted vectors are now properly searchable: an
+    // axis-33 query's nearest neighbors are its own cohort
+    val cents2 = spark.read.parquet(s"$rootB2/centroids")
+    val q33 = lists2.filter(col("c_id") === 200L)
+      .select(col("c_id").as("q_id"), col("ce").as("qe"))
+    val top = Similarity.ivfSearch(cents2, lists2, q33)
+      .filter(col("rn") <= 5).select("c_id")
+      .as[Long].collect().toSet
+    assert(top.forall(c => c >= 200L && c < 210L),
+      s"re-seeded search returned cross-axis neighbors first: $top")
+
     // the PQ twin: quantization error of a cohort vs the frozen codebook
     val pqRoot = java.nio.file.Files.createTempDirectory("graft_driftPQ").toString
     Similarity.seedPqIndex(spark, baseDir, pqRoot)
