@@ -48,22 +48,32 @@ object Lakehouse {
     * bucket the next CDC batch touches.
     */
   def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
-                  valueCols: Seq[String]): DataFrame = {
+                  valueCols: Seq[String]): DataFrame =
+    mergeUpsertKeyed(base, changes, Seq(key), valueCols)
+
+  /** [[mergeUpsert]] generalized to a COMPOSITE key: the full-outer
+    * merge joins on all `keys` (using-columns, so each key column
+    * coalesces across the two sides); row-uniqueness must hold on the
+    * key TUPLE. Everything else — D-filter, new_&lt;c&gt; overlay,
+    * carried columns, src tag — is unchanged.
+    */
+  def mergeUpsertKeyed(base: DataFrame, changes: DataFrame,
+                       keys: Seq[String], valueCols: Seq[String]): DataFrame = {
     require(!valueCols.contains("op") && !valueCols.contains("__in_base"),
       "'op' and '__in_base' are reserved by the merge")
     val extraCols = base.columns.toSeq
-      .filterNot(c => c == key || valueCols.contains(c))
+      .filterNot(c => keys.contains(c) || valueCols.contains(c))
     require(extraCols.intersect(changes.columns.toSeq).isEmpty,
       s"carried base columns collide with change columns: " +
         extraCols.intersect(changes.columns.toSeq).mkString(", "))
     val merged = base.withColumn("__in_base", lit(1))
-      .join(changes, Seq(key), "full_outer")
+      .join(changes, keys, "full_outer")
     val kept = merged.filter(col("op").isNull || col("op") =!= "D")
     val outCols = valueCols.map { c =>
       when(col("op").isNotNull, col(s"new_$c")).otherwise(col(c)).as(c)
     }
     kept.select(
-      (col(key) +: outCols) ++ extraCols.map(col) :+
+      (keys.map(col) ++ outCols) ++ extraCols.map(col) :+
         when(col("op").isNull, lit("base"))
           .when(col("__in_base").isNotNull, lit("upd"))
           .otherwise(lit("ins")).as("src"): _*)

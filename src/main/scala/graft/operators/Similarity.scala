@@ -504,6 +504,10 @@ object Similarity {
     * longer cover the arriving distribution: re-seed (retrain) the root
     * and re-assign. One scan of the lists + a broadcast of k centroids;
     * no pairwise work, so it can run on every maintenance shift.
+    * NOTE: unlike every query here that says "percentile", p10_fit is
+    * APPROXIMATE (`percentile_approx`) — a monitoring threshold, not an
+    * oracle-checked statistic, so the sketch's error is the right trade
+    * for a scan that runs every shift.
     */
   def ivfDriftStats(s: SparkSession, root: String): DataFrame = {
     graft.functions.VectorOps.register(s)
@@ -559,6 +563,75 @@ object Similarity {
     graft.sources.Export.flush(ivfAssign(unitized, cents), s"$newRoot/lists")
   }
 
+  /** The drift-policy LOOP closed into one call — what a deployment
+    * previously wrote itself around the detector ([[ivfDriftStats]]) and
+    * the actuator ([[reseedIvfIndex]]):
+    *
+    *   1. THRESHOLD: read the drift stats (one lists scan + a broadcast
+    *      of k centroids). No re-seed unless the maintained cohort has at
+    *      least `minMaintained` vectors (small cohorts are noise, and a
+    *      fresh root re-pays the retrain for nothing) AND its mean fit
+    *      fell below `maxFitRatio` × the base cohort's mean fit — the
+    *      ratio form keeps the policy corpus-independent (absolute fit
+    *      depends on the data's cluster tightness).
+    *   2. STOP the maintainer BEFORE the lists read that retrains (a
+    *      part published after the read would be left behind — the
+    *      compaction rule every maintained family shares).
+    *   3. RE-SEED into a fresh token-named sibling root (never in place:
+    *      immutable-dir rule — an incomplete new root is simply unused,
+    *      and concurrent readers keep serving from the old root).
+    *   4. PATH FLIP: the returned root IS the flip — the caller hands it
+    *      to readers ([[ivfListsTable]]/[[ivfSearch]]) and restarts a
+    *      maintainer against it with a FRESH checkpoint (the old
+    *      checkpoint's offsets describe the old root's parts; its
+    *      vectors are already folded into the new root's base).
+    *   5. RETIRE: with `retireOldRoot` the old root is deleted after the
+    *      new one is fully written — only safe once no reader is pinned
+    *      to the old path (single-driver deployments; fleets retire by
+    *      retention, like vacuum).
+    *
+    * Returns the root now serving: the old root untouched (maintainer
+    * still running) when the policy does not fire, the fresh root (and a
+    * stopped maintainer) when it does. No-drift calls cost one stats
+    * scan, so the loop can run every maintenance shift.
+    */
+  def reseedIvfIfDrifted(s: SparkSession, root: String,
+                         maintainer: Option[org.apache.spark.sql.streaming.StreamingQuery] = None,
+                         minMaintained: Long = 64L,
+                         maxFitRatio: Double = 0.5,
+                         k: Int = IvfK, iters: Int = IvfIters,
+                         retireOldRoot: Boolean = false): String = {
+    val stats = ivfDriftStats(s, root).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val drifted = (for {
+      (bn, bFit) <- stats.get("base")
+      (mn, mFit) <- stats.get("maintained")
+    } yield bn > 0 && mn >= minMaintained && mFit < maxFitRatio * bFit)
+      .getOrElse(false)
+    if (!drifted) return root
+    maintainer.foreach(_.stop())
+    val fresh = s"${root}_r${java.util.UUID.randomUUID.toString.take(8)}"
+    reseedIvfIndex(s, root, fresh, k, iters)
+    if (retireOldRoot) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+    }
+    fresh
+  }
+
+  /** Re-seed a drifted PQ root from the CORPUS, into a fresh root —
+    * [[reseedIvfIndex]]'s symmetric move for the memory path, with the
+    * one asymmetry made explicit in the signature: PQ codes cannot
+    * reconstruct vectors (that is the whole memory trade), so the
+    * retrain must re-read the embedding table (`dir`) instead of the
+    * index itself. Same lifecycle otherwise: run with the old root's
+    * maintainer stopped, flip readers/maintainers to `newRoot` (fresh
+    * checkpoint), retire the old root by retention. Trigger:
+    * [[pqDriftStats]] over a recent cohort vs a base sample.
+    */
+  def reseedPqIndex(s: SparkSession, dir: String, newRoot: String): Unit =
+    seedPqIndex(s, dir, newRoot)
+
   /** [[ivfDriftStats]]'s memory-path twin — the PQ re-seed trigger. PQ
     * codes store no original vectors (that is the point), so drift is
     * measured on a cohort the CALLER supplies (the latest arrivals, or
@@ -568,7 +641,9 @@ object Similarity {
     * p90_err); a recent cohort whose error sits well above the base
     * sample's means the codebook stopped covering the distribution —
     * re-seed and re-encode. Cost: one encode-shaped pass over the
-    * cohort + a broadcast of the m·k codebook.
+    * cohort + a broadcast of the m·k codebook. p90_err is APPROXIMATE
+    * (`percentile_approx`), the same monitor-not-oracle trade as
+    * [[ivfDriftStats]]'s p10_fit.
     */
   def pqDriftStats(s: SparkSession, root: String,
                    vecs: DataFrame): DataFrame = {

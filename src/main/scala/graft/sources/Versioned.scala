@@ -67,6 +67,37 @@ object Versioned {
     */
   final case class Dv(entry: String, path: String, n: Long)
 
+  /** A COMPOSITE bucket key is recorded in the manifest as its
+    * comma-joined column names (`"k1,k2"`) — one string field keeps every
+    * existing manifest readable, and the split is the single place the
+    * encoding is interpreted. Every bucketing expression hashes ALL the
+    * columns (`xxhash64` is variadic), so a composite-PK table gets the
+    * same layout/pruning machinery as a single-key one.
+    */
+  private[graft] def splitKeyCols(bc: String): Seq[String] =
+    bc.split(",").toSeq
+
+  /** The on-disk bucketing expression — THE definition every writer,
+    * pruner and delete path must share (drift silently reads/touches the
+    * wrong buckets).
+    */
+  private[graft] def bucketExpr(bc: String, nBuckets: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    pmod(xxhash64(splitKeyCols(bc).map(col): _*), lit(nBuckets.toLong))
+  }
+
+  /** A key VALUE for bucket column(s) `bc`: a scalar for a single-column
+    * key, a Seq of components (in `bc` order) for a composite one —
+    * normalized here so deleteKeys/bucketsOf accept either shape.
+    */
+  private[graft] def keyComponents(v: Any): Seq[Any] = v match {
+    case s: Seq[_] => s
+    case p: Product if p.productPrefix.startsWith("Tuple") =>
+      p.productIterator.toSeq
+    case x => Seq(x)
+  }
+
   final case class Manifest(version: Int, dataDirs: Seq[String], nRows: Long,
                             epochId: Option[Long] = None,
                             appId: Option[String] = None,
@@ -196,8 +227,8 @@ object Versioned {
       (parent.bucketCol, parent.nBuckets) match {
         case (Some(bc), Some(n))
             if parent.dataDirs.forall(d => bucketOf(d).isDefined) =>
-          require(df.columns.contains(bc),
-            s"append to bucketed table $dir must carry its bucket column " +
+          require(splitKeyCols(bc).forall(df.columns.contains),
+            s"append to bucketed table $dir must carry its bucket column(s) " +
               s"'$bc' (layout installed by the CDC apply path)")
           val token = java.util.UUID.randomUUID.toString.take(8)
           val dataDir = f"$dir/data/v$v%05d-$token"
@@ -415,7 +446,7 @@ object Versioned {
                     nBuckets: Int, maxRecordsPerFile: Long = 0L): Seq[String] = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
-    val b = pmod(xxhash64(col(key)), lit(nBuckets.toLong))
+    val b = bucketExpr(key, nBuckets)
     // key-sorted within each bucket: files and row groups carry TIGHT,
     // DISJOINT key ranges in their footers — what makes file-level
     // replace pruning (and ordinary key-predicate file skipping)
@@ -424,7 +455,7 @@ object Versioned {
     // single-key batch can rewrite one FILE instead of the bucket.
     val w = df.withColumn("__bucket", b)
       .repartition(nBuckets, col("__bucket"))
-      .sortWithinPartitions(col("__bucket"), col(key))
+      .sortWithinPartitions(col("__bucket") +: splitKeyCols(key).map(col): _*)
       .write.partitionBy("__bucket")
       .mode(SaveMode.ErrorIfExists)
     (if (maxRecordsPerFile > 0)
@@ -465,6 +496,79 @@ object Versioned {
       .map(_.getPath.toString).sorted
   }
 
+  /** Read `entries` (data directories or carried files) applying each
+    * entry's OWN deletion vector: a DV'd entry anti-joins against only
+    * ITS sidecar's keys; DV-free entries read untouched. None when
+    * `entries` is empty.
+    *
+    * Per-entry masking is the correctness load-bearer, not a style
+    * choice: a key deleted from entry A (recorded in A's DV) can be
+    * re-inserted by a later bucketed append into entry B, and B can
+    * later acquire its own DV for a DIFFERENT key — masking the union
+    * of all sidecars over all DV'd entries would hide B's live copy
+    * behind A's stale record. Each sidecar describes exactly one
+    * entry's hidden rows and must be applied to exactly that entry.
+    *
+    * Cost: one broadcast anti-join per DV'd entry (sidecars are tiny
+    * key lists; entries ≪ files, bounded by the bucket count), unioned
+    * map-side — never a shuffle of the data.
+    */
+  private[graft] def readEntriesMasked(spark: SparkSession,
+                                       entries: Seq[String],
+                                       dvs: Seq[Dv]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.broadcast
+    if (entries.isEmpty) return None
+    val dvByEntry = dvs.map(d => d.entry -> d).toMap
+    val (dvd, free) = entries.partition(dvByEntry.contains)
+    def rd(ds: Seq[String]) =
+      if (ds.length > 1)
+        spark.read.option("mergeSchema", "true").parquet(ds: _*)
+      else spark.read.parquet(ds.head)
+    val maskedEach = dvd.map { e =>
+      // a sidecar holds ONE column per bucket-key column (composite keys
+      // write several) — the mask joins on all of them
+      val ks = spark.read.parquet(dvByEntry(e).path)
+      rd(Seq(e)).join(broadcast(ks.distinct()), ks.columns.toSeq,
+        "left_anti")
+    }
+    val freeDf = if (free.isEmpty) None else Some(rd(free))
+    (maskedEach ++ freeDf)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The hash bucket each of `values` lands in under the on-disk layout
+    * (bucket column(s) `bc`, `nBuckets` buckets, column TYPES read from
+    * `sampleEntry`'s footer so the hash input matches what was written),
+    * computed with the EXACT on-disk bucketing expression
+    * ([[bucketExpr]]) — drift here would silently read/touch the wrong
+    * buckets, so it is the same Column expr, not a JVM reimplementation.
+    * ALL values go through ONE local job: a 4096-key batch (or a
+    * many-group rescan) must not pay one driver-side scheduler
+    * round-trip per value. Composite keys pass each value as a Seq of
+    * components in `bc` order ([[keyComponents]]); the returned Any is
+    * the same shape back.
+    */
+  private[graft] def bucketsOf(spark: SparkSession, sampleEntry: String,
+                               bc: String, nBuckets: Int,
+                               values: Seq[Any]): Seq[(Any, Long)] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val cols = splitKeyCols(bc)
+    val schema = spark.read.parquet(sampleEntry).schema
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        values.distinct.map(v =>
+          org.apache.spark.sql.Row(keyComponents(v): _*)), 1),
+      StructType(cols.map(c => StructField(c, schema(c).dataType))))
+    df.select(org.apache.spark.sql.functions.struct(
+        cols.map(org.apache.spark.sql.functions.col): _*).as("__k"),
+        bucketExpr(bc, nBuckets).as("__b"))
+      .collect().toSeq.map { r =>
+        val k = r.getStruct(0)
+        val v: Any = if (cols.length == 1) k.get(0) else k.toSeq
+        v -> r.getLong(1)
+      }
+  }
+
   /** Read only the rows whose `column` value is in `values`, pruning at
     * MANIFEST level when the table is bucketed ON that column: the
     * values' hash buckets are computed driver-side (the applyBatch
@@ -489,14 +593,11 @@ object Versioned {
     (m.bucketCol, m.nBuckets) match {
       case (Some(bc), Some(n)) if bc == column &&
           m.dataDirs.forall(d => bucketOf(d).isDefined) =>
-        // one tiny local job computes the values' bucket ids with the
-        // EXACT on-disk bucketing expression (drift here would silently
-        // read the wrong buckets, so it is the same Column expr, not a
-        // JVM reimplementation)
-        val ids = values.map { v =>
-          spark.range(1)
-            .select(pmod(xxhash64(lit(v)), lit(n.toLong))).first().getLong(0)
-        }.toSet
+        // all values' bucket ids in ONE local job (bucketsOf — not one
+        // spark.range job per value: a many-group rescan would pay that
+        // many driver-side scheduler round-trips)
+        val ids = bucketsOf(spark, m.dataDirs.head, bc, n, values)
+          .map(_._2).toSet
         val dirs = m.dataDirs.filter(d => bucketOf(d).exists(ids.contains))
         if (dirs.isEmpty)
           spark.createDataFrame(
@@ -504,31 +605,9 @@ object Versioned {
             read(spark, dir, version).schema)
         else {
           // deletion vectors of the selected entries apply here too (the
-          // raw dir read bypasses read()'s masking) — and ONLY to the
-          // DV'd entries' rows: a key deleted from an old entry and
-          // re-inserted by a later append lives in a DV-FREE entry, and
-          // masking the whole frame would hide the live copy
-          val dvByEntry = m.dvs.map(d => d.entry -> d).toMap
-          val (dvd, free) = dirs.partition(dvByEntry.contains)
-          def rdDirs(ds: Seq[String]) =
-            if (ds.length > 1)
-              spark.read.option("mergeSchema", "true").parquet(ds: _*)
-            else spark.read.parquet(ds.head)
-          val maskedDvd =
-            if (dvd.isEmpty) None
-            else {
-              val ks = spark.read.parquet(dvd.map(dvByEntry(_).path): _*)
-              Some(rdDirs(dvd).join(
-                org.apache.spark.sql.functions.broadcast(
-                  ks.select(ks.columns.head).distinct()),
-                Seq(ks.columns.head), "left_anti"))
-            }
-          val freeRaw = if (free.isEmpty) None else Some(rdDirs(free))
-          val masked = (maskedDvd, freeRaw) match {
-            case (Some(a), Some(b)) =>
-              a.unionByName(b, allowMissingColumns = true)
-            case (a, b) => a.orElse(b).get
-          }
+          // raw dir read bypasses read()'s masking) — each entry against
+          // its OWN sidecar only (see readEntriesMasked)
+          val masked = readEntriesMasked(spark, dirs, m.dvs).get
           // schema-evolution parity with the full read: an evolved column
           // absent from every touched bucket's files still reads as null
           val padded = read(spark, dir, version).schema.fields
@@ -566,7 +645,7 @@ object Versioned {
   def deleteKeys(spark: SparkSession, dir: String, keys: Seq[Any],
                  epochId: Option[Long] = None,
                  appId: Option[String] = None): Int = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "deleteKeys: empty key set")
     val base = manifest(spark, dir)
     val (bc, n) = (base.bucketCol, base.nBuckets) match {
@@ -591,18 +670,10 @@ object Versioned {
     }
     // all bucket ids in ONE local job (not one per key — a 4096-key
     // CDC delete batch would otherwise pay 4096 driver-side jobs), with
-    // the EXACT on-disk bucketing expression
-    val byBucket: Map[Long, Seq[Any]] = {
-      import org.apache.spark.sql.types.{StructField, StructType}
-      val kt = spark.read.parquet(base.dataDirs.head).schema(bc).dataType
-      val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          keys.distinct.map(org.apache.spark.sql.Row(_)), 1),
-        StructType(Seq(StructField(bc, kt))))
-      df.select(col(bc), pmod(xxhash64(col(bc)), lit(n.toLong)).as("__b"))
-        .collect().toSeq
-        .groupBy(_.getLong(1)).map { case (b, rs) => b -> rs.map(_.get(0)) }
-    }
+    // the EXACT on-disk bucketing expression (bucketsOf)
+    val byBucket: Map[Long, Seq[Any]] =
+      bucketsOf(spark, base.dataDirs.head, bc, n, keys)
+        .groupMap(_._2)(_._1)
     val dvByEntry = base.dvs.map(d => d.entry -> d).toMap
     // touched = entries that MAY hold a key (footer-pruned); an entry
     // whose files all prove key-free keeps its prior DV untouched
@@ -615,21 +686,22 @@ object Versioned {
     }
     val token = java.util.UUID.randomUUID.toString.take(8)
     val dvRoot = f"$dir/data/dv${base.version + 1}%05d-$token"
+    val kCols = splitKeyCols(bc)
     val newDvs = touched.zipWithIndex.flatMap { case ((e, ks), i) =>
       val prior = dvByEntry.get(e)
+      val eSchema = spark.read.parquet(e).schema
       val ksDf = spark.createDataFrame(
         spark.sparkContext.parallelize(
-          ks.map(org.apache.spark.sql.Row(_)), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(bc,
-            spark.read.parquet(e).schema(bc).dataType))))
+          ks.map(k => org.apache.spark.sql.Row(keyComponents(k): _*)), 1),
+        org.apache.spark.sql.types.StructType(kCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, eSchema(c).dataType))))
       val priorKeys = prior.map(d => spark.read.parquet(d.path))
       // rows newly hidden: present in the entry, named by this batch,
       // not already deleted — a narrow key-column scan of ONE entry
-      var present = spark.read.parquet(e).select(col(bc))
-        .join(ksDf, Seq(bc), "left_semi")
+      var present = spark.read.parquet(e).select(kCols.map(col): _*)
+        .join(ksDf, kCols, "left_semi")
       priorKeys.foreach(pk => present =
-        present.join(pk, Seq(bc), "left_anti"))
+        present.join(pk, kCols, "left_anti"))
       val nNew = present.count()
       if (nNew == 0 && prior.isEmpty) None
       else if (nNew == 0) prior // nothing new: keep the prior DV record
@@ -684,51 +756,66 @@ object Versioned {
     a.length - b.length
   }
 
-  /** Whether a parquet file MAY contain any of `keys` in column `key`,
-    * decided from footer row-group min/max statistics ONLY — no data
-    * pages are read. Conservative: a missing column, absent statistics,
-    * or an unsupported (key type, stats type) pairing counts as a hit,
-    * so pruning can only ever SKIP files proven key-free; an all-null
-    * row group is proven key-free (keys are non-null).
+  /** Whether one key COMPONENT may sit inside a row group's min/max
+    * statistics for its column. Conservative: absent statistics or an
+    * unsupported (value type, stats type) pairing counts as a hit; an
+    * all-null row group is proven component-free (keys are non-null).
+    */
+  private def statsMayContain(
+      st: org.apache.parquet.column.statistics.Statistics[_],
+      v: Any): Boolean = {
+    if (st == null || st.isEmpty) true
+    else if (!st.hasNonNullValue) false
+    else (st, v) match {
+      case (s: org.apache.parquet.column.statistics.LongStatistics,
+            x: Long) => x >= s.getMin && x <= s.getMax
+      case (s: org.apache.parquet.column.statistics.IntStatistics,
+            x: Int) => x >= s.getMin && x <= s.getMax
+      case (s: org.apache.parquet.column.statistics.BinaryStatistics,
+            x: String) =>
+        // Parquet string min/max are UTF-8 bytes ordered as UNSIGNED
+        // byte sequences. Comparing decoded java.lang.Strings instead
+        // ranks by UTF-16 code unit, and the two orders diverge for
+        // supplementary-plane characters (surrogates 0xD800+ sort below
+        // 0xE000+ in UTF-16 but their UTF-8 encodings 0xF0… sort ABOVE
+        // 0xE…) — a file CONTAINING the key could be pruned, i.e.
+        // silent row loss. Compare in the stats' own domain: unsigned
+        // UTF-8 bytes.
+        val kb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        unsignedCompare(kb, s.genericGetMin.getBytes) >= 0 &&
+          unsignedCompare(kb, s.genericGetMax.getBytes) <= 0
+      case _ => true
+    }
+  }
+
+  /** Whether a parquet file MAY contain any of `keys` in the bucket
+    * column(s) `key` (comma-joined for composite keys; composite values
+    * are component Seqs in the same order), decided from footer
+    * row-group min/max statistics ONLY — no data pages are read. A
+    * composite key may be present only when EVERY component sits inside
+    * its own column's range in the SAME row group. Conservative: a
+    * missing column or unsupported stats pairing counts as a hit, so
+    * pruning can only ever SKIP files proven key-free.
     */
   private[graft] def fileMayContain(
       conf: org.apache.hadoop.conf.Configuration,
       file: String, key: String, keys: Seq[Any]): Boolean = {
     import scala.jdk.CollectionConverters._
+    val cols = splitKeyCols(key)
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new Path(file), conf))
     try {
       rd.getFooter.getBlocks.asScala.exists { blk =>
-        blk.getColumns.asScala.find(_.getPath.toDotString == key) match {
-          case None => true
-          case Some(c) =>
-            val st = c.getStatistics
-            if (st == null || st.isEmpty) true
-            else if (!st.hasNonNullValue) false
-            else keys.exists { k =>
-              (st, k) match {
-                case (s: org.apache.parquet.column.statistics.LongStatistics,
-                      v: Long) => v >= s.getMin && v <= s.getMax
-                case (s: org.apache.parquet.column.statistics.IntStatistics,
-                      v: Int) => v >= s.getMin && v <= s.getMax
-                case (s: org.apache.parquet.column.statistics.BinaryStatistics,
-                      v: String) =>
-                  // Parquet string min/max are UTF-8 bytes ordered as
-                  // UNSIGNED byte sequences. Comparing decoded
-                  // java.lang.Strings instead ranks by UTF-16 code unit,
-                  // and the two orders diverge for supplementary-plane
-                  // characters (surrogates 0xD800+ sort below 0xE000+ in
-                  // UTF-16 but their UTF-8 encodings 0xF0… sort ABOVE
-                  // 0xE…) — a file CONTAINING the key could be pruned,
-                  // i.e. silent row loss. Compare in the stats' own
-                  // domain: unsigned UTF-8 bytes.
-                  val kb = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-                  unsignedCompare(kb, s.genericGetMin.getBytes) >= 0 &&
-                    unsignedCompare(kb, s.genericGetMax.getBytes) <= 0
-                case _ => true
-              }
+        val byCol = blk.getColumns.asScala
+          .map(c => c.getPath.toDotString -> c).toMap
+        keys.exists { k =>
+          cols.zip(keyComponents(k)).forall { case (c, v) =>
+            byCol.get(c) match {
+              case None => true
+              case Some(cc) => statsMayContain(cc.getStatistics, v)
             }
+          }
         }
       }
     } finally rd.close()
@@ -822,27 +909,16 @@ object Versioned {
         .parquet(anc.dataDirs: _*).limit(0)
     }
     // mergeSchema only matters (and only costs footer reads) with >1 dir
-    def rd(dirs: Seq[String]) =
-      if (dirs.length > 1)
-        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-      else spark.read.parquet(dirs: _*)
-    if (m.dvs.isEmpty) rd(m.dataDirs)
-    else {
-      // deletion vectors: entries with a DV read through one anti-join
-      // against the (tiny, broadcast) union of deleted keys — the key
-      // lives in exactly the buckets the DVs were recorded on, and CDC
-      // delete semantics remove the key from the table, so the union
-      // join is exact. DV-free entries read untouched.
-      import org.apache.spark.sql.functions.broadcast
-      val dvd = m.dvs.map(_.entry).toSet
-      val plain = m.dataDirs.filterNot(dvd)
-      val keys = spark.read.parquet(m.dvs.map(_.path): _*)
-      val kc = keys.columns.head
-      val masked = rd(m.dataDirs.filter(dvd))
-        .join(broadcast(keys.select(kc).distinct()), Seq(kc), "left_anti")
-      if (plain.isEmpty) masked
-      else masked.unionByName(rd(plain), allowMissingColumns = true)
-    }
+    if (m.dvs.isEmpty) {
+      if (m.dataDirs.length > 1)
+        spark.read.option("mergeSchema", "true").parquet(m.dataDirs: _*)
+      else spark.read.parquet(m.dataDirs: _*)
+    } else
+      // deletion vectors: each DV'd entry anti-joins against ITS OWN
+      // sidecar's keys only (readEntriesMasked) — a union mask across
+      // entries would hide a key deleted from one entry but live in
+      // another (deleted, then re-inserted by a bucketed append)
+      readEntriesMasked(spark, m.dataDirs, m.dvs).get
   }
 
   /** Row-level diff between two committed versions — time travel composed
@@ -941,31 +1017,15 @@ object Versioned {
           vcols.foldLeft(d)((acc, c) =>
             if (acc.columns.contains(c)) acc
             else acc.withColumn(c, lit(null)))
-        def rd(dirs: Seq[String]): Option[DataFrame] =
-          if (dirs.isEmpty) None
-          else if (dirs.length > 1) Some(
-            spark.read.option("mergeSchema", "true").parquet(dirs: _*))
-          else Some(spark.read.parquet(dirs: _*))
         // each side reads through ITS version's deletion vectors, so a
         // rewrite that materializes a DV away suppresses exactly (the
-        // deleted rows are invisible on both sides). Masking applies
-        // ONLY to the DV'd entries' rows — a key deleted from one entry
-        // and re-inserted by a later append lives in a DV-free entry,
-        // whose image must survive
-        def mask(dirs: Seq[String], dvs: Map[String, Dv]): Option[DataFrame] = {
-          val (dvd, free) = dirs.partition(dvs.contains)
-          val maskedDvd = rd(dvd).map { d =>
-            val ks = spark.read.parquet(dvd.map(dvs(_).path): _*)
-            d.join(org.apache.spark.sql.functions.broadcast(
-              ks.select(ks.columns.head).distinct()),
-              Seq(ks.columns.head), "left_anti")
-          }
-          (maskedDvd, rd(free)) match {
-            case (Some(a), Some(b)) =>
-              Some(a.unionByName(b, allowMissingColumns = true))
-            case (a, b) => a.orElse(b)
-          }
-        }
+        // deleted rows are invisible on both sides). Each entry masks
+        // against its OWN sidecar only (readEntriesMasked) — a key
+        // deleted from one entry and re-inserted by a later append
+        // lives in another entry, whose image must survive even once
+        // that entry carries a DV for a different key
+        def mask(dirs: Seq[String], dvs: Map[String, Dv]): Option[DataFrame] =
+          readEntriesMasked(spark, dirs, dvs.values.toSeq)
         val imgJoin: Option[DataFrame] =
           if (removed.isEmpty && added.isEmpty) None
           else {
@@ -1012,18 +1072,19 @@ object Versioned {
               .withColumn("_commit_version", lit(v)))
           }
         val dvImages: Option[DataFrame] = dvGrown.map { d =>
+          // sidecars carry one column per bucket-key column — the delta
+          // and the pre-image probe join on all of them
           val newKeys = {
             val k1 = spark.read.parquet(d.path)
             dv0.get(d.entry) match {
               case Some(p) => k1.join(spark.read.parquet(p.path),
-                Seq(k1.columns.head), "left_anti")
+                k1.columns.toSeq, "left_anti")
               case None => k1
             }
           }
-          val kc = newKeys.columns.head
           withCols(spark.read.parquet(d.entry))
             .join(org.apache.spark.sql.functions.broadcast(
-              newKeys.select(kc).distinct()), Seq(kc), "left_semi")
+              newKeys.distinct()), newKeys.columns.toSeq, "left_semi")
             .select(keys.map(col) ++ vcols.map(col): _*)
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v))

@@ -65,12 +65,25 @@ object Cdc {
                    key: String, valueCols: Seq[String], seqCol: String,
                    appId: Option[String] = None,
                    nBuckets: Int = DefaultBuckets,
-                   maxRecordsPerFile: Long = 0L): StreamingQuery = {
+                   maxRecordsPerFile: Long = 0L): StreamingQuery =
+    applyChangesKeyed(changes, tableDir, checkpointDir, Seq(key), valueCols,
+      seqCol, appId, nBuckets, maxRecordsPerFile)
+
+  /** [[applyChanges]] generalized to a COMPOSITE key — the streaming face
+    * of [[applyBatchKeyed]].
+    */
+  def applyChangesKeyed(changes: DataFrame, tableDir: String,
+                        checkpointDir: String,
+                        keys: Seq[String], valueCols: Seq[String],
+                        seqCol: String,
+                        appId: Option[String] = None,
+                        nBuckets: Int = DefaultBuckets,
+                        maxRecordsPerFile: Long = 0L): StreamingQuery = {
     val app = appId.getOrElse(s"cdc:$checkpointDir")
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, tableDir, key, valueCols, seqCol,
+        applyBatchKeyed(batch, tableDir, keys, valueCols, seqCol,
           Some(batchId), Some(app), nBuckets, maxRecordsPerFile)
         ()
       }
@@ -251,7 +264,28 @@ object Cdc {
                  epochId: Option[Long] = None,
                  appId: Option[String] = None,
                  nBuckets: Int = DefaultBuckets,
-                 maxRecordsPerFile: Long = 0L): Unit = {
+                 maxRecordsPerFile: Long = 0L): Unit =
+    applyBatchKeyed(batch, tableDir, Seq(key), valueCols, seqCol, epochId,
+      appId, nBuckets, maxRecordsPerFile)
+
+  /** [[applyBatch]] generalized to a COMPOSITE key: the batch compacts,
+    * buckets, prunes, merges and deletes on the key TUPLE — the manifest
+    * records the comma-joined column list as its bucket column
+    * ([[graft.sources.Versioned.splitKeyCols]]), every bucketing
+    * expression hashes all the columns, deletion-vector sidecars carry
+    * one column per key column, and the feed reads back through
+    * [[graft.sources.Versioned.changesKeyed]]. Closes the asymmetry
+    * where a composite-PK table could subscribe to changes but not
+    * stream-apply them.
+    */
+  def applyBatchKeyed(batch: DataFrame, tableDir: String, keys: Seq[String],
+                      valueCols: Seq[String], seqCol: String,
+                      epochId: Option[Long] = None,
+                      appId: Option[String] = None,
+                      nBuckets: Int = DefaultBuckets,
+                      maxRecordsPerFile: Long = 0L): Unit = {
+    require(keys.nonEmpty, "applyBatchKeyed: empty key column list")
+    val bcJoined = keys.mkString(",")
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     // one manifest listing per batch (needed below for the empty-base
@@ -282,7 +316,7 @@ object Cdc {
     // content ties are trivially stable; differing-content ties resolve
     // deterministically by the hash.
     val tieCols = batch.columns.filterNot(_ == seqCol).sorted.toIndexedSeq.map(col)
-    val w = Window.partitionBy(col(key))
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc, xxhash64(tieCols: _*))
     val compacted = batch
       .withColumn("__rn", row_number().over(w))
@@ -298,7 +332,7 @@ object Cdc {
       else Some(Versioned.manifest(spark, tableDir))
     val layout = parentM.flatMap(m =>
       for {
-        bc <- m.bucketCol if bc == key
+        bc <- m.bucketCol if bc == bcJoined
         n <- m.nBuckets
         if m.dataDirs.forall(d => Versioned.bucketOf(d).isDefined)
       } yield (m, n))
@@ -310,14 +344,22 @@ object Cdc {
         // FILE-level footer pruning inside its buckets; a bigger batch
         // falls back to bucket-level replace via a tiny bucket-only
         // distinct (bounded by nBuckets driver-side values either way)
-        val bexpr = pmod(xxhash64(col(key)), lit(n.toLong))
-        val keyed = compacted.select(col(key).as("__k"), bexpr.as("__b"))
+        val bexpr = Versioned.bucketExpr(bcJoined, n)
+        val keyed = compacted.select(struct(keys.map(col): _*).as("__k"),
+            bexpr.as("__b"))
           .distinct()
+        // a key VALUE is the scalar for a single-column key, the
+        // component Seq for a composite one (Versioned.keyComponents'
+        // normalized shape — what deleteKeys/fileMayContain accept)
+        def keyOf(r: org.apache.spark.sql.Row): Any = {
+          val s = r.getStruct(0)
+          if (keys.length == 1) s.get(0) else s.toSeq
+        }
         val cappedKeys = keyed.limit(KeyPruneCap + 1).collect()
         val exact: Option[Map[Long, Seq[Any]]] =
           if (cappedKeys.length > KeyPruneCap) None
           else Some(cappedKeys.groupBy(_.getLong(1))
-            .map { case (b, rows) => b -> rows.toSeq.map(_.get(0)) })
+            .map { case (b, rows) => b -> rows.toSeq.map(keyOf) })
         val touched: Set[Long] = exact.map(_.keySet)
           .getOrElse(keyed.select("__b").distinct().collect()
             .map(_.getLong(0)).toSet)
@@ -330,7 +372,7 @@ object Cdc {
         // replay fence is the same one every apply path uses.
         if (exact.isDefined && compacted.filter(col("op") =!= "D").isEmpty) {
           Versioned.deleteKeys(spark, tableDir,
-            cappedKeys.toSeq.map(_.get(0)), epochId, appId)
+            cappedKeys.toSeq.map(keyOf), epochId, appId)
           for (e <- epochId; a <- appId) bump((tableDir, a), e)
           return
         }
@@ -360,24 +402,21 @@ object Cdc {
         val dvByEntry = m.dvs.map(d => d.entry -> d).toMap
         var replacedEntries = Vector.empty[String]
         var baseFiles = Vector.empty[String]
-        var dvdBaseFiles = Vector.empty[String]
-        var dvdPaths = Vector.empty[String]
+        var dvdEntries = Vector.empty[String]
         var carriedFiles = Vector.empty[String]
         touched.toSeq.sorted.foreach { b =>
           val entries = byBucket.getOrElse(b, Seq.empty)
           if (entries.nonEmpty) {
             val (dvd, free) = entries.partition(dvByEntry.contains)
             replacedEntries ++= entries
-            dvdBaseFiles ++= dvd.flatMap(e =>
-              Versioned.parquetFiles(hconf, e))
-            dvdPaths ++= dvd.map(e => dvByEntry(e).path)
+            dvdEntries ++= dvd
             exact match {
               case Some(keysByBucket) =>
                 val ks = keysByBucket(b)
                 val files = free.flatMap(e =>
                   Versioned.parquetFiles(hconf, e))
                 val (hit, miss) = files.partition(f =>
-                  Versioned.fileMayContain(hconf, f, key, ks))
+                  Versioned.fileMayContain(hconf, f, bcJoined, ks))
                 baseFiles ++= hit
                 carriedFiles ++= miss
               case None =>
@@ -388,32 +427,26 @@ object Cdc {
         def rdFiles(fsq: Seq[String]) =
           spark.read.option("mergeSchema", "true").parquet(fsq: _*)
         // a replaced entry's DV keys must stay deleted through the merge
-        // (reading its files raw would RESURRECT them) — but the mask
-        // applies ONLY to the DV'd entries' rows: a key deleted there
-        // and re-inserted by a later append lives in a DV-FREE entry of
-        // the same bucket, and masking the whole base would silently
-        // drop the live copy from the rewrite
+        // (reading its files raw would RESURRECT them) — and each entry
+        // masks against its OWN sidecar only (readEntriesMasked): a key
+        // deleted from one entry and re-inserted by a later append lives
+        // in ANOTHER entry of the same bucket, and a union mask across
+        // entries would silently drop the live copy from the rewrite the
+        // moment that entry carries a DV for a different key
         val maskedDvd =
-          if (dvdBaseFiles.isEmpty) None
-          else {
-            val ks = spark.read.parquet(dvdPaths: _*)
-            Some(rdFiles(dvdBaseFiles).join(
-              org.apache.spark.sql.functions.broadcast(
-                ks.select(ks.columns.head).distinct()),
-              Seq(ks.columns.head), "left_anti"))
-          }
+          Versioned.readEntriesMasked(spark, dvdEntries, m.dvs)
         val freeBase = if (baseFiles.isEmpty) None else Some(rdFiles(baseFiles))
         val base = (maskedDvd, freeBase) match {
           case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
           case (a, b) => a.orElse(b)
             .getOrElse(Versioned.read(spark, tableDir).limit(0))
         }
-        val merged = Lakehouse.mergeUpsert(base, compacted, key, valueCols)
-          .drop("src")
+        val merged = Lakehouse.mergeUpsertKeyed(base, compacted, keys,
+          valueCols).drop("src")
         val v = tableVersions.last + 1
         val token = java.util.UUID.randomUUID.toString.take(8)
         val dataDir = f"$tableDir/data/v$v%05d-$token"
-        val fresh = Versioned.writeBucketed(merged, dataDir, key, n,
+        val fresh = Versioned.writeBucketed(merged, dataDir, bcJoined, n,
           maxRecordsPerFile)
         val newDirs = fresh ++ carriedFiles
         // exact row bookkeeping from parquet FOOTERS — metadata reads,
@@ -426,28 +459,28 @@ object Cdc {
             replacedEntries.flatMap(dvByEntry.get).map(_.n).sum
         Versioned.commitDirs(spark, tableDir, newDirs, newRows,
           replacedEntries.toSet, replacedRows, epochId, appId,
-          bucketCol = Some(key), nBuckets = Some(n),
+          bucketCol = Some(bcJoined), nBuckets = Some(n),
           baseVersion = Some(m.version))
       case None =>
         val base = parentM match {
           case None =>
             // first batch: empty base with the value schema merges produce
-            compacted.select(col(key) +:
+            compacted.select(keys.map(col) ++
               valueCols.map(c => col(s"new_$c").as(c)): _*).limit(0)
           case Some(_) => Versioned.read(spark, tableDir)
         }
-        val merged = Lakehouse.mergeUpsert(base, compacted, key, valueCols)
-          .drop("src")
+        val merged = Lakehouse.mergeUpsertKeyed(base, compacted, keys,
+          valueCols).drop("src")
         val v = tableVersions.lastOption.getOrElse(0) + 1
         val token = java.util.UUID.randomUUID.toString.take(8)
         val dataDir = f"$tableDir/data/v$v%05d-$token"
-        val newDirs = Versioned.writeBucketed(merged, dataDir, key, nBuckets,
-          maxRecordsPerFile)
+        val newDirs = Versioned.writeBucketed(merged, dataDir, bcJoined,
+          nBuckets, maxRecordsPerFile)
         val newRows = newDirs.map(graft.Tables.footerRowCount(spark, _)).sum
         Versioned.commitDirs(spark, tableDir, newDirs, newRows,
           parentM.map(_.dataDirs.toSet).getOrElse(Set.empty),
           parentM.map(_.nRows).getOrElse(0L), epochId, appId,
-          bucketCol = Some(key), nBuckets = Some(nBuckets),
+          bucketCol = Some(bcJoined), nBuckets = Some(nBuckets),
           baseVersion = Some(parentM.map(_.version).getOrElse(0)))
     }
     for (e <- epochId; a <- appId) bump((tableDir, a), e)

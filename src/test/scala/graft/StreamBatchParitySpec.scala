@@ -1473,6 +1473,73 @@ class StreamBatchParitySpec extends AnyFunSuite {
       s"PQ drift not flagged: faithful=$faithfulErr drifted=$driftedErr")
   }
 
+  test("reseedIvfIfDrifted closes the loop: threshold, stop, fresh root, retire") {
+    import graft.operators.Similarity
+    import graft.streaming.Docs
+    import graft.streaming.Docs.Vec
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.VectorOps.register(spark)
+    // same controlled geometry as the detector spec: two tight axis
+    // clusters seed the root; a faithful cohort lands on the same axes,
+    // a drifted one on an orthogonal axis
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(axis) = 1.0f
+      a((axis + 1) % 64) = 0.02f * ((i % 5) + 1)
+      a
+    }
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_loop").toString
+    ((0L until 20L).map(i => (i, vec(0, i.toInt), 0)) ++
+      (20L until 40L).map(i => (i, vec(7, i.toInt), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$baseDir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_loopR").toString
+    Similarity.seedIvfIndex(spark, baseDir, root, k = 2, iters = 2)
+    val in = MemoryStream[Vec]
+    val q = Docs.maintainIvfIndex(in.toDF(), root,
+      java.nio.file.Files.createTempDirectory("graft_loopCk").toString)
+    try {
+      // 1) faithful cohort: the policy must NOT fire — same root back,
+      // maintainer left running
+      in.addData((100L until 110L).map(i => Vec(i, vec(0, i.toInt), 0)))
+      q.processAllAvailable()
+      val unfired = Similarity.reseedIvfIfDrifted(spark, root, Some(q),
+        minMaintained = 10L, maxFitRatio = 0.5, k = 3, iters = 3)
+      assert(unfired == root, "policy fired on a faithful cohort")
+      assert(q.isActive, "policy stopped the maintainer without firing")
+      // 2) orthogonal cohort — enough of it that the mixed maintained
+      // mean fit (10 faithful + 15 orthogonal ≈ 0.4) crosses the ratio
+      in.addData((200L until 215L).map(i => Vec(i, vec(33, i.toInt), 2)))
+      q.processAllAvailable()
+      val flipped = Similarity.reseedIvfIfDrifted(spark, root, Some(q),
+        minMaintained = 10L, maxFitRatio = 0.5, k = 3, iters = 3,
+        retireOldRoot = true)
+      assert(flipped != root, "policy did not fire on an orthogonal cohort")
+      assert(!q.isActive, "the maintainer must stop before the retrain reads")
+      // RETIRE: the old root is gone; the fresh root carries everything
+      assert(!new java.io.File(root).exists(), "old root was not retired")
+      val lists2 = Similarity.ivfListsTable(spark, flipped).get
+      assert(lists2.count() == 65, "re-seed lost vectors")
+      // fit is restored over the new root (all vectors now base cohort;
+      // pre-flip the maintained cohort's mean fit sat around 0.4 —
+      // 10 faithful ≈1 + 15 orthogonal ≈0)
+      val s2 = Similarity.ivfDriftStats(spark, flipped).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(s2.keySet == Set("base") && s2("base") > 0.7,
+        s"re-seeded root did not restore fit: $s2")
+      // SEARCH PARITY over the flipped root: the drifted cohort is now
+      // first-class — an axis-33 query's top neighbors are its own cohort
+      val cents2 = spark.read.parquet(s"$flipped/centroids")
+      val q33 = lists2.filter(col("c_id") === 200L)
+        .select(col("c_id").as("q_id"), col("ce").as("qe"))
+      val top = Similarity.ivfSearch(cents2, lists2, q33)
+        .filter(col("rn") <= 5).select("c_id").as[Long].collect().toSet
+      assert(top.forall(c => c >= 200L && c < 215L),
+        s"search over the flipped root returned cross-axis neighbors: $top")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("winnow postings maintain as a row family; the live twin sees new rows") {
     import graft.operators.{Dedup, TextAnalysis}
     import graft.streaming.Docs
