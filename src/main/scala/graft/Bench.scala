@@ -90,10 +90,16 @@ object Bench {
     val drift = math.max(calFirst, calLast) / math.min(calFirst, calLast)
     // contention means the machine got SLOWER while the bench ran — the
     // last calibration reads high. Drift in the speed-up direction (last
-    // faster than first) is residual warm-up, not contention, and must not
-    // discredit a quiet run.
-    val contended = drift > 1.5 && calLast > calFirst
-    val cal = s""""calibration":{"first_sec":${n3(calFirst)},"last_sec":${n3(calLast)},"drift":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(drift))},"contended":$contended,"rule":"min-of-3 each side; contended only if drift>1.5 AND last slower (slowdown=contention, speed-up=warm-up)"}"""
+    // faster than first) usually reads as residual warm-up and must not
+    // discredit a quiet run — but it CAN also be contention present at
+    // the start that subsided, so large drift is flagged `unstable` in
+    // EITHER direction with its direction labeled; a reader of an
+    // unstable speed-up artifact cross-checks queries_min vs queries
+    // (early-contended medians sit well above their own mins).
+    val unstable = drift > 1.5
+    val direction = if (calLast > calFirst) "slowdown" else "speed-up"
+    val contended = unstable && calLast > calFirst
+    val cal = s""""calibration":{"first_sec":${n3(calFirst)},"last_sec":${n3(calLast)},"drift":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(drift))},"drift_direction":"$direction","unstable":$unstable,"contended":$contended,"rule":"min-of-3 each side; drift>1.5 flags unstable in either direction; contended additionally requires the LAST side slower (slowdown=contention; a speed-up reads as warm-up but may be early contention that subsided - cross-check queries_min vs queries)"}"""
     println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qmin,$cal,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -447,7 +447,9 @@ object Cli {
         // preserves by construction, verified after the fact on whatever
         // actually landed
         val tables = destTables()
-        if (tables.isEmpty) log("check: destination has no tables")
+        val vroot = Paths.get(s"${cfg.destDir}/versioned")
+        if (tables.isEmpty && !Files.isDirectory(vroot))
+          log("check: destination has no tables")
         else {
           var bad = 0L
           fkOrder(tables).foreach { n =>
@@ -472,6 +474,27 @@ object Cli {
               }
             }
           }
+          // versioned-table manifest invariant: the logical row count
+          // (nRows — maintained WITHOUT scans, through footer counts and
+          // DV sidecar sizes) must equal what read() actually returns.
+          // This is the deploy-time tripwire for exactly the class of
+          // bug a mutating table can develop (a stale deletion-vector
+          // sidecar masking a live row, a miscounted replace): cheap at
+          // gate scale, one deliberate count() per table at production
+          // scale.
+          if (Files.isDirectory(vroot))
+            listDir(vroot).filter(Files.isDirectory(_))
+              .sortBy(_.getFileName.toString).foreach { p =>
+                val d = p.toString
+                if (graft.sources.Versioned.versions(spark, d).nonEmpty) {
+                  val m = graft.sources.Versioned.manifest(spark, d)
+                  val got = graft.sources.Versioned.read(spark, d).count()
+                  if (got != m.nRows) bad += math.abs(got - m.nRows)
+                  log(f"check ${p.getFileName}%-10s ${s"versioned_rowcount(v${m.version})"}%-34s " +
+                    (if (got == m.nRows) "ok"
+                     else s"read=$got manifest=${m.nRows} VIOLATIONS"))
+                }
+              }
           log(s"check: ${if (bad == 0) "all rules passed" else s"$bad total violations"}")
         }
       case "purgecache" =>

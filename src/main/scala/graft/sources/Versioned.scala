@@ -417,6 +417,18 @@ object Versioned {
       Some(s"parent v${parent.version} changed the bucket layout to " +
         s"(${parent.bucketCol}, ${parent.nBuckets}) from " +
         s"($baseCol, $baseN)")
+    // a deletion vector changes an entry's LOGICAL content without
+    // touching any directory list — a replace whose merge read the entry
+    // under the base's DVs must conflict when the parent carries a
+    // DIFFERENT DV on a replaced entry, or the publish would resurrect
+    // the concurrently-deleted keys (and silently drop their DV: replaced
+    // entries' DVs fold away). This check must run BEFORE the
+    // dirs-unchanged early pass: a DV commit keeps dataDirs identical.
+    else if (parent.dvs.filter(d => replacedDirs.contains(d.entry)).toSet !=
+        base.map(_.dvs).getOrElse(Seq.empty)
+          .filter(d => replacedDirs.contains(d.entry)).toSet)
+      Some(s"a concurrent deletion vector landed on a replaced entry " +
+        s"(parent v${parent.version} DVs differ from the merge's base)")
     else if (parentDirs == baseDirs) None
     // a PURE APPEND read nothing and replaced nothing — its new rows are
     // valid against ANY parent that kept the layout (checked above), so

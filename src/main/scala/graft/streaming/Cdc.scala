@@ -113,46 +113,74 @@ object Cdc {
     * manifest-cursor pattern, or any transactional sink keyed on
     * `_commit_version`.
     */
-  /** Whether THIS subscription (identified by its checkpoint) has ever
-    * delivered a version before the given batch. Bootstrap-vs-lag is
+  /** Whether THIS subscription (identified by its checkpoint) DELIVERED
+    * a version in a batch before the given one. Bootstrap-vs-lag is
     * decided by this, NOT by `batchId == 0`: with `maxFilesPerTrigger`
     * set (or an empty first poll on a not-yet-committed table) the
     * initial backlog legitimately spans several batches, and the oldest
     * retained version can surface in batch 1+ while still being the
-    * subscription's honest initial load. Durable across restarts: the
-    * file-source metadata log under `sources/0` records every discovered
-    * manifest with the batch that planned it, and structured streaming
-    * only plans batch N after N-1 committed — so "some entry carries a
-    * batchId below the current one" ⟺ "a prior batch delivered". A
-    * replayed batch reads entries strictly BELOW its own id, so it
-    * reaches the same bootstrap decision as its original run.
+    * subscription's honest initial load.
+    *
+    * Decided from ACTUAL delivery, recorded durably: the first `apply`
+    * writes a tiny marker under the checkpoint carrying its batchId
+    * ([[recordDelivered]]), and "delivered before batch N" ⟺ "the
+    * marker's batchId < N". Inferring delivery from the file-source
+    * metadata log (the pre-r11 rule: "a prior batch PLANNED files")
+    * wedged one corner permanently: when every version in the first
+    * batch(es) fell before the retention window, nothing was applied,
+    * yet the log carried lower batchIds — so the next batch's oldest
+    * retained version took the loud vacuumed-mid-stream exception
+    * instead of the bootstrap snapshot. The marker records the FIRST
+    * delivering batch, so a replay of that same batch reaches the same
+    * bootstrap decision as its original run (strict `<`), and a crash
+    * between apply and marker write just re-bootstraps the same version
+    * — fenced by `_commit_version` like every at-least-once delivery.
     */
   private val everDelivered =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def deliveredMarker(checkpointDir: String) =
+    new org.apache.hadoop.fs.Path(s"$checkpointDir/_graft_delivered")
 
   private[graft] def deliveredBefore(spark: org.apache.spark.sql.SparkSession,
                                      checkpointDir: String, batchId: Long): Boolean = {
-    if (batchId == 0L) return false
-    if (Option(everDelivered.get(checkpointDir)).exists(_.booleanValue))
-      return true
-    val dir = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/0")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    // each log file is "v1" + one JSON entry per discovered manifest,
-    // each entry carrying the batchId that planned it (compact files
-    // fold history but keep original batchIds) — metadata-sized reads
-    val prior = fs.exists(dir) && fs.listStatus(dir).exists { st =>
-      st.isFile &&
-        st.getPath.getName.stripSuffix(".compact").toLongOption.isDefined && {
-          val in = fs.open(st.getPath)
-          try {
-            val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            """"batchId"\s*:\s*(\d+)""".r.findAllMatchIn(txt)
-              .exists(_.group(1).toLong < batchId)
-          } finally in.close()
+    val first = Option(everDelivered.get(checkpointDir)).map(_.longValue)
+      .orElse {
+        val p = deliveredMarker(checkpointDir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          // an unparsable marker (crash mid-write of a <20-byte file —
+          // effectively unreachable) reads as "never delivered": the
+          // worst case is one extra bootstrap snapshot, version-fenced
+          // by the consumer, never a wedge or a silent skip
+          val parsed = txt.trim.toLongOption
+          parsed.foreach(b =>
+            everDelivered.putIfAbsent(checkpointDir, java.lang.Long.valueOf(b)))
+          parsed
         }
+      }
+    first.exists(_ < batchId)
+  }
+
+  /** Record the subscription's FIRST delivery durably (see
+    * [[deliveredBefore]]); later batches keep the original batchId.
+    */
+  private def recordDelivered(spark: org.apache.spark.sql.SparkSession,
+                              checkpointDir: String, batchId: Long): Unit = {
+    if (everDelivered.putIfAbsent(checkpointDir,
+        java.lang.Long.valueOf(batchId)) == null) {
+      val p = deliveredMarker(checkpointDir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) {
+        val out = fs.create(p, false)
+        try out.write(batchId.toString.getBytes("UTF-8"))
+        finally out.close()
+      }
     }
-    if (prior) everDelivered.put(checkpointDir, java.lang.Boolean.TRUE): Unit
-    prior
   }
 
   def followChanges(spark: org.apache.spark.sql.SparkSession,
@@ -209,11 +237,11 @@ object Cdc {
                       // nothing to deliver
           if (feed != null) {
             apply(feed, v)
-            // later batches in THIS run must see the subscription as
-            // live even before their own metadata-log read — a vacuum
-            // racing between batches must hit the loud path, not a
-            // second "bootstrap" snapshot (= double-apply)
-            everDelivered.put(checkpointDir, java.lang.Boolean.TRUE): Unit
+            // durable first-delivery record + in-process cache: later
+            // batches (and restarts) must see the subscription as live —
+            // a vacuum racing between batches must hit the loud path,
+            // not a second "bootstrap" snapshot (= double-apply)
+            recordDelivered(spark, checkpointDir, batchId)
           }
         }
       }

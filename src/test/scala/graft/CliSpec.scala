@@ -287,6 +287,45 @@ class CliSpec extends AnyFunSuite {
     assert(outC2.contains(
       "changes lineitem v2->v3: update_postimage=1, update_preimage=1"),
       s"got $outC2")
+    // a STREAM-APPLIED composite batch: the CDC apply path merges on the
+    // 5-col tuple (Cdc.applyBatchKeyed — the foreachBatch body the
+    // streaming sink drives; v4 migrates the snapshot table to the
+    // composite bucket layout), and the CLI feed reads the stream-applied
+    // commit the same multi-key way
+    import org.apache.spark.sql.functions.{col, lit}
+    val pk = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_extendedprice")
+    val one = graft.sources.Versioned.read(spark, dir)
+      .orderBy(pk.map(col): _*).limit(1)
+    val upd = one.select(pk.map(col) :+ lit("U").as("op") :+
+      (col("l_quantity") + 7L).as("new_l_quantity") :+ lit(1L).as("seq"): _*)
+    graft.streaming.Cdc.applyBatchKeyed(upd, dir, pk, Seq("l_quantity"),
+      "seq", epochId = Some(0L), appId = Some("click"), nBuckets = 4)
+    val outC3 = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "changes")))
+    assert(outC3.contains(
+      "changes lineitem v3->v4: update_postimage=1, update_preimage=1"),
+      s"got $outC3")
+    // and a stream-applied pure delete lands as a composite DV commit
+    // whose feed delta the CLI reads back as exactly one delete
+    val del = one.select(pk.map(col) :+ lit("D").as("op") :+
+      lit(0L).as("new_l_quantity") :+ lit(2L).as("seq"): _*)
+    graft.streaming.Cdc.applyBatchKeyed(del, dir, pk, Seq("l_quantity"),
+      "seq", epochId = Some(1L), appId = Some("click"), nBuckets = 4)
+    assert(graft.sources.Versioned.manifest(spark, dir).dvs.nonEmpty,
+      "the composite pure-delete did not commit a deletion vector")
+    val outC4 = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "changes")))
+    assert(outC4.contains("changes lineitem v4->v5: delete=1"), s"got $outC4")
+    // the check gate audits the DV'd table's manifest invariant:
+    // read().count() must equal the manifest's nRows bookkeeping even
+    // while a deletion-vector sidecar hides rows
+    val outChk = Cli.run(spark, Cli.parseArgs(
+      Seq("-c", cfgPath, "--quiet", "check")))
+    assert(outChk.exists(l => l.startsWith("check lineitem") &&
+      l.contains("versioned_rowcount(v5)") && l.endsWith("ok")),
+      s"got $outChk")
+    assert(outChk.contains("check: all rules passed"), s"got $outChk")
   }
 
   test("check derives PK/FK rules from the graph and passes on a clean load") {

@@ -1395,6 +1395,87 @@ class VersionedSpec extends AnyFunSuite {
     assert(state() == s5 && Versioned.manifest(spark, dir).dvs.isEmpty)
   }
 
+  test("a replace computed before a concurrent DV landed conflicts, never resurrects") {
+    // the write-skew corner the directory-list conflict rule alone
+    // misses: a deletion-vector commit changes an entry's LOGICAL
+    // content while keeping dataDirs identical, so a replace whose
+    // merge read that entry under the OLD manifest would pass the
+    // dirs-unchanged check, resurrect the deleted key, and drop its DV
+    import spark.implicits._
+    val dir = tmp("dvrace")
+    Cdc.applyBatch((0L until 8L).map(k => (k, "U", s"v$k", 1L))
+      .toDF("k", "op", "new_v", "seq"),
+      dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 2)
+    val m1 = Versioned.manifest(spark, dir)
+    def bucketOfKey(k: Long) = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(2L))).first().getLong(0)
+    val kA = (0L until 8L).find(bucketOfKey(_) == 0L).get
+    val entry0 = m1.dataDirs.find(d => Versioned.bucketOf(d).contains(0L)).get
+    // the "concurrent" writer: a rewrite of bucket 0 computed against v1
+    // (reads entry0 RAW — v1 has no DVs to mask)
+    val rewritten = spark.read.parquet(entry0)
+      .withColumn("v", concat(col("v"), lit("!")))
+    val newDirs = Versioned.writeBucketed(rewritten,
+      s"$dir/data/vrace-${java.util.UUID.randomUUID.toString.take(8)}",
+      "k", 2)
+    // the DV lands first: kA is now logically deleted
+    Versioned.deleteKeys(spark, dir, Seq(kA))
+    // the stale-base replace must surface the conflict, not publish
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Versioned.commitDirs(spark, dir, newDirs,
+        newDirs.map(graft.Tables.footerRowCount(spark, _)).sum,
+        Set(entry0), graft.Tables.footerRowCount(spark, entry0),
+        bucketCol = Some("k"), nBuckets = Some(2),
+        baseVersion = Some(m1.version))
+    }
+    assert(ex.getMessage.contains("deletion vector"), ex.getMessage)
+    // the delete survived: kA stays gone
+    assert(!Versioned.read(spark, dir).select("k").as[Long]
+      .collect().contains(kA))
+  }
+
+  test("concurrent deleteKeys on one table never lose a delete (race, CME-retry)") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, ConcurrentLinkedQueue}
+    val dir = tmp("dvcc")
+    Cdc.applyBatch((0L until 16L).map(k => (k, "U", s"v$k", 1L))
+      .toDF("k", "op", "new_v", "seq"),
+      dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 2)
+    // two deleters racing DIFFERENT keys that share buckets (and so
+    // entries): a true interleave must surface as
+    // ConcurrentModificationException on one side (the documented
+    // optimistic rule — folding from a stale base would drop the other
+    // writer's keys); a serialized schedule commits both. EITHER way,
+    // after retrying any loser, both deletes must hold exactly.
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    var conflicts = 0
+    def deleter(keys: Seq[Long], start: CountDownLatch): Thread = {
+      val t = new Thread(() => {
+        start.await()
+        try Versioned.deleteKeys(spark, dir, keys): Unit
+        catch { case e: Throwable => errs.add(e): Unit }
+      })
+      t.start(); t
+    }
+    val start = new CountDownLatch(1)
+    val t1 = deleter(Seq(0L, 1L), start)
+    val t2 = deleter(Seq(2L, 3L), start)
+    start.countDown(); t1.join(); t2.join()
+    errs.forEach { e =>
+      assert(e.isInstanceOf[java.util.ConcurrentModificationException],
+        s"race surfaced a non-conflict failure: $e")
+      conflicts += 1
+    }
+    // retry the conflicted side — the documented recompute-and-retry
+    if (conflicts > 0) Versioned.deleteKeys(spark, dir, Seq(0L, 1L, 2L, 3L))
+    val left = Versioned.read(spark, dir).select("k").as[Long].collect().toSet
+    assert(left == (4L until 16L).toSet,
+      s"a racing delete was lost: $left (conflicts=$conflicts)")
+    assert(Versioned.manifest(spark, dir).nRows == 12)
+  }
+
   test("composite-key CDC apply: merge, DV delete, feed and time travel on a 2-col PK") {
     import spark.implicits._
     val dir = tmp("ck")
@@ -1479,7 +1560,7 @@ class VersionedSpec extends AnyFunSuite {
       "0xF0 must sort above 0x7A as an unsigned byte")
   }
 
-  test("bootstrap is decided by delivery history, not batchId") {
+  test("bootstrap is decided by recorded delivery, never planned files or batchId") {
     val f = new org.apache.hadoop.fs.Path("/").getFileSystem(
       spark.sessionState.newHadoopConf())
     def mkLog(ck: String, name: String, lines: String*): Unit = {
@@ -1492,25 +1573,31 @@ class VersionedSpec extends AnyFunSuite {
     }
     def entry(b: Long) =
       s"""{"path":"file:///x/_commits/v0000$b.json","timestamp":1,"batchId":$b}"""
-    // batch 0 is always bootstrap
+    def marker(ck: String, firstBatch: Long): Unit = {
+      val out = f.create(
+        new org.apache.hadoop.fs.Path(s"$ck/_graft_delivered"), false)
+      out.write(firstBatch.toString.getBytes("UTF-8")); out.close()
+    }
+    // batch 0 is never preceded by a delivery
     assert(!Cdc.deliveredBefore(spark, tmp("db0"), 0L))
-    // an EMPTY committed batch 0 (subscription started before the first
-    // commit) leaves batch 1 still in bootstrap — the exact corner the
-    // batchId==0 rule got wrong
-    val ckEmpty = tmp("db_empty"); mkLog(ckEmpty, "0")
-    assert(!Cdc.deliveredBefore(spark, ckEmpty, 1L),
-      "an empty batch 0 must not end bootstrap")
-    // a prior batch that DID discover a manifest ends bootstrap
-    val ckPrior = tmp("db_prior"); mkLog(ckPrior, "0", entry(0))
-    assert(Cdc.deliveredBefore(spark, ckPrior, 1L))
-    // a replayed batch reads strictly BELOW its own id: its own entries
-    // do not count as prior delivery
-    val ckSelf = tmp("db_self"); mkLog(ckSelf, "1", entry(1))
+    // PLANNED manifests without an apply (the metadata log carries lower
+    // batchIds, no marker) must NOT end bootstrap — the corner that
+    // wedged the log-inference rule: a first batch whose versions all
+    // fell before the retention window delivered nothing, and the next
+    // batch's oldest retained version must take the bootstrap snapshot,
+    // not the vacuumed-mid-stream exception
+    val ckPlanned = tmp("db_planned"); mkLog(ckPlanned, "0", entry(0))
+    assert(!Cdc.deliveredBefore(spark, ckPlanned, 1L),
+      "planned-but-undelivered batches must not end bootstrap")
+    // a recorded delivery in batch 0 ends bootstrap for batch 1+
+    val ckDel = tmp("db_del"); marker(ckDel, 0L)
+    assert(Cdc.deliveredBefore(spark, ckDel, 1L))
+    // a replay of the FIRST delivering batch reaches its original
+    // decision (strict <): still bootstrap for itself, ended after it
+    val ckSelf = tmp("db_self"); marker(ckSelf, 1L)
     assert(!Cdc.deliveredBefore(spark, ckSelf, 1L),
-      "a batch's own planned files are not prior delivery")
-    // compacted logs keep original batchIds and still count
-    val ckComp = tmp("db_comp"); mkLog(ckComp, "9.compact", entry(0), entry(9))
-    assert(Cdc.deliveredBefore(spark, ckComp, 10L))
+      "a replayed first-delivery batch must re-decide bootstrap")
+    assert(Cdc.deliveredBefore(spark, ckSelf, 2L))
   }
 
   test("a backlog split across batches still bootstraps a vacuumed table") {
