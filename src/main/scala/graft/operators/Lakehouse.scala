@@ -341,6 +341,128 @@ object Lakehouse {
     srcLatest
   }
 
+  /** One feed-span fold for an ARBITRARY per-group aggregate — the
+    * universal rung under [[applyMinMaxFeed]]'s algebra-specific rules:
+    * no delta folding at all; every group the span TOUCHED (any change
+    * type — for a general aggregate even an insert can move the result
+    * in ways partials cannot express: exact medians, modes, top-k
+    * strings) is recomputed by the named-group `rescan`, and untouched
+    * groups carry by anti-join. Groups born in the span appear only in
+    * the rescan; groups that died return no rows from it and vanish.
+    * Cost ∝ feed + the touched groups' rows (their buckets, when the
+    * source is bucketed on the group) — never a full source rescan, and
+    * never proportional to the untouched state. Use the specialized
+    * folds when the algebra allows (count/sum subtract, min/max extend
+    * monotonically, exact distinct counts fold at (group, value) —
+    * [[refreshMvDistinctFromFeed]]); use this when it does not.
+    */
+  def applyFeedGroupRescan(state: DataFrame, feed: DataFrame,
+                           groupCol: String)(
+                           rescan: DataFrame => DataFrame): DataFrame = {
+    val touched = feed.select(groupCol).distinct()
+    state.join(touched, Seq(groupCol), "left_anti")
+      .unionByName(rescan(touched))
+  }
+
+  /** [[refreshMvFromFeed]]'s protocol around [[applyFeedGroupRescan]]:
+    * a standing MV of ANY per-group aggregate maintained from the
+    * change feed. `agg` computes the MV's rows for whatever source
+    * slice it is given (its first output column must be `groupCol`);
+    * bootstrap runs it over the full source version, every later
+    * refresh over ONLY the touched groups' rows via
+    * [[graft.sources.Versioned.readPruned]]. Same atomic
+    * manifest-cursor idempotence as every refresh here. The touched
+    * group set is collected driver-side — bounded by the span's own
+    * feed, the same order as reading it.
+    */
+  def refreshMvGeneralFromFeed(s: SparkSession, srcDir: String,
+                               mvDir: String, key: String, groupCol: String,
+                               valueCols: Seq[String])(
+                               agg: DataFrame => DataFrame): Int = {
+    import graft.sources.Versioned
+    val app = s"mvg:$mvDir"
+    val srcLatest = Versioned.versions(s, srcDir).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed versions at $srcDir"))
+    val cursor = Versioned.latestEpochFor(s, mvDir, app)
+      .map(_.toInt).getOrElse(0)
+    if (cursor >= srcLatest) return cursor
+    val state =
+      if (cursor == 0) agg(Versioned.read(s, srcDir, Some(srcLatest)))
+      else {
+        val feed = Versioned.changes(s, srcDir, cursor, srcLatest, key,
+          (groupCol +: valueCols).distinct)
+        applyFeedGroupRescan(Versioned.read(s, mvDir), feed, groupCol) {
+          gs =>
+            val groups = gs.collect().map(_.get(0)).toSeq
+            if (groups.isEmpty) gs.sparkSession.createDataFrame(
+              gs.sparkSession.sparkContext
+                .emptyRDD[org.apache.spark.sql.Row],
+              Versioned.read(s, mvDir).schema)
+            else agg(Versioned.readPruned(s, srcDir, groupCol, groups,
+              Some(srcLatest)))
+        }
+      }
+    Versioned.commit(state, mvDir,
+      epochId = Some(srcLatest.toLong), appId = Some(app))
+    srcLatest
+  }
+
+  /** Exact per-group DISTINCT COUNT maintained from the feed with NO
+    * rescans at all — the classic incremental-view trick the general
+    * rescan does not need here: distinct count is non-subtractable at
+    * the group level but PERFECTLY subtractable one level down, so the
+    * MV's stored state is (group, value, n_copies) maintained like
+    * [[refreshMvFromFeed]]'s counts (+1 per insert/post-image, −1 per
+    * delete/pre-image; a duplicate insert bumps n_copies without
+    * changing the distinct count, deleting one copy of a duplicated
+    * value keeps it, deleting the last copy drops it), and the distinct
+    * count is derived by [[readDistinctMv]] as a count over live pairs.
+    * State ∝ live (group, value) pairs — the exactness floor for this
+    * aggregate (anything smaller is a sketch: see the HLL rollup,
+    * §2c.24c2, for the mergeable approximate form).
+    */
+  def refreshMvDistinctFromFeed(s: SparkSession, srcDir: String,
+                                mvDir: String, key: String,
+                                groupCol: String, valCol: String): Int = {
+    import graft.sources.Versioned
+    val app = s"mvd:$mvDir"
+    val srcLatest = Versioned.versions(s, srcDir).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed versions at $srcDir"))
+    val cursor = Versioned.latestEpochFor(s, mvDir, app)
+      .map(_.toInt).getOrElse(0)
+    if (cursor >= srcLatest) return cursor
+    val state =
+      if (cursor == 0)
+        Versioned.read(s, srcDir, Some(srcLatest))
+          .groupBy(col(groupCol), col(valCol))
+          .agg(count(lit(1)).as("n_copies"))
+      else {
+        val feed = Versioned.changes(s, srcDir, cursor, srcLatest, key,
+          Seq(groupCol, valCol))
+        val sign = when(
+          col("_change_type").isin("insert", "update_postimage"), lit(1L))
+          .otherwise(lit(-1L))
+        val deltas = feed.groupBy(col(groupCol), col(valCol))
+          .agg(sum(sign).as("n_copies"))
+        Versioned.read(s, mvDir).unionByName(deltas)
+          .groupBy(col(groupCol), col(valCol))
+          .agg(sum(col("n_copies")).as("n_copies"))
+          .filter(col("n_copies") > 0)
+      }
+    Versioned.commit(state, mvDir,
+      epochId = Some(srcLatest.toLong), appId = Some(app))
+    srcLatest
+  }
+
+  /** The distinct-count view over a [[refreshMvDistinctFromFeed]] MV:
+    * one count over live (group, value) pairs.
+    */
+  def readDistinctMv(s: SparkSession, mvDir: String,
+                     groupCol: String): DataFrame =
+    graft.sources.Versioned.read(s, mvDir)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_distinct"))
+
   /** The logical v2 slice of orders as oracle SQL — shared by the two
     * change-feed oracles below.
     */

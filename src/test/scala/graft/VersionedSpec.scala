@@ -1115,6 +1115,80 @@ class VersionedSpec extends AnyFunSuite {
       s"rescan result not used: $extreme")
   }
 
+  test("a general non-subtractable MV rescans touched groups; distinct counts fold with no rescan") {
+    import spark.implicits._
+    import graft.operators.Lakehouse
+    val src = tmp("mvg"); val mv = tmp("mvg_mv"); val mvd = tmp("mvd_mv")
+    def b2(rows: (Long, String, String, Long, Long)*) =
+      rows.toDF("k", "op", "new_g", "new_v", "seq")
+    // exact median + distinct count per group — the algebras no
+    // partial-state or monotone fold expresses (an INSERT can move a
+    // median down, a duplicate insert must not bump the distinct count)
+    def agg(d: org.apache.spark.sql.DataFrame) = d.groupBy("g").agg(
+      expr("percentile(v, 0.5)").as("median_v"),
+      countDistinct(col("v")).as("n_distinct"))
+    def refresh() = Lakehouse.refreshMvGeneralFromFeed(
+      spark, src, mv, "k", "g", Seq("v"))(agg)
+    def recompute() = agg(Versioned.read(spark, src))
+      .as[(String, Double, Long)].collect().toSet
+    def mvState() = Versioned.read(spark, mv)
+      .as[(String, Double, Long)].collect().toSet
+    def distinctState() = Lakehouse.readDistinctMv(spark, mvd, "g")
+      .as[(String, Long)].collect().toSet
+    // v1: g1 carries a duplicated value (distinct < count), g2 one row
+    Cdc.applyBatch(b2((1L, "U", "g1", 10L, 1L), (2L, "U", "g1", 10L, 1L),
+      (3L, "U", "g1", 30L, 1L), (4L, "U", "g2", 7L, 1L)),
+      src, "k", Seq("g", "v"), "seq",
+      epochId = Some(0L), appId = Some("a"), nBuckets = 4)
+    assert(refresh() == 1 && mvState() == recompute())
+    assert(Lakehouse.refreshMvDistinctFromFeed(spark, src, mvd,
+      "k", "g", "v") == 1)
+    assert(distinctState() == Set(("g1", 2L), ("g2", 1L)))
+    // v2: an insert that MOVES g1's median (20 → new middle) and a
+    // duplicate-copy delete (one of the two 10s — distinct unchanged)
+    Cdc.applyBatch(b2((5L, "U", "g1", 20L, 2L), (1L, "D", "", 0L, 2L)),
+      src, "k", Seq("g", "v"), "seq",
+      epochId = Some(1L), appId = Some("a"), nBuckets = 4)
+    assert(refresh() == 2 && mvState() == recompute())
+    assert(Lakehouse.refreshMvDistinctFromFeed(spark, src, mvd,
+      "k", "g", "v") == 2)
+    assert(distinctState() == Set(("g1", 3L), ("g2", 1L)),
+      "a duplicate-copy delete changed the distinct count")
+    // v3: delete the LAST copy of 10 (distinct drops) and empty g2
+    // (the group dies in both views)
+    Cdc.applyBatch(b2((2L, "D", "", 0L, 3L), (4L, "D", "", 0L, 3L)),
+      src, "k", Seq("g", "v"), "seq",
+      epochId = Some(2L), appId = Some("a"), nBuckets = 4)
+    assert(refresh() == 3 && mvState() == recompute())
+    assert(!mvState().exists(_._1 == "g2"), "an emptied group survived")
+    assert(Lakehouse.refreshMvDistinctFromFeed(spark, src, mvd,
+      "k", "g", "v") == 3)
+    assert(distinctState() == Set(("g1", 2L)))
+    // idempotent retry on both protocols: no new MV versions
+    val (nv, nvd) = (Versioned.versions(spark, mv).size,
+      Versioned.versions(spark, mvd).size)
+    assert(refresh() == 3 && Lakehouse.refreshMvDistinctFromFeed(
+      spark, src, mvd, "k", "g", "v") == 3)
+    assert(Versioned.versions(spark, mv).size == nv &&
+      Versioned.versions(spark, mvd).size == nvd)
+
+    // the rescan rule observed directly: ONLY touched groups recompute,
+    // untouched state carries by anti-join
+    val state = Seq(("g1", 20.0, 3L), ("gZ", 9.0, 1L))
+      .toDF("g", "median_v", "n_distinct")
+    var named = Seq.empty[String]
+    val folded = Lakehouse.applyFeedGroupRescan(state,
+      Seq((5L, "g1", 20L, "insert")).toDF("k", "g", "v", "_change_type"),
+      "g") { gs =>
+      named = gs.as[String].collect().toSeq
+      Seq(("g1", 15.0, 3L)).toDF("g", "median_v", "n_distinct")
+        .join(gs, Seq("g"), "left_semi")
+    }.as[(String, Double, Long)].collect().toSet
+    assert(named == Seq("g1"), s"touched set was $named")
+    assert(folded == Set(("g1", 15.0, 3L), ("gZ", 9.0, 1L)),
+      s"untouched group did not carry: $folded")
+  }
+
   test("readPruned opens only the touched groups' buckets on a group-bucketed table") {
     import spark.implicits._
     val dir = tmp("prune")
