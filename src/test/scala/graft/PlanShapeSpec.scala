@@ -481,11 +481,44 @@ class PlanShapeSpec extends AnyFunSuite {
         .toDF("k", "op", "new_v", "seq"),
       dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
       nBuckets = 2)
-    Versioned.deleteKeys(spark, dir, Seq(3L, 17L))
+    // one deleted key per bucket, so BOTH entries carry a DV
+    def bucketOfKey(k: Long) = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(2L))).first().getLong(0)
+    val kA = (0L until 32L).find(bucketOfKey(_) == 0L).get
+    val kB = (0L until 32L).find(bucketOfKey(_) == 1L).get
+    Versioned.deleteKeys(spark, dir, Seq(kA, kB))
     val p = Versioned.read(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"DV masking should be a broadcast anti-join:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"DV masking shuffled the table to subtract a tiny key list:\n$p")
+    // per-entry masking (r11): one broadcast anti-join per DV'd entry,
+    // unioned map-side — still zero shuffles of the data
+    val nDvd = Versioned.manifest(spark, dir).dvs.size
+    val pe = p.split("LeftAnti").length - 1
+    assert(nDvd == 2 && pe == nDvd,
+      s"expected one anti-join per DV'd entry ($nDvd), got $pe:\n$p")
+  }
+
+  test("composite-key DV masking stays broadcast anti-joins on the key tuple") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.Versioned
+    import graft.streaming.Cdc
+    val dir = java.nio.file.Files.createTempDirectory("graft_dvplan2").toString
+    Cdc.applyBatchKeyed(
+      (0L until 16L).map(k => (k, s"s${k % 2}", "U", s"v$k", 1L))
+        .toDF("k1", "k2", "op", "new_v", "seq"),
+      dir, Seq("k1", "k2"), Seq("v"), "seq", epochId = Some(0L),
+      appId = Some("a"), nBuckets = 2)
+    Versioned.deleteKeys(spark, dir, Seq(Seq(3L, "s1"), Seq(8L, "s0")))
+    val p = Versioned.read(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"composite DV masking should be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"composite DV masking shuffled the table:\n$p")
+    // the anti-join keys are the FULL tuple — both key columns appear in
+    // the join condition (a single-column mask would over-delete)
+    assert(p.contains("k1") && p.contains("k2"), s"tuple key missing:\n$p")
   }
 }

@@ -1468,9 +1468,22 @@ class StreamBatchParitySpec extends AnyFunSuite {
       Similarity.pqDriftStats(spark, pqRoot,
         rows.toDF("vec_id", "embedding", "label")).collect()(0).getDouble(1)
     val faithfulErr = pqErr((300L until 310L).map(i => (i, vec(0, i.toInt), 0)))
-    val driftedErr = pqErr((400L until 410L).map(i => (i, vec(33, i.toInt), 2)))
+    val drifted = (400L until 410L).map(i => (i, vec(33, i.toInt), 2))
+    val driftedErr = pqErr(drifted)
     assert(driftedErr > 3 * math.max(faithfulErr, 1e-9),
       s"PQ drift not flagged: faithful=$faithfulErr drifted=$driftedErr")
+    // the PQ actuator: codes cannot reconstruct vectors, so reseedPqIndex
+    // retrains from the CORPUS (grown to include the drifted cohort);
+    // the new codebook covers the new axis and the cohort's quantization
+    // error collapses
+    drifted.toDF("vec_id", "embedding", "label")
+      .write.mode("append").parquet(s"$baseDir/embeddings.parquet")
+    val pqRoot2 = java.nio.file.Files.createTempDirectory("graft_driftPQ2").toString
+    Similarity.reseedPqIndex(spark, baseDir, pqRoot2)
+    val reseededErr = Similarity.pqDriftStats(spark, pqRoot2,
+      drifted.toDF("vec_id", "embedding", "label")).collect()(0).getDouble(1)
+    assert(reseededErr < 0.5 * driftedErr,
+      s"PQ re-seed did not restore coverage: $driftedErr -> $reseededErr")
   }
 
   test("reseedIvfIfDrifted closes the loop: threshold, stop, fresh root, retire") {

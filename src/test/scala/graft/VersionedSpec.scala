@@ -1216,6 +1216,25 @@ class VersionedSpec extends AnyFunSuite {
       .select("k").as[Long].collect().toSet == Set(3L, 63L))
     // empty selection short-circuits to an empty frame
     assert(Versioned.readPruned(spark, dir, "g", Seq.empty).isEmpty)
+    // COST of the value→bucket phase: a many-value prune runs O(1)
+    // driver-side jobs, not one per value (bucketsOf hashes all values
+    // in ONE local job — the pre-r11 per-value spark.range loop made a
+    // k-group rescan pay k scheduler round-trips)
+    val grp = s"prune_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.sparkContext.setJobGroup(grp, grp)
+    try Versioned.readPruned(spark, dir, "g",
+      (0 until 8).map(i => s"g$i")).count(): Unit
+    finally spark.sparkContext.clearJobGroup()
+    def jobs() = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(grp).length
+    val deadline = System.currentTimeMillis + 10000
+    while (jobs() == 0 && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    Thread.sleep(300) // listener bus drains asynchronously
+    // observed: 6 jobs total (1 bucketsOf + read/count stages under AQE);
+    // the pre-r11 loop paid 8 bucket-id jobs BEFORE the read even started
+    assert(jobs() < 8,
+      s"an 8-value prune ran ${jobs()} jobs — per-value driver jobs are back")
   }
 
   test("deletion vectors: a small delete rewrites nothing; reads, feed, merge, compaction stay exact") {
