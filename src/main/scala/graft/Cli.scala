@@ -488,11 +488,21 @@ object Cli {
                 val d = p.toString
                 if (graft.sources.Versioned.versions(spark, d).nonEmpty) {
                   val m = graft.sources.Versioned.manifest(spark, d)
-                  val got = graft.sources.Versioned.read(spark, d).count()
-                  if (got != m.nRows) bad += math.abs(got - m.nRows)
-                  log(f"check ${p.getFileName}%-10s ${s"versioned_rowcount(v${m.version})"}%-34s " +
-                    (if (got == m.nRows) "ok"
-                     else s"read=$got manifest=${m.nRows} VIOLATIONS"))
+                  // an unreadable table (e.g. fully emptied AND its
+                  // schema-bearing ancestor vacuumed away) is itself a
+                  // reported violation, never an aborted gate — a crash
+                  // here would skip every table sorted after this one
+                  val verdict =
+                    try {
+                      val got = graft.sources.Versioned.read(spark, d).count()
+                      if (got == m.nRows) "ok"
+                      else { bad += math.abs(got - m.nRows)
+                        s"read=$got manifest=${m.nRows} VIOLATIONS" }
+                    } catch { case e: Exception =>
+                      bad += 1
+                      s"unreadable (${e.getMessage.takeWhile(_ != '\n')}) VIOLATIONS"
+                    }
+                  log(f"check ${p.getFileName}%-10s ${s"versioned_rowcount(v${m.version})"}%-34s $verdict")
                 }
               }
           log(s"check: ${if (bad == 0) "all rules passed" else s"$bad total violations"}")

@@ -419,7 +419,12 @@ object Lakehouse {
     * count is derived by [[readDistinctMv]] as a count over live pairs.
     * State ∝ live (group, value) pairs — the exactness floor for this
     * aggregate (anything smaller is a sketch: see the HLL rollup,
-    * §2c.24c2, for the mergeable approximate form).
+    * §2c.24c2, for the mergeable approximate form). NULL values are
+    * EXCLUDED on both the bootstrap and the feed path — SQL
+    * COUNT(DISTINCT) ignores nulls, and null-valued rows are routine
+    * here (schema evolution pads pre-evolution rows with null), so
+    * storing the (group, null) pair would report every such group one
+    * too high.
     */
   def refreshMvDistinctFromFeed(s: SparkSession, srcDir: String,
                                 mvDir: String, key: String,
@@ -434,6 +439,7 @@ object Lakehouse {
     val state =
       if (cursor == 0)
         Versioned.read(s, srcDir, Some(srcLatest))
+          .filter(col(valCol).isNotNull)
           .groupBy(col(groupCol), col(valCol))
           .agg(count(lit(1)).as("n_copies"))
       else {
@@ -442,7 +448,8 @@ object Lakehouse {
         val sign = when(
           col("_change_type").isin("insert", "update_postimage"), lit(1L))
           .otherwise(lit(-1L))
-        val deltas = feed.groupBy(col(groupCol), col(valCol))
+        val deltas = feed.filter(col(valCol).isNotNull)
+          .groupBy(col(groupCol), col(valCol))
           .agg(sum(sign).as("n_copies"))
         Versioned.read(s, mvDir).unionByName(deltas)
           .groupBy(col(groupCol), col(valCol))

@@ -610,7 +610,12 @@ object Similarity {
       .getOrElse(false)
     if (!drifted) return root
     maintainer.foreach(_.stop())
-    val fresh = s"${root}_r${java.util.UUID.randomUUID.toString.take(8)}"
+    // SIBLING of the old root — strip trailing separators first: a
+    // root passed as "/x/ivf/" would otherwise nest the fresh root
+    // INSIDE the old one, and retirement would recursively delete the
+    // index it just built
+    val base = root.reverse.dropWhile(_ == '/').reverse
+    val fresh = s"${base}_r${java.util.UUID.randomUUID.toString.take(8)}"
     reseedIvfIndex(s, root, fresh, k, iters)
     if (retireOldRoot) {
       val p = new org.apache.hadoop.fs.Path(root)

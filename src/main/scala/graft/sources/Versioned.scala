@@ -590,14 +590,27 @@ object Versioned {
     * scan. The semantic filter is applied in BOTH paths, so callers get
     * exactly the selected rows either way. `values` is a driver-side
     * list — callers bound it (the touched-group rescans that motivate
-    * this read collect at most the feed's group set).
+    * this read collect at most the feed's group set). A COMPOSITE
+    * bucket key works too: pass the comma-joined column list as
+    * `column` and component Seqs as `values` — pruning and the
+    * semantic filter both operate on the tuple.
     */
   def readPruned(spark: SparkSession, dir: String, column: String,
                  values: Seq[Any], version: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit}
     val m = version.map(v => readManifest(spark, dir, v))
       .getOrElse(manifest(spark, dir))
-    def full = read(spark, dir, version).filter(col(column).isin(values: _*))
+    // the semantic filter, composite-aware: a comma-joined `column`
+    // selects on the key TUPLE (values are component Seqs) — an
+    // OR-of-conjunctions, bounded by the caller's value set; a single
+    // column keeps the IN form (pushes to the scan as one predicate)
+    val kCols = splitKeyCols(column)
+    def selPredicate: org.apache.spark.sql.Column =
+      if (kCols.length == 1) col(column).isin(values: _*)
+      else values.map(v => kCols.zip(keyComponents(v))
+          .map { case (c, x) => col(c) === lit(x) }.reduce(_ && _))
+        .reduce(_ || _)
+    def full = read(spark, dir, version).filter(selPredicate)
     if (values.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -627,7 +640,7 @@ object Versioned {
               if (acc.columns.contains(f.name)) acc
               else acc.withColumn(f.name,
                 org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
-          padded.filter(col(column).isin(values: _*))
+          padded.filter(selPredicate)
         }
       case _ => full
     }
@@ -738,12 +751,12 @@ object Versioned {
         throw new java.util.ConcurrentModificationException(
           s"deletion-vector commit at $dir conflicts with a concurrent " +
             s"commit: $why — recompute against the current version and retry")
+      // a concurrent DV landing on a touched entry conflicts through
+      // retryConflict's own DV-delta clause (folding from a stale base
+      // would silently drop the other writer's keys) — one formulation,
+      // shared with every replace commit
       retryConflict(Some(base), parent, touchedSet, touchedBuckets,
         Some(bc), Some(n)).foreach(conflict)
-      parent.dvs.filter(d => touchedSet.contains(d.entry))
-        .find(d => dvByEntry.get(d.entry) != Some(d))
-        .foreach(d => conflict(
-          s"a concurrent deletion vector landed on ${d.entry}"))
       val dvs = parent.dvs.filterNot(d => touchedSet.contains(d.entry)) ++
         newDvs
       val m = Manifest(v, parent.dataDirs, parent.nRows - nRemoved,

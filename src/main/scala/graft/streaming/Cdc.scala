@@ -142,44 +142,69 @@ object Cdc {
   private def deliveredMarker(checkpointDir: String) =
     new org.apache.hadoop.fs.Path(s"$checkpointDir/_graft_delivered")
 
+  /** The marker's batchId, or None when absent or unparsable (a crash
+    * mid-publish — repaired by the next [[recordDelivered]]).
+    */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): Option[Long] = {
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.trim.toLongOption
+  }
+
   private[graft] def deliveredBefore(spark: org.apache.spark.sql.SparkSession,
                                      checkpointDir: String, batchId: Long): Boolean = {
     val first = Option(everDelivered.get(checkpointDir)).map(_.longValue)
       .orElse {
         val p = deliveredMarker(checkpointDir)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(p)) None
-        else {
-          val in = fs.open(p)
-          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-          // an unparsable marker (crash mid-write of a <20-byte file —
-          // effectively unreachable) reads as "never delivered": the
-          // worst case is one extra bootstrap snapshot, version-fenced
-          // by the consumer, never a wedge or a silent skip
-          val parsed = txt.trim.toLongOption
-          parsed.foreach(b =>
-            everDelivered.putIfAbsent(checkpointDir, java.lang.Long.valueOf(b)))
-          parsed
-        }
+        val parsed = readMarker(
+          p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+        // cache only a PARSED marker; an unparsable one reads as "never
+        // delivered" for this batch (one extra bootstrap snapshot,
+        // version-fenced by the consumer — never a wedge or silent skip)
+        // and is repaired by the delivery's own recordDelivered
+        parsed.foreach(b =>
+          everDelivered.putIfAbsent(checkpointDir, java.lang.Long.valueOf(b)))
+        parsed
       }
     first.exists(_ < batchId)
   }
 
   /** Record the subscription's FIRST delivery durably (see
     * [[deliveredBefore]]); later batches keep the original batchId.
+    * Written whole-then-renamed so no reader ever sees a partial marker,
+    * and RE-VERIFIED (not skipped) on every delivery until a parsable
+    * marker provably exists: a crash mid-publish, a transient FS error
+    * after the in-memory cache was set, or a truncated file from an
+    * earlier process must all repair themselves — a permanently
+    * unparsable marker would revert every restart to "never delivered"
+    * and re-enable the bootstrap double-apply this marker exists to
+    * prevent. The in-memory cache is set only from a VERIFIED durable
+    * marker.
     */
   private def recordDelivered(spark: org.apache.spark.sql.SparkSession,
                               checkpointDir: String, batchId: Long): Unit = {
-    if (everDelivered.putIfAbsent(checkpointDir,
-        java.lang.Long.valueOf(batchId)) == null) {
-      val p = deliveredMarker(checkpointDir)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) {
-        val out = fs.create(p, false)
+    if (everDelivered.containsKey(checkpointDir)) return
+    val p = deliveredMarker(checkpointDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, p) match {
+      case Some(b) =>
+        everDelivered.putIfAbsent(checkpointDir,
+          java.lang.Long.valueOf(b)): Unit
+      case None =>
+        val tmp = new org.apache.hadoop.fs.Path(checkpointDir,
+          s"._graft_delivered.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+        val out = fs.create(tmp, true)
         try out.write(batchId.toString.getBytes("UTF-8"))
         finally out.close()
-      }
+        fs.delete(p, false) // a corrupt occupant blocks rename — clear it
+        if (fs.rename(tmp, p))
+          everDelivered.putIfAbsent(checkpointDir,
+            java.lang.Long.valueOf(batchId)): Unit
+        else fs.delete(tmp, false): Unit // lost a same-process race;
+                                         // the next delivery re-verifies
     }
   }
 

@@ -1626,6 +1626,12 @@ class VersionedSpec extends AnyFunSuite {
       epochId = Some(2L), appId = Some("ck"), nBuckets = 2)
     assert(Versioned.versions(spark, dir).last == 3,
       "a replayed composite epoch re-committed")
+    // readPruned selects on the TUPLE: the live (2,"a") row only, and
+    // the DV'd (1,"a") stays invisible through the pruned path too
+    val pr = Versioned.readPruned(spark, dir, "k1,k2",
+      Seq(Seq(2L, "a"), Seq(1L, "a")))
+      .select("k1", "k2", "v").as[(Long, String, String)].collect().toSet
+    assert(pr == Set((2L, "a", "UPD")), s"composite readPruned got $pr")
   }
 
   test("string footer pruning orders UTF-8 bytes, never UTF-16 code units") {
@@ -1691,6 +1697,15 @@ class VersionedSpec extends AnyFunSuite {
     assert(!Cdc.deliveredBefore(spark, ckSelf, 1L),
       "a replayed first-delivery batch must re-decide bootstrap")
     assert(Cdc.deliveredBefore(spark, ckSelf, 2L))
+    // an UNPARSABLE marker (crash mid-publish, before the whole-file
+    // rename protocol existed) reads as never-delivered — one extra
+    // version-fenced bootstrap, never a wedge — and the next delivery's
+    // recordDelivered rewrites it whole
+    val ckBad = tmp("db_bad")
+    f.create(new org.apache.hadoop.fs.Path(s"$ckBad/_graft_delivered"),
+      true).close()
+    assert(!Cdc.deliveredBefore(spark, ckBad, 5L),
+      "a zero-byte marker must not end bootstrap")
   }
 
   test("a backlog split across batches still bootstraps a vacuumed table") {
