@@ -37,13 +37,17 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate() // throwaway: pays the sentinel's own codegen
-    // min-of-3 for the first reading: right after warm-up the JVM is not
-    // yet fully JITed, so a single first calibration reads slow on a QUIET
-    // machine and the drift sentinel fires in the speed-up direction (the
-    // r9 artifact and the judge's solo run both tripped it that way). The
-    // min of three back-to-back runs lands on a warm rep — the same
-    // protocol the queries themselves use.
+    // throwaway warm-up reps: the first pays the sentinel's own codegen,
+    // the rest drive the JIT to steady state BEFORE the first reading —
+    // with a single throwaway, even the min-of-3 first calibration read
+    // ~2× the end-of-run figure on a provably quiet machine (r11 solo
+    // runs: 0.23-0.28 s first vs 0.12-0.14 s last), so every quiet run
+    // flagged `unstable` in the speed-up direction and the flag carried
+    // no signal. Warm-up is the sentinel's cost to pay, not the reader's
+    // to discount.
+    (1 to 4).foreach(_ => calibrate())
+    // min-of-3 for the first reading — the same protocol the queries
+    // themselves use
     val calFirst = (1 to 3).map(_ => calibrate()).min
 
     def run(name: String): Double = {
