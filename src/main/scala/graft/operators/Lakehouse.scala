@@ -61,6 +61,13 @@ object Lakehouse {
                        keys: Seq[String], valueCols: Seq[String]): DataFrame = {
     require(!valueCols.contains("op") && !valueCols.contains("__in_base"),
       "'op' and '__in_base' are reserved by the merge")
+    // 'src' is the merge's own provenance column: a carried base column
+    // of the same name would duplicate in the output, and the CDC apply
+    // path's drop("src") would then delete the USER's column from every
+    // rewritten bucket — refuse loudly instead
+    require(!base.columns.contains("src") && !keys.contains("src") &&
+        !valueCols.contains("src"),
+      "'src' is reserved by the merge's provenance tag — rename the column")
     val extraCols = base.columns.toSeq
       .filterNot(c => keys.contains(c) || valueCols.contains(c))
     require(extraCols.intersect(changes.columns.toSeq).isEmpty,

@@ -167,7 +167,12 @@ object Versioned {
     * DIFFERENT stream (new checkpoint) from being fenced by a colliding
     * batch number — bare batchId equality would silently drop its data.
     */
-  def latestTxn(spark: SparkSession, dir: String): Option[(String, Long)] =
+  /** SUPERSEDED by [[latestEpochFor]] — kept package-private for its
+    * spec coverage only: fencing on the LAST writer's manifest is
+    * silently disarmed by any interleaved commit (see latestEpochFor's
+    * doc), so no production path may call this.
+    */
+  private[graft] def latestTxn(spark: SparkSession, dir: String): Option[(String, Long)] =
     versions(spark, dir).lastOption.flatMap { v =>
       val m = readManifest(spark, dir, v)
       for (a <- m.appId; e <- m.epochId) yield (a, e)
@@ -246,12 +251,28 @@ object Versioned {
     val token = java.util.UUID.randomUUID.toString.take(8)
     val dataDir = f"$dir/data/v$v%05d-$token"
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
-    val nNew = spark.read.parquet(dataDir).count()
+    // footer record counts — metadata reads, not a second full scan of
+    // the data this commit just wrote (the same bookkeeping every other
+    // commit path uses)
+    val nNew = graft.Tables.footerRowCount(spark, dataDir)
     var committed = -1
     while (committed < 0) {
       val parent =
         if (!append || v == 1) None
         else Some(readManifest(spark, dir, v - 1))
+      // the bucketed-vs-plain decision was made against the parent at
+      // ENTRY; a retry against a parent that installed a bucket layout
+      // in the meantime (a concurrent CDC migration) must not merge a
+      // plain dir in and publish a layout-less manifest — that would
+      // silently wipe the layout the migration paid a full rewrite for
+      parent.foreach { p =>
+        if (p.bucketCol.isDefined &&
+            p.dataDirs.forall(d => bucketOf(d).isDefined))
+          throw new java.util.ConcurrentModificationException(
+            s"append to $dir conflicts with a concurrent commit that " +
+              "installed a bucket layout — retry the append (it will " +
+              "write bucketed dirs under the new layout)")
+      }
       val dirs = parent.map(_.dataDirs).getOrElse(Seq.empty) :+ dataDir
       val nRows = parent.map(_.nRows).getOrElse(0L) + (
         if (append) nNew else 0L)
@@ -581,6 +602,27 @@ object Versioned {
       }
   }
 
+  /** Schema of a committed version, CACHED: manifests are immutable and
+    * data-directory names token-unique, so (dir, version, dataDirs)
+    * identifies the merged schema forever — even across a
+    * wiped-and-recreated table at the same path (its dirs differ).
+    * Without the cache every pruned read pays a mergeSchema footer
+    * sweep across ALL the version's data dirs just to null-pad evolved
+    * columns, defeating the "cost ∝ touched buckets" bound at high
+    * bucket counts. Bounded: cleared wholesale past 1024 entries (a
+    * long-lived driver touching many tables/versions).
+    */
+  private val versionSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Seq[String]),
+      org.apache.spark.sql.types.StructType]()
+
+  private def versionSchema(spark: SparkSession, dir: String,
+                            m: Manifest): org.apache.spark.sql.types.StructType = {
+    if (versionSchemaCache.size > 1024) versionSchemaCache.clear()
+    versionSchemaCache.computeIfAbsent((dir, m.version, m.dataDirs),
+      _ => read(spark, dir, Some(m.version)).schema)
+  }
+
   /** Read only the rows whose `column` value is in `values`, pruning at
     * MANIFEST level when the table is bucketed ON that column: the
     * values' hash buckets are computed driver-side (the applyBatch
@@ -614,9 +656,13 @@ object Versioned {
     if (values.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        read(spark, dir, version).schema)
+        versionSchema(spark, dir, m))
     (m.bucketCol, m.nBuckets) match {
-      case (Some(bc), Some(n)) if bc == column &&
+      // dataDirs.nonEmpty guards the fully-emptied table (a forall over
+      // an empty list is vacuously true, and bucketsOf needs a sample
+      // entry for the key type) — it falls to the full path, whose
+      // empty read().limit(0) already handles the no-data case
+      case (Some(bc), Some(n)) if bc == column && m.dataDirs.nonEmpty &&
           m.dataDirs.forall(d => bucketOf(d).isDefined) =>
         // all values' bucket ids in ONE local job (bucketsOf — not one
         // spark.range job per value: a many-group rescan would pay that
@@ -627,7 +673,7 @@ object Versioned {
         if (dirs.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            read(spark, dir, version).schema)
+            versionSchema(spark, dir, m))
         else {
           // deletion vectors of the selected entries apply here too (the
           // raw dir read bypasses read()'s masking) — each entry against
@@ -635,7 +681,7 @@ object Versioned {
           val masked = readEntriesMasked(spark, dirs, m.dvs).get
           // schema-evolution parity with the full read: an evolved column
           // absent from every touched bucket's files still reads as null
-          val padded = read(spark, dir, version).schema.fields
+          val padded = versionSchema(spark, dir, m).fields
             .foldLeft(masked)((acc, f) =>
               if (acc.columns.contains(f.name)) acc
               else acc.withColumn(f.name,
@@ -685,13 +731,27 @@ object Versioned {
     val f = fs(spark, dir)
     if (base.dataDirs.isEmpty) {
       // fully-emptied table: nothing to delete from, but the commit
-      // still lands so a CDC epoch fence advances
+      // still lands so a CDC epoch fence advances. The retry loop must
+      // RE-CHECK the parent like every other commit path: a concurrent
+      // insert landing between our manifest read and the publish would
+      // otherwise be silently erased by a blind empty-manifest publish
+      // at the next version number.
       var v0 = versions(spark, dir).last + 1
       val tk = java.util.UUID.randomUUID.toString.take(8)
-      while (!writeAndPublish(spark, f, dir,
-        Manifest(v0, Seq.empty, 0L, epochId, appId, Some(bc), Some(n)),
-        tk)) v0 += 1
-      return v0
+      var committed0 = -1
+      while (committed0 < 0) {
+        val parent = readManifest(spark, dir, v0 - 1)
+        if (parent.dataDirs.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"deletion-vector commit at $dir conflicts with a concurrent " +
+              "commit: the table gained data while a no-op delete " +
+              "committed — recompute against the current version and retry")
+        if (writeAndPublish(spark, f, dir,
+          Manifest(v0, Seq.empty, 0L, epochId, appId, Some(bc), Some(n)),
+          tk)) committed0 = v0
+        else v0 += 1
+      }
+      return committed0
     }
     // all bucket ids in ONE local job (not one per key — a 4096-key
     // CDC delete batch would otherwise pay 4096 driver-side jobs), with

@@ -231,22 +231,34 @@ object Cdc {
         // metadata, never data
         val vs = b.select("version").collect().map(_.getInt(0)).sorted
         val retained = Versioned.versions(spark, tableDir).toSet
+        // the durable half of the bootstrap decision; the in-batch half
+        // (deliveredThisBatch) flips after the FIRST delivery so a
+        // SECOND retained-gap version in the same batch hits the loud
+        // lost-history path, exactly as it would split across batches —
+        // a replayed batch walks the same sorted versions and reaches
+        // the same flip sequence
         val bootstrap = !deliveredBefore(spark, checkpointDir, batchId)
+        var deliveredThisBatch = false
         vs.foreach { v =>
           val feed =
             if (retained.contains(v - 1) || v == 1)
               Versioned.changes(spark, tableDir, v - 1, v, key, valueCols)
-            else if (retained.contains(v) && bootstrap)
+            else if (retained.contains(v) && bootstrap && !deliveredThisBatch) {
               // parent vacuumed AT BOOTSTRAP (nothing delivered yet on
               // this checkpoint — which may be batch 1+ when
               // maxFilesPerTrigger splits the initial backlog or the
               // first poll raced an empty table): this is the
               // subscription's oldest retained version — deliver it as a
-              // full snapshot of insert images (the honest initial load)
-              Versioned.read(spark, tableDir, Some(v))
+              // full snapshot of insert images (the honest initial load),
+              // shaped exactly like the per-commit feed (key + the same
+              // value columns — a consumer must see ONE frame shape)
+              val snap = Versioned.read(spark, tableDir, Some(v))
+              val vcols = if (valueCols.nonEmpty) valueCols
+                          else snap.columns.filterNot(_ == key).toSeq
+              snap.select((key +: vcols).map(org.apache.spark.sql.functions.col): _*)
                 .withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(v))
-            else if (retained.contains(v))
+            } else if (retained.contains(v))
               // parent vacuumed MID-SUBSCRIPTION: retention was cut
               // below the consumer's lag — delivering a snapshot here
               // would double-apply everything the consumer already has.
@@ -267,6 +279,7 @@ object Cdc {
             // a vacuum racing between batches must hit the loud path,
             // not a second "bootstrap" snapshot (= double-apply)
             recordDelivered(spark, checkpointDir, batchId)
+            deliveredThisBatch = true
           }
         }
       }
@@ -371,10 +384,27 @@ object Cdc {
     val tieCols = batch.columns.filterNot(_ == seqCol).sorted.toIndexedSeq.map(col)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc, xxhash64(tieCols: _*))
+    // persisted: the compacted batch is referenced up to three times on
+    // the hot path (key/bucket distinct, the pure-delete check, the
+    // merge itself) and each reference would otherwise re-run the
+    // row_number window — a full shuffle of the micro-batch per use
     val compacted = batch
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", seqCol)
+      .persist()
+    try applyCompacted(compacted, tableDir, keys, valueCols, epochId,
+      appId, nBuckets, maxRecordsPerFile, bcJoined)
+    finally compacted.unpersist(blocking = false): Unit
+  }
+
+  private def applyCompacted(compacted: DataFrame, tableDir: String,
+                             keys: Seq[String], valueCols: Seq[String],
+                             epochId: Option[Long], appId: Option[String],
+                             nBuckets: Int, maxRecordsPerFile: Long,
+                             bcJoined: String): Unit = {
+    val spark = compacted.sparkSession
+    val tableVersions = Versioned.versions(spark, tableDir)
 
     // the parent layout decides the apply granularity: a bucketed parent
     // gets a file-level replace commit; anything else (fresh table, or a

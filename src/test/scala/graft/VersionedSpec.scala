@@ -1428,6 +1428,36 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, dir, Some(4)).count() == 9)
   }
 
+  test("an emptied-then-compacted table reads, prunes and no-op-deletes safely") {
+    import spark.implicits._
+    val dir = tmp("empt")
+    def batch(rows: (Long, String, String, Long)*) =
+      rows.toDF("k", "op", "new_v", "seq")
+    Cdc.applyBatch(batch((0L until 4L).map(k => (k, "U", s"v$k", 1L)): _*),
+      dir, "k", Seq("v"), "seq", epochId = Some(0L), appId = Some("a"),
+      nBuckets = 2)
+    // v2: pure-delete hides everything behind DVs (dirs stay)
+    Cdc.applyBatch(batch((0L until 4L).map(k => (k, "D", "", 2L)): _*),
+      dir, "k", Seq("v"), "seq", epochId = Some(1L), appId = Some("a"),
+      nBuckets = 2)
+    assert(Versioned.read(spark, dir).count() == 0 &&
+      Versioned.manifest(spark, dir).nRows == 0)
+    // v3: compaction folds the DVs away — EMPTY dataDirs, layout kept
+    Versioned.compactCommit(spark, dir)
+    val m3 = Versioned.manifest(spark, dir)
+    assert(m3.dataDirs.isEmpty && m3.bucketCol.contains("k"))
+    // readPruned on the emptied bucketed layout: empty frame, never a
+    // crash on the missing sample entry (the pre-fix head() call)
+    assert(Versioned.readPruned(spark, dir, "k", Seq(1L)).isEmpty)
+    // a no-op delete still advances the epoch fence — through the same
+    // conflict-checked publish loop as every other commit path
+    val v4 = Versioned.deleteKeys(spark, dir, Seq(1L),
+      epochId = Some(9L), appId = Some("s"))
+    assert(Versioned.versions(spark, dir).last == v4 &&
+      Versioned.read(spark, dir).count() == 0)
+    assert(Versioned.latestEpochFor(spark, dir, "s").contains(9L))
+  }
+
   test("two stale DVs on one bucket never mask a re-inserted key (per-entry masking)") {
     // the round-10 judge reproducer: kA deleted from entry A (A's DV),
     // re-inserted by a bucketed append into entry B, then a deleteKeys of
