@@ -405,16 +405,29 @@ object Dedup {
     * [[graft.operators.TextAnalysis.countsTable]]: each published part is
     * complete by atomic publish, so the merge needs no fence.
     */
+  /** Whether directory `p` exists with at least one entry — with
+    * `visible`, at least one NON-DOT entry, so an unpublished `.build_*`
+    * temp alone never makes a maintained side look present. THE
+    * directory probe every standing-index read view shares (returns
+    * Some(p) for chaining into parquet reads); previously copied
+    * verbatim at six sites, where a fix to one could silently miss the
+    * others.
+    */
+  private[graft] def existingIndexDir(
+      conf: org.apache.hadoop.conf.Configuration,
+      p: String, visible: Boolean = false): Option[String] = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val f = hp.getFileSystem(conf)
+    if (f.exists(hp) && f.listStatus(hp).exists(st => !visible ||
+        !st.getPath.getName.startsWith("."))) Some(p)
+    else None
+  }
+
   def postingsTable(s: SparkSession, root: String,
                     fam: PostingsFamily): Option[DataFrame] = {
     val conf = s.sessionState.newHadoopConf()
-    def existing(p: String, visible: Boolean = false): Option[String] = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val f = hp.getFileSystem(conf)
-      if (f.exists(hp) && f.listStatus(hp).exists(st => !visible ||
-          !st.getPath.getName.startsWith("."))) Some(p)
-      else None
-    }
+    def existing(p: String, visible: Boolean = false): Option[String] =
+      existingIndexDir(conf, p, visible)
     val cols = Seq(col("doc_id"), col("gram"), col("df"))
     val base = existing(s"$root/postings")
       .map(p => s.read.parquet(p).select(cols: _*))
@@ -462,11 +475,8 @@ object Dedup {
   def compactPostingsIndex(s: SparkSession, root: String, newRoot: String,
                            fam: PostingsFamily): Unit = {
     val conf = s.sessionState.newHadoopConf()
-    def existing(p: String): Option[String] = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val f = hp.getFileSystem(conf)
-      if (f.exists(hp) && f.listStatus(hp).nonEmpty) Some(p) else None
-    }
+    def existing(p: String): Option[String] =
+      graft.operators.Dedup.existingIndexDir(conf, p)
     val cols = Seq(col("doc_id"), col("gram"), col("df"))
     val parts = (existing(s"$root/postings") ++
       existing(s"$root/postings_m")).toSeq
@@ -1414,11 +1424,8 @@ object Dedup {
     // can delete every batch partition under `<sub>_m/` while the parent
     // dir survives, and parquet schema inference on it would fail the
     // whole read instead of falling back to the other side
-    def existing(p: String): Option[String] = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val f = hp.getFileSystem(conf)
-      if (f.exists(hp) && f.listStatus(hp).nonEmpty) Some(p) else None
-    }
+    def existing(p: String): Option[String] =
+      graft.operators.Dedup.existingIndexDir(conf, p)
     val base = existing(s"$root/$sub").map(s.read.parquet(_))
     val maintained = existing(s"$root/${sub}_m").map { p =>
       val d = s.read.parquet(p)

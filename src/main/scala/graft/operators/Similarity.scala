@@ -311,12 +311,21 @@ object Similarity {
               org.apache.spark.sql.types.DoubleType, containsNull = false)))))
     }
     val cached = subvecs.persist()
-    // deterministic init: subvector j of corpus vector c seeds (sub=j, code=c)
-    var cb: Map[(Int, Int), Seq[Double]] = cached.filter(col("vec_id") < k)
-      .collect()
-      .map(r => (r.getAs[Int]("sub"), r.getAs[Long]("vec_id").toInt) ->
-        r.getSeq[Double](r.fieldIndex("sv")))
-      .toMap
+    // deterministic init: the k SMALLEST vec_ids seed codes 0..k-1 —
+    // rank-based, not `vec_id < k`, which silently trained a codebook
+    // with fewer than k codes whenever ids were sparse or offset (and
+    // none at all for ids starting past k). Identical seeds for the
+    // dense-from-0 corpora every existing index was built from.
+    val seedRank: Map[Long, Int] = cached.select("vec_id").distinct()
+      .orderBy("vec_id").limit(k).collect()
+      .map(_.getLong(0)).zipWithIndex.toMap
+    var cb: Map[(Int, Int), Seq[Double]] =
+      cached.filter(col("vec_id").isin(seedRank.keys.toSeq: _*))
+        .collect()
+        .map(r => (r.getAs[Int]("sub"),
+          seedRank(r.getAs[Long]("vec_id"))) ->
+          r.getSeq[Double](r.fieldIndex("sv")))
+        .toMap
     require(cb.nonEmpty, "pqCodebooks: empty input")
     for (_ <- 0 until iters) {
       val assigned = cached.join(broadcast(cbDf(cb)), "sub")
@@ -470,13 +479,8 @@ object Similarity {
   private def derivedRowsTable(s: SparkSession, root: String, sub: String,
                                cols: Seq[String]): Option[DataFrame] = {
     val conf = s.sessionState.newHadoopConf()
-    def existing(p: String, visible: Boolean = false): Option[String] = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val f = hp.getFileSystem(conf)
-      if (f.exists(hp) && f.listStatus(hp).exists(st => !visible ||
-          !st.getPath.getName.startsWith("."))) Some(p)
-      else None
-    }
+    def existing(p: String, visible: Boolean = false): Option[String] =
+      graft.operators.Dedup.existingIndexDir(conf, p, visible)
     val cs = cols.map(col)
     val base = existing(s"$root/$sub").map(p => s.read.parquet(p).select(cs: _*))
     val maintained = existing(s"$root/${sub}_m", visible = true)
@@ -513,13 +517,8 @@ object Similarity {
     graft.functions.VectorOps.register(s)
     val cents = s.read.parquet(s"$root/centroids")
     val conf = s.sessionState.newHadoopConf()
-    def existing(p: String, visible: Boolean = false): Option[String] = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val f = hp.getFileSystem(conf)
-      if (f.exists(hp) && f.listStatus(hp).exists(st => !visible ||
-          !st.getPath.getName.startsWith("."))) Some(p)
-      else None
-    }
+    def existing(p: String, visible: Boolean = false): Option[String] =
+      graft.operators.Dedup.existingIndexDir(conf, p, visible)
     def fit(lists: DataFrame, origin: String): DataFrame =
       lists.join(broadcast(cents), "cell")
         .withColumn("fit", expr(dotExpr("ce", "cvec")))
@@ -561,6 +560,27 @@ object Similarity {
     val cents = kmeansCentroids(unitized, k, iters)
     graft.sources.Export.flush(cents, s"$newRoot/centroids")
     graft.sources.Export.flush(ivfAssign(unitized, cents), s"$newRoot/lists")
+    // CARRY THE EXACTLY-ONCE FENCE (the compactCountsIndex rule): the
+    // documented restart is a maintainer with a FRESH checkpoint, which
+    // may re-feed the whole source — without a fence every vector just
+    // folded into the new base would re-index under lists_m and surface
+    // at duplicate ranks in every search. The lists store each vector's
+    // id, so the new root fences its ENTIRE base (strictly stronger
+    // than carrying the old batch fences): one compact fence batch of
+    // zero list rows + all base vec_ids, published atomically.
+    val conf = s.sessionState.newHadoopConf()
+    val newM = s"$newRoot/lists_m"
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = s"$newM/.build_reseed_$token"
+    val newLists = s.read.parquet(s"$newRoot/lists")
+    newLists.limit(0).write.parquet(tmp)
+    newLists.select(col("c_id").as("vec_id")).distinct()
+      .write.parquet(s"$tmp/_ids")
+    val tfs = new org.apache.hadoop.fs.Path(newM).getFileSystem(conf)
+    graft.operators.Dedup.publishIndexDir(tfs,
+      new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$newM/batch=reseed_$token"),
+      marker = "_ids/_SUCCESS"): Unit
   }
 
   /** The drift-policy LOOP closed into one call — what a deployment

@@ -128,13 +128,8 @@ object TextAnalysis {
     // holding only crashed dot-named build attempts (invisible to the
     // parquet read) would otherwise fail schema inference instead of
     // falling back to the other side
-    def existing(p: String, visible: Boolean = false): Option[String] = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val f = hp.getFileSystem(conf)
-      if (f.exists(hp) && f.listStatus(hp).exists(st => !visible ||
-          !st.getPath.getName.startsWith("."))) Some(p)
-      else None
-    }
+    def existing(p: String, visible: Boolean = false): Option[String] =
+      graft.operators.Dedup.existingIndexDir(conf, p, visible)
     val cols = (fam.keyCols ++ fam.sumCols).map(col)
     val base = existing(s"$root/counts")
       .map(p => s.read.parquet(p).select(cols: _*))

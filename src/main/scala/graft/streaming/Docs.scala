@@ -347,16 +347,23 @@ object Docs {
     */
   private def scoredSink(docs: DataFrame, outPath: String,
                          checkpointDir: String)(score: DataFrame => DataFrame)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // partition on (LINEAGE, batchId) like every index maintainer here —
+    // a bare batchId would let a recreated checkpoint (ids restart at 0
+    // over a grown source) overwrite only its first few batch dirs and
+    // leave the dead lineage's later ones standing, so the published
+    // table would read the overlap twice
+    lazy val lineage: String = streamLineage(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           score(batch).write.mode("overwrite")
-            .parquet(s"$outPath/batch=$batchId")
+            .parquet(s"$outPath/batch=${lineage}_$batchId")
       }
       .start()
+  }
 
   /** Streaming incremental near-dup detection — the twin of
     * q_dedup_incremental (§2d.32d) over an unbounded ingest feed: each
@@ -522,7 +529,15 @@ object Docs {
     */
   private def streamLineage(checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // the SESSION's Hadoop conf (spark.hadoop.* carries object-store
+    // credentials a bare Configuration() lacks — with the bare one the
+    // metadata read always failed there and the lineage silently
+    // degraded to the path fallback, losing wipe-and-recreate
+    // protection); called inside foreachBatch, so a session is active
+    val conf = scala.util.Try(org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val id = try {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -869,6 +884,11 @@ object Docs {
           // standingSigs already excludes previously-retired docs, so a
           // retirement lands exactly once and a replay (own partition
           // excluded) recomputes it byte-identically.
+          // retired/batch/orphanIds are each referenced by several
+          // actions below (emptiness probes, writes, the reps union) and
+          // every reference would re-run their joins against the FULL
+          // standing index — localCheckpoint materializes each once (the
+          // pattern sigs already uses)
           val retired = (standingSigs, repsT) match {
             case (Some(sigs0), Some(reps0)) =>
               withH.join(sigs0.select("doc_id").distinct(),
@@ -877,15 +897,16 @@ object Docs {
                   col("doc_id").as("__rep")), Seq("__h"))
                 .filter(col("__rep") =!= col("doc_id"))
                 .select("doc_id").distinct()
+                .localCheckpoint()
             case _ => null
           }
           val anyRetired = retired != null && !retired.isEmpty
-          val batch = standingSigs match {
+          val batch = (standingSigs match {
             case Some(sigs0) =>
               afterReps.join(sigs0.select("doc_id").distinct(),
                 Seq("doc_id"), "left_anti")
             case None => afterReps
-          }
+          }).localCheckpoint()
           // ORPHANS: docs a dead lineage SIGNED (identity-fenced out of
           // `batch` above) whose protocol never completed — their content
           // hash reached no reps partition (reps is written LAST), so
@@ -895,12 +916,12 @@ object Docs {
           // stay exactly-once): recompute their band keys, admit under
           // current occupancy, drop any keys they already hold, and fold
           // their reps rows into this batch's.
-          val orphanIds = standingSigs match {
+          val orphanIds = (standingSigs match {
             case Some(sigs0) =>
               afterReps.join(sigs0.select("doc_id").distinct(),
                 Seq("doc_id"), "left_semi").select(col("doc_id"), col("__h"))
             case None => afterReps.limit(0).select(col("doc_id"), col("__h"))
-          }
+          }).localCheckpoint()
           if (!batch.isEmpty || !orphanIds.isEmpty || anyRetired) {
             // any maintenance action — including a retirement-only batch,
             // which changes the sigs/bands READ VIEW — leaves the stamp
@@ -919,12 +940,24 @@ object Docs {
             val orphanSigs = standingSigs.map(_.join(
                 orphanIds.select("doc_id"), Seq("doc_id"), "left_semi"))
               .getOrElse(sigs.limit(0))
-            val newKeys = Dedup.bandKeys(sigs.unionByName(orphanSigs))
             val w = Window.partitionBy(col("band"), col("bkey"))
               .orderBy(col("doc_id"))
             val bandsOpt = Dedup.minhashIndexTable(s, root, "bands",
               excludeBatch = Some(batchKey))
-            val admitted0 = bandsOpt match {
+            // keys ALREADY LANDED (an orphan whose dead lineage crashed
+            // between its bands and reps writes) drop BEFORE the ranking
+            // window: they sit inside the occupancy count n0 already, so
+            // also giving them a row_number slot would double-count the
+            // same key against the cap and wrongly reject another doc in
+            // the bucket (the static build would have admitted it)
+            val newKeysRaw = Dedup.bandKeys(sigs.unionByName(orphanSigs))
+            val newKeys = bandsOpt match {
+              case Some(bands) => newKeysRaw.join(
+                bands.select("doc_id", "band", "bkey"),
+                Seq("doc_id", "band", "bkey"), "left_anti")
+              case None => newKeysRaw
+            }
+            val admitted = bandsOpt match {
               case Some(bands) =>
                 val occupancy = bands.groupBy(col("band"), col("bkey"))
                   .agg(count(lit(1)).as("n0"))
@@ -938,14 +971,6 @@ object Docs {
                 newKeys.withColumn("rn", row_number().over(w))
                   .filter(col("rn") <= cap)
                   .select("doc_id", "band", "bkey")
-            }
-            // an orphan whose bands DID land (dead lineage crashed
-            // between its bands and reps writes) must not duplicate them
-            val admitted = bandsOpt match {
-              case Some(bands) => admitted0.join(
-                bands.select("doc_id", "band", "bkey"),
-                Seq("doc_id", "band", "bkey"), "left_anti")
-              case None => admitted0
             }
             admitted.write.mode("overwrite")
               .parquet(s"$root/bands_m/batch=$batchKey")

@@ -1550,6 +1550,22 @@ class StreamBatchParitySpec extends AnyFunSuite {
         .filter(col("rn") <= 5).select("c_id").as[Long].collect().toSet
       assert(top.forall(c => c >= 200L && c < 215L),
         s"search over the flipped root returned cross-axis neighbors: $top")
+      // the FENCE carried into the flipped root: the documented restart
+      // is a maintainer with a FRESH checkpoint, which may re-feed the
+      // whole source — every vector already folded into the new base
+      // must be fenced, or each would re-index and surface at duplicate
+      // ranks
+      val refeed = ((0L until 20L).map(i => Vec(i, vec(0, i.toInt), 0)) ++
+        (20L until 40L).map(i => Vec(i, vec(7, i.toInt), 1)) ++
+        (100L until 110L).map(i => Vec(i, vec(0, i.toInt), 0)) ++
+        (200L until 215L).map(i => Vec(i, vec(33, i.toInt), 2))).toSeq
+      val in2 = MemoryStream[Vec]
+      val q2 = Docs.maintainIvfIndex(in2.toDF(), flipped,
+        java.nio.file.Files.createTempDirectory("graft_loopCk2").toString)
+      try { in2.addData(refeed); q2.processAllAvailable() }
+      finally q2.stop()
+      assert(Similarity.ivfListsTable(spark, flipped).get.count() == 65,
+        "a fresh-checkpoint re-feed double-indexed the re-seeded base")
     } finally if (q.isActive) q.stop()
   }
 
