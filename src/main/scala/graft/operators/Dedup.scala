@@ -423,13 +423,32 @@ object Dedup {
     else None
   }
 
+  /** [[existingIndexDir]] additionally requiring Spark's job-commit
+    * `_SUCCESS` marker — the probe for SEEDED bases written by a direct
+    * overwrite (Export.flush has no two-phase publish): a driver killed
+    * during job commit can leave committed part files WITHOUT the
+    * marker, and serving them would silently return partial rows
+    * forever (the hazard publishIndexDir's protocol exists for). An
+    * unmarked dir reads as absent — re-seed to repair. Maintained sides
+    * keep the plain probe: their parts publish atomically with their
+    * own markers.
+    */
+  private[graft] def existingSeededDir(
+      conf: org.apache.hadoop.conf.Configuration,
+      p: String): Option[String] = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    if (hp.getFileSystem(conf).exists(
+        new org.apache.hadoop.fs.Path(hp, "_SUCCESS"))) Some(p)
+    else None
+  }
+
   def postingsTable(s: SparkSession, root: String,
                     fam: PostingsFamily): Option[DataFrame] = {
     val conf = s.sessionState.newHadoopConf()
     def existing(p: String, visible: Boolean = false): Option[String] =
       existingIndexDir(conf, p, visible)
     val cols = Seq(col("doc_id"), col("gram"), col("df"))
-    val base = existing(s"$root/postings")
+    val base = existingSeededDir(conf, s"$root/postings")
       .map(p => s.read.parquet(p).select(cols: _*))
     val maintained = existing(s"$root/postings_m", visible = true)
       .map(p => s.read.parquet(p).select(cols: _*))
@@ -475,11 +494,14 @@ object Dedup {
   def compactPostingsIndex(s: SparkSession, root: String, newRoot: String,
                            fam: PostingsFamily): Unit = {
     val conf = s.sessionState.newHadoopConf()
-    def existing(p: String): Option[String] =
-      graft.operators.Dedup.existingIndexDir(conf, p)
+    def existing(p: String, visible: Boolean = false): Option[String] =
+      graft.operators.Dedup.existingIndexDir(conf, p, visible)
     val cols = Seq(col("doc_id"), col("gram"), col("df"))
-    val parts = (existing(s"$root/postings") ++
-      existing(s"$root/postings_m")).toSeq
+    // `visible` on the maintained side: a dir holding only a crashed
+    // maintainer's dot-named temp would otherwise fail schema inference
+    // and abort the whole compaction (the postingsTable rule)
+    val parts = (existingSeededDir(conf, s"$root/postings") ++
+      existing(s"$root/postings_m", visible = true)).toSeq
       .map(p => s.read.parquet(p).select(cols: _*))
       .reduceOption(_.unionByName(_))
       .getOrElse(throw new IllegalStateException(
@@ -693,7 +715,7 @@ object Dedup {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       })(
-      minhashSigsWithH(Tables.load(s, dir, "documents")))
+      minhashSigsWithH(Tables.spread(Tables.load(s, dir, "documents"))))
       .drop("h")
 
   /** Persisted near-dup cluster labels (doc_id, rep) for the whole corpus —
@@ -848,7 +870,7 @@ object Dedup {
     val fam = SimhashFamily
     cachedCorpusTable(s, dir, fam.name, s"$SimhashBits",
       incr = (old, newDocs) => fam.merge(old.unionByName(fam.counts(newDocs))))(
-      fam.counts(Tables.load(s, dir, "documents")))
+      fam.counts(Tables.spread(Tables.load(s, dir, "documents"))))
   }
 
   /** Build-once/probe-many materialization of a deterministic corpus
@@ -1348,12 +1370,45 @@ object Dedup {
     // loses the move and probes the winner's (same-keyed) index
     buildAndPublishIndex(fs, Tables.indexRoot(s, dir), root, "minhash",
         marker = "bands/_SUCCESS") { tmp =>
-      pred match {
-        case Some((predRoot, predEntries)) =>
-          val newPaths = entries.collect {
-            case (p, e) if !predEntries.contains(e) => p }
-          val newDocs = Tables.spread(s.read.parquet(newPaths: _*))
-            .filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+      def coldBuild(): Unit = {
+        val old = Tables.spread(Tables.load(s, dir, "documents"))
+          .filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+        // the sig computation feeds both writes; localCheckpoint
+        // materializes the shingle explode + 8-way min aggregate once
+        val sigs = minhashSignatures(old).localCheckpoint()
+        graft.sources.Export.flush(sigs, s"$tmp/sigs")
+        // normalized-content keepers: the sidecar streaming maintenance
+        // needs to drop cross-batch byte-copies exactly like this
+        // build's corpus-wide exact-dedup pre-pass (bands written
+        // LAST — its _SUCCESS is the index-complete marker)
+        graft.sources.Export.flush(
+          old.select(md5s(TextAnalysis.normText(col("text"))).as("h"),
+              col("doc_id"))
+            .groupBy("h").agg(min(col("doc_id")).as("doc_id")),
+          s"$tmp/reps")
+        graft.sources.Export.flush(cappedBandKeys(sigs), s"$tmp/bands")
+      }
+      val refreshable = pred.flatMap { case (predRoot, predEntries) =>
+        val newPaths = entries.collect {
+          case (p, e) if !predEntries.contains(e) => p }
+        val newDocs = Tables.spread(s.read.parquet(newPaths: _*))
+          .filter(pmod(col("doc_id"), lit(mod)) =!= 0)
+        // the per-bucket cap is doc_id-ordered, so only an ASCENDING
+        // append (every new id above the standing corpus — the
+        // ingestion shape) preserves refresh ≡ cold: a backfill with
+        // lower ids would need to EVICT standing bucket members and
+        // replace reps, which an additive refresh cannot express —
+        // rebuild cold instead (the corpusClusterLabels rule, two tiny
+        // aggregates to decide)
+        val minNew = newDocs.agg(min(col("doc_id"))).first()
+        val maxOld = s.read.parquet(s"$predRoot/sigs")
+          .agg(max(col("doc_id"))).first()
+        val ascending = minNew.isNullAt(0) || maxOld.isNullAt(0) ||
+          minNew.getLong(0) > maxOld.getLong(0)
+        if (ascending) Some((predRoot, newDocs)) else None
+      }
+      refreshable match {
+        case Some((predRoot, newDocs)) =>
           val oldReps = s.read.parquet(s"$predRoot/reps")
           val withH = newDocs.withColumn("__h",
             md5s(TextAnalysis.normText(col("text"))))
@@ -1381,23 +1436,7 @@ object Dedup {
             .select("doc_id", "band", "bkey")
           graft.sources.Export.flush(oldBands.unionByName(admitted),
             s"$tmp/bands")
-        case None =>
-          val old = Tables.load(s, dir, "documents")
-            .filter(pmod(col("doc_id"), lit(mod)) =!= 0)
-          // the sig computation feeds both writes; localCheckpoint
-          // materializes the shingle explode + 8-way min aggregate once
-          val sigs = minhashSignatures(old).localCheckpoint()
-          graft.sources.Export.flush(sigs, s"$tmp/sigs")
-          // normalized-content keepers: the sidecar streaming maintenance
-          // needs to drop cross-batch byte-copies exactly like this
-          // build's corpus-wide exact-dedup pre-pass (bands written
-          // LAST — its _SUCCESS is the index-complete marker)
-          graft.sources.Export.flush(
-            old.select(md5s(TextAnalysis.normText(col("text"))).as("h"),
-                col("doc_id"))
-              .groupBy("h").agg(min(col("doc_id")).as("doc_id")),
-            s"$tmp/reps")
-          graft.sources.Export.flush(cappedBandKeys(sigs), s"$tmp/bands")
+        case None => coldBuild()
       }
       writeStampFile(fs, tmp, corpus, "documents", params, entries.map(_._2))
     }
@@ -2836,7 +2875,7 @@ object Dedup {
     val fam = WinnowFamily
     cachedCorpusTable(s, dir, fam.name, s"$WinnowK|$WinnowW",
       incr = (old, newDocs) => old.unionByName(fam.counts(newDocs)))(
-      fam.counts(Tables.load(s, dir, "documents")))
+      fam.counts(Tables.spread(Tables.load(s, dir, "documents"))))
   }
 
   /** (doc_id, fp) — per-doc winnowing fingerprints as a ROW family

@@ -482,7 +482,8 @@ object Similarity {
     def existing(p: String, visible: Boolean = false): Option[String] =
       graft.operators.Dedup.existingIndexDir(conf, p, visible)
     val cs = cols.map(col)
-    val base = existing(s"$root/$sub").map(p => s.read.parquet(p).select(cs: _*))
+    val base = graft.operators.Dedup.existingSeededDir(conf, s"$root/$sub")
+      .map(p => s.read.parquet(p).select(cs: _*))
     val maintained = existing(s"$root/${sub}_m", visible = true)
       .map(p => s.read.parquet(p).select(cs: _*))
     (base, maintained) match {
@@ -527,7 +528,7 @@ object Similarity {
           avg(col("fit")).as("mean_fit"),
           expr("percentile_approx(fit, 0.1)").as("p10_fit"))
     val parts = Seq(
-      existing(s"$root/lists").map(p =>
+      graft.operators.Dedup.existingSeededDir(conf, s"$root/lists").map(p =>
         fit(s.read.parquet(p).select("c_id", "ce", "cell"), "base")),
       existing(s"$root/lists_m", visible = true).map(p =>
         fit(s.read.parquet(p).select("c_id", "ce", "cell"), "maintained")))

@@ -131,7 +131,7 @@ object TextAnalysis {
     def existing(p: String, visible: Boolean = false): Option[String] =
       graft.operators.Dedup.existingIndexDir(conf, p, visible)
     val cols = (fam.keyCols ++ fam.sumCols).map(col)
-    val base = existing(s"$root/counts")
+    val base = graft.operators.Dedup.existingSeededDir(conf, s"$root/counts")
       .map(p => s.read.parquet(p).select(cols: _*))
     val maintained = existing(s"$root/counts_m", visible = true)
       .map(p => s.read.parquet(p).select(cols: _*))
@@ -533,8 +533,8 @@ object TextAnalysis {
     * doc's own hits only.
     */
   def dupSpans(s: SparkSession, dir: String): DataFrame =
-    dupSpansOf(Tables.spread(docs(s, dir)),
-      corpusDupGrams(s, dir).filter(col("nd") >= 2).select("gh"))
+    // corpusDupGrams already applies the nd >= 2 cut and projects to gh
+    dupSpansOf(Tables.spread(docs(s, dir)), corpusDupGrams(s, dir))
 
   /** [[dupSpans]] generalized over any (doc_id, text) frame and any
     * duplicated-gram-hash set — a span depends only on the document's own
@@ -1186,7 +1186,7 @@ object TextAnalysis {
     })(
       (s, dir) =>
         spanScrubScore(Tables.spread(docs(s, dir)),
-            corpusDupGrams(s, dir).filter(col("nd") >= 2).select("gh"))
+            corpusDupGrams(s, dir)) // already nd >= 2, gh-projected
           .orderBy("doc_id")),
 
     // 41p. DSIR IMPORTANCE WEIGHTS — data-selection scoring per Xie et

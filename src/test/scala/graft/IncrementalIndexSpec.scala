@@ -124,6 +124,39 @@ class IncrementalIndexSpec extends AnyFunSuite {
       tbl(coldRoot, "bands", "doc_id", "band", "bkey"), "bands diverged")
   }
 
+  test("a BACKFILL append (lower doc_ids) rebuilds the minhash index cold") {
+    // the per-bucket cap and the reps pre-pass are doc_id-ordered, so a
+    // backfill must EVICT standing bucket members / replace reps — an
+    // additive refresh cannot express that; the builder must detect the
+    // non-ascending shape and fall back to a cold rebuild (the
+    // corpusClusterLabels rule), or the index silently diverges from
+    // cold semantics and the q_dedup_incremental oracle
+    val base = java.nio.file.Files.createTempDirectory("graft_mhb").toString
+    val grown = s"$base/grown"
+    val cold = s"$base/cold"
+    val all = Tables.load(spark, TestSpark.sf, "documents")
+    val mid = 250L
+    // seed with the HIGH ids, then backfill the low ones
+    all.filter(col("doc_id") >= mid)
+      .write.parquet(s"$grown/documents.parquet")
+    all.write.parquet(s"$cold/documents.parquet")
+    val predRoot = Dedup.buildMinhashIndex(spark, grown)
+    assert(spark.read.parquet(s"$predRoot/sigs").count() > 0)
+    all.filter(col("doc_id") < mid)
+      .write.mode("append").parquet(s"$grown/documents.parquet")
+    val grownRoot = Dedup.buildMinhashIndex(spark, grown)
+    val coldRoot = Dedup.buildMinhashIndex(spark, cold)
+    def tbl(root: String, sub: String, cols: String*) =
+      spark.read.parquet(s"$root/$sub").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(tbl(grownRoot, "reps", "h", "doc_id") ==
+      tbl(coldRoot, "reps", "h", "doc_id"),
+      "backfill reps diverged from cold (low-id rep not installed)")
+    assert(tbl(grownRoot, "bands", "doc_id", "band", "bkey") ==
+      tbl(coldRoot, "bands", "doc_id", "band", "bkey"),
+      "backfill bands diverged from cold (cap admitted arrival order)")
+  }
+
   test("IVF/PQ append freezes model state and keeps appended vectors searchable") {
     import graft.operators.Similarity
     val base = java.nio.file.Files.createTempDirectory("graft_ann").toString
