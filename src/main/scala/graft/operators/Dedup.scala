@@ -69,11 +69,17 @@ object Dedup {
     * applied to a corpus slice (the exact-dedup reps pre-pass is
     * per-slice, exactly like the Spark side's per-input call).
     */
+  /** The 8-seed minhash SELECT list over `shingle` rows — THE signature
+    * geometry, shared by every SQL mirror below so seed count and slice
+    * layout can never drift between oracles.
+    */
+  private def minhsSelect: String = (0 until NumSeeds).map { i =>
+    val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+    s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
+  }.mkString(",\n  ")
+
   private def sigSqlFor(sfx: String, where: String): String = {
-    val minhs = (0 until NumSeeds).map { i =>
-      val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
-      s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
-    }.mkString(",\n  ")
+    val minhs = minhsSelect
     s"""reps_$sfx AS (
        |  SELECT min(doc_id) AS doc_id, s
        |  FROM (SELECT doc_id, $normSql AS s FROM documents WHERE $where) GROUP BY s),
@@ -92,25 +98,10 @@ object Dedup {
     * the three oracles can never drift apart.
     */
   private[operators] def lshLabelsCtes: String = {
-    val minhs = (0 until NumSeeds).map { i =>
-      val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
-      s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
-    }.mkString(",\n  ")
-    val bands = (0 until Bands)
-      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
-      .mkString("\n  UNION ALL ")
-    s"""WITH RECURSIVE reps AS (
-       |  SELECT min(doc_id) AS doc_id, s
-       |  FROM (SELECT doc_id, $normSql AS s FROM documents) GROUP BY s),
-       |toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM reps),
-       |sh AS (
-       |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-       |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
-       |sigs AS (SELECT doc_id, $minhs FROM sh GROUP BY doc_id),
-       |bands0 AS ($bands),
-       |bands AS (
-       |  SELECT doc_id, band, bkey FROM bands0
-       |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap),
+    // the reps→…→bands prefix IS corpusBandsCtes (one definition — the
+    // clustering oracles and the minhash oracles share the exact
+    // signature/band/cap geometry by construction, not by parallel edits)
+    s"""WITH RECURSIVE $corpusBandsCtes,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -181,10 +172,7 @@ object Dedup {
     * clustering oracles). Embed as `WITH $corpusBandsCtes, ...`.
     */
   private[operators] def corpusBandsCtes: String = {
-    val minhs = (0 until NumSeeds).map { i =>
-      val src = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
-      s"min(substr($src, ${8 * (i % 4) + 1}, 8)) AS h$i"
-    }.mkString(",\n  ")
+    val minhs = minhsSelect
     val bands = (0 until Bands)
       .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sigs")
       .mkString("\n  UNION ALL ")
@@ -201,6 +189,32 @@ object Dedup {
        |  SELECT doc_id, band, bkey FROM bands0
        |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= $BucketCap)""".stripMargin
   }
+
+  /** DuckDB CTE chain `cand, ng0, rareg, ng, sizes, inter, truth` over
+    * [[corpusBandsCtes]]' outputs — the LSH candidate set plus the
+    * rare-gram-Jaccard-verified truth pairs (jac ≥ 0.25, df ≤ DfCap):
+    * ONE definition shared by the full and the sampled recall audits,
+    * so the truth the estimate is judged against can never drift from
+    * the truth the full audit measures.
+    */
+  private def recallTruthCtes: String =
+    s"""cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |ng0 AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS gram
+       |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+       |rareg AS (SELECT gram FROM ng0 GROUP BY gram HAVING COUNT(*) <= $DfCap),
+       |ng AS (SELECT ng0.* FROM ng0 JOIN rareg USING (gram)),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ng GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM ng a JOIN ng b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE n_inter * 1000000 // (sa.sz + sb.sz - n_inter) >= 250000)""".stripMargin
 
   /** DuckDB CTE `bands0_$sfx`: uncapped band keys of `sigs_$sfx`. */
   private def bandsSqlFor(sfx: String): String = {
@@ -2580,23 +2594,7 @@ object Dedup {
     // apples; one row out.
     Q("q_lsh_recall",
       s"""WITH $corpusBandsCtes,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |ng0 AS (
-         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS gram
-         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
-         |rareg AS (SELECT gram FROM ng0 GROUP BY gram HAVING COUNT(*) <= $DfCap),
-         |ng AS (SELECT ng0.* FROM ng0 JOIN rareg USING (gram)),
-         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ng GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-         |  FROM ng a JOIN ng b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |truth AS (
-         |  SELECT doc_a, doc_b FROM inter
-         |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-         |  WHERE n_inter * 1000000 // (sa.sz + sb.sz - n_inter) >= 250000),
+         |$recallTruthCtes,
          |hit AS (SELECT t.* FROM truth t JOIN cand c
          |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
          |n AS (SELECT
@@ -2632,23 +2630,7 @@ object Dedup {
     // filter — hash equality proves sampled-verify ≡ filter(full audit).
     Q("q_lsh_recall_sampled",
       s"""WITH $corpusBandsCtes,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |ng0 AS (
-         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS gram
-         |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
-         |rareg AS (SELECT gram FROM ng0 GROUP BY gram HAVING COUNT(*) <= $DfCap),
-         |ng AS (SELECT ng0.* FROM ng0 JOIN rareg USING (gram)),
-         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ng GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-         |  FROM ng a JOIN ng b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |truth AS (
-         |  SELECT doc_a, doc_b FROM inter
-         |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-         |  WHERE n_inter * 1000000 // (sa.sz + sb.sz - n_inter) >= 250000),
+         |$recallTruthCtes,
          |truth_s AS (SELECT * FROM truth
          |            WHERE ${docStratumSql("doc_a")} < $TruthSampleThr),
          |cand_s AS (SELECT * FROM cand
