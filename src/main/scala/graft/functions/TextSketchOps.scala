@@ -129,15 +129,28 @@ object WinnowFps {
     org.apache.spark.sql.GraftSqlBridge.column(
       WinnowFps(org.apache.spark.sql.GraftSqlBridge.expression(tokens), k, w))
 
+  /** A foldable, non-null integer argument validated with a readable
+    * error (FreqSketch's literal rule): a bare `eval(null)` NPEs on a
+    * NULL literal and throws Spark's raw cannot-evaluate error on a
+    * column argument.
+    */
+  private[functions] def intLitArg(fn: String, name: String,
+                                   e: Expression): Int = {
+    require(e.foldable,
+      s"$fn: argument '$name' must be a literal integer, got ${e.sql}")
+    val v = e.eval(null)
+    require(v != null, s"$fn: argument '$name' must not be NULL")
+    v.asInstanceOf[Number].intValue
+  }
+
   /** SQL builder shared by the session-registry and the extensions
     * registration paths — one arity/literal check, not two copies.
     */
   def fromExprs(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3,
       s"winnow_fps requires 3 arguments (tokens, k, w), got ${exprs.length}")
-    def intLit(e: Expression): Int =
-      e.eval(null).asInstanceOf[Number].intValue
-    WinnowFps(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
+    WinnowFps(exprs(0), intLitArg("winnow_fps", "k", exprs(1)),
+      intLitArg("winnow_fps", "w", exprs(2)))
   }
 
   def register(spark: SparkSession): Unit =
@@ -224,8 +237,7 @@ object WordNgrams {
   def fromExprs(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
       s"word_ngrams requires 2 arguments (tokens, n), got ${exprs.length}")
-    WordNgrams(exprs(0),
-      exprs(1).eval(null).asInstanceOf[Number].intValue)
+    WordNgrams(exprs(0), WinnowFps.intLitArg("word_ngrams", "n", exprs(1)))
   }
 
   def register(spark: SparkSession): Unit =

@@ -72,8 +72,18 @@ final case class TopKPerGroupExec(
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering))
+        // copy the key ONLY on first sight of a group — getOrElseUpdate's
+        // key argument is by-value, so key.copy() there allocated a fresh
+        // UnsafeRow per INPUT ROW (billions of short-lived allocations on
+        // the scans this operator exists for, for a map of a few groups)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable
+              .PriorityQueue.empty[InternalRow](ordering)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kk) heap.enqueue(row.copy())
         else if (ordering.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())

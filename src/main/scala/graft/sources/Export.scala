@@ -17,29 +17,37 @@ object Export {
     * parents before children so a downstream FK-checking importer can load
     * in directory order (prefixed with a 2-digit rank).
     */
-  def parquet(e: Extraction, destDir: String): Seq[String] = {
+  /** The FK-safe write order shared by every per-table exporter: parents
+    * before children (downstream FK-checking importers load in directory
+    * order), one definition so the ordering rule cannot drift between
+    * formats.
+    */
+  private def writeOrdered(e: Extraction)(
+      write: (DataFrame, String, Int) => String): Seq[String] = {
     val order = e.plan.graph.topological.filter(e.tables.contains)
     order.zipWithIndex.map { case (name, i) =>
-      val path = f"$destDir/$i%02d_$name"
-      e.tables(name).write.mode(SaveMode.Overwrite).parquet(path)
-      path
+      write(e.tables(name), name, i)
     }
   }
+
+  def parquet(e: Extraction, destDir: String): Seq[String] =
+    writeOrdered(e) { (df, name, i) =>
+      val path = f"$destDir/$i%02d_$name"
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      path
+    }
 
   /** dbcut `dumpjson`: one JSON-lines file per table (canonical export —
     * single file via coalesce(1), acceptable because extractions are small
     * by construction; large exports should keep natural partitioning).
     */
-  def json(e: Extraction, destDir: String, singleFile: Boolean = true): Seq[String] = {
-    val order = e.plan.graph.topological.filter(e.tables.contains)
-    order.map { name =>
-      val df = e.tables(name)
+  def json(e: Extraction, destDir: String, singleFile: Boolean = true): Seq[String] =
+    writeOrdered(e) { (df, name, _) =>
       val out = if (singleFile) df.coalesce(1) else df
       val path = s"$destDir/$name.json"
       out.write.mode(SaveMode.Overwrite).json(path)
       path
     }
-  }
 
   /** dbcut `flush`: drop + recreate ≡ overwrite the destination table. */
   def flush(df: DataFrame, destPath: String): Unit =
@@ -51,14 +59,12 @@ object Export {
     * catalogs) without a conversion job. Same scan-side behaviors as
     * parquet: column pruning, predicate pushdown into file/stripe stats.
     */
-  def orc(e: Extraction, destDir: String): Seq[String] = {
-    val order = e.plan.graph.topological.filter(e.tables.contains)
-    order.zipWithIndex.map { case (name, i) =>
+  def orc(e: Extraction, destDir: String): Seq[String] =
+    writeOrdered(e) { (df, name, i) =>
       val path = f"$destDir/$i%02d_$name"
-      e.tables(name).write.mode(SaveMode.Overwrite).orc(path)
+      df.write.mode(SaveMode.Overwrite).orc(path)
       path
     }
-  }
 
   /** ORC twin of [[flush]] for a single table. */
   def orcFlush(df: DataFrame, destPath: String): Unit =
@@ -76,12 +82,13 @@ object Export {
     * next scan; at 100 TB an uncompacted table can spend longer listing
     * than reading. Writes to a sibling temp dir, then publishes by moving
     * the original aside BEFORE promoting the rewrite (rename-aside): the
-    * published path is never deleted-but-not-yet-replaced, so a crash
-    * leaves either the old or the new layout plus a recoverable
-    * `__compact_old`/`__compact_tmp` sibling — never a missing table.
-    * (Plain-filesystem renames are not a transaction; a table format with
-    * a commit log is the full answer at warehouse scale.) Returns
-    * (filesBefore, filesAfter).
+    * data is never deleted before its replacement exists, so a crash
+    * loses nothing — but between the two renames there IS a window where
+    * the published path itself is momentarily absent (the data sits in
+    * `__compact_old`); a reader racing that window fails its listing,
+    * and recovery is renaming `__compact_old` back. (Plain-filesystem
+    * renames are not a transaction; the Versioned commit log is the full
+    * answer at warehouse scale.) Returns (filesBefore, filesAfter).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 256L << 20): (Int, Int) = {
@@ -194,6 +201,11 @@ object Export {
         // per-column cell index in [0, 2^bits): exact long arithmetic over
         // the micros-scaled value keeps the bucketing deterministic
         cols.zipWithIndex.map { case (c, i) =>
+          // all-null / non-castable / empty-frame columns surface as a
+          // named error like the quantile branch, not a bare NPE
+          if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1))
+            sys.error(s"z-order column $c has no numeric values " +
+              "(all null, non-castable, or empty input)")
           val (mn, mx) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
           val width = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
           least(lit(cells), greatest(lit(0L),

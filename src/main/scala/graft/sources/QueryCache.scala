@@ -47,6 +47,11 @@ object QueryCache {
     } else {
       val e: Extraction = Subset.extract(spark, sfDir, spec, graph)
       Files.createDirectories(dir)
+      // invalidate the completeness marker BEFORE the first overwrite: a
+      // force-refresh killed mid-rewrite would otherwise leave the OLD
+      // marker over mixed old/new table dirs, and the next plain run
+      // would serve that mix as a complete, consistent extraction
+      Files.deleteIfExists(countFile(dir))
       e.tables.foreach { case (n, df) =>
         df.write.mode(SaveMode.Overwrite).parquet(dir.resolve(n).toString)
       }
@@ -64,16 +69,22 @@ object QueryCache {
     }
   }
 
-  /** dbcut `purgecache`: drop every cache entry (or one key). */
+  /** dbcut `purgecache`: drop every cache entry (or one key). The
+    * directory streams close deterministically (Using.resource) — leaked
+    * ones release only on GC, and a long session purging many entries
+    * would exhaust fds (the Cli.listDir rule).
+    */
   def purge(cacheRoot: String, key: Option[String] = None): Unit = {
     val root = Paths.get(cacheRoot)
     if (Files.exists(root)) {
       val targets = key match {
         case Some(k) => Seq(root.resolve(k)).filter(Files.exists(_))
-        case None => Files.list(root).iterator().asScala.toSeq
+        case None => scala.util.Using.resource(Files.list(root))(
+          _.iterator().asScala.toSeq)
       }
       targets.foreach { dir =>
-        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        scala.util.Using.resource(Files.walk(dir))(
+          _.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
       }
     }
   }

@@ -173,13 +173,23 @@ object Recorder {
   def extraction(rec: Recorder)(run: => Map[String, DataFrame])
       : Map[String, DataFrame] =
     if (rec.writeProtected) {
+      // replay ONLY the extraction's own events: a cassette recorded by
+      // a mixed command chain (`load query:q1` — the CLI's advertised
+      // shape, one shared recorder) also holds `query:` events, and
+      // replaying those here would both fabricate a bogus table named
+      // "query:…" and burn their iteration slots so the real query
+      // replay misses. Iteration alignment holds because replay runs
+      // the same command order as the recording did (the cassette is
+      // iteration-keyed by contract).
+      val tableStmts = rec.statements.filter(_.startsWith("table:"))
       // a pure-replay run against a missing/empty cassette is a MISS, not
       // an empty extraction — raise like every other write-protected miss
-      if (rec.statements.isEmpty)
+      if (tableStmts.isEmpty)
         throw new IllegalStateException(
-          s"Cannot replay extraction: cassette '${rec.name}' is empty or " +
-            "missing (record it first, or check --record-dir)")
-      rec.statements.map { stmt =>
+          s"Cannot replay extraction: cassette '${rec.name}' is empty, " +
+            "missing, or holds no extraction events (record it first, or " +
+            "check --record-dir)")
+      tableStmts.map { stmt =>
         stmt.stripPrefix("table:") -> rec.query(stmt)(
           throw new IllegalStateException("replay must not execute"))
       }.toMap

@@ -54,6 +54,31 @@ class ExtensionsSpec extends AnyFunSuite {
         .head()
       assert(row.getDouble(0) == 32.0)
       assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+      // NULL parity with the HOF fold the docstring promises identity
+      // with: zip_with pads a shorter array with nulls and a null
+      // product nulls the whole aggregate — so a null element or a
+      // length mismatch must yield NULL here too, never a silent 0.0
+      // read / truncated dot
+      val nulls = s.sql(
+        """SELECT vec_dot(array(1.0D, CAST(NULL AS DOUBLE), 3.0D),
+          |               array(1.0D, 2.0D, 3.0D)) AS ne,
+          |       vec_dot(array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D)) AS lm,
+          |       vec_cosine(array(1.0D, CAST(NULL AS DOUBLE)),
+          |                  array(1.0D, 0.0D)) AS ce""".stripMargin).head()
+      assert(nulls.isNullAt(0), "null element must null the dot")
+      assert(nulls.isNullAt(1), "length mismatch must null the dot")
+      assert(nulls.isNullAt(2), "null element must null the cosine")
+      // and the HOF form agrees on the same inputs
+      val hof = s.sql(
+        """SELECT aggregate(zip_with(array(1.0D, CAST(NULL AS DOUBLE), 3.0D),
+          |  array(1.0D, 2.0D, 3.0D), (x, y) -> x * y), 0D,
+          |  (acc, v) -> acc + v) AS e""".stripMargin).head()
+      assert(hof.isNullAt(0))
+      // wrong element types are an ANALYSIS error, not a runtime one
+      val err = intercept[Exception](
+        s.sql("SELECT vec_dot(array(1, 2), array(3, 4))").head())
+      assert(err.getMessage.contains("array<float|double>"),
+        err.getMessage)
     }
   }
 

@@ -186,4 +186,49 @@ class RecordSpec extends AnyFunSuite {
     assert(out2.count(_.startsWith("query q1_agg: 6 rows")) == 2,
       out2.mkString("\n"))
   }
+
+  test("a MIXED extraction+query cassette replays both (extraction filters its own events)") {
+    // the CLI's advertised chain shape: one shared recorder across
+    // `load query:q1_agg`. Replaying the extraction must drive ONLY the
+    // cassette's table: events — replaying the query: event there would
+    // fabricate a bogus table AND burn its iteration slot, so the real
+    // query replay missed and threw (the pre-fix behavior)
+    val work = tmp()
+    val src = s"$work/src"
+    Files.createDirectories(Paths.get(src))
+    Tables.load(spark, TestSpark.sf, "lineitem")
+      .write.parquet(s"$src/lineitem.parquet")
+    val cfgPath = Paths.get(work, "graft.yml")
+    Files.writeString(cfgPath,
+      s"""databases:
+         |  source_dir: $src
+         |  destination_dir: $work/dest
+         |queries:
+         |  - from: lineitem
+         |    join_depth: 0
+         |    backref_depth: 0
+         |""".stripMargin)
+    val args = Seq("-c", cfgPath.toString, "--quiet",
+      "--record", "mixedfx", "--record-dir", s"$work/records",
+      "load", "query:q1_agg")
+    val out1 = Cli.run(spark, Cli.parseArgs(args))
+    assert(out1.exists(_.startsWith("query q1_agg: 6 rows")),
+      out1.mkString("\n"))
+    // source gone: both commands must replay from the one cassette
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(Paths.get(src)))(s =>
+      s.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
+    scala.util.Using.resource(Files.walk(Paths.get(s"$work/dest")))(s =>
+      s.iterator().asScala.toSeq).reverse.foreach(Files.deleteIfExists(_))
+    val out2 = Cli.run(spark, Cli.parseArgs(args))
+    assert(out2.exists(_.startsWith("query q1_agg: 6 rows")),
+      out2.mkString("\n"))
+    // the replayed extraction produced the real table, not a bogus
+    // "query:…"-named one
+    val dest = Paths.get(s"$work/dest")
+    val written = scala.util.Using.resource(Files.list(dest))(s =>
+      s.iterator().asScala.map(_.getFileName.toString).toSet)
+    assert(written.exists(_.contains("lineitem")) &&
+      !written.exists(_.contains("query")), s"dest held $written")
+  }
 }
