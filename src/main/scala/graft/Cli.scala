@@ -462,7 +462,13 @@ object Cli {
               pk.map(Inspect.DqNotNull(_)) ++
                 (if (pk.nonEmpty) Seq(Inspect.DqUnique(pk)) else Nil) ++
                 meta.map(_.fks).getOrElse(Nil)
-                  .filter(fk => tables.contains(fk.parent))
+                  // drift-proof like the PK rules above: a destination
+                  // written by an older run may lack an FK column (or its
+                  // parent the PK columns) — skip that rule instead of
+                  // crashing the whole gate on an unresolved column
+                  .filter(fk => tables.contains(fk.parent) &&
+                    fk.childCols.forall(df.columns.contains) &&
+                    fk.parentCols.forall(tables(fk.parent).columns.contains))
                   .map(fk => Inspect.DqRef(fk.childCols, tables(fk.parent),
                     fk.parentCols, fk.parent))
             if (rules.nonEmpty) {
@@ -584,7 +590,9 @@ object Cli {
         case "message" => message
       }
       val padded = m.group(2) match {
-        case "" => v
+        // a bare "-" (python's left-align flag with no width,
+        // "%(levelname)-s") is a no-op, not a NumberFormatException
+        case "" | "-" => v
         case w if w.startsWith("-") => v.padTo(-w.toInt, ' ')
         case w => " " * math.max(0, w.toInt - v.length) + v
       }

@@ -207,7 +207,11 @@ object Inspect {
       .groupBy(col("col_name"))
       .agg(countDistinct(col("v")).as("n_distinct"))
     counts.join(distincts, Seq("col_name"), "left")
-      .select(col("col_name"), col("n_rows"), col("n_null"),
+      // BOTH derived counts coalesce: SUM over an empty table is NULL,
+      // so an empty profile must report n_null=0, not NPE the caller
+      // (the dqChecks rule)
+      .select(col("col_name"), col("n_rows"),
+        coalesce(col("n_null"), lit(0L)).as("n_null"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
   }
 

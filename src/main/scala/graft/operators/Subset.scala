@@ -57,6 +57,12 @@ object Subset {
     def renderTree: String = {
       val children = edges.groupBy(_.from)
       val sb = new StringBuilder
+      // each edge renders ONCE: the single-arrival-edge filter alone does
+      // not terminate on MUTUAL FK edges (A→B and B→A both plan; walk
+      // would alternate between them forever — estimate crashed with a
+      // StackOverflowError on such schemas while the extraction itself
+      // completed fine)
+      val seen = scala.collection.mutable.Set.empty[TreeEdge]
       def walk(t: String, prefix: String, arrived: Option[TreeEdge]): Unit = {
         val label = arrived match {
           case Some(e) if e.backref => s"$t  (backref via ${e.fk.childCols.mkString(",")})"
@@ -64,7 +70,9 @@ object Subset {
           case None                 => t
         }
         sb.append(prefix).append(label).append('\n')
-        val kids = children.getOrElse(t, Nil).filter(e => arrived.forall(_.fk != e.fk))
+        val kids = children.getOrElse(t, Nil)
+          .filter(e => !seen(e) && arrived.forall(_.fk != e.fk))
+        seen ++= kids
         kids.zipWithIndex.foreach { case (e, i) =>
           val last = i == kids.size - 1
           val pad = prefix.replace("├── ", "│   ").replace("└── ", "    ")
@@ -93,6 +101,12 @@ object Subset {
     val expanded = scala.collection.mutable.Set.empty[String]
     val traversed = scala.collection.mutable.Set.empty[(String, FK)] // (childTable, fk)
     val edges = scala.collection.mutable.ArrayBuffer.empty[TreeEdge]
+    // a table absent from the FK graph (a standalone table like
+    // `documents`, or the root itself when `exclude` named it) has no
+    // edges — root-only extraction, the same case applyRootQuery and
+    // extract already synthesize PKs for; graph.joinEdges would sys.error
+    def joinsOf(t: String): Seq[FK] =
+      if (graph.tables.contains(t)) graph.joinEdges(t) else Nil
     var level = 0
     var frontier = Seq(spec.from)
     while (frontier.nonEmpty) {
@@ -100,7 +114,7 @@ object Subset {
       for (t <- frontier if !expanded(t)) {
         expanded += t
         if (level < joinDepth)
-          for (fk <- graph.joinEdges(t) if !traversed((t, fk))) {
+          for (fk <- joinsOf(t) if !traversed((t, fk))) {
             traversed += ((t, fk))
             edges += TreeEdge(t, fk.parent, fk, backref = false, level)
             if (!reached(fk.parent)) { reached += fk.parent; next += fk.parent }
@@ -195,8 +209,18 @@ object Subset {
     val userKeys = spec.orderBy.map(k => if (k.desc) col(k.field).desc else col(k.field).asc)
     val orderCols = userKeys ++ pk.filterNot(p => spec.orderBy.exists(_.field == p)).map(col(_).asc)
     val ordered = filtered.orderBy(orderCols: _*)
-    val offset = spec.offset.fold(ordered)(o => ordered.offset(o.toInt))
-    spec.limit.fold(offset)(l => offset.limit(l.toInt))
+    // offset/limit are Long in the spec (mlalchemy parity) but Spark's
+    // operators take Int — refuse loudly past the range instead of the
+    // silent .toInt wrap (limit(5e9.toInt) would quietly return the
+    // wrong row count)
+    def asInt(name: String, v: Long): Int = {
+      require(v >= 0 && v <= Int.MaxValue,
+        s"$name $v out of supported range [0, ${Int.MaxValue}]")
+      v.toInt
+    }
+    val offset = spec.offset.fold(ordered)(o =>
+      ordered.offset(asInt("offset", o)))
+    spec.limit.fold(offset)(l => offset.limit(asInt("limit", l)))
   }
 
   /** Many-to-one FK path root→target as (childTable, fk) hops, if one exists. */
@@ -254,12 +278,16 @@ object Subset {
       p.graph.tables.get(t).map(_.pk).getOrElse(RelGraph.synthesizePk(load(t).columns.toSeq))
 
     // Broadcast the key side only when the spec truly bounds it: a root
-    // limit AND bounded backref fan-out (no backrefs, or a per-parent cap).
-    // Otherwise key sets can grow without bound — leave the join strategy
-    // to AQE, which broadcasts at runtime if the set turns out small and
-    // falls back to a shuffled hash join if not.
+    // limit AND bounded backref fan-out (no backref edge in the PLAN, or
+    // a per-parent cap). Decided from the planned edges, not the raw
+    // spec depths — `include` overrides backrefDepth to unlimited inside
+    // plan(), so a spec declaring backrefDepth=0 can still traverse
+    // uncapped backrefs, and broadcasting that key set is exactly the
+    // driver-OOM this guard exists to prevent. Otherwise leave the join
+    // strategy to AQE, which broadcasts at runtime if the set turns out
+    // small and falls back to a shuffled hash join if not.
     val boundedKeys = spec.limit.isDefined &&
-      (spec.backrefDepth == 0 || spec.backrefLimit.isDefined)
+      (!p.edges.exists(_.backref) || spec.backrefLimit.isDefined)
     def keySide(keys: DataFrame): DataFrame =
       if (boundedKeys) broadcast(keys) else keys
 

@@ -52,6 +52,11 @@ object Jdbc {
   /** Partitioned read. With `predicates`, one partition per predicate. */
   def read(spark: SparkSession, spec: ReadSpec): DataFrame =
     if (spec.predicates.nonEmpty) {
+      // the mutual-exclusion check must fire HERE too — this branch never
+      // reaches options(), which is where it otherwise lives, and a spec
+      // carrying both would silently ignore its partition column
+      require(spec.partitionColumn.isEmpty,
+        "predicates and partitionColumn are mutually exclusive")
       val props = new java.util.Properties()
       (spec.properties + ("fetchsize" -> spec.fetchSize.toString))
         .foreach { case (k, v) => props.setProperty(k, v) }
@@ -63,8 +68,14 @@ object Jdbc {
     * instead disables FK checks (`operations.py:110-120`); ordering is the
     * portable equivalent.
     */
-  def loadOrder(graph: RelGraph, tables: Set[String]): Seq[String] =
-    graph.topological.filter(tables)
+  def loadOrder(graph: RelGraph, tables: Set[String]): Seq[String] = {
+    // tables ABSENT from the FK graph still load (a standalone table has
+    // no FK constraints to order around — appended last, sorted, the
+    // Cli.fkOrder/ModelGen.ddlScript rule); filtering them away silently
+    // skipped their load entirely
+    val inGraph = graph.topological.filter(tables)
+    inGraph ++ (tables -- graph.tables.keySet).toSeq.sorted
+  }
 
   /** Reflect type-fidelity hints (enum/unsigned/collation/length) from live
     * JDBC catalog metadata — the edge where the reference gets them for free

@@ -300,15 +300,21 @@ object SqlDump {
     ddl(table, df.schema, pk, fks, dialect)
 
   /** Schema-only DDL (no DataFrame needed — model generation uses this). */
-  def ddl(table: String, schema: StructType, pk: Seq[String],
-          fks: Seq[FkClause], dialect: Dialect): String = {
-    val singleIntPk = pk match {
-      case Seq(one) => schema.fields.find(_.name == one).map(_.dataType) match {
-        case Some(IntegerType | LongType) => Some(one)
-        case _ => None
-      }
+  /** The single integer PK column (if any) — the auto-increment case the
+    * DDL renders specially and the Postgres dump must sequence-sync.
+    */
+  private def singleIntPkOf(schema: StructType,
+                            pk: Seq[String]): Option[String] = pk match {
+    case Seq(one) => schema.fields.find(_.name == one).map(_.dataType) match {
+      case Some(IntegerType | LongType) => Some(one)
       case _ => None
     }
+    case _ => None
+  }
+
+  def ddl(table: String, schema: StructType, pk: Seq[String],
+          fks: Seq[FkClause], dialect: Dialect): String = {
+    val singleIntPk = singleIntPkOf(schema, pk)
     val cols = schema.fields.map { f =>
       val notNull = if (f.nullable) "" else " NOT NULL"
       val tpe = (dialect, singleIntPk.contains(f.name), f.dataType) match {
@@ -375,11 +381,25 @@ object SqlDump {
     val spark = df.sparkSession
     import spark.implicits._
     // ord pins section order through the global sort: 0 prologue, 1 DDL,
-    // 2 INSERTs (deterministic within), 3 epilogue
+    // 2 INSERTs (deterministic within), 3 sequence sync, 4 epilogue
+    // Postgres SERIAL/BIGSERIAL: the INSERTs carry explicit ids that do
+    // NOT advance the backing sequence — without a setval epilogue the
+    // restored database's first application insert collides on
+    // nextval=1 (the reference gets this from SQLAlchemy's sequence
+    // re-creation)
+    val seqSync = dialect match {
+      case Postgres => singleIntPkOf(df.schema, pk).map { c =>
+        (s"SELECT setval(pg_get_serial_sequence('$table', '$c'), " +
+          s"(SELECT COALESCE(MAX(${dialect.quote(c)}), 1) " +
+          s"FROM ${dialect.quote(table)}));", 3)
+      }.toSeq
+      case _ => Nil
+    }
     val header =
       dialect.prologue(Seq(table)).map((_, 0)) ++
         Seq((ddl(table, df, pk, fks, dialect), 1)) ++
-        dialect.epilogue(Seq(table)).map((_, 3))
+        seqSync ++
+        dialect.epilogue(Seq(table)).map((_, 4))
     header.toDF("stmt", "ord")
       .unionByName(insertStatements(table, df, dialect).withColumn("ord", lit(2)))
       .orderBy("ord", "stmt").select("stmt")
