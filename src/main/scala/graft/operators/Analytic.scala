@@ -1008,8 +1008,10 @@ object Analytic {
         // y² ≤ 1e14, no overflow); only the AGGREGATION BUFFERS are
         // DECIMAL(38,0), where overflow would otherwise bite at corpus
         // scale (Σy² ≈ 6e20 at sf1 alone)
-        val xL = dec("l_quantity").cast("long")
-        val yL = (dec("l_extendedprice") * 100).cast("long")
+        // primitive equivalents of the decimal(18,2)-cast forms (Q.cents):
+        // integral quantity truncates exactly; cents of 2-dec money exact
+        val xL = col("l_quantity").cast("long")
+        val yL = graft.Q.cents(col("l_extendedprice"))
         def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
         val sums = t(s, dir, "lineitem")
           .select(col("l_returnflag"), xL.as("x"), yL.as("y"))
@@ -1078,9 +1080,12 @@ object Analytic {
          |ORDER BY l_returnflag, pair""".stripMargin
     })(
       (s, dir) => {
-        val qL = dec("l_quantity").cast("long")
-        val pL = (dec("l_extendedprice") * 100).cast("long")
-        val dL = (dec("l_discount") * 100).cast("long")
+        // primitive equivalents of the decimal(18,2)-cast forms (see
+        // Q.cents): quantity is integral so double→long truncation is
+        // exact; the ×100 columns are exact cents of 2-dec money
+        val qL = col("l_quantity").cast("long")
+        val pL = graft.Q.cents(col("l_extendedprice"))
+        val dL = graft.Q.cents(col("l_discount"))
         def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
         val sums = t(s, dir, "lineitem")
           .select(col("l_returnflag"), qL.as("q"), pL.as("p"), dL.as("d"))

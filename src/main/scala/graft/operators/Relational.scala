@@ -38,6 +38,15 @@ object Relational {
     * its final scale (≤6), e.g. a price×(1-discount) product at scale 4. */
   private def microsExpr(c: Column): Column = (c * 1000000).cast("long")
 
+  /** Exact BIGINT micros of price×(1−discount) for 2-decimal money doubles,
+    * in primitive long arithmetic: cents(p)·(100−cents(d))·100 ≡
+    * `microsExpr(dec(p) * (1-d)::decimal(4,2))` — the 2-dec × 2-dec product
+    * is a 4-dec value either way and both paths compute it exactly; the
+    * decimal path allocates BigDecimals per row (see [[graft.Q.cents]]),
+    * this one stays in codegen as primitive ops. */
+  private def discMicros(price: String, disc: String): Column =
+    Q.cents(col(price)) * (lit(100L) - Q.cents(col(disc))) * 100L
+
   val pack: Seq[Q] = Seq(
 
     // 19. group-by aggregation (the TPC-H Q1 shape)
@@ -54,8 +63,7 @@ object Relational {
         .agg(
           sum(micros($"l_quantity")).as("sum_qty_micros"),
           sum(micros($"l_extendedprice")).as("sum_base_price_micros"),
-          sum(microsExpr(dec("l_extendedprice") *
-            (lit(1) - col("l_discount")).cast("decimal(4,2)")))
+          sum(discMicros("l_extendedprice", "l_discount"))
             .as("sum_disc_price_micros"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")),
@@ -76,7 +84,7 @@ object Relational {
           countDistinct($"l_suppkey").as("n_supp"),
           min($"l_extendedprice").as("min_price"),
           max($"l_extendedprice").as("max_price"),
-          (sum(dec("l_quantity")) * 1000000).cast("long").as("__sumq"))
+          (sum(Q.cents($"l_quantity")) * 10000L).as("__sumq"))
         .withColumn("avg_qty_micro", expr("__sumq div n")).drop("__sumq")
         .orderBy($"l_returnflag")),
 
@@ -92,8 +100,7 @@ object Relational {
         .groupBy($"p_brand")
         .agg(
           count(lit(1)).as("n_items"),
-          sum(microsExpr(dec("l_extendedprice") *
-            (lit(1) - col("l_discount")).cast("decimal(4,2)")))
+          sum(discMicros("l_extendedprice", "l_discount"))
             .as("revenue_micros"))
         .orderBy($"p_brand")),
 
@@ -136,8 +143,7 @@ object Relational {
          |GROUP BY n_name ORDER BY revenue_micros DESC, n_name""".stripMargin
     })(
       (s, dir) => {
-        val rev = (dec("l_extendedprice") *
-          (lit(1) - $"l_discount".cast("decimal(4,2)")) * 1000000).cast("long")
+        val rev = discMicros("l_extendedprice", "l_discount")
         val asiaNations = broadcast(t(s, dir, "nation")
           .join(broadcast(t(s, dir, "region")).filter($"r_name" === "ASIA"),
             $"n_regionkey" === $"r_regionkey"))
@@ -174,8 +180,7 @@ object Relational {
          |ORDER BY revenue_micros DESC, l_orderkey LIMIT 10""".stripMargin
     })(
       (s, dir) => {
-        val rev = (dec("l_extendedprice") *
-          (lit(1) - $"l_discount".cast("decimal(4,2)")) * 1000000).cast("long")
+        val rev = discMicros("l_extendedprice", "l_discount")
         t(s, dir, "lineitem").filter($"l_shipdate" > "1997-06-01")
           .join(t(s, dir, "orders").filter($"o_orderdate" < "1997-06-01"),
             $"l_orderkey" === $"o_orderkey")

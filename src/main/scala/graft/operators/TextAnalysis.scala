@@ -570,20 +570,26 @@ object TextAnalysis {
     // covered positions come straight off the (disjoint) span ranges —
     // a bounded explode, never a corpus × spans range join
     val covered = dupSpansOf(d, dup)
-      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
-    val kept = toksp.join(covered, Seq("doc_id", "pos"), "left_anti")
-    val ka = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      md5(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("w")))),
-        x => x.getField("w")), " ").cast("binary")).as("clean_md5"))
-    d.select(col("doc_id"),
-        size(split(normText(col("text")), " ")).cast("long").as("n_toks"))
-      .join(ka, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_toks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_md5"),
-          md5(lit("").cast("binary"))).as("clean_md5"))
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"),
+        lit(1).as("__cov"))
+    // ONE flagged join + ONE doc-keyed aggregate derive n_toks, n_kept and
+    // the kept-text md5 together: spans are disjoint so the left join never
+    // duplicates a token row, `split` always yields ≥1 token so every doc
+    // survives the aggregate, and collect_list skips the NULLs the `when`
+    // leaves on covered positions — the md5 input is exactly the kept
+    // tokens in position order. (The previous shape paid a third scan of
+    // `d` for n_toks plus a separate anti-join; guide §2.3-2.4: derive
+    // everything one pass can prove from that pass.)
+    toksp.join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        count(when(col("__cov").isNull, 1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("__cov").isNull, struct(col("pos"), col("w"))))),
+          x => x.getField("w")), " ").cast("binary")).as("clean_md5"))
+      .select(col("doc_id"), col("n_toks"), col("n_kept"), col("clean_md5"))
   }
 
   /** Oracle-SQL CTE chain deriving the same spans table (doc_id, s, e)
