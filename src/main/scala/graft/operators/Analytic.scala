@@ -836,6 +836,10 @@ object Analytic {
             toksC.as("toks"),
             md5(col("doc_id").cast("string").cast("binary")).as("r"))
           .withColumn("bkt", expr("CAST(conv(substr(r, 1, 2), 16, 10) AS INT)"))
+          // checkpointed: four consumers (tier totals, bucket cumsum, the
+          // boundary-bucket doc window, the whole-bucket join) otherwise
+          // each re-run the regex tokenize scan of documents
+          .localCheckpoint()
         val g = d.groupBy("tier").agg(sum(col("toks")).as("tokens"))
           .withColumn("share_milli", expr(MixShareSql).cast("long"))
         val b = g.agg(min(expr("tokens * 1000 div share_milli")).as("budget"))

@@ -304,6 +304,10 @@ object Lakehouse {
           coalesce(col("del_max") >= greatest(col("max_val"), col("add_max")),
             lit(false))).as("__rescan"))
       .filter(col("n_rows") > 0)
+      // the fold feeds BOTH the rescan-group collect (inside `rescan`) and
+      // the final union — cache-marked so state+feed are read and folded
+      // once, not re-derived by each consumer
+      .persist()
     folded.filter(!col("__rescan")).drop("__rescan")
       .unionByName(rescan(folded.filter(col("__rescan")).select(groupCol)))
   }
@@ -366,7 +370,10 @@ object Lakehouse {
   def applyFeedGroupRescan(state: DataFrame, feed: DataFrame,
                            groupCol: String)(
                            rescan: DataFrame => DataFrame): DataFrame = {
-    val touched = feed.select(groupCol).distinct()
+    // cache-marked: the touched set feeds both the carry anti-join and the
+    // rescan (whose driver-side collect is its own action), so the feed is
+    // read and distinct-ed once
+    val touched = feed.select(groupCol).distinct().persist()
     state.join(touched, Seq(groupCol), "left_anti")
       .unionByName(rescan(touched))
   }

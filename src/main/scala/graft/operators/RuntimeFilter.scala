@@ -29,11 +29,17 @@ object RuntimeFilter {
     * Key columns must be integral (probed as BIGINT).
     */
   def bloomPrunedSemiJoin(fact: DataFrame, keys: DataFrame, factKey: String,
-                          keyCol: String, fpp: Double = 0.03): DataFrame = {
+                          keyCol: String, fpp: Double = 0.03,
+                          expectedItems: Option[Long] = None): DataFrame = {
     val distinctKeys = keys.select(col(keyCol)).na.drop().distinct()
-    // Two jobs up front (count for sizing + filter build); both scan only
-    // the key side, which is the small side by contract.
-    val bf = Bloom.build(distinctKeys, keyCol, distinctKeys.count(), fpp)
+    // Sizing: any UPPER bound on the distinct key count works — the bitset
+    // just comes out a bit larger (lower fpp), and the exact join removes
+    // false positives either way, so the result is bound-independent.
+    // Callers that know a cheap bound (parquet footer row count of the key
+    // table) pass it and save the sizing job + scan; otherwise one count
+    // job sizes exactly. The build job itself always scans the key side.
+    val n = expectedItems.getOrElse(distinctKeys.count())
+    val bf = Bloom.build(distinctKeys, keyCol, n, fpp)
     fact.filter(Bloom.mightContain(col(factKey), bf))
       .join(distinctKeys, col(factKey) === col(keyCol), "left_semi")
   }
@@ -54,7 +60,11 @@ object RuntimeFilter {
         val li = Tables.load(s, dir, "lineitem")
         val keys = Tables.load(s, dir, "supplier")
           .filter(col("s_nationkey") < 5).select("s_suppkey")
-        bloomPrunedSemiJoin(li, keys, "l_suppkey", "s_suppkey")
+        // footer row count of the whole key table upper-bounds the filtered
+        // distinct keys — metadata-only sizing, one job fewer
+        val bound = Tables.footerRowCount(s, Tables.path(dir, "supplier"))
+        bloomPrunedSemiJoin(li, keys, "l_suppkey", "s_suppkey",
+          expectedItems = Some(math.max(1L, bound)))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n_items"),
             sum(col("l_quantity").cast("long")).as("sum_qty"))

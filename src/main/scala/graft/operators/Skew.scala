@@ -151,7 +151,11 @@ object Skew {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)(
       (s, dir) => {
+        // project the fact side to the 3 columns the query touches BEFORE
+        // the salted shuffle (guide §2.3) — the join is on (key, salt), so
+        // every retained column crosses the exchange
         val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity")
         val ord = Tables.load(s, dir, "orders")
           .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
         saltedJoin(li, ord, "l_orderkey", col("l_partkey"), buckets = 8)

@@ -268,11 +268,6 @@ object Subset {
     val version = scala.collection.mutable.Map(spec.from -> 1).withDefaultValue(0)
     val joinEdgeSeenAt = scala.collection.mutable.Map.empty[(String, FK), Int]
     val ckptVersion = scala.collection.mutable.Map(spec.from -> 1).withDefaultValue(-1)
-    def checkpoint(t: String): Unit =
-      if (ckptVersion(t) != version(t)) {
-        sel(t) = sel(t).localCheckpoint()
-        ckptVersion(t) = version(t)
-      }
 
     def pkCols(t: String): Seq[String] =
       p.graph.tables.get(t).map(_.pk).getOrElse(RelGraph.synthesizePk(load(t).columns.toSeq))
@@ -366,6 +361,20 @@ object Subset {
         Future.sequence(work.map { case (tag, df) =>
           Future((tag, df.localCheckpoint()))
         }), Duration.Inf)
+    /** Checkpoint several merged selections as concurrent jobs — the
+      * serial foreach(checkpoint) form paid one blocking scheduler
+      * round-trip per table per level. Mutation happens after the Await,
+      * on the caller thread, like materialize's merge step. */
+    def checkpointAll(ts: Iterable[String]): Unit = {
+      val todo = ts.toSeq.distinct.filter(t => ckptVersion(t) != version(t))
+      val done = Await.result(
+        Future.sequence(todo.map(t => Future(t -> sel(t).localCheckpoint()))),
+        Duration.Inf)
+      done.foreach { case (t, df) =>
+        sel(t) = df
+        ckptVersion(t) = version(t)
+      }
+    }
 
     try {
       // Phase 2: level-by-level with snapshot semantics.
@@ -394,7 +403,7 @@ object Subset {
         // selections are tiny by construction and every downstream plan
         // (next level, re-closure, summary) restarts from materialized
         // blocks instead of growing one deep AQE lineage
-        levelEdges.map(_.to).distinct.foreach(checkpoint)
+        checkpointAll(levelEdges.map(_.to))
       }
 
       // Phase 3: parent re-closure (child-before-parent), guarantees RI for
@@ -417,7 +426,7 @@ object Subset {
           unionInto(fk.parent, df, addCheckpointed = true) }
         // materialize merged selections: unionInto only builds lazy plans, so
         // checkpointing here keeps the profiler honest about where time went
-        sel.keys.foreach(checkpoint)
+        checkpointAll(pulls.map(_._1.parent))
       } }
     } finally pool.shutdown()
 

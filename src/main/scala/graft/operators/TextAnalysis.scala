@@ -417,7 +417,12 @@ object TextAnalysis {
       .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"), col("c"))
       .as[(Seq[String], Long)]
-      .localCheckpoint()
+      // LAZY checkpoints throughout the loop: each round's argmax collect
+      // is the action that materializes them, so a round costs ONE job
+      // (pair-count + argmax) instead of two — the eager form paid a
+      // separate materialization job per round, pure scheduler overhead
+      // ×nMerges. Lineage still truncates at every round boundary.
+      .localCheckpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.size < nMerges && !done) {
@@ -441,7 +446,7 @@ object TextAnalysis {
             } else { out += ss(i); i += 1 }
           }
           (out.toSeq, c)
-        }.localCheckpoint()
+        }.localCheckpoint(eager = false)
       }
     }
     merges.toSeq
@@ -1645,6 +1650,10 @@ object TextAnalysis {
          |FROM j JOIN stot st USING (source)
          |ORDER BY source""".stripMargin)(
       (s, dir) => {
+        // NOTE (r11): tried persist() here — the (source, word) table feeds
+        // four consumers — but the cached plan cost MORE than the repeated
+        // explode+count (columnar cache build + lost AQE broadcast choices
+        // on the cached side); measured 1.4s → 2.0s, reverted
         val tf = Tables.spread(docs(s, dir))
           .select(col("source"),
             explode(split(normText(col("text")), " ")).as("word"))
