@@ -75,6 +75,9 @@ object Search {
           col("doc_id") +: size(toks).cast("long").as("dl") +:
             Bm25Terms.map(t =>
               size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+        // NOTE (r11): a localCheckpoint here (stats agg + scoring both
+        // consume base) measured within noise of the two-scan form and
+        // hides the scan-pruning property PlanShapeSpec pins — left as is
         val tot = base.agg(
           count(lit(1)).as("ndocs"),
           sum(col("dl")).as("atot") +:

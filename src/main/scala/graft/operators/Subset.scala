@@ -385,20 +385,26 @@ object Subset {
         val ordered = levelEdges.sortBy(te => (te.from, te.to))
         ordered.foreach(e =>
           if (!e.backref) joinEdgeSeenAt((e.from, e.fk)) = snapVersion(e.from))
-        val pulls = materialize(ordered.map { e =>
+        val soleFresh = ordered.groupBy(_.to).collect {
+          case (t, es) if es.size == 1 && !snapshot.contains(t) => t
+        }.toSet
+        val (matEdges, lazyEdges) = ordered.partition(e => soleFresh(e.to))
+        def pullOf(e: TreeEdge): DataFrame = {
           val src = snapshot.getOrElse(e.from,
             sys.error(s"edge source ${e.from} not yet selected"))
-          e -> pullEdge(e, src)
-        })
-        for ((e, df) <- pulls) {
+          pullEdge(e, src)
+        }
+        val pullMap = (materialize(matEdges.map(e => e -> pullOf(e))) ++
+          lazyEdges.map(e => e -> pullOf(e))).toMap
+        for (e <- ordered) { val df = pullMap(e); {
           // A backref pull that CREATES its child's selection also proves the
           // reverse join edge complete: every pulled row's FK value is a PK
           // of the (monotone, union-only) parent selection it was pulled by.
           // Recording it lets the re-closure pass skip the no-op re-pull.
           val freshBackref = e.backref && !sel.contains(e.to)
-          unionInto(e.to, df, addCheckpointed = true)
+          unionInto(e.to, df, addCheckpointed = soleFresh(e.to))
           if (freshBackref) joinEdgeSeenAt((e.to, e.fk)) = version(e.to)
-        }
+        } }
         // materialize merged selections (no-op for single-pull new tables):
         // selections are tiny by construction and every downstream plan
         // (next level, re-closure, summary) restarts from materialized
@@ -414,16 +420,16 @@ object Subset {
         val fks = p.graph.joinEdges(t).filter(fk =>
           included(fk.parent) && sel.contains(t) &&
             !joinEdgeSeenAt.get((t, fk)).contains(version(t)))
-        val pulls = materialize(fks.map { fk =>
+        val pulls = fks.map { fk =>
           val keys = sel(t).select(fk.childCols.map(col): _*).na.drop().distinct()
           val parent = parentSide(fk.parent, keys, fk)
           val on = fk.childCols.zip(fk.parentCols).map { case (c, pc) =>
             keys(c) === parent(pc)
           }.reduce(_ && _)
           fk -> parent.join(keySide(keys), on, "left_semi")
-        })
+        }
         pulls.foreach { case (fk, df) =>
-          unionInto(fk.parent, df, addCheckpointed = true) }
+          unionInto(fk.parent, df, addCheckpointed = false) }
         // materialize merged selections: unionInto only builds lazy plans, so
         // checkpointing here keeps the profiler honest about where time went
         checkpointAll(pulls.map(_._1.parent))

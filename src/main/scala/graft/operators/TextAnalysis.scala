@@ -1393,6 +1393,9 @@ object TextAnalysis {
           (size(filter(toks, t => t.isInCollection(en))).cast("long") * 1000000L)
             .as("stop_hits"))
           .withColumn("stop_micro", expr("stop_hits div n_words"))
+          // checkpointed: the global min/max aggregate AND the final bucket
+          // projection both consume it — one tokenize+stopword scan, not two
+          .localCheckpoint()
         val b = sig.agg(
           min("n_chars").as("mn_c"), max("n_chars").as("mx_c"),
           min("n_words").as("mn_w"), max("n_words").as("mx_w"),
