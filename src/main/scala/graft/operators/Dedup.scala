@@ -951,7 +951,9 @@ object Dedup {
           writeStampFile(fs, tmp, corpus, table, params, entries.map(_._2))
         }
       }
-      s.read.parquet(root)
+      // content-keyed dir (the key hashes corpus identity + params), so
+      // the footer-schema memo is safe: same path ⇒ same table
+      Tables.parquetImmutable(s, root)
     }
 
   /** Atomically publish a fully-built index directory at its final

@@ -512,23 +512,33 @@ object TextAnalysis {
     * stream/batch parity test pins. Output = every input column +
     * n_bigrams / surp_sum / mean_surprisal_milli.
     */
-  def bigramSurprisalScore(d: DataFrame, model: DataFrame): DataFrame = {
+  def bigramSurprisalScore(d: DataFrame, model: DataFrame): DataFrame =
+    d.join(bigramSurprisalAgg(d, model), Seq("doc_id"), "left")
+
+  /** The aggregate half of [[bigramSurprisalScore]]: one row per doc of
+    * `d` — including empty/null-text docs (explode_outer), so a consumer
+    * that only needs (doc_id, scores) can use this directly with no
+    * attach join at all (the registered query does). Bigram POSITIONS
+    * probe the frozen model directly (left joins, unscorable positions
+    * contribute zero) and collapse in ONE doc-keyed aggregate — the old
+    * (doc_id, bg) pre-count and its exchange are gone. Unlike unigrams
+    * (q_lm_surprisal, where the tf collapse bounds the hot-key fan-in
+    * ~10x and stays), bigram positions ≈ per-doc-distinct bigrams, so
+    * that collapse bought nothing at scale and cost an exchange
+    * everywhere.
+    */
+  def bigramSurprisalAgg(d: DataFrame, model: DataFrame): DataFrame = {
     val cu = model.groupBy("w1").agg(sum(col("cb")).as("cu"))
-    val btf = d.select(col("doc_id"), explode(
+    val pos = d.select(col("doc_id"), explode_outer(
         wordNgrams(split(normText(col("text")), " "), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-    val sc = btf.join(model, "bg").join(cu, "w1")
+    pos.join(model, Seq("bg"), "left").join(cu, Seq("w1"), "left")
       .groupBy("doc_id")
-      .agg(sum(col("c")).cast("long").as("__nb"),
-        sum(col("c") *
-          (length(bin(col("cu"))) - length(bin(col("cb")))).cast("long"))
-          .cast("long").as("__ss"))
-    d.join(sc, Seq("doc_id"), "left")
-      .withColumn("n_bigrams", coalesce(col("__nb"), lit(0L)))
-      .withColumn("surp_sum", coalesce(col("__ss"), lit(0L)))
+      .agg(sum(when(col("cb").isNotNull, 1L).otherwise(0L)).as("n_bigrams"),
+        sum(when(col("cb").isNotNull,
+            (length(bin(col("cu"))) - length(bin(col("cb")))).cast("long"))
+          .otherwise(0L)).as("surp_sum"))
       .withColumn("mean_surprisal_milli",
-        coalesce(expr("__ss * 1000 div nullif(__nb, 0)"), lit(0L)))
-      .drop("__nb", "__ss")
+        coalesce(expr("surp_sum * 1000 div nullif(n_bigrams, 0)"), lit(0L)))
   }
 
   /** Per-doc merged duplicated-gram spans (doc_id, s, e) in 1-based token
@@ -1103,21 +1113,25 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin
     })(
       (s, dir) => {
-        val tf = Tables.spread(docs(s, dir))
-          .select(col("doc_id"),
-            explode(wordNgrams(split(normText(col("text")), " "), 5)).as("gram"))
-          .groupBy(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
-          .agg(count(lit(1)).as("tf"))
-        val cov = tf
+        // gram POSITIONS probe the standing index directly and collapse in
+        // ONE doc-keyed aggregate: the (doc_id, gh, tf) pre-aggregation and
+        // its exchange are gone (a doc's positions live in one task, so the
+        // map-side combine already yields one row per doc), and explode_outer
+        // keeps zero-gram docs in the aggregate, which removes the documents
+        // join-back scan + sort-merge join. Position rows ≈ per-doc-distinct
+        // rows for 5-grams (within-doc repeats are rare), so the at-scale
+        // probe join sees the same volume as the old collapsed form with one
+        // exchange fewer at every scale.
+        val pos = Tables.spread(docs(s, dir))
+          .select(col("doc_id"), explode_outer(
+            wordNgrams(split(normText(col("text")), " "), 5)).as("gram"))
+          .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
+        pos
           .join(corpusDupGrams(s, dir).withColumn("d", lit(1)), Seq("gh"), "left")
           .groupBy("doc_id")
-          .agg(sum(col("tf")).as("n_grams"),
-            sum(when(col("d") === 1, col("tf")).otherwise(0L)).as("n_dup"))
-        docs(s, dir).select("doc_id")
-          .join(cov, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          .agg(sum(when(col("gh").isNotNull, 1L).otherwise(0L)).as("n_grams"),
+            sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_grams"), col("n_dup"),
             coalesce(expr("n_dup * 1000000 div nullif(n_grams, 0)"), lit(0L))
               .as("dup_frac_micros"))
           .withColumn("verdict",
@@ -1283,23 +1297,24 @@ object TextAnalysis {
       (s, dir) => {
         // materialize the gram derivation ONCE — the bench side and the
         // candidate side both read the checkpoint instead of re-running
-        // the n-gram build per branch; the final doc list needs no grams
-        // at all, so it scans the raw table
+        // the n-gram build per branch
         val g = Tables.spread(docs(s, dir)).select(
           col("doc_id"), col("source"), gramSet(col("text"), 3).as("gs"))
           .localCheckpoint()
         val bench = g.filter(col("source") === "src0")
           .select(explode(col("gs")).as("gram")).distinct()
-        val cand = g.filter(col("source") =!= "src0")
-          .select(col("doc_id"), explode(col("gs")).as("gram"))
-        val hits = cand.join(bench, "gram")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-        docs(s, dir).filter(col("source") =!= "src0").select("doc_id")
-          .join(hits, Seq("doc_id"), "left")
-          .select(
-            col("doc_id"),
-            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-            when(coalesce(col("n_shared"), lit(0L)) > 0, "contaminated")
+        // explode_outer keeps zero-gram candidates, so the doc-keyed
+        // aggregate itself covers every candidate doc — the separate
+        // documents scan + join-back are gone; grams are per-doc distinct
+        // (gramSet), so the conditional count still counts distinct shares
+        val hits = g.filter(col("source") =!= "src0")
+          .select(col("doc_id"), explode_outer(col("gs")).as("gram"))
+          .join(bench.withColumn("b", lit(1)), Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(sum(when(col("b") === 1, 1L).otherwise(0L)).as("n_shared"))
+        hits.select(
+            col("doc_id"), col("n_shared"),
+            when(col("n_shared") > 0, "contaminated")
               .otherwise("clean").as("verdict"))
           .orderBy("doc_id")
       }),
@@ -1347,6 +1362,10 @@ object TextAnalysis {
         val direct = g.filter(col("source") =!= "src0")
           .select(col("doc_id"), explode(col("gs")).as("gram"))
           .join(bench, "gram").select("doc_id").distinct()
+        // candidate list stays a fresh documents scan: it prunes to two
+        // columns at the parquet reader, whereas projecting doc_id out of
+        // the checkpointed gram frame deserializes the full gram arrays
+        // (RDD scans cannot column-prune) — measured slower (r12)
         clusterContamination(
           docs(s, dir).filter(col("source") =!= "src0").select("doc_id"),
           direct, Dedup.corpusClusterLabels(s, dir))
@@ -1615,8 +1634,9 @@ object TextAnalysis {
         // model = the standing corpus bigram table (append-mergeable
         // counts); scoring the corpus against its own model is exactly
         // the oracle's full-corpus derivation — and the same scorer runs
-        // the streaming twin against the same frozen table
-        bigramSurprisalScore(Tables.spread(docs(s, dir)),
+        // the streaming twin against the same frozen table. The agg half
+        // already carries one row per doc, so no attach join is needed.
+        bigramSurprisalAgg(Tables.spread(docs(s, dir)),
           corpusBigramModel(s, dir))
           .select("doc_id", "n_bigrams", "surp_sum", "mean_surprisal_milli")
           .orderBy("doc_id")),

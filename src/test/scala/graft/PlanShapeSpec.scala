@@ -100,10 +100,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val bg = planOf("q_bigram_surprisal")
     assert(!bg.contains("CartesianProduct") && !bg.contains("BroadcastNestedLoopJoin"),
       s"bigram model join degenerated:\n$bg")
-    // the count table is checkpointed (its doc_id+text scan ran once at
-    // materialization); the final doc-list join must scan doc_id ONLY
-    assert(bg.contains("ReadSchema: struct<doc_id:bigint>"),
-      s"doc-list scan not pruned to doc_id:\n$bg")
+    // r12: the per-doc aggregate covers every doc (explode_outer), so the
+    // registered query has NO doc-list attach join — exactly one documents
+    // scan, pruned to doc_id+text, may appear
+    assert(bg.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned to doc_id,text:\n$bg")
+    assert(!bg.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"doc-list attach scan reappeared (join-back was removed in r12):\n$bg")
+    assert(!bg.contains("SortMergeJoin"),
+      s"attach sort-merge join reappeared:\n$bg")
 
     val tv = planOf("q_source_divergence")
     // the 1-row corpus totals ride broadcast joins; nothing may expand to
