@@ -103,8 +103,24 @@ object Bench {
     val unstable = drift > 1.5
     val direction = if (calLast > calFirst) "slowdown" else "speed-up"
     val contended = unstable && calLast > calFirst
-    val cal = s""""calibration":{"first_sec":${n3(calFirst)},"last_sec":${n3(calLast)},"drift":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(drift))},"drift_direction":"$direction","unstable":$unstable,"contended":$contended,"rule":"min-of-3 each side; drift>1.5 flags unstable in either direction; contended additionally requires the LAST side slower (slowdown=contention; a speed-up reads as warm-up but may be early contention that subsided - cross-check queries_min vs queries)"}"""
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qmin,$cal,"sf":"$sfDir"}""")
+    // Sentinel-normalized per-query medians (ADDITIONS-ONLY — raw seconds
+    // above are unchanged and stay the primary protocol): each median
+    // divided by the run's best sentinel reading, i.e. "how many
+    // calibration queries is this query worth ON THIS MACHINE TODAY".
+    // This machine's speed drifts 1.5-2x across minutes (every r01-r11
+    // artifact pair disagrees near-uniformly), so cross-round raw-second
+    // comparisons measure the VM phase, not the code; the normalized
+    // ratios cancel the machine out because the sentinel (a fixed
+    // scan+agg noop query) rides the same phase. min(first,last) is the
+    // denominator: it is the run's best observed machine speed, and the
+    // per-query MEDIANS being compared are similarly best-of-warm.
+    val calRef = math.min(calFirst, calLast)
+    val qnorm = results.map { case (k, med, _) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(if (med >= 0 && calRef > 0) med / calRef else -1.0))
+    }.mkString("{", ",", "}")
+    val cal = s""""calibration":{"first_sec":${n3(calFirst)},"last_sec":${n3(calLast)},"drift":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(drift))},"drift_direction":"$direction","unstable":$unstable,"contended":$contended,"rule":"min-of-3 each side; drift>1.5 flags unstable in either direction; contended additionally requires the LAST side slower (slowdown=contention; a speed-up reads as warm-up but may be early contention that subsided - cross-check queries_min vs queries)","norm_rule":"queries_norm[q] = queries[q] / min(first_sec, last_sec) - unitless multiples of the calibration sentinel; compare THESE across rounds/machines, raw seconds only within one run"}"""
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qmin,"queries_norm":$qnorm,$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

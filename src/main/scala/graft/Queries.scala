@@ -47,6 +47,25 @@ object Q {
   def micros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     cents(c) * 10000L
 
+  /** Σ(micros) with ×10⁴ overflow headroom, for money aggregates: sums
+    * per-row CENTS (exact primitive longs) and applies the ×10⁴ scale once
+    * AFTER aggregation — `sum(micros(c)) = sum(cents(c)) * 10⁴` exactly
+    * (distributivity over integers), same codegen cost, same BIGINT output.
+    * Why: a per-row-micros BIGINT sum buffer wraps once a group's total
+    * passes 2⁶³ (~9.2e18 micros) while the DECLARED output could still be
+    * representable only below that same bound — so with cents in the
+    * buffer, the partial sums stay ≤ 2⁶³/10⁴ for every group whose final
+    * micros answer fits BIGINT at all. The buffer can no longer be the
+    * first thing to overflow; the query is exact over the entire domain
+    * its declared schema can express (beyond it, no BIGINT engine agrees —
+    * DuckDB's HUGEINT→BIGINT cast errors, Spark wraps). This dominates a
+    * DECIMAL(38,0) buffer, which pays a per-row decimal conversion (the
+    * exact cost the r11 cents rewrite removed) to extend coverage only
+    * into answers the schema cannot return anyway.
+    */
+  def sumMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.sum(cents(c)) * 10000L
+
   /** Exact BIGINT hundredths (×100) of a 2-decimal money double — the
     * primitive-only equivalent of `cast(cast(c as decimal(18,2)) * 100 as
     * long)`. The decimal cast allocates a BigDecimal per row (double →

@@ -111,7 +111,7 @@ object Analytic {
         |ORDER BY status, priority""".stripMargin)(
       (s, dir) => group(t(s, dir, "orders"))
         .agg(count(lit(1)).as("n"),
-          sum(micros(col("o_totalprice"))).as("total_micros"))
+          (sum(Q.cents(col("o_totalprice"))) * 10000L).as("total_micros"))
         .select(
           coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
@@ -187,7 +187,7 @@ object Analytic {
           Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
           col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(micros(col("o_totalprice"))).as("total_micros"))
+          (sum(Q.cents(col("o_totalprice"))) * 10000L).as("total_micros"))
         .select(
           coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
@@ -350,7 +350,7 @@ object Analytic {
             col("l_extendedprice") <= col("p95"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n_kept"),
-            sum(micros(col("l_extendedprice"))).as("__s"))
+            (sum(Q.cents(col("l_extendedprice"))) * 10000L).as("__s"))
           .withColumn("trimmed_mean_micros", expr("__s div n_kept")).drop("__s")
           .orderBy(col("l_returnflag"))
       }),
@@ -591,7 +591,7 @@ object Analytic {
           .rangeBetween(-30, Window.currentRow)
         t(s, dir, "orders")
           .select(col("o_custkey"), col("o_orderkey"),
-            sum(micros(col("o_totalprice"))).over(w).as("rolling_30d_micros"))
+            (sum(Q.cents(col("o_totalprice"))).over(w) * 10000L).as("rolling_30d_micros"))
           .orderBy(col("o_custkey"), col("o_orderkey"))
       }),
 

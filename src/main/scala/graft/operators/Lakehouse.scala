@@ -643,7 +643,7 @@ object Lakehouse {
       def partial(df: DataFrame): DataFrame = df
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(micros(col("o_totalprice"))).as("sum_micros"),
+          (sum(Q.cents(col("o_totalprice"))) * 10000L).as("sum_micros"),
           min(col("o_orderdate").cast("date")).as("first_date"),
           max(col("o_orderdate").cast("date")).as("last_date"))
       val cutoff = lit("1998-01-01").cast("date")

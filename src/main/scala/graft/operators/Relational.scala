@@ -29,23 +29,19 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** decimal(18,2) view of a money/quantity double column. */
-  private def dec(c: String): Column = col(c).cast("decimal(18,2)")
-
   import graft.Q.{micros, sqlMicros}
 
-  /** Exact BIGINT micro-units of a decimal expression that already carries
-    * its final scale (≤6), e.g. a price×(1-discount) product at scale 4. */
-  private def microsExpr(c: Column): Column = (c * 1000000).cast("long")
-
-  /** Exact BIGINT micros of price×(1−discount) for 2-decimal money doubles,
-    * in primitive long arithmetic: cents(p)·(100−cents(d))·100 ≡
-    * `microsExpr(dec(p) * (1-d)::decimal(4,2))` — the 2-dec × 2-dec product
-    * is a 4-dec value either way and both paths compute it exactly; the
-    * decimal path allocates BigDecimals per row (see [[graft.Q.cents]]),
-    * this one stays in codegen as primitive ops. */
-  private def discMicros(price: String, disc: String): Column =
-    Q.cents(col(price)) * (lit(100L) - Q.cents(col(disc))) * 100L
+  /** Σ micros of price×(1−discount) for 2-decimal money doubles, in
+    * primitive long arithmetic with ×10² overflow headroom. Per row,
+    * cents(p)·(100−cents(d)) is the product's exact integer value in its
+    * own 10⁻⁴-money-unit grain (2-dec × 2-dec = 4-dec, computed exactly —
+    * ≡ `cast(dec(p) * (1-d)::decimal(4,2) * 1e6 as long)` without the
+    * per-row BigDecimal, see [[graft.Q.cents]]); the ×100 to micros
+    * happens once AFTER aggregation, so the sum buffer overflows only
+    * beyond the domain the declared BIGINT micros output can express
+    * (the [[graft.Q.sumMicros]] rule). */
+  private def sumDiscMicros(price: String, disc: String): Column =
+    sum(Q.cents(col(price)) * (lit(100L) - Q.cents(col(disc)))) * 100L
 
   val pack: Seq[Q] = Seq(
 
@@ -61,9 +57,9 @@ object Relational {
       (s, dir) => t(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum(micros($"l_quantity")).as("sum_qty_micros"),
-          sum(micros($"l_extendedprice")).as("sum_base_price_micros"),
-          sum(discMicros("l_extendedprice", "l_discount"))
+          Q.sumMicros($"l_quantity").as("sum_qty_micros"),
+          Q.sumMicros($"l_extendedprice").as("sum_base_price_micros"),
+          sumDiscMicros("l_extendedprice", "l_discount")
             .as("sum_disc_price_micros"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")),
@@ -100,7 +96,7 @@ object Relational {
         .groupBy($"p_brand")
         .agg(
           count(lit(1)).as("n_items"),
-          sum(discMicros("l_extendedprice", "l_discount"))
+          sumDiscMicros("l_extendedprice", "l_discount")
             .as("revenue_micros"))
         .orderBy($"p_brand")),
 
@@ -119,7 +115,7 @@ object Relational {
         .groupBy($"c_mktsegment")
         .agg(
           count(lit(1)).as("n_lines"),
-          sum(micros($"l_extendedprice")).as("total_price_micros"))
+          Q.sumMicros($"l_extendedprice").as("total_price_micros"))
         .orderBy($"c_mktsegment")),
 
     // 20b. TPC-H Q5-shaped 6-way join — the classic "local supplier
@@ -143,7 +139,6 @@ object Relational {
          |GROUP BY n_name ORDER BY revenue_micros DESC, n_name""".stripMargin
     })(
       (s, dir) => {
-        val rev = discMicros("l_extendedprice", "l_discount")
         val asiaNations = broadcast(t(s, dir, "nation")
           .join(broadcast(t(s, dir, "region")).filter($"r_name" === "ASIA"),
             $"n_regionkey" === $"r_regionkey"))
@@ -156,7 +151,8 @@ object Relational {
             $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
           .join(asiaNations, $"s_nationkey" === $"n_nationkey")
           .groupBy($"n_name")
-          .agg(sum(rev).as("revenue_micros"))
+          .agg(sumDiscMicros("l_extendedprice", "l_discount")
+            .as("revenue_micros"))
           .orderBy($"revenue_micros".desc, $"n_name")
       }),
 
@@ -180,7 +176,6 @@ object Relational {
          |ORDER BY revenue_micros DESC, l_orderkey LIMIT 10""".stripMargin
     })(
       (s, dir) => {
-        val rev = discMicros("l_extendedprice", "l_discount")
         t(s, dir, "lineitem").filter($"l_shipdate" > "1997-06-01")
           .join(t(s, dir, "orders").filter($"o_orderdate" < "1997-06-01"),
             $"l_orderkey" === $"o_orderkey")
@@ -188,7 +183,8 @@ object Relational {
             $"o_custkey" === $"c_custkey")
           .groupBy($"l_orderkey", $"o_orderdate".cast("date").as("o_orderdate"),
             $"o_orderpriority")
-          .agg(sum(rev).as("revenue_micros"))
+          .agg(sumDiscMicros("l_extendedprice", "l_discount")
+            .as("revenue_micros"))
           .select($"l_orderkey", $"revenue_micros", $"o_orderdate",
             $"o_orderpriority")
           .orderBy($"revenue_micros".desc, $"l_orderkey")
@@ -262,9 +258,9 @@ object Relational {
         val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
         t(s, dir, "orders")
           .select($"o_custkey", $"o_orderkey",
-            sum(micros($"o_totalprice"))
+            (sum(Q.cents($"o_totalprice"))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .as("running_total_micros"),
+              * 10000L).as("running_total_micros"),
             lag($"o_orderkey", 1).over(w).as("prev_orderkey"))
           .orderBy($"o_custkey", $"o_orderkey")
       }),
@@ -375,7 +371,7 @@ object Relational {
             .otherwise("large"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n"),
-          sum(micros($"o_totalprice")).as("total_micros"))
+          Q.sumMicros($"o_totalprice").as("total_micros"))
         .orderBy($"bucket")),
 
     // 26. date/time functions
@@ -388,7 +384,7 @@ object Relational {
       (s, dir) => t(s, dir, "orders")
         .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(micros($"o_totalprice")).as("total_micros"))
+          Q.sumMicros($"o_totalprice").as("total_micros"))
         .orderBy($"yr", $"mo")),
 
     // 27. string functions
@@ -436,7 +432,7 @@ object Relational {
           date_format(date_trunc("minute", $"ts"), "yyyy-MM-dd HH:mm").as("minute"),
           $"event_type")
         .agg(count(lit(1)).as("n"),
-          sum(micros($"value")).as("total_value_micros"))
+          Q.sumMicros($"value").as("total_value_micros"))
         .orderBy($"minute", $"event_type")),
 
     // 30. gap-based sessionization (30-min inactivity)
