@@ -282,7 +282,20 @@ object Lakehouse {
     */
   def applyMinMaxFeed(state: DataFrame, feed: DataFrame, groupCol: String,
                       valCol: String)(
-                      rescan: DataFrame => DataFrame): DataFrame = {
+                      rescan: DataFrame => DataFrame): DataFrame =
+    applyMinMaxFeedTracked(state, feed, groupCol, valCol)(rescan)._1
+
+  /** [[applyMinMaxFeed]] also returning the internally persisted fold
+    * frame, so a caller that OWNS the consuming action (the refresh
+    * protocol functions do — they commit the result in the same call)
+    * can `unpersist` it afterwards instead of leaving blocks pinned in
+    * the CacheManager for the session's lifetime (§5 cache hygiene).
+    * Callers whose action happens later (the registered query) use the
+    * plain face and rely on their harness's cache clear.
+    */
+  private[graft] def applyMinMaxFeedTracked(
+      state: DataFrame, feed: DataFrame, groupCol: String, valCol: String)(
+      rescan: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val isAdd = col("_change_type").isin("insert", "update_postimage")
     val deltas = feed.groupBy(groupCol).agg(
       sum(when(isAdd, 1L).otherwise(-1L)).as("n_d"),
@@ -308,8 +321,9 @@ object Lakehouse {
       // the final union — cache-marked so state+feed are read and folded
       // once, not re-derived by each consumer
       .persist()
-    folded.filter(!col("__rescan")).drop("__rescan")
-      .unionByName(rescan(folded.filter(col("__rescan")).select(groupCol)))
+    (folded.filter(!col("__rescan")).drop("__rescan")
+      .unionByName(rescan(folded.filter(col("__rescan")).select(groupCol))),
+      folded)
   }
 
   /** [[refreshMvFromFeed]] extended to the q_mv_incremental algebra
@@ -335,20 +349,25 @@ object Lakehouse {
     def fullAgg(d: DataFrame): DataFrame = d.groupBy(groupCol)
       .agg(count(lit(1)).as("n_rows"), sum(col(valCol)).as("sum_val"),
         min(col(valCol)).as("min_val"), max(col(valCol)).as("max_val"))
-    val state =
-      if (cursor == 0) fullAgg(Versioned.read(s, srcDir, Some(srcLatest)))
+    val (state, cached) =
+      if (cursor == 0)
+        (fullAgg(Versioned.read(s, srcDir, Some(srcLatest))), None)
       else {
         val feed = Versioned.changes(s, srcDir, cursor, srcLatest, key,
           Seq(groupCol, valCol))
-        applyMinMaxFeed(Versioned.read(s, mvDir), feed, groupCol, valCol) {
-          gs =>
+        val (st, c) = applyMinMaxFeedTracked(
+          Versioned.read(s, mvDir), feed, groupCol, valCol) { gs =>
             val groups = gs.collect().map(_.get(0)).toSeq
             fullAgg(Versioned.readPruned(s, srcDir, groupCol, groups,
               Some(srcLatest)))
         }
+        (st, Some(c))
       }
-    Versioned.commit(state, mvDir,
+    try Versioned.commit(state, mvDir,
       epochId = Some(srcLatest.toLong), appId = Some(app))
+    // commit is the last consumer of the fold cache — release its blocks
+    // so a long-lived session doesn't accumulate one per refresh
+    finally cached.foreach(_.unpersist(false))
     srcLatest
   }
 
@@ -369,13 +388,21 @@ object Lakehouse {
     */
   def applyFeedGroupRescan(state: DataFrame, feed: DataFrame,
                            groupCol: String)(
-                           rescan: DataFrame => DataFrame): DataFrame = {
+                           rescan: DataFrame => DataFrame): DataFrame =
+    applyFeedGroupRescanTracked(state, feed, groupCol)(rescan)._1
+
+  /** [[applyFeedGroupRescan]] also returning the persisted touched-group
+    * frame for post-action unpersist — same contract as
+    * [[applyMinMaxFeedTracked]]. */
+  private[graft] def applyFeedGroupRescanTracked(
+      state: DataFrame, feed: DataFrame, groupCol: String)(
+      rescan: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     // cache-marked: the touched set feeds both the carry anti-join and the
     // rescan (whose driver-side collect is its own action), so the feed is
     // read and distinct-ed once
     val touched = feed.select(groupCol).distinct().persist()
-    state.join(touched, Seq(groupCol), "left_anti")
-      .unionByName(rescan(touched))
+    (state.join(touched, Seq(groupCol), "left_anti")
+      .unionByName(rescan(touched)), touched)
   }
 
   /** [[refreshMvFromFeed]]'s protocol around [[applyFeedGroupRescan]]:
@@ -400,13 +427,14 @@ object Lakehouse {
     val cursor = Versioned.latestEpochFor(s, mvDir, app)
       .map(_.toInt).getOrElse(0)
     if (cursor >= srcLatest) return cursor
-    val state =
-      if (cursor == 0) agg(Versioned.read(s, srcDir, Some(srcLatest)))
+    val (state, cached) =
+      if (cursor == 0)
+        (agg(Versioned.read(s, srcDir, Some(srcLatest))), None)
       else {
         val feed = Versioned.changes(s, srcDir, cursor, srcLatest, key,
           (groupCol +: valueCols).distinct)
-        applyFeedGroupRescan(Versioned.read(s, mvDir), feed, groupCol) {
-          gs =>
+        val (st, c) = applyFeedGroupRescanTracked(
+          Versioned.read(s, mvDir), feed, groupCol) { gs =>
             val groups = gs.collect().map(_.get(0)).toSeq
             if (groups.isEmpty) gs.sparkSession.createDataFrame(
               gs.sparkSession.sparkContext
@@ -415,9 +443,12 @@ object Lakehouse {
             else agg(Versioned.readPruned(s, srcDir, groupCol, groups,
               Some(srcLatest)))
         }
+        (st, Some(c))
       }
-    Versioned.commit(state, mvDir,
+    try Versioned.commit(state, mvDir,
       epochId = Some(srcLatest.toLong), appId = Some(app))
+    // commit is the last consumer of the touched-set cache — release it
+    finally cached.foreach(_.unpersist(false))
     srcLatest
   }
 

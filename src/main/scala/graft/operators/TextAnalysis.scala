@@ -983,14 +983,22 @@ object TextAnalysis {
             col("doc_id"), col("n_words"),
             expr("ndw * 1000000L div n_words").as("ttr_micro"),
             size(col("bgs")).cast("long").as("n_bigrams"),
-            size(array_distinct(col("bgs"))).cast("long").as("ndist"),
+            // ONE pass over the sorted bigrams yields both the longest
+            // equal-adjacent run (top-bigram count) AND the distinct count
+            // (boundaries), replacing the separate array_distinct(bgs)
+            // hash-set pass + array allocation ('' sentinel is safe: a
+            // bigram is two non-empty tokens joined by a space)
             expr("""aggregate(array_sort(bgs),
-                   |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+                   |  named_struct('prev', '', 'run', 0L, 'best', 0L, 'nd', 0L),
                    |  (acc, x) -> named_struct(
                    |    'prev', x,
                    |    'run', IF(x = acc.prev, acc.run + 1L, 1L),
-                   |    'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
-                   |  acc -> acc.best)""".stripMargin).as("maxc"))
+                   |    'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L)),
+                   |    'nd', acc.nd + IF(x = acc.prev, 0L, 1L)),
+                   |  acc -> acc)""".stripMargin).as("rs"))
+          .select(col("doc_id"), col("n_words"), col("ttr_micro"),
+            col("n_bigrams"), col("rs.nd").as("ndist"),
+            col("rs.best").as("maxc"))
           .select(
             col("doc_id"), col("n_words"), col("ttr_micro"),
             col("n_bigrams"),
@@ -999,6 +1007,12 @@ object TextAnalysis {
               .as("dup_bigram_micro"),
             expr("CASE WHEN n_bigrams = 0 THEN 0L " +
               "ELSE maxc * 1000000L div n_bigrams END").as("top_bigram_micro"))
+          // NOTE (r12): a localCheckpoint here would stop the range
+          // partitioner's sampler re-running the tokenize/sort/fold above
+          // (the ORDER BY child is evaluated twice: sample + shuffle map),
+          // but it measured slightly SLOWER locally (extra job + block
+          // round-trip beats the saved re-eval at this scale) and hides
+          // the pruned parquet leaf PlanShapeSpec pins. Tried, reverted.
           .orderBy("doc_id")
       }),
 
