@@ -553,14 +553,16 @@ object Versioned {
     if (entries.isEmpty) return None
     val dvByEntry = dvs.map(d => d.entry -> d).toMap
     val (dvd, free) = entries.partition(dvByEntry.contains)
+    // entries are write-once (immutable-dir rule), so the footer-schema
+    // memo applies — repeat reads of the same entry set skip the
+    // per-file footer job (graft.Tables.parquetImmutable*)
     def rd(ds: Seq[String]) =
-      if (ds.length > 1)
-        spark.read.option("mergeSchema", "true").parquet(ds: _*)
-      else spark.read.parquet(ds.head)
+      if (ds.length > 1) graft.Tables.parquetImmutableMerged(spark, ds)
+      else graft.Tables.parquetImmutable(spark, ds.head)
     val maskedEach = dvd.map { e =>
       // a sidecar holds ONE column per bucket-key column (composite keys
       // write several) — the mask joins on all of them
-      val ks = spark.read.parquet(dvByEntry(e).path)
+      val ks = graft.Tables.parquetImmutable(spark, dvByEntry(e).path)
       rd(Seq(e)).join(broadcast(ks.distinct()), ks.columns.toSeq,
         "left_anti")
     }
@@ -586,7 +588,7 @@ object Versioned {
                                values: Seq[Any]): Seq[(Any, Long)] = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val cols = splitKeyCols(bc)
-    val schema = spark.read.parquet(sampleEntry).schema
+    val schema = graft.Tables.parquetImmutable(spark, sampleEntry).schema
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(
         values.distinct.map(v =>
@@ -774,16 +776,16 @@ object Versioned {
     val kCols = splitKeyCols(bc)
     val newDvs = touched.zipWithIndex.flatMap { case ((e, ks), i) =>
       val prior = dvByEntry.get(e)
-      val eSchema = spark.read.parquet(e).schema
+      val eSchema = graft.Tables.parquetImmutable(spark, e).schema
       val ksDf = spark.createDataFrame(
         spark.sparkContext.parallelize(
           ks.map(k => org.apache.spark.sql.Row(keyComponents(k): _*)), 1),
         org.apache.spark.sql.types.StructType(kCols.map(c =>
           org.apache.spark.sql.types.StructField(c, eSchema(c).dataType))))
-      val priorKeys = prior.map(d => spark.read.parquet(d.path))
+      val priorKeys = prior.map(d => graft.Tables.parquetImmutable(spark, d.path))
       // rows newly hidden: present in the entry, named by this batch,
       // not already deleted — a narrow key-column scan of ONE entry
-      var present = spark.read.parquet(e).select(kCols.map(col): _*)
+      var present = graft.Tables.parquetImmutable(spark, e).select(kCols.map(col): _*)
         .join(ksDf, kCols, "left_semi")
       priorKeys.foreach(pk => present =
         present.join(pk, kCols, "left_anti"))
@@ -990,14 +992,13 @@ object Versioned {
         .getOrElse(throw new IllegalStateException(
           s"version $v of $dir is empty and no retained ancestor carries " +
             "a schema — cannot construct an empty DataFrame"))
-      return spark.read.option("mergeSchema", "true")
-        .parquet(anc.dataDirs: _*).limit(0)
+      return graft.Tables.parquetImmutableMerged(spark, anc.dataDirs).limit(0)
     }
     // mergeSchema only matters (and only costs footer reads) with >1 dir
     if (m.dvs.isEmpty) {
       if (m.dataDirs.length > 1)
-        spark.read.option("mergeSchema", "true").parquet(m.dataDirs: _*)
-      else spark.read.parquet(m.dataDirs: _*)
+        graft.Tables.parquetImmutableMerged(spark, m.dataDirs)
+      else graft.Tables.parquetImmutable(spark, m.dataDirs.head)
     } else
       // deletion vectors: each DV'd entry anti-joins against ITS OWN
       // sidecar's keys only (readEntriesMasked) — a union mask across
@@ -1160,14 +1161,14 @@ object Versioned {
           // sidecars carry one column per bucket-key column — the delta
           // and the pre-image probe join on all of them
           val newKeys = {
-            val k1 = spark.read.parquet(d.path)
+            val k1 = graft.Tables.parquetImmutable(spark, d.path)
             dv0.get(d.entry) match {
-              case Some(p) => k1.join(spark.read.parquet(p.path),
+              case Some(p) => k1.join(graft.Tables.parquetImmutable(spark, p.path),
                 k1.columns.toSeq, "left_anti")
               case None => k1
             }
           }
-          withCols(spark.read.parquet(d.entry))
+          withCols(graft.Tables.parquetImmutable(spark, d.entry))
             .join(org.apache.spark.sql.functions.broadcast(
               newKeys.distinct()), newKeys.columns.toSeq, "left_semi")
             .select(keys.map(col) ++ vcols.map(col): _*)
