@@ -388,6 +388,12 @@ object Subset {
         val soleFresh = ordered.groupBy(_.to).collect {
           case (t, es) if es.size == 1 && !snapshot.contains(t) => t
         }.toSet
+        // pullMap below is keyed by TreeEdge value equality — two equal
+        // edges in one level would silently collapse to one pull (masked
+        // only by the dropDuplicates in unionInto); the planner never
+        // emits duplicates, so make that assumption explicit
+        require(ordered.distinct.size == ordered.size,
+          s"duplicate edges in level $lvl: $ordered")
         val (matEdges, lazyEdges) = ordered.partition(e => soleFresh(e.to))
         def pullOf(e: TreeEdge): DataFrame = {
           val src = snapshot.getOrElse(e.from,
@@ -415,25 +421,52 @@ object Subset {
       // Phase 3: parent re-closure (child-before-parent), guarantees RI for
       // every included parent table. Edges whose phase-2 pull already saw the
       // child's final selection are provably complete — skip them.
+      //
+      // Tables are processed in RANK batches rather than one at a time:
+      // rank(t) = longest included child-chain below t, so no included join
+      // edge can link two tables of equal rank (an edge c→t forces
+      // rank(t) > rank(c)) — a batch's pulls read selections only earlier
+      // batches could have touched, making them mutually independent. Their
+      // checkpoints then run as ONE concurrent wave (checkpointAll) instead
+      // of one blocking scheduler round-trip per table; on the TPC-H graph
+      // this folds {orders, part, supplier} into a single wave. Results are
+      // identical to the serial child-before-parent walk: within a batch,
+      // selection merges still happen on the caller thread in sorted table
+      // order.
       val included = p.tables.toSet
-      timed("reclosure") { for (t <- p.graph.reverseTopological if included(t)) {
-        val fks = p.graph.joinEdges(t).filter(fk =>
-          included(fk.parent) && sel.contains(t) &&
-            !joinEdgeSeenAt.get((t, fk)).contains(version(t)))
-        val pulls = fks.map { fk =>
-          val keys = sel(t).select(fk.childCols.map(col): _*).na.drop().distinct()
-          val parent = parentSide(fk.parent, keys, fk)
-          val on = fk.childCols.zip(fk.parentCols).map { case (c, pc) =>
-            keys(c) === parent(pc)
-          }.reduce(_ && _)
-          fk -> parent.join(keySide(keys), on, "left_semi")
+      timed("reclosure") {
+        val inc = p.graph.reverseTopological.filter(included)
+        val rank = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+        for (t <- inc) {
+          // children appear before t in reverseTopological, so their ranks
+          // are already assigned
+          val childRanks = inc.filter(c =>
+            p.graph.joinEdges(c).exists(_.parent == t)).flatMap(rank.get)
+          rank(t) = if (childRanks.isEmpty) 0 else childRanks.max + 1
         }
-        pulls.foreach { case (fk, df) =>
-          unionInto(fk.parent, df, addCheckpointed = false) }
-        // materialize merged selections: unionInto only builds lazy plans, so
-        // checkpointing here keeps the profiler honest about where time went
-        checkpointAll(pulls.map(_._1.parent))
-      } }
+        for ((_, batch) <- rank.toSeq.groupBy(_._2).toSeq.sortBy(_._1)) {
+          val pulls = batch.map(_._1).sorted.flatMap { t =>
+            val fks = p.graph.joinEdges(t).filter(fk =>
+              included(fk.parent) && sel.contains(t) &&
+                !joinEdgeSeenAt.get((t, fk)).contains(version(t)))
+            fks.map { fk =>
+              val keys = sel(t).select(fk.childCols.map(col): _*)
+                .na.drop().distinct()
+              val parent = parentSide(fk.parent, keys, fk)
+              val on = fk.childCols.zip(fk.parentCols).map { case (c, pc) =>
+                keys(c) === parent(pc)
+              }.reduce(_ && _)
+              fk -> parent.join(keySide(keys), on, "left_semi")
+            }
+          }
+          pulls.foreach { case (fk, df) =>
+            unionInto(fk.parent, df, addCheckpointed = false) }
+          // materialize merged selections: unionInto only builds lazy plans,
+          // so checkpointing here keeps the profiler honest about where time
+          // went
+          checkpointAll(pulls.map(_._1.parent))
+        }
+      }
     } finally pool.shutdown()
 
     Extraction(spec, p, sel.toMap, phase.toMap)
@@ -444,7 +477,15 @@ object Subset {
     */
   def summary(e: Extraction): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
-    val dfs = e.tables.toSeq.sortBy(_._1).map { case (name, df) =>
+    // ONE tagged union + ONE group-by instead of a single-partition
+    // aggregate per table: the per-table form paid one AQE stage (a
+    // scheduler round-trip) per table; here every table's rows map to
+    // (tbl, per-row key contribution) and a single tbl-keyed aggregate
+    // folds them all in one wave. A zero-weight seed row per table keeps
+    // empty selections in the output (the group-by would otherwise drop
+    // them), with sum(__w) standing in for count.
+    val spark = e.tables.head._2.sparkSession
+    val parts = e.tables.toSeq.sortBy(_._1).map { case (name, df) =>
       val pk = e.plan.graph.tables.get(name).map(_.pk).getOrElse(Seq(df.columns.head))
       // integral key parts only: double→long casts round differently across
       // engines, so non-integral PK components stay out of the checksum
@@ -458,10 +499,16 @@ object Subset {
       // count-only row, not an empty-reduce crash
       val keySum = integral.map(c => col(c).cast("long"))
         .reduceOption(_ + _).getOrElse(lit(0L))
-      df.agg(count(lit(1)).as("n_rows"),
-             coalesce(sum(keySum), lit(0L)).as("key_sum"))
-        .select(lit(name).as("tbl"), col("n_rows"), col("key_sum"))
+      val rows = df.select(lit(name).as("tbl"), keySum.as("__ks"),
+        lit(1L).as("__w"))
+      val seed = spark.range(1).select(lit(name).as("tbl"),
+        lit(null).cast("long").as("__ks"), lit(0L).as("__w"))
+      rows.unionByName(seed)
     }
-    dfs.reduce(_ unionByName _).orderBy("tbl")
+    parts.reduce(_ unionByName _)
+      .groupBy("tbl")
+      .agg(sum(col("__w")).as("n_rows"),
+        coalesce(sum(col("__ks")), lit(0L)).as("key_sum"))
+      .orderBy("tbl")
   }
 }
