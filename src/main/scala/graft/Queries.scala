@@ -76,12 +76,16 @@ object Q {
     *
     * Equivalence: a 2-decimal value X.YZ is stored as its nearest double c,
     * so c = v·(1+e) with |e| ≤ 2⁻⁵³ and v = round-trip-exact; c*100 lands
-    * within ≪0.5 of the integer 100·v for |v| < 4.5e13, so adding ±0.5
-    * (away from zero, matching the decimal cast's HALF_UP) and truncating
-    * toward zero recovers exactly 100·v. NULLs propagate through the
-    * arithmetic. The decimal form and this form agree on every money column
-    * in the corpus (golden-diffed at sf0.001/0.01/0.1, r11); inputs wider
-    * than 2 decimals would round differently and must use the decimal form.
+    * within ≪0.5 of the integer 100·v for |v| < 2⁴⁴ (~1.7e13) — the
+    * worst-case error (representation ulp·100/2 plus the multiply's own
+    * rounding ulp(100v)/2) stays ≤ (100·2⁴⁴/2 + 100·2⁴⁴·2/2)·2⁻⁵³ ≈ 0.29
+    * there, so adding ±0.5 (away from zero, matching the decimal cast's
+    * HALF_UP) and truncating toward zero recovers exactly 100·v. NULLs
+    * propagate through the arithmetic. The decimal form and this form agree
+    * on every money column in the corpus (golden-diffed at
+    * sf0.001/0.01/0.1, r11); inputs wider than 2 decimals would round
+    * differently, and magnitudes at or beyond 2⁴⁴ lose the guarantee —
+    * both must use the decimal form.
     */
   def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.when

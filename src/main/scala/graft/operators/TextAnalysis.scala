@@ -563,20 +563,34 @@ object TextAnalysis {
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
         md5(col("col").cast("binary")).as("gh"))
     val hits = pos.join(dup, "gh").select("doc_id", "pos")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    hits
-      .withColumn("b", when(lag(col("pos"), 1).over(w).isNull ||
-        col("pos") > lag(col("pos"), 1).over(w) + 5, 1).otherwise(0))
-      .withColumn("island", sum(col("b")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "island")
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + 4).as("e"))
-      .select("doc_id", "s", "e")
+    // merged maximal spans via ONE doc-keyed aggregate over the sorted hit
+    // positions: span starts are positions >5 past their predecessor, and
+    // each span ends 4 past the position before the next start. Replaces
+    // the two-window gaps-and-islands chain + (doc, island) group-by —
+    // one doc_id exchange instead of a window exchange, two window sorts
+    // and a second aggregate exchange (r12, guide §2.4). Per-doc hit
+    // counts are bounded by document length, the same bound the window
+    // partition had, so the collected array never exceeds what one window
+    // partition already held.
+    hits.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .withColumn("st", expr(
+        "filter(sequence(0, size(ps) - 1), i -> i = 0 OR ps[i] > ps[i - 1] + 5)"))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(st, concat(slice(st, 2, size(st)), array(size(ps))),
+          |  (a, nx) -> struct(ps[a] AS s, ps[nx - 1] + 4 AS e))""".stripMargin))
+        .as("se"))
+      .select(col("doc_id"), col("se.s").as("s"), col("se.e").as("e"))
   }
 
   /** Per-doc span-scrub result (doc_id, n_toks, n_kept, clean_md5) of any
     * (doc_id, text) frame against a frozen duplicated-gram-hash set — the
     * surgery half shared by q_span_scrub and the streaming twin.
+    *
+    * Precondition: `text` must be non-null (the corpus schema's contract).
+    * A NULL text yields no token rows, so the doc would be absent from the
+    * result rather than scored as empty — callers feeding frames from
+    * outside the catalog must filter or default NULL texts first.
     */
   def spanScrubScore(d: DataFrame, dup: DataFrame): DataFrame = {
     val toksp = d
