@@ -67,6 +67,12 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // mid-run sentinel series: one calibration reading every ~30 queries.
+    // The end-point readings alone are too noisy to normalize by (a ~0.1 s
+    // query's min-of-3 swings ±50% between JIT/phase moments); the median
+    // of end-points + mid-run samples tracks the machine speed the query
+    // medians actually experienced.
+    val calSeries = scala.collection.mutable.ArrayBuffer.empty[Double]
     // Each query runs `reps` times back-to-back and publishes the MEDIAN
     // (plus the min): a single measurement exposes the artifact to cold-JIT
     // outliers — the r8 artifact showed three phantom 5-7× "regressions"
@@ -75,7 +81,8 @@ object Bench {
     // lands on a warm rep, which is the sustainable-throughput number a
     // baseline comparison should see.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val results = names.map { n =>
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (i % 30 == 15) calSeries += calibrate()
       val ts = (1 to reps).map(_ => run(n)).filter(_ >= 0).sorted
       val med = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
       val min = if (ts.isEmpty) -1.0 else ts.head
@@ -105,21 +112,25 @@ object Bench {
     val contended = unstable && calLast > calFirst
     // Sentinel-normalized per-query medians (ADDITIONS-ONLY — raw seconds
     // above are unchanged and stay the primary protocol): each median
-    // divided by the run's best sentinel reading, i.e. "how many
+    // divided by the run's MEDIAN sentinel reading, i.e. "how many
     // calibration queries is this query worth ON THIS MACHINE TODAY".
     // This machine's speed drifts 1.5-2x across minutes (every r01-r11
     // artifact pair disagrees near-uniformly), so cross-round raw-second
     // comparisons measure the VM phase, not the code; the normalized
     // ratios cancel the machine out because the sentinel (a fixed
-    // scan+agg noop query) rides the same phase. min(first,last) is the
-    // denominator: it is the run's best observed machine speed, and the
-    // per-query MEDIANS being compared are similarly best-of-warm.
-    val calRef = math.min(calFirst, calLast)
+    // scan+agg noop query) rides the same phase. The denominator is the
+    // median over end-point AND mid-run readings: query medians are taken
+    // all through the run, so the reference must track the run's typical
+    // speed, not its best instant (and a single end-point min is itself
+    // ±50% noisy at this magnitude).
+    val allCal = (Seq(calFirst, calLast) ++ calSeries).sorted
+    val calRef = allCal(allCal.size / 2)
     val qnorm = results.map { case (k, med, _) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
         Double.box(if (med >= 0 && calRef > 0) med / calRef else -1.0))
     }.mkString("{", ",", "}")
-    val cal = s""""calibration":{"first_sec":${n3(calFirst)},"last_sec":${n3(calLast)},"drift":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(drift))},"drift_direction":"$direction","unstable":$unstable,"contended":$contended,"rule":"min-of-3 each side; drift>1.5 flags unstable in either direction; contended additionally requires the LAST side slower (slowdown=contention; a speed-up reads as warm-up but may be early contention that subsided - cross-check queries_min vs queries)","norm_rule":"queries_norm[q] = queries[q] / min(first_sec, last_sec) - unitless multiples of the calibration sentinel; compare THESE across rounds/machines, raw seconds only within one run"}"""
+    val calSeriesJson = calSeries.map(n3).mkString("[", ",", "]")
+    val cal = s""""calibration":{"first_sec":${n3(calFirst)},"last_sec":${n3(calLast)},"mid_series_sec":$calSeriesJson,"norm_ref_sec":${n3(calRef)},"drift":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(drift))},"drift_direction":"$direction","unstable":$unstable,"contended":$contended,"rule":"min-of-3 each side; drift>1.5 flags unstable in either direction; contended additionally requires the LAST side slower (slowdown=contention; a speed-up reads as warm-up but may be early contention that subsided - cross-check queries_min vs queries)","norm_rule":"queries_norm[q] = queries[q] / norm_ref_sec, where norm_ref_sec = median of first/last (min-of-3 each) + one mid-run sentinel reading every 30 queries - unitless multiples of the calibration sentinel; compare THESE across rounds/machines, raw seconds only within one run"}"""
     println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qmin,"queries_norm":$qnorm,$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
