@@ -408,15 +408,12 @@ object TextAnalysis {
     * right) lexicographic. Returns merges in training order.
     */
   def bpeTrainMerges(docs0: DataFrame, nMerges: Int): Seq[(String, String)] = {
-    val spark = docs0.sparkSession
-    import spark.implicits._
-    var syms = docs0
+    var syms: DataFrame = docs0
       .select(explode(split(normText(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
       .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"), col("c"))
-      .as[(Seq[String], Long)]
       // LAZY checkpoints throughout the loop: each round's argmax collect
       // is the action that materializes them, so a round costs ONE job
       // (pair-count + argmax) instead of two — the eager form paid a
@@ -426,27 +423,45 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.size < nMerges && !done) {
-      val best = syms.flatMap { case (ss, c) =>
-        ss.iterator.zip(ss.iterator.drop(1)).map(p => (p._1, p._2, c)).toSeq
-      }.toDF("l", "r", "c")
-        .groupBy("l", "r").agg(sum("c").as("n"))
+      // adjacent symbol pairs weighted by word count — pure array
+      // expressions (the r12 rewrite: the previous typed flatMap/map pair
+      // deserialized every row to Scala per round, outside codegen)
+      val best = syms
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("c"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("c").as("n"))
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (best.isEmpty) done = true
       else {
         val (l, r) = (best(0).getString(0), best(0).getString(1))
         merges += ((l, r))
-        val m = l + r
-        syms = syms.map { case (ss, c) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < ss.length) {
-            if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
-              out += m; i += 2
-            } else { out += ss(i); i += 1 }
-          }
-          (out.toSeq, c)
-        }.localCheckpoint(eager = false)
+        // greedy left-to-right merge as a fold carrying the not-yet-emitted
+        // symbol: (pend = l, next = r) emits the merged symbol and clears
+        // pend, so the pair's two symbols are consumed exactly like the
+        // imperative skip-2 loop (overlapping runs: "aaa" -> ["aa", "a"]).
+        // Literal symbols enter as lit() columns, never spliced into SQL.
+        val (lC, rC, mC) = (lit(l), lit(r), lit(l + r))
+        def outPend(out: org.apache.spark.sql.Column,
+                    pend: org.apache.spark.sql.Column) =
+          struct(out.as("out"), pend.as("pend"))
+        val nullS = lit(null).cast("string")
+        val mergedSyms = aggregate(
+          col("syms"),
+          outPend(array().cast("array<string>"), nullS),
+          (acc, x) => when(acc.getField("pend").isNull,
+              outPend(acc.getField("out"), x))
+            .when(acc.getField("pend") === lC && x === rC,
+              outPend(concat(acc.getField("out"), array(mC)), nullS))
+            .otherwise(
+              outPend(concat(acc.getField("out"), array(acc.getField("pend"))), x)),
+          acc => when(acc.getField("pend").isNull, acc.getField("out"))
+            .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+        syms = syms.select(mergedSyms.as("syms"), col("c"))
+          .localCheckpoint(eager = false)
       }
     }
     merges.toSeq
